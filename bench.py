@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a count-collapsing action
+(``df.foreach`` would serialize rows to Python; a ``count()`` over the
+already-computed result keeps everything JVM-side and still executes the
+whole plan because these queries all end in aggregates/limits/joins).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship FRED aggregation plus the queries that
+# exercise each scale-critical physical shape (wide agg, fact-fact join,
+# broadcast chain, window, top-k, dedup, similarity).
+HEADLINE = [
+    "fred_silver_monthly",
+    "fred_gold_yearly",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "window_rank_customers",
+    "topk_orders_by_price",
+    "tumbling_window_events",
+    "dedup_exact_keep_min",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_token_counts",
+]
+
+
+def main() -> None:
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+    from fred_economic_data_pipeline_local_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = all_queries()
+    sf = _infer_sf(SF_DIR)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        # one warm-up of the first query only would hide JVM warm-up in
+        # every remaining query unevenly; instead measure cold, per query,
+        # like the driver does.
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _infer_sf(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Fixture-table catalog: schema-pinned parquet loads for the driver tables.
+
+Mirrors the declarative source catalog idea of config/fred_indicators.yaml
+(reference dags/fred_historical_backfill.py:27-35): names -> typed sources.
+Explicit schemas keep the scan free of footer-inference and guarantee the
+column types the operators were written against.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import FIXTURE_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = tuple(FIXTURE_SCHEMAS)
+
+# Runtime confs applied to whatever session executes our queries (the
+# correctness driver builds its own SparkSession, so the builder-time confs
+# in session.py may not be present):
+# - UTC session timezone: all date/timestamp formatting must agree with the
+#   (timezone-naive) DuckDB oracle;
+# - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS) — unreadable
+#   otherwise (set at builder in session.py; static conf, best-effort here);
+# - AQE off: measured pathology on local mode — per-stage re-planning of
+#   large expression trees (lenient-key casts, minhash lambdas) costs
+#   seconds per stage, turning sub-second queries into minutes. On a real
+#   multi-executor cluster AQE pays for itself (skew splitting, runtime
+#   broadcast); on a single-JVM local master the static planner already
+#   picks the same joins. See session.py for the cluster profile.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune_session(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static/locked conf on this session — keep going
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one fixture table with its pinned schema.
+
+    Schema is passed explicitly so the vectorized parquet reader prunes
+    columns against a known struct and never pays inference; predicate
+    pushdown + column pruning then happen in Catalyst.
+    """
+    if name not in FIXTURE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(FIXTURE_SCHEMAS)}")
+    tune_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS,false): Spark has no nanosecond
+        # timestamp, so scan the physical int64 (nanosAsLong) and truncate
+        # to microseconds with integer division (ns magnitudes exceed
+        # double's 2^53 — float division would corrupt), matching DuckDB's
+        # ns->us truncation.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        raw_schema = StructType(
+            [
+                StructField("event_id", LongType(), True),
+                StructField("ts", LongType(), True),
+            ]
+            + [f for f in FIXTURE_SCHEMAS["events"].fields if f.name not in ("event_id", "ts")]
+        )
+        raw = spark.read.schema(raw_schema).parquet(path)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select(*[f.name for f in FIXTURE_SCHEMAS["events"].fields])
+    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

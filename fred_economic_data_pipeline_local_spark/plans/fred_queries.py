@@ -1,0 +1,135 @@
+"""FRED-parity queries over the driver fixtures.
+
+The ``events`` table stands in for bronze observations (event_type ->
+indicator, ts -> observation date/ingest time), so the reference's core
+computations (SURVEY.md §3.2/§3.3 + serving ops K3/K4) are exercised and
+oracle-checked end-to-end on driver data. Audit columns that are
+wall-clock-dependent (processed_at/aggregated_at) are pinned to a fixed
+literal inside checked queries (SURVEY.md §7.3 item 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.fred import events_as_bronze, gold_aggregate, silver_transform
+from ..operators.serve import dedup_append_delta, upsert_merge
+from .registry import query
+
+# fixed audit stamp inside oracle-checked queries (determinism)
+_STAMP = "2026-01-01T00:00:00+00:00"
+
+_SILVER_ORACLE_BODY = """
+SELECT event_type AS indicator,
+       CAST(year(ts) AS INTEGER) AS observation_year,
+       CAST(day(ts) AS INTEGER) AS observation_month,  -- fixture spans one month: day plays the bucket key
+       round(avg(value), 6) AS value,
+       count(value) AS observation_count,
+       strftime(max(ts), '%Y-%m-%dT%H:%M:%S.%f+00:00') AS ingested_at
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bronze = events_as_bronze(load_table(spark, "events", sf_dir))
+    return silver_transform(bronze, processed_at_iso=_STAMP).withColumn(
+        "value", F.round("value", 6)
+    )
+
+
+@query(
+    "fred_silver_monthly",
+    oracle=f"""
+SELECT indicator, observation_year, observation_month, value,
+       observation_count, ingested_at, '{_STAMP}' AS processed_at
+FROM ({_SILVER_ORACLE_BODY})
+""",
+    description="SURVEY §3.2 flagship: filter+cast+group avg/count/max (A1,F1,F2,C3,C5,P2,P4)",
+)
+def fred_silver_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _silver(spark, sf_dir)
+
+
+@query(
+    "fred_gold_yearly",
+    oracle=f"""
+SELECT indicator, observation_year, observation_month,
+       round_even(value, 2) AS value,
+       observation_count, ingested_at,
+       '{_STAMP}' AS processed_at, '{_STAMP}' AS aggregated_at
+FROM ({_SILVER_ORACLE_BODY})
+""",
+    description="SURVEY §3.3 gold: union-by-scan + half-even bround (U1, A2, P4)",
+)
+def fred_gold_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold_aggregate(_silver(spark, sf_dir), aggregated_at_iso=_STAMP)
+
+
+@query(
+    "fred_dedup_append",
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+incoming AS (SELECT * FROM silver WHERE observation_month >= 5),
+existing AS (SELECT indicator, observation_year, observation_month
+             FROM silver WHERE observation_month <= 8)
+SELECT i.* FROM incoming i
+WHERE NOT EXISTS (
+  SELECT 1 FROM existing e
+  WHERE e.indicator = i.indicator
+    AND e.observation_year = i.observation_year
+    AND e.observation_month = i.observation_month
+)
+""",
+    description="SURVEY §2.5 J1 / §2.2 K4: left-anti dedup append with lenient keys",
+)
+def fred_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = _silver(spark, sf_dir).drop("processed_at")
+    incoming = silver.where(F.col("observation_month") >= 5)
+    # serving state comes back all-string (Sheets): exercise the lenient
+    # key normalization (load_fred_data_to_google.py:94-101)
+    existing = (
+        silver.where(F.col("observation_month") <= 8)
+        .select(
+            F.col("indicator"),
+            F.col("observation_year").cast("string").alias("observation_year"),
+            F.col("observation_month").cast("string").alias("observation_month"),
+        )
+    )
+    return dedup_append_delta(incoming, existing)
+
+
+@query(
+    "fred_upsert_merge",
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+t AS (SELECT indicator, observation_year, observation_month, value,
+             observation_count FROM silver WHERE observation_month <= 8),
+s AS (SELECT indicator, observation_year, observation_month,
+             round(value * 2, 6) AS value, observation_count
+      FROM silver WHERE observation_month >= 5)
+SELECT COALESCE(s.indicator, t.indicator) AS indicator,
+       COALESCE(s.observation_year, t.observation_year) AS observation_year,
+       COALESCE(s.observation_month, t.observation_month) AS observation_month,
+       CASE WHEN s.indicator IS NOT NULL THEN s.value ELSE t.value END AS value,
+       CASE WHEN s.indicator IS NOT NULL THEN s.observation_count
+            ELSE t.observation_count END AS observation_count
+FROM t FULL OUTER JOIN s
+  ON t.indicator = s.indicator
+ AND t.observation_year = s.observation_year
+ AND t.observation_month = s.observation_month
+""",
+    description="SURVEY §2.2 K3 / §2.5 J2: ON CONFLICT DO UPDATE as full-outer merge",
+)
+def fred_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value", "observation_count"
+    )
+    target = silver.where(F.col("observation_month") <= 8)
+    source = silver.where(F.col("observation_month") >= 5).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    return upsert_merge(target, source)

@@ -1,0 +1,467 @@
+"""Relational query surface over the TPC-H-ish star schema.
+
+The reference never joins (SURVEY.md §2.5) — its layers correlate by
+partition path — but a complete engine exposes the full relational
+algebra. Each query is written declaratively so Catalyst picks the
+physical strategy; dimension tables (region/nation/supplier/part,
+customer at small SF) sit under the broadcast threshold so every
+dim join is a BroadcastHashJoin with zero shuffle of the fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 shape: scan + pushed filter + wide hash agg (partial+final)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    description="TPC-H Q3 shape: fact-fact join + broadcast dim filter + top-k",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(
+            orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'AFRICA'
+GROUP BY n_name
+""",
+    description="TPC-H Q5 shape: 5-way join chain, dims broadcast, one fact shuffle",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir).where(F.col("r_name") == "AFRICA")
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    dims = broadcast(
+        cust.join(
+            broadcast(nation.join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "semi_join_customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    description="left-semi join (EXISTS)",
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "anti_join_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    description="left-anti join (NOT EXISTS) — the J1 dedup-append primitive",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "outer_join_order_counts",
+    oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS order_count
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+""",
+    description="left-outer join + count-preserving agg",
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@query(
+    "union_nations_of_parties",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+    description="UNION DISTINCT (U1 extends: reference only has UNION ALL)",
+)
+def union_nations_of_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+@query(
+    "except_customer_only_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+    description="EXCEPT set op",
+)
+def except_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(supp)  # EXCEPT DISTINCT semantics
+
+
+@query(
+    "intersect_shared_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+    description="INTERSECT set op",
+)
+def intersect_shared_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+@query(
+    "union_all_lake_layers",
+    oracle="""
+SELECT o_orderkey AS keycol, o_totalprice AS amount FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+""",
+    description="SURVEY §2.8 U1: UNION ALL accumulate (the yearly concat loop)",
+)
+def union_all_lake_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("keycol"), F.col("o_totalprice").alias("amount")
+    )
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("keycol"), F.col("o_totalprice").alias("amount")
+    )
+    return f.unionByName(o)
+
+
+@query(
+    "topk_orders_by_price",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    description="global top-k: TakeOrderedAndProject, no full sort",
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "rollup_region_nation_customers",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    description="ROLLUP grouping sets (absent in reference, SURVEY §2.6)",
+)
+def rollup_region_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "distinct_parts_per_flag",
+    oracle="""
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="multi distinct aggregation (expand + two-phase agg)",
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "percentile_order_prices",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    description="exact interpolated percentiles + min/max",
+)
+def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "case_when_price_bands",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS band,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1
+""",
+    description="CASE WHEN conditional bucketing (absent in reference, SURVEY §2.9)",
+)
+def case_when_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        orders.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "string_functions_parts",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       substring(p_name, 1, 4) AS name_prefix,
+       replace(p_type, 'ECONOMY', 'ECON') AS type_short,
+       concat(p_brand, ':', p_type) AS brand_type,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       lower(trim(p_brand)) AS brand_norm
+FROM part
+""",
+    description="SURVEY §2.9 C8 string surface: case/trim/substr/replace/concat/regex",
+)
+def string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECON")).alias("type_short"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.lower(F.trim(F.col("p_brand"))).alias("brand_norm"),
+    )
+
+
+@query(
+    "date_functions_orders",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+FROM orders
+""",
+    description="SURVEY §2.9 C1/C2/C9/C10 date surface: parts, trunc, arithmetic, format",
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.quarter(d).alias("order_quarter"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+@query(
+    "cast_coercion_values",
+    oracle="""
+SELECT event_id,
+       TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip,
+       CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS user_id_roundtrip,
+       TRY_CAST('.' AS DOUBLE) AS sentinel_null,
+       TRY_CAST('garbage' AS DOUBLE) AS garbage_null
+FROM events
+""",
+    description="SURVEY §1.4/C3/C4: lenient string<->numeric casts, null on garbage",
+)
+def cast_coercion_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.col("value").cast("string").cast("double").alias("value_roundtrip"),
+        F.col("user_id").cast("string").cast("long").alias("user_id_roundtrip"),
+        F.lit(".").cast("double").alias("sentinel_null"),
+        F.lit("garbage").cast("double").alias("garbage_null"),
+    )

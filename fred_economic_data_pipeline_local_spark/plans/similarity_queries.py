@@ -1,0 +1,106 @@
+"""Similarity-search queries over ``embeddings`` (array<float>).
+
+Brute-force cosine top-k is the exact, oracle-checked baseline (DuckDB
+mirrors the identical sequential-fold arithmetic); the LSH variant is the
+scale path (bucketed candidates, no corpus-wide compare) and gets the
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.similarity import brute_force_topk, dot, l2_norm, lsh_topk
+from .registry import query
+
+# deterministic small query set: the first 5 vectors
+_NQUERY = 5
+_K = 10
+
+_COS_SQL = (
+    "list_dot_product(q.e, c.e) / "
+    "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))"
+)
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM c WHERE vec_id < {_NQUERY})
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round({_COS_SQL}, 6) AS cos_sim
+FROM q JOIN c ON q.vec_id <> c.vec_id
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY round({_COS_SQL}, 6) DESC, neighbor_id) <= {_K}
+""",
+    description="brute-force cosine top-k ANN baseline (broadcast query set)",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < _NQUERY)
+    return brute_force_topk(emb, queries, k=_K)
+
+
+@query(
+    "similarity_lsh_topk",
+    oracle=None,  # hash-derived hyperplanes — rows-only check
+    description="LSH-bucketed approximate cosine top-k (the 100 TB path)",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < _NQUERY)
+    return lsh_topk(emb, queries, k=_K, planes=8)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id, label,
+       CAST(len(e) AS INTEGER) AS dims,
+       round(sqrt(list_dot_product(e, e)), 6) AS l2_norm
+FROM c
+""",
+    description="per-vector L2 norm + dimensionality (array arithmetic surface)",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dims"),
+        F.round(l2_norm(e), 6).alias("l2_norm"),
+    )
+
+
+@query(
+    "embedding_label_stats",
+    oracle="""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT label, count(*) AS n_vectors,
+       round(avg(sqrt(list_dot_product(e, e))), 6) AS avg_norm,
+       round(min(sqrt(list_dot_product(e, e))), 6) AS min_norm,
+       round(max(sqrt(list_dot_product(e, e))), 6) AS max_norm
+FROM c
+GROUP BY label
+""",
+    description="per-label embedding statistics (agg over vector-derived scalars)",
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.col("embedding").cast("array<double>")
+    norm = l2_norm(e)
+    return (
+        emb.select("label", norm.alias("__n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("__n"), 6).alias("avg_norm"),
+            F.round(F.min("__n"), 6).alias("min_norm"),
+            F.round(F.max("__n"), 6).alias("max_norm"),
+        )
+    )

@@ -1,0 +1,227 @@
+"""Time-series / window / event queries over ``events`` and the star schema.
+
+Window functions are absent from the reference (SURVEY.md §2.7) but are the
+natural analytics over its gold layer (month-over-month change, rolling
+means); here they run over the driver's ``events`` fixture. All window
+specs carry a unique-key tiebreak so results are deterministic for the
+oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "window_rank_customers",
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+""",
+    description="ranking window: per-group top-3 via row_number",
+)
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# fixture spans one calendar month -> bucket by day for real series depth
+_DAILY = """
+SELECT event_type,
+       CAST(year(ts) AS INTEGER) AS y,
+       CAST(month(ts) AS INTEGER) AS m,
+       CAST(day(ts) AS INTEGER) AS d,
+       round(sum(value), 2) AS revenue
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query(
+    "window_lag_month_over_month",
+    oracle=f"""
+SELECT event_type, y, m, d, revenue,
+       round(revenue - lag(revenue) OVER (PARTITION BY event_type ORDER BY y, m, d), 2) AS mom_change
+FROM ({_DAILY})
+""",
+    description="lag window: period-over-period delta (gold-layer analytics shape)",
+)
+def window_lag_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("event_type").orderBy("y", "m", "d")
+    return daily.withColumn(
+        "mom_change", F.round(F.col("revenue") - F.lag("revenue").over(w), 2)
+    )
+
+
+@query(
+    "window_rolling_mean",
+    oracle=f"""
+SELECT event_type, y, m, d, revenue,
+       round(avg(revenue) OVER (PARTITION BY event_type ORDER BY y, m, d
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling3
+FROM ({_DAILY})
+""",
+    description="rolling frame window: trailing 3-bucket mean",
+)
+def window_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("y", "m", "d")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return daily.withColumn("rolling3", F.round(F.avg("revenue").over(w), 6))
+
+
+@query(
+    "window_cumulative_user_value",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM events
+WHERE value IS NOT NULL
+""",
+    description="cumulative sum window per user",
+)
+def window_cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "tumbling_window_events",
+    oracle="""
+SELECT event_type,
+       strftime(ts - to_microseconds(epoch_us(ts) % 3600000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="SURVEY §2.10: tumbling event-time window (1 h) computed in batch",
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    bucket_us = F.unix_micros("ts") - F.unix_micros("ts") % (3600 * 1_000_000)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.timestamp_micros(bucket_us), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "sessionize_users",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM sessions
+GROUP BY user_id, session_idx
+""",
+    description="gap-based sessionization (30 min) via lag + cumulative flag sum",
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_session", F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+SELECT event_id, event_type,
+       TRY_CAST(props->>'$.k' AS BIGINT) AS k_value
+FROM events
+""",
+    description="SURVEY §2.9 C11: semi-structured JSON extraction from props",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
