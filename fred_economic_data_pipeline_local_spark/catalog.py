@@ -36,6 +36,10 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ICU lower/upper pays a minutes-long static init the first time a
+    # non-ASCII string is case-mapped (see session.py); JVM mapping is
+    # fast and agrees with DuckDB on the Latin-script fixtures
+    "spark.sql.icu.caseMappings.enabled": "false",
 }
 
 

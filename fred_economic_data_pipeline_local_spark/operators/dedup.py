@@ -68,17 +68,36 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """num_hashes-wide MinHash signature (array<bigint>).
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``num_hashes`` bigint columns h0..hN-1.
 
-    Hash family h_i(s) = xxhash64(s, i) via seed-prefix concat; min over
-    the doc's shingle set per i. One pass, all in codegen.
+    Hash family h_i(s) = xxhash64(i, s); min over the doc's shingle set
+    per i. Implemented as explode(shingles) -> num_hashes codegen'd
+    min-aggregates — deliberately NOT a nested lambda transform: Spark's
+    higher-order functions never enter whole-stage codegen, so a
+    64-wide nested transform runs ~19k interpreted lambda evals per doc
+    (measured minutes on 500 docs). The exploded shape keeps every hash
+    inside codegen and parallelizes across the shuffle.
+
+    The repartition on id spreads docs across cores when the input is a
+    single small file AND pre-clusters by the groupBy key, so the
+    aggregation itself needs no second exchange. At lake scale the input
+    already has many splits and this becomes the one key-shuffle the
+    groupBy would do anyway.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("#"), s)))
-        ),
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).repartition("id")
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    return ex.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -94,35 +113,28 @@ def minhash_candidates(
     """LSH candidate pairs (id_a < id_b) sharing >= 1 MinHash band bucket.
 
     rows/band = num_hashes/bands tunes the similarity threshold
-    (s* ~ (1/bands)^(1/rows)). Plan: narrow signature build -> explode to
+    (s* ~ (1/bands)^(1/rows)). Plan: signature build -> explode to
     (band, bucket) -> self equi-join per bucket. ``bucket_cap`` guards
     against degenerate buckets (boilerplate): buckets larger than the cap
     are dropped (they would be exact-dup territory anyway).
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_k), num_hashes).alias(
-            "sig"
-        ),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # band bucket = hash of the band's row slice, straight off the h*
+    # columns (CreateArray/CreateStruct/xxhash64 all codegen)
     banded = sig.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows + j}") for j in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
@@ -163,7 +175,7 @@ def minhash_neardup(
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), lsh_kwargs.get("shingle_k", 3)).alias("sh"),
-    )
+    ).repartition("id")
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -223,44 +235,49 @@ def ngram_jaccard_pairs(
 
 # --- SimHash -----------------------------------------------------------------
 
-def simhash(col: Column, bits: int = 64) -> Column:
-    """SimHash of the token set: per-bit majority vote of token hashes.
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """Per-doc SimHash of the token set -> (id, sh bigint).
 
-    For each bit b: sum over tokens of (+1 if bit set else -1); bit b of
-    the output is 1 when the sum is positive. Pure fold over the token
-    array — JVM-side, one pass.
+    For each bit b: sum over tokens of (+1 if bit b of xxhash64(token) is
+    set else -1); bit b of the output is 1 when the sum is positive.
+    Shaped as explode(tokens) -> ``bits`` codegen'd sum-aggregates -> one
+    bit-combine projection, for the same reason as minhash_signatures:
+    the equivalent array-fold (aggregate/zip_with lambdas) never enters
+    codegen and runs interpreted per token x bit.
     """
-    toks = F.array_distinct(tokens(F.lower(col)))
-    # bit positions are compile-time constants: python-int shift amounts keep
-    # the expressions shallow (shiftright/shiftleft take literal bit counts)
-    bit_votes = F.aggregate(
-        toks,
-        F.array(*[F.lit(0) for _ in range(bits)]),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                    for b in range(bits)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    from functools import reduce
+
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("tk"),
+        )
+        .repartition("id")
+        .select("id", F.explode("tk").alias("t"))
+        .withColumn("__h", F.xxhash64("t"))
     )
-    powers = F.array(
-        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(bits)]
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            powers,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    bit_terms = [
+        F.when(
+            F.col(f"v{b}") > 0,
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    sh = reduce(lambda a, x: a.bitwiseOR(x), bit_terms)
+    return votes.select("id", sh.alias("sh"))
 
 
 def simhash_neardup(
@@ -277,7 +294,7 @@ def simhash_neardup(
     exact chunk), then exact popcount verify on bucket-mates.
     """
     chunks = 64 // band_bits
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    sh = simhash_table(df, text_col, id_col)
     banded = sh.select(
         "id",
         "sh",

@@ -77,40 +77,45 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, planes: int = 16, dim: int = 64) -> Column:
-    """Random-hyperplane LSH signature (bigint bucket id).
+def hyperplane_signatures(
+    df: DataFrame,
+    id_out: str,
+    vec_out: str,
+    planes: int = 16,
+) -> DataFrame:
+    """Random-hyperplane LSH signatures: (id, vec) -> (id, vec, sig bigint).
 
     Plane p's weight on dimension i is a deterministic pseudo-random value
     in [-1, 1] derived from xxhash64(p, i) — no stored model, identical
     across runs and executors. Bit p = sign(v . plane_p).
+
+    Shaped as posexplode(vec) -> ``planes`` codegen'd sum-aggregates ->
+    join the signature back on id. Lambda higher-order functions never
+    codegen, so the fold form of this runs interpreted per plane x dim;
+    the exploded form keeps the dot products vectorized and parallel.
+    ``df`` must have exactly the columns (id_out, vec_out).
     """
-    def plane_weight(p: int, i: Column) -> Column:
-        h = F.xxhash64(F.concat(F.lit(str(p)), F.lit(":"), i.cast("string")))
+    from functools import reduce
+
+    def plane_weight(p: int) -> Column:
+        h = F.xxhash64(F.lit(p), F.col("__i"))
         return (F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0) - 1.0
 
-    # plane index is a compile-time constant -> python loop, literal shifts
-    bits = F.array(
+    ex = df.select(id_out, F.posexplode(vec_out).alias("__i", "__x"))
+    dots = ex.groupBy(id_out).agg(
         *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.transform(
-                            F.sequence(F.lit(0), F.lit(dim - 1)),
-                            lambda i, p=p: plane_weight(p, i),
-                        ),
-                        lambda x, wgt: x * wgt,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit(1 << p).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
+            F.sum(F.col("__x") * plane_weight(p)).alias(f"d{p}")
             for p in range(planes)
         ]
     )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+    bit_terms = [
+        F.when(F.col(f"d{p}") > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for p in range(planes)
+    ]
+    sig = reduce(lambda a, x: a.bitwiseOR(x), bit_terms)
+    return df.join(dots.select(id_out, sig.alias("sig")), on=id_out)
 
 
 def lsh_topk(
@@ -118,7 +123,6 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     planes: int = 8,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -127,14 +131,24 @@ def lsh_topk(
     corpus-wide scan per query with a hash-partitioned equi-join on the
     signature — the 100 TB-scale path.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__cv"),
-    ).withColumn("sig", hyperplane_signature(F.col("__cv"), planes, dim))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("__qv"),
-    ).withColumn("sig", hyperplane_signature(F.col("__qv"), planes, dim))
+    c = hyperplane_signatures(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("__cv"),
+        ),
+        "neighbor_id",
+        "__cv",
+        planes,
+    )
+    q = hyperplane_signatures(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("__qv"),
+        ),
+        "query_id",
+        "__qv",
+        planes,
+    )
     scored = (
         c.join(broadcast(q), on="sig")
         .where(F.col("query_id") != F.col("neighbor_id"))

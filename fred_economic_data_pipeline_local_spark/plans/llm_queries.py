@@ -206,4 +206,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return simhash_neardup(docs, max_hamming=8)
+    # max_hamming=3 with 16-bit bands keeps the pigeonhole guarantee
+    # (d < 64/16 chunks) AND bounds the pair output: the synthetic docs
+    # share a small vocabulary, so looser thresholds explode quadratically
+    return simhash_neardup(docs, max_hamming=3)

@@ -1,0 +1,84 @@
+"""Multimodal-pipeline queries over ``documents`` as fake media.
+
+The decode/resize/frame-sample stubs are deterministic functions of the
+payload bytes + metadata (operators/multimodal.py), so the mapInPandas
+plumbing itself is oracle-checked: DuckDB mirrors the stub arithmetic in
+SQL. The feature-extraction path (hash-fold embedding -> cosine top-k)
+is rows-only (byte-fold arithmetic is not worth mirroring in SQL) but
+proves the media -> vector -> similarity composition end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import (
+    attach_media,
+    decode_media,
+    extract_features,
+    sample_frames,
+)
+from ..operators.similarity import brute_force_topk
+from .registry import query
+
+# the stub's metadata derivation, mirrored in SQL (length() is chars in
+# both engines; the fixture text is ASCII so chars == bytes == len(media))
+_META_SQL = """
+SELECT doc_id, text,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(64 + (length(text) * 7) % 448 AS INTEGER) AS width,
+       CAST(64 + (length(text) * 13) % 448 AS INTEGER) AS height,
+       CAST(1 + length(text) % 16 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle=f"""
+SELECT doc_id, byte_len, width, height,
+       round(CAST(n_frames AS DOUBLE) / 16000.0, 6) AS duration_s
+FROM ({_META_SQL})
+""",
+    description="mapInPandas decode stage: binary media -> per-item metrics",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    decoded = decode_media(attach_media(docs))
+    return decoded.select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx
+FROM ({_META_SQL})
+""",
+    description="mapInPandas 1->N frame sampling: one row per (item, frame)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    frames = sample_frames(attach_media(docs), every=1)
+    return frames.select("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_feature_topk",
+    oracle=None,  # byte-fold stub embedding — rows-only check
+    description="media -> feature vector -> cosine top-k (full multimodal path)",
+)
+def multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_features(attach_media(docs), dim=8)
+    queries = feats.where(F.col("doc_id") < 5)
+    return brute_force_topk(
+        feats, queries, k=5, id_col="doc_id", vec_col="feature"
+    )

@@ -71,6 +71,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         fred_queries,
         llm_queries,
+        multimodal_queries,
         relational_queries,
         similarity_queries,
         timeseries_queries,

@@ -66,6 +66,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- semantics -------------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # JVM case mapping instead of ICU for UTF8_BINARY lower/upper:
+        # ICU's CollationAwareUTF8String static init burns minutes of CPU
+        # the first time a non-ASCII string hits lower() (observed via
+        # jstack on the documents fixture); JVM mapping matches DuckDB on
+        # the Latin-script fixture text
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         # reference relies on lenient casts (pd.to_numeric errors='coerce',
         # extract_fred_data.py:175): null-on-garbage, not error-on-garbage
         .config("spark.sql.ansi.enabled", "false")

@@ -1,0 +1,219 @@
+"""Structured Streaming surface: event-time windows, watermarks, state.
+
+The reference has no streaming runtime — its temporal semantics are
+batch-incremental monthly replays (SURVEY.md §2.10). This module supplies
+the Spark-native streaming expression of the same semantics plus the
+standard event-stream analytics a 100 TB pipeline needs:
+
+- file-source ``readStream`` with pinned schema (incremental discovery of
+  new lake files — the Airflow catchup loop replaced by
+  ``Trigger.AvailableNow`` runs);
+- watermarked tumbling / sliding / session windows for late data;
+- an ``applyInPandasWithState`` custom stateful operator (running
+  per-user aggregates with timeout-based session flush).
+
+Every transformation here takes/returns DataFrames, so the same function
+works on a batch frame (tests, oracle comparison) and a streaming frame
+(production) — the Structured Streaming unification.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events fixture schema with ts as raw int64 nanos (the parquet carries
+# TIMESTAMP(NANOS); see catalog.load_table for the batch-side handling)
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture directory.
+
+    ``maxFilesPerTrigger`` bounds per-micro-batch work; the nanosecond
+    timestamp is truncated to micros exactly as the batch reader does.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory: stream the fixture dir with a
+    # glob pinned to the events file (new files matching the glob would be
+    # picked up incrementally — the lake-ingest discovery pattern)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling event-time aggregation.
+
+    State is bounded by the watermark: windows older than (max event time
+    - watermark) are finalized and evicted — the streaming analogue of the
+    reference's idempotent month re-runs handling late FRED revisions.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Watermarked sliding-window mean (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based) — the streaming counterpart of
+    the batch sessionize_users query (plans/timeseries_queries.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_OUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", IntegerType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+_STATE = StructType(
+    [
+        StructField("n", IntegerType(), True),
+        StructField("total", DoubleType(), True),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum).
+
+    ``applyInPandasWithState`` — arbitrary per-key state the built-in
+    windows can't express (the escape hatch for custom streaming
+    operators). Emits one row per key per update.
+
+    ``timeout_ms > 0`` arms a processing-time timeout that flushes and
+    drops idle keys (bounding state for continuous jobs). Leave it 0 for
+    ``AvailableNow`` backfills: pending timers keep an available-now run
+    spinning state-cleanup micro-batches until every timer has expired,
+    so bounded replays should not arm them.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_STATE_OUT,
+        stateStructType=_STATE,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "update"
+) -> DataFrame:
+    """Execute a streaming frame to completion over the data available now.
+
+    ``Trigger.AvailableNow`` + memory sink: processes every pending file in
+    bounded micro-batches, then stops — the Spark-native form of the
+    reference's Airflow catchup backfill. Returns the materialized result
+    as a batch DataFrame (query it with spark.table too).
+    """
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,79 @@
+"""Structured Streaming: AvailableNow runs over the events fixture must
+agree with the equivalent batch computation (stream/batch unification)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fred_economic_data_pipeline_local_spark.catalog import load_table
+from fred_economic_data_pipeline_local_spark.streaming.windows import (
+    run_available_now,
+    running_user_totals,
+    session_windows,
+    sliding_avg,
+    stream_events,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_counts_stream_matches_batch(spark):
+    batch = tumbling_counts(load_table(spark, "events", SF_DIR))
+    streamed = run_available_now(
+        tumbling_counts(stream_events(spark, SF_DIR)), "t_tumbling"
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() > 0
+
+
+def test_sliding_avg_stream_matches_batch(spark):
+    batch = sliding_avg(load_table(spark, "events", SF_DIR))
+    streamed = run_available_now(
+        sliding_avg(stream_events(spark, SF_DIR)), "t_sliding"
+    )
+    cols = ["window_start", "window_end", "event_type", "avg_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_session_windows_stream_runs(spark):
+    # session-window aggregation only supports append/complete sinks
+    streamed = run_available_now(
+        session_windows(stream_events(spark, SF_DIR)), "t_sessions", "complete"
+    )
+    assert streamed.count() > 0
+    # every session has at least one event and a well-formed interval
+    bad = streamed.where("n_events < 1 OR session_end < session_start")
+    assert bad.count() == 0
+
+
+def test_running_user_totals_stateful(spark):
+    streamed = run_available_now(
+        running_user_totals(stream_events(spark, SF_DIR)), "t_state"
+    )
+    # update-mode emits one row per key per micro-batch; the LAST row per
+    # user carries the final running totals -> compare against batch agg
+    import pyspark.sql.functions as F
+
+    batch = (
+        load_table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+        )
+    )
+    finals = (
+        streamed.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("total_value"), 2).alias("total_value"),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(finals, cols) == _rows(batch, cols)
