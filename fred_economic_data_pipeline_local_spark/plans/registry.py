@@ -73,6 +73,7 @@ def _load_all() -> None:
         llm_queries,
         multimodal_queries,
         relational_queries,
+        temporal_queries,
         similarity_queries,
         timeseries_queries,
     )

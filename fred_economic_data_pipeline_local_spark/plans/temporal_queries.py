@@ -1,0 +1,120 @@
+"""As-of / range / interval join queries (operators/temporal.py).
+
+These are the custom temporal operators the reference lacks and Spark has
+no built-in for; DuckDB's native ASOF JOIN / BETWEEN joins are the
+oracles, so the composition-based implementations are value-checked, not
+just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.temporal import (
+    asof_join,
+    interval_bucket_join,
+    range_join_broadcast,
+)
+from .registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "asof_clicks_to_purchases",
+    oracle=f"""
+SELECT c.event_id,
+       c.user_id,
+       strftime(c.ts, '{_TS_FMT_SQL}') AS click_ts,
+       round(p.value, 6) AS purchase_value,
+       strftime(p.ts, '{_TS_FMT_SQL}') AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    description="backward as-of join via union+window (no per-row probe)",
+)
+def asof_clicks_to_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("click_ts"),
+        F.round("value_right", 6).alias("purchase_value"),
+        F.date_format("ts_right", _TS_FMT).alias("purchase_ts"),
+    )
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+FROM part
+JOIN (VALUES ('b900', 900.0, 925.0), ('b925', 925.0, 950.0),
+             ('b950', 950.0, 975.0), ('b975', 975.0, 1000.0)) AS t(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""",
+    description="range join against a broadcast interval dimension",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    bands = spark.createDataFrame(
+        [("b900", 900.0, 925.0), ("b925", 925.0, 950.0),
+         ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join_broadcast(part, bands, "p_retailprice", "lo", "hi")
+    return (
+        joined.where(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "interval_join_shipments",
+    oracle="""
+SELECT o.o_orderkey, count(*) AS n_shipped_week1
+FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+""",
+    description="interval join via bucket-explode equi-join (points-in-intervals)",
+)
+def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("start_ts"),
+            (F.timestamp_micros(
+                F.unix_micros("o_orderdate") + 7 * 86400 * 1_000_000
+            )).alias("end_ts"),
+        )
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    joined = interval_bucket_join(
+        li, orders, "l_shipdate", "start_ts", "end_ts", bucket_seconds=7 * 86400
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped_week1")
+    )

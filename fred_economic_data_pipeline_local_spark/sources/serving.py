@@ -1,0 +1,116 @@
+"""Serving-store connectors: RDBMS upsert + sheet-style dedup append.
+
+Engine-side semantics live in operators/serve.py (pure DataFrames,
+oracle-checked); this module is the thin I/O edge:
+
+- the exact ``INSERT ... ON CONFLICT DO UPDATE`` statement the reference
+  executes (load_fred_data.py:54-59), generated for the two-phase JDBC
+  pattern: write the batch to a staging table with the DataFrame JDBC
+  writer, then run one server-side statement so the merge stays a single
+  transaction (SURVEY.md §7.3 item 1);
+- a sheet-style append edge that collects ONLY the anti-joined delta
+  (O(delta), never O(table)) and hands the rows to a pluggable writer.
+
+No live Postgres or Sheets exists in this environment, so ``jdbc_upsert``
+takes the JDBC url/properties and is exercised in tests only down to the
+generated SQL; the statement text itself is pinned against the reference.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+from ..operators.serve import dedup_append_delta
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _q(ident: str) -> str:
+    if not _IDENT.match(ident):
+        raise ValueError(f"invalid SQL identifier: {ident!r}")
+    return f'"{ident}"'
+
+
+def build_upsert_sql(
+    table: str,
+    columns: Sequence[str],
+    key_columns: Sequence[str],
+    staging_table: str | None = None,
+) -> str:
+    """The reference's upsert statement (load_fred_data.py:54-59):
+    INSERT ... ON CONFLICT (keys) DO UPDATE SET <every non-key column> =
+    EXCLUDED.<column>. With ``staging_table`` the VALUES list is replaced
+    by SELECT from staging — the two-phase distributed pattern."""
+    non_key = [c for c in columns if c not in key_columns]
+    cols_sql = ", ".join(_q(c) for c in columns)
+    keys_sql = ", ".join(_q(c) for c in key_columns)
+    update_sql = ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in non_key)
+    if staging_table:
+        source = f"SELECT {cols_sql} FROM {_q(staging_table)}"
+    else:
+        placeholders = ", ".join(f":{c}" for c in columns)
+        source = f"VALUES ({placeholders})"
+    return (
+        f"INSERT INTO {_q(table)} ({cols_sql}) {source} "
+        f"ON CONFLICT ({keys_sql}) DO UPDATE SET {update_sql}"
+    )
+
+
+def jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_columns: Sequence[str],
+    properties: dict[str, str],
+    staging_table: str | None = None,
+    batchsize: int = 10_000,
+) -> str:
+    """Two-phase JDBC upsert: stage with the parallel DataFrame writer,
+    then one server-side INSERT..ON CONFLICT transaction (K3 parity).
+
+    Returns the merge SQL it executed (or would execute), so callers and
+    tests can assert the exact statement. Requires a JDBC driver on the
+    Spark classpath and a reachable database."""
+    staging = staging_table or f"{table}_staging"
+    sql = build_upsert_sql(table, df.columns, key_columns, staging_table=staging)
+    (
+        df.write.mode("overwrite")
+        .option("batchsize", str(batchsize))
+        .jdbc(url, staging, properties=properties)
+    )
+    # server-side merge in one transaction via the driver's connection
+    jvm_props = df.sparkSession._jvm.java.util.Properties()  # type: ignore[union-attr]
+    for k, v in properties.items():
+        jvm_props.setProperty(k, v)
+    conn = df.sparkSession._jvm.java.sql.DriverManager.getConnection(url, jvm_props)  # type: ignore[union-attr]
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        stmt.execute(sql)
+        conn.commit()
+    finally:
+        conn.close()
+    return sql
+
+
+def sheet_append_delta(
+    incoming: DataFrame,
+    existing: DataFrame,
+    key_columns: Sequence[str],
+    writer: Callable[[list[list]], None],
+    lenient: bool = True,
+) -> int:
+    """K4: dedup append to a sheet-like store.
+
+    The anti-join runs distributed (operators/serve.py); only the delta is
+    collected and handed to ``writer`` (e.g. a gspread append_rows call) —
+    O(delta) driver memory, matching the one allowed collect edge
+    (SURVEY.md §4.2). Returns the number of appended rows."""
+    delta = dedup_append_delta(incoming, existing, keys=list(key_columns), lenient=lenient)
+    rows = [list(r) for r in delta.collect()]
+    if rows:
+        writer(rows)
+    return len(rows)
