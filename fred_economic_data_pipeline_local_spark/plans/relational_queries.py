@@ -316,6 +316,70 @@ def rollup_region_nation_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "cube_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    description="CUBE grouping sets (all 4 grouping combinations)",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "null_functions_events",
+    oracle="""
+SELECT event_id,
+       COALESCE(value, 0.0) AS value_or_zero,
+       CASE WHEN value IS NULL THEN 'missing' ELSE 'present' END AS presence,
+       IFNULL(NULLIF(event_type, 'error'), 'suppressed') AS type_clean
+FROM events
+""",
+    description="null functions: coalesce / nullif / is-null conditionals",
+)
+def null_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.coalesce("value", F.lit(0.0)).alias("value_or_zero"),
+        F.when(F.col("value").isNull(), "missing")
+        .otherwise("present")
+        .alias("presence"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("suppressed")).alias(
+            "type_clean"
+        ),
+    )
+
+
+@query(
+    "from_json_typed_props",
+    oracle="""
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
+       CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+""",
+    description="from_json with explicit schema -> typed struct access (C11+)",
+)
+def from_json_typed_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return (
+        parsed.where(F.col("p.k").isNotNull())
+        .select("event_id", F.col("p.k").alias("k"), (F.col("p.k") % 10).alias("k_mod"))
+    )
+
+
+@query(
     "distinct_parts_per_flag",
     oracle="""
 SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
@@ -353,6 +417,22 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "approx_aggregates_lineitem",
+    oracle=None,  # sketch-based estimates differ engine-to-engine by design
+    description="approximate aggregates: HLL distinct + t-digest percentile "
+    "(the 100 TB substitutes for exact distinct/percentile; accuracy bounds "
+    "pinned in tests/test_approx.py)",
+)
+def approx_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 

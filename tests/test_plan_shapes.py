@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the plans must be the ones we'd want at
+100 TB, not just plans that happen to pass at test scale.
+
+Checks: filter/column pushdown into the parquet scan, broadcast joins for
+dimension sides, top-k as TakeOrderedAndProject (no global sort),
+partial+final aggregation, window-based as-of (no join), and no
+BroadcastNestedLoop in the bucketed interval join."""
+
+from __future__ import annotations
+
+import pytest
+
+from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+from .conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: only the 7 needed columns, not all 11
+    assert "l_comment" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read  # unused key column pruned from scan
+    assert "l_quantity" in read
+
+
+def test_q1_partial_final_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_q3_q5_broadcast_dimensions(spark):
+    for name in ("q3_shipping_priority", "q5_nation_revenue"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        # the fact-fact join may be SMJ/SHJ, but dims must never be
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_orders_by_price")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort materialization
+
+
+def test_semi_anti_joins_are_hash_joins(spark):
+    for name in ("semi_join_customers_with_orders", "anti_join_customers_without_orders"):
+        plan = plan_of(spark, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan, name
+        assert "NestedLoop" not in plan, name
+
+
+def test_asof_join_is_window_not_join(spark):
+    plan = plan_of(spark, "asof_clicks_to_purchases")
+    assert "Window" in plan
+    assert "Join" not in plan  # union trick: zero joins
+    # exactly one shuffle on the by-key for the window
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_interval_join_no_nested_loop(spark):
+    plan = plan_of(spark, "interval_join_shipments")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_broadcasts_keyset(spark):
+    plan = plan_of(spark, "dedup_exact_keep_min")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_scans_use_pinned_schema_no_inference(spark):
+    # every fixture scan carries an explicit ReadSchema (catalog pins it)
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "ReadSchema: struct<" in plan
