@@ -112,8 +112,11 @@ def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    # 1-day buckets: ~8x explode on the (smaller) interval side, but the
+    # candidate pairs tighten to ~true-pairs + day-boundary slop, vs ~2.5x
+    # inflation with week-sized buckets (measured 16.6s -> see BENCH)
     joined = interval_bucket_join(
-        li, orders, "l_shipdate", "start_ts", "end_ts", bucket_seconds=7 * 86400
+        li, orders, "l_shipdate", "start_ts", "end_ts", bucket_seconds=86400
     )
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_shipped_week1")
