@@ -34,10 +34,15 @@ HEADLINE = [
     "window_rank_customers",
     "topk_orders_by_price",
     "tumbling_window_events",
+    "sessionize_users",
+    "asof_clicks_to_purchases",
+    "interval_join_shipments",
     "dedup_exact_keep_min",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "similarity_cosine_topk",
     "text_token_counts",
+    "multimodal_decode_meta",
 ]
 
 

@@ -56,6 +56,76 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ml_minhash_pairs",
+    oracle=None,  # model-fitted hash family — rows-only check
+    description="pyspark.ml MinHashLSH similarity join (library-backed variant)",
+)
+def similarity_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-backed near-dup path: ml.feature HashingTF + MinHashLSH
+    approxSimilarityJoin over document token sets — the off-the-shelf
+    alternative to operators/dedup.py's hand-built banding (SURVEY §7.2).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("tokens")
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
+    feats = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "similarity_ml_brp_neighbors",
+    oracle=None,  # model-fitted hyperplanes — rows-only check
+    description="pyspark.ml BucketedRandomProjectionLSH ANN (euclidean)",
+)
+def similarity_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-backed ANN: BucketedRandomProjectionLSH approxNearestNeighbors
+    for each of the query vectors (euclidean metric)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = brp.fit(emb)
+    qvecs = [
+        (r.vec_id, r.features)
+        for r in emb.where(F.col("vec_id") < _NQUERY).collect()
+    ]
+    out = None
+    for qid, vec in qvecs:
+        nn = (
+            model.approxNearestNeighbors(emb, vec, _K + 1)
+            .where(F.col("vec_id") != qid)
+            .limit(_K)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.round("distCol", 6).alias("euclid_dist"),
+            )
+        )
+        out = nn if out is None else out.unionByName(nn)
+    return out
+
+
+@query(
     "embedding_norms",
     oracle="""
 WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -1,0 +1,153 @@
+"""Property-based tests: operator semantics pinned against independent
+reference implementations (pandas merge_asof, python sets) on randomized
+inputs. Complements the fixed-fixture oracle corpus."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from fred_economic_data_pipeline_local_spark.functions.scalars import lenient_key
+from fred_economic_data_pipeline_local_spark.operators.serve import (
+    dedup_append_delta,
+    upsert_merge,
+)
+from fred_economic_data_pipeline_local_spark.operators.temporal import asof_join
+
+import pyspark.sql.functions as F
+
+_SETTINGS = dict(
+    max_examples=12,  # each example runs Spark jobs — keep the budget sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_TS0 = dt.datetime(2024, 1, 1)
+
+times = st.integers(min_value=0, max_value=10_000)
+keys = st.integers(min_value=0, max_value=3)
+
+
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=25),
+    right=st.lists(st.tuples(keys, times, st.floats(0, 100, allow_nan=False)), max_size=25),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    lpdf = pd.DataFrame(
+        {
+            "user_id": [k for k, _ in left],
+            "ts": [_TS0 + dt.timedelta(seconds=s) for _, s in left],
+        }
+    ).sort_values("ts", kind="stable")
+    rpdf = pd.DataFrame(
+        {
+            "user_id": pd.array([k for k, _, _ in right], dtype="int64"),
+            "ts": pd.to_datetime([_TS0 + dt.timedelta(seconds=s) for _, s, _ in right]),
+            "value": pd.array([v for _, _, v in right], dtype="float64"),
+        }
+    ).sort_values("ts", kind="stable")
+    # pandas merge_asof demands unique (key, ts) on the right for exact
+    # equivalence; drop duplicates the same way on both sides
+    rpdf = rpdf.drop_duplicates(["user_id", "ts"], keep="last")
+
+    expected = pd.merge_asof(
+        lpdf, rpdf, on="ts", by="user_id", direction="backward"
+    )
+
+    ldf = spark.createDataFrame(lpdf, "user_id long, ts timestamp")
+    rdf = spark.createDataFrame(rpdf, "user_id long, ts timestamp, value double")
+    got = asof_join(ldf, rdf, on="ts", by=["user_id"], value_cols=["value"]).toPandas()
+
+    exp = sorted(
+        (int(r.user_id), r.ts, None if pd.isna(r.value) else round(float(r.value), 9))
+        for r in expected.itertuples()
+    )
+    act = sorted(
+        (int(r.user_id), r.ts, None if pd.isna(r.value_right) else round(float(r.value_right), 9))
+        for r in got.itertuples()
+    )
+    assert act == exp
+
+
+num_or_str = st.one_of(
+    st.integers(min_value=-5, max_value=5).map(str),
+    st.integers(min_value=-5, max_value=5),
+    st.sampled_from(["1.0", "2.50", " 3 ", "x", "X ", ".", ""]),
+)
+
+
+@given(vals=st.lists(num_or_str, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_lenient_key_canonicalizes_numeric_forms(spark, vals):
+    """"2", 2, 2.0, " 2 " all collapse to one canonical key; non-numerics
+    collapse case/space-insensitively."""
+    df = spark.createDataFrame([(str(v),) for v in vals], "raw string")
+    out = df.select(lenient_key(F.col("raw")).alias("k")).collect()
+
+    def expected_key(v):
+        s = str(v).strip()
+        try:
+            f = float(s)
+            if f == int(f):
+                return str(int(f))
+            return str(f)
+        except ValueError:
+            return s.lower()
+
+    assert [r.k for r in out] == [expected_key(v) for v in vals]
+
+
+rows = st.lists(
+    st.tuples(keys, st.integers(0, 2), st.floats(0, 9, allow_nan=False)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(target=rows, source=rows)
+@settings(**_SETTINGS)
+def test_upsert_merge_set_semantics(spark, target, source):
+    """Result keys = union of key sets; value = source's when present
+    (max-struct dedup within source), else target's."""
+    schema = "k1 int, k2 int, v double"
+    t = spark.createDataFrame(target, schema).dropDuplicates(["k1", "k2"])
+    s = spark.createDataFrame(source, schema)
+    out = {(r.k1, r.k2): r.v for r in upsert_merge(t, s, keys=["k1", "k2"]).collect()}
+
+    t_map = {(k1, k2): v for k1, k2, v in target}
+    # emulate the operator's deterministic source dedup: max non-key struct
+    s_map: dict = {}
+    for k1, k2, v in source:
+        key = (k1, k2)
+        s_map[key] = max(v, s_map[key]) if key in s_map else v
+    t_dedup = {}
+    for r in t.collect():
+        t_dedup[(r.k1, r.k2)] = r.v
+    expected = {**t_dedup, **s_map}
+    assert set(out) == set(expected)
+    for k in expected:
+        assert out[k] == pytest.approx(expected[k]), k
+
+
+@given(
+    incoming=st.lists(st.tuples(keys, keys), min_size=0, max_size=10),
+    existing=st.lists(st.tuples(keys, keys), min_size=0, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_dedup_append_is_set_difference(spark, incoming, existing):
+    inc = spark.createDataFrame(incoming + [(99, 99)], "a int, b int")
+    ex = spark.createDataFrame(existing + [(98, 98)], "a int, b int")
+    out = sorted(
+        (r.a, r.b) for r in dedup_append_delta(inc, ex, keys=["a", "b"]).collect()
+    )
+    expected = sorted(set(incoming + [(99, 99)]) - set(existing + [(98, 98)]))
+    # dedup_append keeps incoming duplicates (it's an anti-join, not distinct)
+    expected_multi = sorted(
+        t for t in incoming + [(99, 99)] if t not in set(existing + [(98, 98)])
+    )
+    assert out == expected_multi
+    assert set(out) == set(expected)
