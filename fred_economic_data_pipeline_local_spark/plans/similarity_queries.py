@@ -56,6 +56,39 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_neardup_cosine",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.99
+""",
+    description="embedding near-dup: exact cosine-threshold pairs "
+    "(oracle-checked exact mode; similarity_lsh_topk is the bucketed scale path)",
+)
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (
+        l2_norm(F.col("a.e")) * l2_norm(F.col("b.e"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@query(
     "similarity_ml_minhash_pairs",
     oracle=None,  # model-fitted hash family — rows-only check
     description="pyspark.ml MinHashLSH similarity join (library-backed variant)",

@@ -96,6 +96,45 @@ def jdbc_upsert(
     return sql
 
 
+def read_jdbc(
+    spark,
+    url: str,
+    query: str,
+    properties: dict[str, str],
+    partition_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """S4: arbitrary SQL against an RDBMS -> DataFrame
+    (load_fred_data.py:68-81's read_data_from_db).
+
+    ``partition_options`` (partitionColumn/lowerBound/upperBound/
+    numPartitions) turns the single-cursor read into a parallel range
+    scan — the scale path the reference's pandas read_sql lacks."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+    )
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    for k, v in (partition_options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def sheet_rows_to_df(spark, rows: list[list], header: list[str]) -> DataFrame:
+    """S5: sheet payload (header + all-string rows) -> DataFrame.
+
+    Sheets return everything as strings (load_fred_data_to_google.py:83-92);
+    downstream dedup uses the lenient-key normalization, so no casting
+    happens here — fidelity to the serving-store's actual shape."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(h, StringType(), True) for h in header])
+    return spark.createDataFrame(
+        [[None if c == "" else str(c) for c in r] for r in rows], schema
+    )
+
+
 def sheet_append_delta(
     incoming: DataFrame,
     existing: DataFrame,
