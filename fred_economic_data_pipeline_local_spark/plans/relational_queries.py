@@ -525,6 +525,88 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_subquery_above_avg",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+""",
+    description="scalar subquery in predicate (Catalyst subquery rewrite)",
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+        """
+    )
+
+
+@query(
+    "correlated_subquery_max_per_cust",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders o
+WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+""",
+    description="correlated scalar subquery (decorrelated to aggregate+join)",
+)
+def correlated_subquery_max_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_v2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders_v2 o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v2 o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "profile_table_lineitem",
+    oracle="""
+SELECT 'l_quantity' AS col,
+       count(*) AS n_rows,
+       count(l_quantity) AS n_nonnull,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       round(min(l_quantity), 6) AS min_val,
+       round(max(l_quantity), 6) AS max_val,
+       round(avg(l_quantity), 6) AS mean_val
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(l_discount),
+       CAST(count(DISTINCT l_discount) AS BIGINT),
+       round(min(l_discount), 6), round(max(l_discount), 6), round(avg(l_discount), 6)
+FROM lineitem
+""",
+    description="data-profiling sweep: per-column null/distinct/min/max/mean in one pass-per-column",
+)
+def profile_table_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def profile(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col), 6).alias("min_val"),
+            F.round(F.max(col), 6).alias("max_val"),
+            F.round(F.avg(col), 6).alias("mean_val"),
+        )
+
+    return profile("l_quantity").unionByName(profile("l_discount"))
+
+
+@query(
     "cast_coercion_values",
     oracle="""
 SELECT event_id,
