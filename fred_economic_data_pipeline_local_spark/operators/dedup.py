@@ -91,10 +91,15 @@ def minhash_signatures(
     already has many splits and this becomes the one key-shuffle the
     groupBy would do anyway.
     """
-    sh = df.select(
+    # repartition BEFORE computing shingles: the fixture is one small file
+    # (one input split), and the shingle transform is the one interpreted
+    # (non-codegen) expression here — computed pre-exchange it runs on a
+    # single task. Post-exchange it spreads across the cluster, and the
+    # groupBy reuses the same hash distribution (no second exchange).
+    sh = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).repartition("id")
+    )
     ex = sh.select("id", F.explode("sh").alias("s"))
     return ex.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
@@ -172,10 +177,10 @@ def minhash_neardup(
     (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     pairs = minhash_candidates(df, text_col, id_col, **lsh_kwargs)
-    sh = df.select(
+    sh = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), lsh_kwargs.get("shingle_k", 3)).alias("sh"),
-    ).repartition("id")
+    )
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -220,7 +225,7 @@ def ngram_jaccard_pairs(
     ``block_col=None`` to compare across the whole corpus. Returns
     (id_a, id_b, jaccard).
     """
-    sh = df.select(
+    sh = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
@@ -280,11 +285,11 @@ def simhash_table(
     from functools import reduce
 
     ex = (
-        df.select(
+        df.repartition(F.col(id_col))  # spread before the token transform
+        .select(
             F.col(id_col).alias("id"),
             F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("tk"),
         )
-        .repartition("id")
         .select("id", F.explode("tk").alias("t"))
         .withColumn("__h", F.xxhash64("t"))
     )

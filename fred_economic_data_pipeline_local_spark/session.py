@@ -77,6 +77,14 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # wide codegen (64-agg minhash/simhash stages) fills the default
+        # 240 MB JIT code cache after a dozen queries; once full, new
+        # generated classes run interpreted (measured 33s -> 111s on the
+        # same query late in a session). Size it for query-server use.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
