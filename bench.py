@@ -70,6 +70,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # isolate queries: release reference-tracked shuffle/broadcast state
+        # from the previous query so each measurement sees a clean heap
+        # (ContextCleaner only forces GC on a 30-min timer by default;
+        # without this, heavy explode/agg queries degrade their successors)
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(

@@ -627,3 +627,195 @@ def cast_coercion_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".").cast("double").alias("sentinel_null"),
         F.lit("garbage").cast("double").alias("garbage_null"),
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    description="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a "
+    "non-equi conjunct, then agg (fixture has no commitdate; shipdate>orderdate "
+    "plays the late-line role)",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    description="TPC-H Q6 shape: pure scan+filter+scalar agg — every predicate "
+    "pushes to the parquet reader, no shuffle beyond the final 1-row reduce",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "pivot_priority_by_status",
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS F,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS O,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+    description="PIVOT (groupBy().pivot() with explicit value list -> single-pass "
+    "conditional agg, no per-value scan)",
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    # explicit values list: keeps the plan a single hash-agg (no distinct-scan
+    # to discover pivot columns -> one job, not two, at 100 TB)
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, round(l_quantity, 6) AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 6) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 6) FROM lineitem
+""",
+    description="UNPIVOT/melt (wide measures -> long form; Expand node, one scan "
+    "instead of the oracle's three)",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="raw_val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("raw_val", 6).alias("val"),
+    )
+
+
+@query(
+    "grouping_sets_region_segment",
+    oracle="""
+SELECT r_name, c_mktsegment, count(*) AS n_customers
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), ())
+""",
+    description="explicit GROUPING SETS (beyond rollup/cube: arbitrary set list)",
+)
+def grouping_sets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).createOrReplaceTempView("cust_geo_v")
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment, count(*) AS n_customers
+        FROM cust_geo_v
+        GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), ())
+        """
+    )
+
+
+@query(
+    "window_ntile_percent_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    description="ranking window surface: ntile / percent_rank / cume_dist "
+    "(partitioned window — no single-partition global sort)",
+)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "explode_token_frequency",
+    oracle="""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 100
+""",
+    description="lateral explode (split -> explode -> agg -> top-k): the "
+    "generate/flatMap shape; partial agg absorbs the token blow-up before the "
+    "shuffle",
+)
+def explode_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(100)
+    )

@@ -76,7 +76,15 @@ def get_spark(
         # extract_fred_data.py:175): null-on-garbage, not error-on-garbage
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # 8g measured fastest for local[32] (larger heaps slow the
+        # allocation-heavy explode/agg stages: first-run ngram pairs was
+        # 12s at 8g, 27s at 16g, 35s at 24g — bigger young gen, worse
+        # locality). On a cluster this is per-executor memory instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # ContextCleaner only *forces* a GC every 30 min by default; shuffle
+        # and broadcast state is reference-tracked, so a long query-server
+        # session can hold gigabytes of dead state between natural GCs.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # wide codegen (64-agg minhash/simhash stages) fills the default
         # 240 MB JIT code cache after a dozen queries; once full, new
         # generated classes run interpreted (measured 33s -> 111s on the
