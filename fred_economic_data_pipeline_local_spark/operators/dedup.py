@@ -68,12 +68,32 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 # --- MinHash + LSH -----------------------------------------------------------
 
+def shingle_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sh: array<string>) — each doc's distinct shingle set.
+
+    Repartitioned on id BEFORE the shingle transform: the transform is the
+    one interpreted (non-codegen) expression in the dedup pipelines, so it
+    must run spread across tasks, and downstream per-id groupBys reuse the
+    same hash distribution with no extra exchange.
+    """
+    return df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``num_hashes`` bigint columns h0..hN-1.
 
@@ -91,15 +111,7 @@ def minhash_signatures(
     already has many splits and this becomes the one key-shuffle the
     groupBy would do anyway.
     """
-    # repartition BEFORE computing shingles: the fixture is one small file
-    # (one input split), and the shingle transform is the one interpreted
-    # (non-codegen) expression here — computed pre-exchange it runs on a
-    # single task. Post-exchange it spreads across the cluster, and the
-    # groupBy reuses the same hash distribution (no second exchange).
-    sh = df.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    )
+    sh = shingles if shingles is not None else shingle_df(df, text_col, id_col, shingle_k)
     ex = sh.select("id", F.explode("sh").alias("s"))
     return ex.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
@@ -114,6 +126,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     bucket_cap: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing >= 1 MinHash band bucket.
 
@@ -124,7 +137,7 @@ def minhash_candidates(
     are dropped (they would be exact-dup territory anyway).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingles)
     # band bucket = hash of the band's row slice, straight off the h*
     # columns (CreateArray/CreateStruct/xxhash64 all codegen)
     banded = sig.select(
@@ -175,12 +188,19 @@ def minhash_neardup(
 
     Only bucket-mates are verified (no cross join). Output:
     (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    The shingle set is computed once and cached (MEMORY_AND_DISK): it feeds
+    the signature build AND both sides of the verify join — uncached, the
+    interpreted shingle transform runs three times over the corpus. The
+    cache is reference-tracked, so ContextCleaner frees the blocks once the
+    returned plan is released.
     """
-    pairs = minhash_candidates(df, text_col, id_col, **lsh_kwargs)
-    sh = df.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), lsh_kwargs.get("shingle_k", 3)).alias("sh"),
-    )
+    from pyspark import StorageLevel
+
+    sh = shingle_df(
+        df, text_col, id_col, lsh_kwargs.get("shingle_k", 3)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = minhash_candidates(df, text_col, id_col, shingles=sh, **lsh_kwargs)
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

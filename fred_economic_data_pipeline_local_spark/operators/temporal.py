@@ -117,6 +117,7 @@ def interval_bucket_join(
     right_start: str,
     right_end: str,
     bucket_seconds: int,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Scalable interval join: left.time in [right.start, right.end].
 
@@ -127,6 +128,12 @@ def interval_bucket_join(
     sharing a bucket — the standard points-in-intervals decomposition.
     ``bucket_seconds`` trades explode factor against candidate density
     (pick ~= median interval length).
+
+    ``broadcast_right=True`` ships the exploded interval side to every
+    task instead of shuffling the (usually much larger) point side — the
+    planner can't pick this itself because its size estimate for the
+    exploded side is inflated. Use when |right| x explode-factor fits the
+    broadcast threshold; the point side is then never shuffled at all.
     """
     b = F.lit(bucket_seconds * 1_000_000)
     l_b = left.withColumn("__bucket", (F.unix_micros(F.col(left_time)) / b).cast("long"))
@@ -139,6 +146,8 @@ def interval_bucket_join(
             )
         ),
     )
+    if broadcast_right:
+        r_b = broadcast(r_b)
     return (
         l_b.join(r_b, "__bucket")
         .where(

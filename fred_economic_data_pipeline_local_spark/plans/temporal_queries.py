@@ -111,13 +111,21 @@ def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )).alias("end_ts"),
         )
     )
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
-    # 1-day buckets: ~8x explode on the (smaller) interval side, but the
-    # candidate pairs tighten to ~true-pairs + day-boundary slop, vs ~2.5x
-    # inflation with week-sized buckets (measured 16.6s -> see BENCH)
+    li = load_table(spark, "lineitem", sf_dir).select("l_shipdate")
+    # The aggregate only needs COUNTs, so collapse the point side to
+    # (distinct ship timestamp, count) BEFORE the interval join — exact for
+    # any data, and on date-grained timestamps it shrinks the join input
+    # from |lineitem| to ~#distinct days (~250x here; measured 10.6s ->
+    # 1.4s at sf0.1). The filtered+exploded order side is broadcast-sized,
+    # so nothing large ever shuffles: scan -> partial agg -> map-side
+    # bucket join -> final agg.
+    pts = li.groupBy(F.col("l_shipdate").alias("ship_ts")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
     joined = interval_bucket_join(
-        li, orders, "l_shipdate", "start_ts", "end_ts", bucket_seconds=86400
+        pts, orders, "ship_ts", "start_ts", "end_ts", bucket_seconds=86400,
+        broadcast_right=True,
     )
     return joined.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_shipped_week1")
+        F.sum("__c").alias("n_shipped_week1")
     )
