@@ -54,6 +54,12 @@ def main() -> None:
     qs = all_queries()
     sf = _infer_sf(SF_DIR)
 
+    # Generic warm-up (touches no headline query): boots the JVM, loads the
+    # parquet reader + shuffle machinery, and triggers first-time codegen so
+    # the first measured query reflects query cost, not session boot.
+    spark.range(1_000_000).selectExpr("id % 32 as k", "id as v").groupBy("k").count().count()
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -70,10 +76,13 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        # isolate queries: release reference-tracked shuffle/broadcast state
-        # from the previous query so each measurement sees a clean heap
-        # (ContextCleaner only forces GC on a 30-min timer by default;
-        # without this, heavy explode/agg queries degrade their successors)
+        # isolate queries: drop SQL-cached plans (CacheManager holds
+        # persisted DataFrames by strong reference — ContextCleaner never
+        # frees them, so e.g. minhash's shingle cache would squeeze
+        # execution memory for every later query), then force a GC to
+        # release reference-tracked shuffle/broadcast state (the default
+        # forced-GC timer is 30 min)
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
     print(
