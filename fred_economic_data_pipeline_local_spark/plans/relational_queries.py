@@ -819,3 +819,190 @@ def explode_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(100)
     )
+
+
+@query(
+    "q7_nation_trade_volume",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+     OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    description="TPC-H Q7 shape: 6-way join, nation self-joined twice; the "
+    "disjunctive cross-nation predicate is split into per-side IN filters "
+    "(pushed below the joins) + the pair filter above them, so both fact "
+    "probes shrink before any shuffle",
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ("NATION_0", "NATION_1")
+    nation = load_table(spark, "nation", sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin(*nations))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin(*nations))
+    # dim-side joins first: supplier/customer reduced to the two nations
+    # before touching the facts, so the broadcast hash tables are tiny
+    sup = load_table(spark, "supplier", sf_dir).join(
+        broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = load_table(spark, "customer", sf_dir).join(
+        broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    pair = (
+        (F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1])
+    ) | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+    return (
+        li.join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    description="TPC-H Q10 shape: returned-item revenue per customer; both "
+    "fact filters pushed to the scans, dims broadcast, TakeOrderedAndProject "
+    "top-k (no global sort)",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "window_frame_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(last_value(o_totalprice) OVER w, 2) AS last_price,
+       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    description="value window functions over an explicit full frame: "
+    "first_value / last_value / nth_value (default growing frame would make "
+    "last_value degenerate; the frame is pinned identically in both engines)",
+)
+def window_frame_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+@query(
+    "window_range_trailing_30d",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       count(*) OVER w AS n_orders_30d,
+       round(sum(o_totalprice) OVER w, 2) AS sum_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+""",
+    description="RANGE frame (event-time trailing 30 days): Spark range "
+    "frames need a numeric sort key, so the timestamp is ordered as epoch "
+    "seconds with a [-30d, 0] bound — value-identical to DuckDB's interval "
+    "frame (both bounds inclusive, peers included)",
+)
+def window_range_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+    )
+
+
+@query(
+    "cross_join_region_pairs",
+    oracle="""
+SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b
+WHERE a.r_name < b.r_name
+""",
+    description="explicit cartesian product (BroadcastNestedLoopJoin) over a "
+    "dim small enough to enumerate pairs — the only join shape where NLJ is "
+    "the right plan",
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir)
+    a = region.select(F.col("r_name").alias("region_a"))
+    b = region.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(broadcast(b)).where(F.col("region_a") < F.col("region_b"))
