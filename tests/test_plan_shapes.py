@@ -80,3 +80,26 @@ def test_scans_use_pinned_schema_no_inference(spark):
     # every fixture scan carries an explicit ReadSchema (catalog pins it)
     plan = plan_of(spark, "q1_pricing_summary")
     assert "ReadSchema: struct<" in plan
+
+
+def test_q7_all_joins_broadcast(spark):
+    # per-side nation IN filters shrink supplier/customer to broadcast
+    # size, so the fact side is probed by BHJ only — no pre-agg shuffle
+    plan = plan_of(spark, "q7_nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q10_take_ordered_and_pushed_filters(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_window_range_frame_single_shuffle(spark):
+    # one hash exchange on the partition key feeds the RANGE-frame window
+    plan = plan_of(spark, "window_range_trailing_30d")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
