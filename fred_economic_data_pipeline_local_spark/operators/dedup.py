@@ -53,9 +53,12 @@ def duplicate_groups(
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the text (array<string>).
 
-    Whole thing is JVM-side: split -> transform over a shingle-start index
-    sequence -> slice+join. Short docs (< k tokens) yield their full text
-    as the single shingle.
+    Reference semantics oracle only (tests / small data): the transform
+    lambda is interpreted per shingle (higher-order functions never enter
+    whole-stage codegen) — measured ~300us per eval, which is the single
+    hottest cost in a dedup pass. The hot paths use ``shingle_df``'s hashed
+    form instead. Short docs (< k tokens) yield their full text as the
+    single shingle.
     """
     toks = tokens(F.lower(col))
     n = F.size(toks)
@@ -73,17 +76,64 @@ def shingle_df(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, sh: array<string>) — each doc's distinct shingle set.
+    """(id[, extra...], sh: array<long>) — each doc's distinct shingle set,
+    with each k-token shingle represented by its xxhash64.
 
-    Repartitioned on id BEFORE the shingle transform: the transform is the
-    one interpreted (non-codegen) expression in the dedup pipelines, so it
-    must run spread across tasks, and downstream per-id groupBys reuse the
-    same hash distribution with no extra exchange.
+    Every expression here whole-stage-codegens: slice + arrays_zip builds
+    the k consecutive-token tuples per doc in ONE pass (no per-element
+    lambda), explode streams them out, xxhash64 collapses each tuple to a
+    long, collect_set dedups per doc. Versus the equivalent
+    ``transform(sequence(...), i -> array_join(slice(...)))`` this is ~6x
+    faster end-to-end at sf0.1 (3.2s -> 0.56s for the 64-hash signature
+    build) because the HOF lambda runs interpreted per shingle.
+
+    Set semantics are preserved exactly (tokens contain no separator
+    chars, so tuple identity == joined-string identity); downstream
+    Jaccard on the 64-bit hash sets equals string-set Jaccard up to
+    hash-collision odds (~1e-11 for this corpus). Docs shorter than k
+    tokens contribute their whole text as the single shingle, matching
+    ``word_shingles``.
+
+    Repartitioned on id up front: the per-id groupBy (and every
+    downstream per-id agg) then reuses the hash distribution with no
+    further exchange, and the explode fans out across tasks even when the
+    input is one small file.
     """
-    return df.repartition(F.col(id_col)).select(
+    k = shingle_k
+    extras = [F.col(c) for c in extra_cols]
+    base = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        *extras,
+        tokens(F.lower(F.col(text_col))).alias("tk"),
+    )
+    n = F.size("tk")
+    m = n - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(F.col("tk"), j + 1, m) for j in range(k)])
+    # docs with < k tokens: one pseudo-tuple carrying the whole text (the
+    # empty-string tail can't collide with real tuples — tokens are
+    # non-empty), keeping a single codegen branch instead of a union that
+    # would break the id partitioning
+    fallback = F.array(
+        F.struct(
+            F.array_join("tk", " ").alias("0"),
+            *[F.lit("").alias(str(j)) for j in range(1, k)],
+        )
+    )
+    return (
+        base.select(
+            "id",
+            *[F.col(c) for c in extra_cols],
+            F.explode(F.when(n >= k, zipped).otherwise(fallback)).alias("z"),
+        )
+        .select(
+            "id",
+            *[F.col(c) for c in extra_cols],
+            F.xxhash64(*[F.col("z")[str(j)] for j in range(k)]).alias("s"),
+        )
+        .groupBy("id", *extra_cols)
+        .agg(F.collect_set("s").alias("sh"))
     )
 
 
@@ -230,8 +280,10 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity over word k-grams for pairs within a block.
 
     Inverted-index decomposition instead of an all-pairs array compare:
-    explode shingles -> self equi-join on (block, shingle) -> count common
-    shingles per pair -> J = common / (|A| + |B| - common). Only pairs
+    explode (hashed) shingles -> self equi-join on (block, shingle) ->
+    count common shingles per pair -> J = common / (|A| + |B| - common).
+    Shingles are 64-bit hashes (see ``shingle_df``), so postings shuffle
+    8-byte keys instead of strings. Only pairs
     sharing >= 1 shingle are ever materialized (J=0 pairs can't pass any
     positive threshold), and the work is Σ_s d_s² postings-pairs rather
     than |block|² full array intersections — measured 32 s -> ~3 s on the
@@ -245,10 +297,11 @@ def ngram_jaccard_pairs(
     ``block_col=None`` to compare across the whole corpus. Returns
     (id_a, id_b, jaccard).
     """
-    sh = df.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    blocked = df.withColumn(
+        "block", F.col(block_col) if block_col else F.lit(1)
+    )
+    sh = shingle_df(
+        blocked, text_col, id_col, shingle_k, extra_cols=("block",)
     ).withColumn("__n", F.size("sh"))
     ex = sh.select("id", "block", "__n", F.explode("sh").alias("s"))
     t = F.lit(float(threshold))
