@@ -40,7 +40,9 @@ HEADLINE = [
     "dedup_exact_keep_min",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_components",
     "similarity_cosine_topk",
+    "similarity_ivf_topk",
     "text_token_counts",
     "multimodal_decode_meta",
 ]

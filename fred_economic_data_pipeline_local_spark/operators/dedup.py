@@ -435,3 +435,66 @@ def simhash_neardup(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# --- near-dup cluster resolution ---------------------------------------------
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, component),
+    component = min id reachable from the node.
+
+    Min-label propagation: each round, every node takes the min of its
+    own label and its neighbors' labels — one edge join + one min
+    aggregate per round, converging in O(graph diameter) rounds (near-dup
+    clusters are clique-like, so 2-4 rounds in practice). The driver loop
+    eagerly localCheckpoints each round's labels to truncate lineage
+    (without it the plan doubles per round), and terminates early via a
+    convergence certificate that needs no extra join: labels only ever
+    decrease, so the label sum is strictly monotone until fixpoint.
+
+    Nodes with no pairs are absent by construction (singleton docs are
+    their own component trivially — callers keep the full corpus with a
+    left join + coalesce(component, id)).
+    """
+    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum(F.col("label").cast("double"))).first()[0]
+    if prev_sum is None:  # empty graph
+        return labels.select("id", F.col("label").alias("component"))
+    for _ in range(max_iters):
+        nb_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("label").alias("lb")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("lb").alias("nb_min"))
+        )
+        labels = (
+            labels.join(nb_min, labels["id"] == nb_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum(F.col("label").cast("double"))).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("component"))

@@ -161,3 +161,136 @@ def lsh_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+# --- IVF (inverted-file) coarse quantization ---------------------------------
+
+def _seed_centroids(spark, n_cells: int, dims: int) -> DataFrame:
+    """(cell, i, w) seed centroid weights, pseudo-random in [-1, 1] derived
+    from xxhash64(cell, dim) — deterministic, no stored model."""
+    cells = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    dim_ix = spark.range(dims).select(F.col("id").cast("int").alias("__i"))
+    h = F.xxhash64(F.col("cell"), F.col("__i"))
+    w = (F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0) - 1.0
+    return cells.crossJoin(dim_ix).select("cell", "__i", w.alias("w"))
+
+
+def _assign_cells(ex: DataFrame, centroids: DataFrame, id_out: str) -> DataFrame:
+    """Nearest-centroid assignment from exploded vectors (id, __i, __x).
+
+    argmin_c |v - c|^2  ==  argmax_c (v . c - |c|^2 / 2), so one
+    broadcast join on the dimension index + two hash aggregates does it:
+    partial sums build the per-(id, cell) dot product, max_by picks the
+    winning cell. Everything codegens; nothing but (id, cell) shuffles.
+    """
+    half_norm = centroids.groupBy("cell").agg(
+        (F.sum(F.col("w") * F.col("w")) / 2.0).alias("half_cn")
+    )
+    scores = (
+        ex.join(broadcast(centroids), "__i")
+        .groupBy("id", "cell")
+        .agg(F.sum(F.col("__x") * F.col("w")).alias("dp"))
+        .join(broadcast(half_norm), "cell")
+        .select("id", "cell", (F.col("dp") - F.col("half_cn")).alias("score"))
+    )
+    return scores.groupBy("id").agg(F.max_by("cell", "score").alias("cell"))
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: returns (assignment (id, cell), centroids
+    (cell, __i, w)).
+
+    Deterministic seed centroids are refined by ``lloyd_iters``
+    distributed Lloyd iterations (assign -> per-cell dimension means);
+    centroid state never leaves the cluster except as a broadcast of
+    n_cells x dims rows. Empty cells fall back to their seed position so
+    the cell count is stable.
+    """
+    spark = corpus.sparkSession
+    dims = len(corpus.select(vec_col).first()[0])  # schema-level probe, one row
+    ex = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x"),
+    )
+    cents = _seed_centroids(spark, n_cells, dims)
+    for _ in range(lloyd_iters):
+        assign = _assign_cells(ex, cents, id_col)
+        means = (
+            ex.join(assign, "id")
+            .groupBy("cell", "__i")
+            .agg(F.avg("__x").alias("w_new"))
+        )
+        cents = (
+            cents.join(means, ["cell", "__i"], "left")
+            .select("cell", "__i", F.coalesce("w_new", "w").alias("w"))
+        )
+    return _assign_cells(ex, cents, id_col), cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: each query scores only the corpus
+    vectors assigned to its ``nprobe`` nearest cells.
+
+    The scale path when the query set is too large to broadcast against
+    the whole corpus: candidate volume per query is ~nprobe/n_cells of
+    the corpus, and the candidate join is a hash equi-join on the cell id
+    (skew-bounded by cell balance, which the Lloyd refinement improves).
+    Recall is bounded by cell/probe geometry — tests pin recall@k against
+    ``brute_force_topk`` rather than asserting exactness.
+    """
+    assign, cents = ivf_assign(corpus, n_cells, id_col, vec_col)
+    q_ex = queries.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x"),
+    )
+    half_norm = cents.groupBy("cell").agg(
+        (F.sum(F.col("w") * F.col("w")) / 2.0).alias("half_cn")
+    )
+    q_scores = (
+        q_ex.join(broadcast(cents), "__i")
+        .groupBy("id", "cell")
+        .agg(F.sum(F.col("__x") * F.col("w")).alias("dp"))
+        .join(broadcast(half_norm), "cell")
+        .select("id", "cell", (F.col("dp") - F.col("half_cn")).alias("score"))
+    )
+    wq = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("cell"))
+    probes = (
+        q_scores.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("id").alias("query_id"), "cell")
+    )
+    cand = probes.join(
+        assign.select(F.col("id").alias("neighbor_id"), "cell"), "cell"
+    ).where(F.col("query_id") != F.col("neighbor_id")).drop("cell")
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    scored = (
+        cand.join(c_vec, "neighbor_id")
+        .join(broadcast(q_vec), "query_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

@@ -210,3 +210,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (d < 64/16 chunks) AND bounds the pair output: the synthetic docs
     # share a small vocabulary, so looser thresholds explode quadratically
     return simhash_neardup(docs, max_hamming=3)
+
+
+@query(
+    "dedup_ngram_components",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+""",
+    description="near-dup cluster resolution: connected components over the "
+    "2-gram Jaccard pair graph via iterative min-label propagation "
+    "(oracle: DuckDB recursive CTE reachability)",
+)
+def dedup_ngram_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import neardup_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.5)
+    return neardup_components(pairs)

@@ -207,3 +207,19 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("__n"), 6).alias("max_norm"),
         )
     )
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=None,  # Lloyd-refined pseudo-random centroids — rows-only check;
+    # recall@k vs brute force is pinned in tests/test_similarity_ivf.py
+    description="IVF approximate cosine top-k: Lloyd-refined coarse "
+    "quantizer, per-query nprobe cell probing (the large-query-set scale "
+    "path — no corpus-wide broadcast compare)",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < _NQUERY)
+    return ivf_topk(emb, queries, k=_K, n_cells=8, nprobe=2)
