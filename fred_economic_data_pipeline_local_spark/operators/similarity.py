@@ -229,7 +229,15 @@ def ivf_assign(
         cents = (
             cents.join(means, ["cell", "__i"], "left")
             .select("cell", "__i", F.coalesce("w_new", "w").alias("w"))
+            # materialize the n_cells x dims model each round: downstream
+            # consumers (half-norm, assignment, query probing) would each
+            # replay the whole Lloyd chain otherwise
+            .localCheckpoint()
         )
+    # the index-build phase ends here. At lake scale the assignment is
+    # the persisted IVF index (write_bucketed on cell), rebuilt only when
+    # the corpus changes; in-query it stays lazy — single-consumer plans
+    # (one probe join) would pay a materialization job for nothing
     return _assign_cells(ex, cents, id_col), cents
 
 
@@ -276,21 +284,55 @@ def ivf_topk(
     cand = probes.join(
         assign.select(F.col("id").alias("neighbor_id"), "cell"), "cell"
     ).where(F.col("query_id") != F.col("neighbor_id")).drop("cell")
-    c_vec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    # candidate scoring via exploded codegen sums, NOT the fold-based
+    # ``cosine`` helper: aggregate/zip_with lambdas run interpreted at
+    # ~ms per 64-dim pair, which dominates the whole probe phase once
+    # candidates number in the thousands. The exploded join keeps every
+    # multiply-add inside whole-stage codegen; norms are computed once
+    # per side, not per pair.
+    c_norm = ex_norms(corpus, id_col, vec_col, "c_l2").withColumnRenamed(
+        "id", "neighbor_id"
     )
-    q_vec = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    q_norm = ex_norms(queries, id_col, vec_col, "q_l2").withColumnRenamed(
+        "id", "query_id"
+    )
+    c_ex = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__cx"),
+    )
+    dp = (
+        cand.join(c_ex, "neighbor_id")
+        .join(
+            broadcast(q_ex.select(F.col("id").alias("query_id"), "__i", F.col("__x").alias("__qx"))),
+            ["query_id", "__i"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("__cx") * F.col("__qx")).alias("dp"))
     )
     scored = (
-        cand.join(c_vec, "neighbor_id")
-        .join(broadcast(q_vec), "query_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-        .drop("__qv", "__cv")
+        dp.join(broadcast(q_norm), "query_id")
+        .join(c_norm, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dp") / (F.col("q_l2") * F.col("c_l2")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def ex_norms(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataFrame:
+    """(id, <out_col>) L2 norms via exploded codegen sum (no HOF fold)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x"),
+        )
+        .groupBy("id")
+        .agg(F.sqrt(F.sum(F.col("__x") * F.col("__x"))).alias(out_col))
     )
