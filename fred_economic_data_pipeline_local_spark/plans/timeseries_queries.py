@@ -225,3 +225,28 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
     )
+
+
+@query(
+    "stream_click_attribution",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+       round(p.value, 2) AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+    description="SURVEY §2.10: click->purchase attribution (interval "
+    "self-join); same function runs as a watermarked stream-stream join "
+    "with bounded state on streaming input (tests/test_streaming.py)",
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import click_purchase_join
+
+    return click_purchase_join(load_table(spark, "events", sf_dir))

@@ -77,3 +77,17 @@ def test_running_user_totals_stateful(spark):
     )
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(finals, cols) == _rows(batch, cols)
+
+
+def test_click_purchase_join_stream_matches_batch(spark):
+    from fred_economic_data_pipeline_local_spark.streaming.windows import (
+        click_purchase_join,
+    )
+
+    batch = click_purchase_join(load_table(spark, "events", SF_DIR))
+    streamed = run_available_now(
+        click_purchase_join(stream_events(spark, SF_DIR)), "t_ss_join", "append"
+    )
+    cols = ["user_id", "click_id", "click_time", "purchase_time", "purchase_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() > 0
