@@ -250,3 +250,66 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import click_purchase_join
 
     return click_purchase_join(load_table(spark, "events", sf_dir))
+
+
+@query(
+    "gap_fill_forward_monthly",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM bounds),
+monthly AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+         round(sum(o_totalprice), 2) AS v
+  FROM orders WHERE o_custkey < 100 GROUP BY 1, 2
+),
+custs AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 100)
+SELECT c.o_custkey AS custkey,
+       strftime(cal.m, '%Y-%m-%d') AS month,
+       monthly.v AS month_total,
+       last_value(monthly.v IGNORE NULLS) OVER (
+         PARTITION BY c.o_custkey ORDER BY cal.m
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+FROM custs c
+CROSS JOIN cal
+LEFT JOIN monthly ON monthly.o_custkey = c.o_custkey AND monthly.m = cal.m
+""",
+    description="calendar gap-fill + forward-fill imputation: dense month "
+    "spine via sequence/explode (broadcast — never a driver loop), left "
+    "join of the sparse aggregate, last-non-null carried forward with an "
+    "IGNORE NULLS running window",
+)
+def gap_fill_forward_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    sub = orders.where(F.col("o_custkey") < 100)
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("m")
+    )
+    monthly = sub.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+    custs = sub.select("o_custkey").distinct()
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        custs.crossJoin(F.broadcast(cal))
+        .join(monthly, ["o_custkey", "m"], "left")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.date_format("m", "yyyy-MM-dd").alias("month"),
+            F.col("v").alias("month_total"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_total"),
+        )
+    )
