@@ -151,3 +151,83 @@ def test_dedup_append_is_set_difference(spark, incoming, existing):
     )
     assert out == expected_multi
     assert set(out) == set(expected)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_components_match_union_find(spark, edges):
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    # reference: textbook union-find over the same edges
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges or [], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in neardup_components(df).collect()}
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),  # tiny vocab -> shingle collisions
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_hashed_shingles_match_string_shingles(spark, texts, k):
+    """The codegen'd hashed shingle pipeline must produce per-doc sets of
+    the same cardinality as the reference word_shingles transform, and
+    equal docs must get equal sets (the properties Jaccard depends on)."""
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        shingle_df,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    hashed = {
+        r["id"]: frozenset(r["sh"])
+        for r in shingle_df(df, shingle_k=k).collect()
+    }
+    strings = {
+        r["doc_id"]: frozenset(r["sh"])
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text"), k).alias("sh")
+        ).collect()
+    }
+    assert set(hashed) == set(strings)
+    for i in hashed:
+        assert len(hashed[i]) == len(strings[i]), (i, texts[i])
+    # equal string sets <-> equal hash sets
+    for i in hashed:
+        for j in hashed:
+            assert (hashed[i] == hashed[j]) == (strings[i] == strings[j])
