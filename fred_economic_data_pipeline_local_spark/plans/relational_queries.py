@@ -1006,3 +1006,64 @@ def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = region.select(F.col("r_name").alias("region_a"))
     b = region.select(F.col("r_name").alias("region_b"))
     return a.crossJoin(broadcast(b)).where(F.col("region_a") < F.col("region_b"))
+
+
+@query(
+    "skew_salted_join_revenue",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""",
+    description="salted equi-join (hot keys spread over 8 salt replicas, "
+    "small side replicated): result-identical to the plain join, which is "
+    "exactly what the oracle checks",
+)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    orders_sub = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    j = salted_join(li, orders_sub, ["o_orderkey"], salt_buckets=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "skew_salted_agg_quantities",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_l_quantity,
+       count(l_orderkey) AS count_l_orderkey
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="two-phase salted aggregation (partials on (key, salt), "
+    "refold on key): decomposable aggs only; result-identical to the "
+    "direct groupBy",
+)
+def skew_salted_agg_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = salted_aggregate(
+        li.select("l_returnflag", "l_quantity", "l_orderkey"),
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count"},
+        salt_buckets=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        "count_l_orderkey",
+    )
