@@ -1067,3 +1067,35 @@ def skew_salted_agg_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
         "count_l_orderkey",
     )
+
+
+@query(
+    "histogram_order_prices",
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 500000 THEN 11
+                 ELSE floor(o_totalprice / 50000) + 1 END AS INTEGER) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+""",
+    description="equi-width histogram via width_bucket: single-pass "
+    "partial+final agg — the profiling shape that replaces a sort-based "
+    "bucketing at scale",
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(10))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
