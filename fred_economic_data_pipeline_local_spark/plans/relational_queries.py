@@ -1099,3 +1099,43 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "except_all_nation_multiset",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey FROM supplier
+""",
+    description="EXCEPT ALL (multiset difference — per-key counts "
+    "preserved, unlike the DISTINCT variant)",
+)
+def except_all_nation_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.exceptAll(supp)
+
+
+@query(
+    "intersect_all_nation_multiset",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey FROM supplier
+""",
+    description="INTERSECT ALL (multiset intersection — min of per-key "
+    "counts)",
+)
+def intersect_all_nation_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersectAll(supp)
