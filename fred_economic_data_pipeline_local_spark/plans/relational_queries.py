@@ -156,19 +156,25 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
-    "anti_join_customers_without_orders",
+    "anti_join_customers_no_recent_orders",
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
 """,
-    description="left-anti join (NOT EXISTS) — the J1 dedup-append primitive",
+    description="left-anti join (NOT EXISTS) — the J1 dedup-append "
+    "primitive. The right side is date-filtered so the result is nonempty "
+    "at every fixture SF (every customer has SOME order, so the unfiltered "
+    "variant would be a vacuous 0-row check)",
 )
-def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def anti_join_customers_no_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
+    recent = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
@@ -212,22 +218,24 @@ def union_nations_of_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "except_customer_only_nations",
+    "except_orders_without_items",
     oracle="""
-SELECT c_nationkey AS nationkey FROM customer
+SELECT o_orderkey AS orderkey FROM orders
 EXCEPT
-SELECT s_nationkey FROM supplier
+SELECT l_orderkey FROM lineitem
 """,
-    description="EXCEPT set op",
+    description="EXCEPT DISTINCT set op (orders with no lineitems — "
+    "nonempty at every fixture SF, unlike nation-key differences which "
+    "are fully covered above sf0.001)",
 )
-def except_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, "customer", sf_dir).select(
-        F.col("c_nationkey").alias("nationkey")
+def except_orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("orderkey")
     )
-    supp = load_table(spark, "supplier", sf_dir).select(
-        F.col("s_nationkey").alias("nationkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("orderkey")
     )
-    return cust.subtract(supp)  # EXCEPT DISTINCT semantics
+    return orders.subtract(li)  # EXCEPT DISTINCT semantics
 
 
 @query(

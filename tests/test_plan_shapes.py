@@ -51,7 +51,7 @@ def test_topk_uses_take_ordered(spark):
 
 
 def test_semi_anti_joins_are_hash_joins(spark):
-    for name in ("semi_join_customers_with_orders", "anti_join_customers_without_orders"):
+    for name in ("semi_join_customers_with_orders", "anti_join_customers_no_recent_orders"):
         plan = plan_of(spark, name)
         assert "LeftSemi" in plan or "LeftAnti" in plan, name
         assert "NestedLoop" not in plan, name
