@@ -193,3 +193,65 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(_feat, _FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("media", BinaryType(), True),
+        StructField(
+            "media_meta",
+            StructType(
+                [
+                    StructField("media_type", StringType(), False),
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("n_frames", IntegerType(), True),
+                    StructField("sample_rate", IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize stage: (media, media_meta) -> same pair at target dimensions.
+
+    The shape every vision-training pipeline needs between decode and
+    feature-extract. The stub scales the payload byte count by the pixel
+    ratio and rewrites the metadata dims (a real implementation decodes,
+    interpolates, re-encodes inside the same per-batch function); output
+    schema == input schema, so resize composes with sample_frames /
+    extract_features in either order.
+    """
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            medias, metas = [], []
+            for media, meta in zip(pdf["media"], pdf["media_meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                ratio = (target_w * target_h) / float(max(w * h, 1))
+                new_len = max(int(len(media) * ratio), 1)
+                # deterministic stub: tile/truncate bytes to the scaled size
+                reps = (new_len // max(len(media), 1)) + 1
+                medias.append(bytes((media * reps)[:new_len]))
+                metas.append(
+                    {
+                        "media_type": meta["media_type"],
+                        "width": target_w,
+                        "height": target_h,
+                        "n_frames": meta["n_frames"],
+                        "sample_rate": meta["sample_rate"],
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": medias, "media_meta": metas}
+            )
+
+    return df.mapInPandas(_resize, _RESIZE_SCHEMA)

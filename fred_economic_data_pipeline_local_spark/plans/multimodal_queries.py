@@ -82,3 +82,32 @@ def multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         feats, queries, k=5, id_col="doc_id", vec_col="feature"
     )
+
+
+@query(
+    "multimodal_resize_decode",
+    oracle=f"""
+SELECT doc_id,
+       CAST(greatest(CAST(floor(byte_len * (50176.0 / greatest(width * height, 1))) AS BIGINT), 1) AS BIGINT) AS byte_len,
+       CAST(224 AS INTEGER) AS width,
+       CAST(224 AS INTEGER) AS height,
+       round(CAST(n_frames AS DOUBLE) / 16000.0, 6) AS duration_s
+FROM ({_META_SQL})
+""",
+    description="mapInPandas resize stage composed with decode: payload "
+    "rescaled to 224x224 (byte count scaled by the pixel ratio in the "
+    "stub), metadata dims rewritten — the decode→resize→featurize chain "
+    "every vision pipeline runs between the lake and the trainer",
+)
+def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    resized = resize_media(attach_media(docs), 224, 224)
+    return decode_media(resized).select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        F.round("duration_s", 6).alias("duration_s"),
+    )
