@@ -1147,3 +1147,29 @@ def intersect_all_nation_multiset(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("s_nationkey").alias("nationkey")
     )
     return cust.intersectAll(supp)
+
+
+@query(
+    "stats_aggregates_lineitem",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="statistical aggregates (stddev/variance/correlation/"
+    "covariance) — single-pass partial+final moments, no sort",
+)
+def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
