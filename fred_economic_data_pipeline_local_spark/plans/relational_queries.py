@@ -1173,3 +1173,48 @@ def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_qty_price"
         ),
     )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS price,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250) big ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+LIMIT 100
+""",
+    description="TPC-H Q18 shape: HAVING-filtered aggregate subquery "
+    "joined back to the facts — the aggregate runs FIRST, shrinking the "
+    "join input from |lineitem| to the few hot orders before any "
+    "wide-row shuffle; dims broadcast, top-k via TakeOrderedAndProject",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
