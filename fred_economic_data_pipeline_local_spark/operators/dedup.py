@@ -287,7 +287,8 @@ def ngram_jaccard_pairs(
     sharing >= 1 shingle are ever materialized (J=0 pairs can't pass any
     positive threshold), and the work is Σ_s d_s² postings-pairs rather
     than |block|² full array intersections — measured 32 s -> ~3 s on the
-    sf0.1 documents. A size-band predicate (J >= t implies
+    sf0.1 documents when the inverted index replaced all-pairs, and
+    ~0.7 s warm since shingles became hashed longs. A size-band predicate (J >= t implies
     min(|A|,|B|) >= t·max(|A|,|B|)) prunes popular-shingle pair inflation
     without changing the result set. Exactness is preserved; posting-list
     skew (a shingle in d docs costs d²) is the scale limit — for corpora
