@@ -1222,3 +1222,63 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "string_agg_region_nations",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    description="ordered string aggregation: Spark has no ordered "
+    "listagg, so it's collect_list -> sort_array -> array_join — "
+    "deterministic regardless of shuffle arrival order",
+)
+def string_agg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        nation.join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "array_functions_tokens",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_toks,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3_sorted,
+       CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
+       array_to_string(list_reverse_sort(list_distinct(toks))[1:2], '|') AS top2_desc
+FROM t
+""",
+    description="array function surface: size / distinct / sort / slice / "
+    "contains / reverse sort — all codegen'd array expressions, scalar "
+    "outputs so the cross-engine hash stays type-stable",
+)
+def array_functions_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    dist = F.array_distinct(toks)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(dist).alias("n_distinct"),
+        F.array_join(F.slice(F.sort_array(dist), 1, 3), "|").alias("first3_sorted"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_join(F.slice(F.sort_array(dist, asc=False), 1, 2), "|").alias(
+            "top2_desc"
+        ),
+    )
