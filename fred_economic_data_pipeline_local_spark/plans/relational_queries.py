@@ -1282,3 +1282,31 @@ def array_functions_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top2_desc"
         ),
     )
+
+
+@query(
+    "null_safe_join_event_kinds",
+    oracle="""
+WITH e AS (SELECT nullif(event_type, 'error') AS kind, value FROM events),
+k AS (SELECT DISTINCT kind FROM e)
+SELECT k.kind, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM e JOIN k ON e.kind IS NOT DISTINCT FROM k.kind
+GROUP BY k.kind
+""",
+    description="null-safe equi-join (<=> / IS NOT DISTINCT FROM): the "
+    "null key joins instead of dropping — still plans as a hash join on "
+    "the null-safe key, not a nested loop",
+)
+def null_safe_join_event_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        F.nullif("event_type", F.lit("error")).alias("kind"), "value"
+    )
+    kinds = ev.select("kind").distinct().withColumnRenamed("kind", "k_kind")
+    return (
+        ev.join(broadcast(kinds), ev["kind"].eqNullSafe(F.col("k_kind")))
+        .groupBy(F.col("k_kind").alias("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
