@@ -263,3 +263,25 @@ def click_purchase_join(
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
         F.round("purchase_value", 2).alias("purchase_value"),
     )
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once-ish dedup: drop event_id replays within the
+    watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's first-seen event time — bounded state, so
+    re-delivered events (at-least-once sources, reference-style backfill
+    re-runs) are suppressed without remembering every id forever. On a
+    batch frame this degrades to plain dropDuplicates (full-history
+    dedup), which the equivalence test exploits: the fixture has no
+    cross-watermark replays, so the two agree.
+    """
+    keyed = events.select("event_id", "ts", "user_id", "event_type", "value")
+    if events.isStreaming:
+        return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return keyed.dropDuplicates(["event_id"])

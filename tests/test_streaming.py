@@ -91,3 +91,17 @@ def test_click_purchase_join_stream_matches_batch(spark):
     cols = ["user_id", "click_id", "click_time", "purchase_time", "purchase_value"]
     assert _rows(streamed, cols) == _rows(batch, cols)
     assert streamed.count() > 0
+
+
+def test_streaming_dedup_matches_batch(spark):
+    from fred_economic_data_pipeline_local_spark.streaming.windows import (
+        dedup_events_stream,
+    )
+
+    batch = dedup_events_stream(load_table(spark, "events", SF_DIR))
+    streamed = run_available_now(
+        dedup_events_stream(stream_events(spark, SF_DIR)), "t_dedup", "append"
+    )
+    assert streamed.count() == batch.count()
+    # ids must be unique after dedup
+    assert streamed.select("event_id").distinct().count() == streamed.count()
