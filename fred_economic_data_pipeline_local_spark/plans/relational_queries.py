@@ -1310,3 +1310,33 @@ def null_safe_join_event_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1
+""",
+    description="TPC-H Q14 shape: conditional-aggregate ratio over a "
+    "broadcast dim join — one pass, no self-join for the numerator",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_share_pct"
+            )
+        )
+    )
