@@ -454,9 +454,11 @@ def neardup_components(
     aggregate per round, converging in O(graph diameter) rounds (near-dup
     clusters are clique-like, so 2-4 rounds in practice). The driver loop
     eagerly localCheckpoints each round's labels to truncate lineage
-    (without it the plan doubles per round), and terminates early via a
-    convergence certificate that needs no extra join: labels only ever
-    decrease, so the label sum is strictly monotone until fixpoint.
+    (without it the plan doubles per round), and terminates when a round
+    changes zero labels — an exact count, not a float-sum comparison,
+    which at 64-bit id scale could collide past 2^53 and stop early with
+    wrong components. Raises if ``max_iters`` is exhausted before the
+    fixpoint (silent truncation would emit unmerged components).
 
     Nodes with no pairs are absent by construction (singleton docs are
     their own component trivially — callers keep the full corpus with a
@@ -472,8 +474,7 @@ def neardup_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum(F.col("label").cast("double"))).first()[0]
-    if prev_sum is None:  # empty graph
+    if labels.isEmpty():  # empty graph
         return labels.select("id", F.col("label").alias("component"))
     for _ in range(max_iters):
         nb_min = (
@@ -484,18 +485,22 @@ def neardup_components(
             .groupBy("a")
             .agg(F.min("lb").alias("nb_min"))
         )
-        labels = (
+        stepped = (
             labels.join(nb_min, labels["id"] == nb_min["a"], "left")
             .select(
                 "id",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum(F.col("label").cast("double"))).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select("id", F.col("label").alias("component"))
+        changed = stepped.where(F.col("label") != F.col("__old")).count()
+        labels = stepped.drop("__old")
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"neardup_components did not converge in {max_iters} rounds; "
+        "raise max_iters (rounds needed ~= graph diameter)"
+    )

@@ -33,7 +33,18 @@ def salted_join(
 
     Replication multiplies the small side by ``salt_buckets`` — use only
     when `small` is modest (but too big / too skew-prone to broadcast).
+
+    ``how`` is restricted to joins where replicated small-side rows can
+    never surface unmatched: for right/full(/right_semi) joins each
+    unmatched small row would appear once per salt replica, silently
+    diverging from the unsalted join.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; got {how!r} "
+            "(replicated small-side rows would duplicate unmatched output)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     big_s = big.withColumn("__salt", salt.cast("long"))
     small_s = small.withColumn(

@@ -38,6 +38,12 @@ def asof_join(
     match is visible to the left row (merge_asof's inclusive backward).
     ``tolerance_seconds`` nulls the attached payload when the match is
     older than the tolerance.
+
+    The whole right row is carried as ONE struct (non-null for every right
+    row even when its payload fields are NULL), so the attached match is
+    always a single right row — a per-column ``last(ignorenulls=True)``
+    would instead backfill a NULL field from an older right row, mixing
+    values across rows and diverging from merge_asof/DuckDB semantics.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in by and c != on
@@ -65,29 +71,33 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    attached = unioned.select(
-        "*",
-        *[
-            F.last(n, ignorenulls=True).over(w).alias(f"__a_{n}")
-            for n in carried
-        ],
-        F.last("__rt", ignorenulls=True).over(w).alias("__a_rt"),
+    payload = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__rt").alias("__rt"),
+            *[F.col(n).alias(n) for n in carried],
+        ),
+    )
+    attached = unioned.withColumn("__p", payload).select(
+        "*", F.last("__p", ignorenulls=True).over(w).alias("__a")
     )
     out = attached.where(F.col("__side") == 1)
 
-    keep_match = F.col("__a_rt").isNotNull()
+    keep_match = F.col("__a").isNotNull()
     if tolerance_seconds is not None:
         keep_match = keep_match & (
-            F.unix_micros(F.col(on)) - F.unix_micros(F.col("__a_rt"))
+            F.unix_micros(F.col(on)) - F.unix_micros(F.col("__a.__rt"))
             <= tolerance_seconds * 1_000_000
         )
     return out.select(
         *left.columns,
         *[
-            F.when(keep_match, F.col(f"__a_{n}")).otherwise(F.lit(None)).alias(n)
+            F.when(keep_match, F.col(f"__a.{n}")).otherwise(F.lit(None)).alias(n)
             for n in carried
         ],
-        F.when(keep_match, F.col("__a_rt")).otherwise(F.lit(None)).alias(f"{on}{right_suffix}"),
+        F.when(keep_match, F.col("__a.__rt"))
+        .otherwise(F.lit(None))
+        .alias(f"{on}{right_suffix}"),
     )
 
 
@@ -135,14 +145,18 @@ def interval_bucket_join(
     exploded side is inflated. Use when |right| x explode-factor fits the
     broadcast threshold; the point side is then never shuffled at all.
     """
+    # floor division (not truncate-toward-zero) so negative-epoch
+    # timestamps bucket consistently on both sides of a boundary
     b = F.lit(bucket_seconds * 1_000_000)
-    l_b = left.withColumn("__bucket", (F.unix_micros(F.col(left_time)) / b).cast("long"))
+    l_b = left.withColumn(
+        "__bucket", F.floor(F.unix_micros(F.col(left_time)) / b).cast("long")
+    )
     r_b = right.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(right_start)) / b).cast("long"),
-                (F.unix_micros(F.col(right_end)) / b).cast("long"),
+                F.floor(F.unix_micros(F.col(right_start)) / b).cast("long"),
+                F.floor(F.unix_micros(F.col(right_end)) / b).cast("long"),
             )
         ),
     )

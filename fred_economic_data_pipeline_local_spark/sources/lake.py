@@ -15,6 +15,12 @@ aggregate_fred_data.py:123)
 month), so a single ``repartition`` on the partition keys before write
 yields one file per partition without small-file explosion; readers filter
 on partition columns so Catalyst prunes directories before listing files.
+
+Every overwrite writer sets ``partitionOverwriteMode=dynamic`` per-write
+(not via session conf) so only the partitions present in ``df`` are
+replaced even on an externally-built SparkSession — with static overwrite
+a per-series catalog loop would silently truncate every other series
+under the same root.
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ def write_bronze(df: DataFrame, root: str) -> None:
     (
         df.repartition(*BRONZE_PARTITIONS)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*BRONZE_PARTITIONS)
         .json(os.path.join(root, "raw_data"))
     )
@@ -61,6 +68,7 @@ def write_silver(df: DataFrame, root: str) -> None:
     (
         df.repartition(*BRONZE_PARTITIONS)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*BRONZE_PARTITIONS)
         .parquet(os.path.join(root, "processed_data"))
     )
@@ -83,6 +91,7 @@ def write_gold(df: DataFrame, root: str) -> None:
     (
         df.repartition(*GOLD_PARTITIONS)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*GOLD_PARTITIONS)
         .parquet(os.path.join(root, "aggregated_data"))
     )
