@@ -276,6 +276,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = "source",
     shingle_k: int = 2,
     threshold: float = 0.5,
+    df_cap: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard similarity over word k-grams for pairs within a block.
 
@@ -290,9 +291,20 @@ def ngram_jaccard_pairs(
     sf0.1 documents when the inverted index replaced all-pairs, and
     ~0.7 s warm since shingles became hashed longs. A size-band predicate (J >= t implies
     min(|A|,|B|) >= t·max(|A|,|B|)) prunes popular-shingle pair inflation
-    without changing the result set. Exactness is preserved; posting-list
-    skew (a shingle in d docs costs d²) is the scale limit — for corpora
-    with heavy boilerplate use minhash_neardup, which caps buckets.
+    without changing the result set.
+
+    Posting-list skew (a shingle in d docs costs d² candidate pairs,
+    regardless of the size band) is the scale killer on boilerplate-heavy
+    corpora ("all rights reserved…"), so postings whose document frequency
+    within a block exceeds ``df_cap`` are dropped before the self-join —
+    the same degenerate-bucket guard as ``minhash_candidates``'s
+    ``bucket_cap``. The self-join cost is then bounded by
+    Σ_s min(d_s, df_cap)². Caveat: a dropped shingle still counts toward
+    |A| and |B| but not toward ``common``, so Jaccard is UNDERestimated
+    for pairs sharing a capped shingle — possible false negatives, never
+    false positives. A shingle in >df_cap documents is boilerplate by
+    construction; pairs held together only by boilerplate are the ones
+    you want demoted. ``df_cap=None`` restores fully exact semantics.
 
     Blocking (default: same ``source``) bounds the candidate space; pass
     ``block_col=None`` to compare across the whole corpus. Returns
@@ -305,6 +317,13 @@ def ngram_jaccard_pairs(
         blocked, text_col, id_col, shingle_k, extra_cols=("block",)
     ).withColumn("__n", F.size("sh"))
     ex = sh.select("id", "block", "__n", F.explode("sh").alias("s"))
+    if df_cap is not None:
+        wdf = Window.partitionBy("block", "s")
+        ex = (
+            ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .where(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
     t = F.lit(float(threshold))
     a = ex.alias("a")
     b = ex.alias("b")
