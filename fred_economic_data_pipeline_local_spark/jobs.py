@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .functions.scalars import now_iso_utc
 from .operators.fred import format_observations, gold_aggregate, silver_transform
@@ -79,14 +80,16 @@ def run_series(
     bronze = format_observations(raw, cfg.series_id, ingested_at_iso=stamp)
     write_bronze(bronze, lake_root)
 
+    # parameterized predicate, not interpolated SQL: series_id is config
+    # input and must never reach the parser as text
     bronze_back = read_bronze(spark, lake_root).where(
-        f"indicator = '{cfg.series_id}'"
+        F.col("indicator") == F.lit(cfg.series_id)
     )
     silver = silver_transform(bronze_back, processed_at_iso=stamp)
     write_silver(silver, lake_root)
 
     silver_back = read_silver(spark, lake_root).where(
-        f"indicator = '{cfg.series_id}'"
+        F.col("indicator") == F.lit(cfg.series_id)
     )
     gold = gold_aggregate(silver_back, aggregated_at_iso=stamp)
     write_gold(gold, lake_root)

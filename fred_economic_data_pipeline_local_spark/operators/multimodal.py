@@ -80,42 +80,54 @@ _DECODE_SCHEMA = StructType(
 )
 
 
-def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
+def stub_decode_batch(pdf):
+    """Default per-batch decoder: deterministic fake metrics from bytes +
+    metadata. Computes byte length, echoes decoded dimensions, derives
+    duration from (n_frames, sample_rate), and averages the raw bytes
+    (standing in for pixel statistics a real decoder would produce).
+    """
+    import pandas as pd
+
+    media = pdf["media"]
+    meta = pdf["media_meta"]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "byte_len": media.map(len).astype("int64"),
+            "width": meta.map(lambda m: m["width"]).astype("int32"),
+            "height": meta.map(lambda m: m["height"]).astype("int32"),
+            "duration_s": meta.map(
+                lambda m: m["n_frames"] / float(m["sample_rate"])
+            ),
+            "mean_byte": media.map(
+                lambda b: (sum(b) / len(b)) if len(b) else 0.0
+            ),
+        }
+    )
+
+
+def decode_media(df: DataFrame, decode_fn=None, real_decode: bool = False) -> DataFrame:
     """Decode stage: (media, media_meta) -> per-item decoded metrics.
 
-    ``mapInPandas`` over Arrow batches: the inner function sees a pandas
-    DataFrame per batch and returns one row per item. The stub computes
-    byte length, echoes decoded dimensions, derives duration from
-    (n_frames, sample_rate), and averages the raw bytes (standing in for
-    pixel statistics a real decoder would produce).
+    ``mapInPandas`` over Arrow batches: ``decode_fn`` maps one pandas
+    DataFrame batch (doc_id, media, media_meta) to one _DECODE_SCHEMA
+    batch. The codec edge is pluggable — a real pipeline passes a
+    PIL/libsndfile-backed function and reuses this exact plumbing; the
+    default is the deterministic stub. ``real_decode=True`` without a
+    ``decode_fn`` raises, documenting that no codec libraries ship in
+    this environment.
     """
-    if real_decode:
+    if real_decode and decode_fn is None:
         raise NotImplementedError(
             "real media decode requires PIL/libsndfile/ffmpeg, which are not "
-            "available in this environment; the default stub path exercises "
-            "the full Spark plumbing with deterministic fake outputs"
+            "available in this environment; pass decode_fn=<your decoder> "
+            "to run a real codec through the same mapInPandas plumbing"
         )
+    fn = decode_fn or stub_decode_batch
 
     def _decode(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
-            media = pdf["media"]
-            meta = pdf["media_meta"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "byte_len": media.map(len).astype("int64"),
-                    "width": meta.map(lambda m: m["width"]).astype("int32"),
-                    "height": meta.map(lambda m: m["height"]).astype("int32"),
-                    "duration_s": meta.map(
-                        lambda m: m["n_frames"] / float(m["sample_rate"])
-                    ),
-                    "mean_byte": media.map(
-                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
-                    ),
-                }
-            )
+            yield fn(pdf)
 
     return df.mapInPandas(_decode, _DECODE_SCHEMA)
 
