@@ -32,3 +32,167 @@ def test_rows_only_queries_run(spark, name):
     df = all_queries()[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# --- oracle-adjacent checks for the no_oracle queries ------------------------
+# The hash-family ops (xxhash64) can't be mirrored in DuckDB SQL directly,
+# but their INTERMEDIATES can be exported and verified: DuckDB recomputes
+# exact similarity from Spark-exported shingle sets / signatures / feature
+# vectors, turning each rows-only check into a containment or equality
+# assertion (VERDICT r1 item 4).
+
+
+def _duck_on(path: str, view: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {view} AS SELECT * FROM '{path}/*.parquet'")
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def test_minhash_lsh_pairs_contained_in_exact_jaccard(spark, tmp_path):
+    """LSH output ⊆ exact-Jaccard pairs at the same threshold, with equal
+    jaccard values — DuckDB computes ground truth from the Spark-exported
+    hashed shingle sets, so the xxhash64 family is irrelevant to it."""
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        minhash_neardup,
+        shingle_df,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    sh_path = str(tmp_path / "shingles")
+    shingle_df(docs, shingle_k=3).write.parquet(sh_path)
+
+    exact = {
+        (a, b): j
+        for a, b, j in _duck_on(
+            sh_path,
+            "sh",
+            """
+            SELECT a.id, b.id,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            """,
+        )
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_neardup(docs, threshold=0.5).collect()
+    }
+    assert set(got) <= set(exact), "LSH emitted a pair below the threshold"
+    for pair, j in got.items():
+        assert abs(j - exact[pair]) < 1e-9
+    # banding recall at high similarity is ~1 - (1 - s^rows)^bands;
+    # for s >= 0.95, rows=4, bands=16 the miss odds are ~1e-12
+    high = {p for p, j in exact.items() if j >= 0.95}
+    assert high <= set(got)
+
+
+def test_simhash_pairs_equal_exported_signature_pairs(spark, tmp_path):
+    """Pigeonhole banding (max_hamming=3 < 4 chunks) has full recall, so
+    the Spark pair set must EQUAL DuckDB's xor+bit_count ground truth on
+    the exported 64-bit signatures."""
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        simhash_neardup,
+        simhash_table,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    sig_path = str(tmp_path / "simhash")
+    simhash_table(docs).write.parquet(sig_path)
+
+    exact = {
+        (a, b): h
+        for a, b, h in _duck_on(
+            sig_path,
+            "sig",
+            """
+            SELECT a.id, b.id, bit_count(xor(a.sh, b.sh))
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            """,
+        )
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup(docs, max_hamming=3).collect()
+    }
+    assert got == exact
+
+
+def test_multimodal_feature_topk_matches_duckdb_on_exported_features(
+    spark, tmp_path
+):
+    """The media->vector->ANN composition, oracle-checked end-to-end: the
+    stub features are exported and DuckDB runs the brute-force cosine
+    top-k over them — only the byte-fold embedding itself stays Spark-side."""
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+    )
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+    docs = load_table(spark, "documents", SF_DIR)
+    feat_path = str(tmp_path / "features")
+    extract_features(attach_media(docs), dim=8).write.parquet(feat_path)
+
+    cos = (
+        "list_dot_product(q.e, c.e) / "
+        "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))"
+    )
+    expected = sorted(
+        _duck_on(
+            feat_path,
+            "f",
+            f"""
+            WITH c AS (SELECT doc_id, CAST(feature AS DOUBLE[]) AS e FROM f),
+            q AS (SELECT * FROM c WHERE doc_id < 5)
+            SELECT q.doc_id, c.doc_id, round({cos}, 6)
+            FROM q JOIN c ON q.doc_id <> c.doc_id
+            QUALIFY row_number() OVER (PARTITION BY q.doc_id
+                ORDER BY round({cos}, 6) DESC, c.doc_id) <= 5
+            """,
+        )
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in all_queries()["multimodal_feature_topk"](spark, SF_DIR).collect()
+    )
+    assert got == expected
+
+
+def test_approx_aggregates_within_bounds_of_duckdb_exact(spark):
+    """HLL distinct within 3x the configured rsd of DuckDB's exact
+    count(DISTINCT); t-digest p50 within 2% of the exact median."""
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+    from .oracle_utils import duckdb_run
+
+    got = {
+        r.l_returnflag: r
+        for r in all_queries()["approx_aggregates_lineitem"](
+            spark, SF_DIR
+        ).collect()
+    }
+    _, exact_rows = duckdb_run(
+        """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS nd,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+        """,
+        SF_DIR,
+    )
+    assert len(exact_rows) == len(got)
+    for flag, nd, p50, n in exact_rows:
+        g = got[flag]
+        assert g.n_rows == n
+        assert abs(g.approx_parts - nd) <= max(3 * 0.02 * nd, 1)
+        assert abs(g.approx_p50 - p50) <= 0.02 * abs(p50)
