@@ -13,8 +13,10 @@ whole plan because these queries all end in aggregates/limits/joins).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -87,18 +89,45 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev = _prev_round_timings(sf)
+    if prev:
+        # ratio current/previous per query — regressions (>1) are visible
+        # round-over-round without diffing BENCH files by hand
+        out["delta_vs_prev"] = {
+            q: round(t / prev[q], 2)
+            for q, t in timings.items()
+            if q in prev and prev[q] > 0
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _prev_round_timings(sf: float) -> dict[str, float]:
+    """Per-query timings from the latest BENCH_r{N}.json at the same sf."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if parsed.get("sf") != sf or "queries" not in parsed:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, parsed["queries"])
+    return best[1] if best else {}
 
 
 def _infer_sf(path: str) -> float:

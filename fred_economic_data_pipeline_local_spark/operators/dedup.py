@@ -318,12 +318,18 @@ def ngram_jaccard_pairs(
     ).withColumn("__n", F.size("sh"))
     ex = sh.select("id", "block", "__n", F.explode("sh").alias("s"))
     if df_cap is not None:
-        wdf = Window.partitionBy("block", "s")
-        ex = (
-            ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
-            .where(F.col("__df") <= df_cap)
-            .drop("__df")
+        # hot-shingle set via partial-aggregated groupBy (map-side combine
+        # shuffles one row per distinct shingle, not per posting — a window
+        # count would instead sort the full posting list), then a broadcast
+        # anti-join: >df_cap shingles are boilerplate, so the hot set is
+        # tiny by construction and the postings themselves never reshuffle
+        hot = (
+            ex.groupBy("block", "s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > df_cap)
+            .select("block", "s")
         )
+        ex = ex.join(F.broadcast(hot), ["block", "s"], "left_anti")
     t = F.lit(float(threshold))
     a = ex.alias("a")
     b = ex.alias("b")

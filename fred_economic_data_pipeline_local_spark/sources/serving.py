@@ -59,6 +59,28 @@ def build_upsert_sql(
     )
 
 
+def build_merge_sql(
+    table: str,
+    columns: Sequence[str],
+    key_columns: Sequence[str],
+    staging_table: str,
+) -> str:
+    """ANSI-standard MERGE equivalent of ``build_upsert_sql`` — same
+    row-level semantics (update non-key columns on key match, insert
+    otherwise) for databases without Postgres's ON CONFLICT (Derby, DB2,
+    SQL Server, Oracle)."""
+    non_key = [c for c in columns if c not in key_columns]
+    cols_sql = ", ".join(_q(c) for c in columns)
+    on_sql = " AND ".join(f"t.{_q(c)} = s.{_q(c)}" for c in key_columns)
+    update_sql = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in non_key)
+    insert_vals = ", ".join(f"s.{_q(c)}" for c in columns)
+    return (
+        f"MERGE INTO {_q(table)} t USING {_q(staging_table)} s ON {on_sql} "
+        f"WHEN MATCHED THEN UPDATE SET {update_sql} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols_sql}) VALUES ({insert_vals})"
+    )
+
+
 def jdbc_upsert(
     df: DataFrame,
     url: str,
@@ -67,20 +89,32 @@ def jdbc_upsert(
     properties: dict[str, str],
     staging_table: str | None = None,
     batchsize: int = 10_000,
+    dialect: str = "postgres",
+    staging_options: dict[str, str] | None = None,
 ) -> str:
     """Two-phase JDBC upsert: stage with the parallel DataFrame writer,
-    then one server-side INSERT..ON CONFLICT transaction (K3 parity).
+    then one server-side merge transaction (K3 parity).
 
-    Returns the merge SQL it executed (or would execute), so callers and
-    tests can assert the exact statement. Requires a JDBC driver on the
-    Spark classpath and a reachable database."""
+    ``dialect='postgres'`` executes the reference's INSERT..ON CONFLICT
+    (load_fred_data.py:54-59); ``dialect='merge'`` executes the ANSI MERGE
+    equivalent (Derby/DB2/SQL Server). Returns the merge SQL it executed
+    (or would execute), so callers and tests can assert the exact
+    statement. Requires a JDBC driver on the Spark classpath and a
+    reachable database."""
     staging = staging_table or f"{table}_staging"
-    sql = build_upsert_sql(table, df.columns, key_columns, staging_table=staging)
-    (
-        df.write.mode("overwrite")
-        .option("batchsize", str(batchsize))
-        .jdbc(url, staging, properties=properties)
-    )
+    if dialect == "merge":
+        sql = build_merge_sql(table, df.columns, key_columns, staging)
+    elif dialect == "postgres":
+        sql = build_upsert_sql(table, df.columns, key_columns, staging_table=staging)
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}; use 'postgres' or 'merge'")
+    writer = df.write.mode("overwrite").option("batchsize", str(batchsize))
+    # staging_options passes writer options through, e.g.
+    # createTableColumnTypes to pin VARCHAR widths where the dialect's
+    # default string mapping (TEXT/CLOB) can't join against the target
+    for k, v in (staging_options or {}).items():
+        writer = writer.option(k, v)
+    writer.jdbc(url, staging, properties=properties)
     # server-side merge in one transaction via the driver's connection
     jvm_props = df.sparkSession._jvm.java.util.Properties()  # type: ignore[union-attr]
     for k, v in properties.items():
