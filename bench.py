@@ -47,6 +47,8 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_token_counts",
     "multimodal_decode_meta",
+    "decontam_ngram_hits",
+    "embedding_centroid_prune",
 ]
 
 

@@ -1,0 +1,204 @@
+"""Training-data curation operators: deterministic sampling, per-domain
+caps, sequence packing, repetition metrics, centroid-based pruning.
+
+Everything here is a narrow projection or a keyed window — no all-pairs
+work, no Python in the hot path — and every operator is deterministic
+(hash- or key-ordered, never rand()) so samples are reproducible across
+runs, engines, and retries: the property a 100 TB training-mix pipeline
+actually needs from its sampler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate_16ths: int
+) -> DataFrame:
+    """Deterministic ~rate_16ths/16 sample: keep rows whose md5(key)
+    starts below the cutoff nibble.
+
+    md5 (not xxhash64) so any engine can reproduce the exact sample —
+    the split is a pure function of content, stable under re-runs,
+    retries, and engine migrations. Granularity is 1/16 per nibble;
+    chain two calls for finer rates.
+    """
+    if not 0 <= rate_16ths <= 16:
+        raise ValueError("rate_16ths must be in [0, 16]")
+    nibble = F.conv(F.substring(F.md5(F.col(key_col)), 1, 1), 16, 10).cast("int")
+    return df.where(nibble < rate_16ths)
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic stratified sample: n rows per stratum, ordered by
+    md5(key) then id (a reproducible shuffle within each stratum).
+
+    One keyed window — the shuffle is on the strata key, so skew is
+    bounded by stratum size, and the per-stratum sort is the standard
+    top-k pushdown shape.
+    """
+    order = [F.md5(F.col(key_col or id_col)).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, cap: int, id_col: str
+) -> DataFrame:
+    """Per-domain cap: keep at most ``cap`` rows per group (deterministic
+    by id order) — the anti-over-representation gate every web-crawl mix
+    applies per registered domain."""
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    shard_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences (bins).
+
+    Streaming first-fit within each shard: docs are laid out in
+    deterministic id order and a bin boundary falls every
+    ``budget_tokens`` of cumulative token count —
+    ``bin_id = floor(exclusive_cumsum / budget)``. A bin can overflow by
+    at most one document (the standard approximation used when packing
+    is done as a data-parallel pass rather than a sequential loop).
+
+    Sharding (``shard_col``) keeps the window keyed — a global ORDER BY
+    would serialize the corpus through one task; per-shard packing is
+    embarrassingly parallel, and bins are named (shard, bin_id).
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)  # inclusive cumulative tokens
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(budget_tokens)).cast("long").alias("bin_id"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+) -> DataFrame:
+    """Per-doc k-gram repetition: (id, n_grams, n_distinct, dup_ratio).
+
+    dup_ratio = 1 - distinct/total k-grams — the Gopher-style repetition
+    gate (high ratio = boilerplate/looping text). Same
+    slice+arrays_zip+explode codegen shape as ``shingle_df``, but
+    keeping duplicates so the total is observable; docs shorter than k
+    tokens report zero grams and ratio 0.
+    """
+    base = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("tk")
+    )
+    n = F.size("tk")
+    m = n - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(F.col("tk"), j + 1, m) for j in range(k)])
+    ex = base.select(
+        "id",
+        F.explode_outer(F.when(n >= k, zipped)).alias("z"),
+    ).select(
+        "id",
+        F.when(
+            F.col("z").isNotNull(),
+            F.xxhash64(*[F.col("z")[str(j)] for j in range(k)]),
+        ).alias("s"),
+    )
+    return ex.groupBy("id").agg(
+        F.count("s").alias("n_grams"),
+        F.count_distinct("s").alias("n_distinct"),
+        F.round(
+            F.when(
+                F.count("s") > 0,
+                1 - F.count_distinct("s") / F.count("s").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean vector: (label, centroid array<double>).
+
+    posexplode -> per-(label, dim) avg -> re-assemble ordered array.
+    Two keyed shuffles on (label, pos) then (label); output cardinality
+    is #labels — a broadcastable dim table for pruning joins.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    per_dim = ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("c")))
+            ).alias("pc")
+        )
+        .select(
+            "label",
+            F.transform(F.col("pc"), lambda x: x["c"]).alias("centroid"),
+        )
+    )
+
+
+def centroid_cosines(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cosine of each vector to its own label centroid:
+    (id, label, cos_centroid) — the SemDeDup/prototype-pruning signal
+    (low cosine = outlier within its class; near-1 = redundant core).
+
+    The centroid table is #labels rows -> broadcast join; per-row work
+    is one fold over the vector. The corpus never shuffles.
+    """
+    from .similarity import dot, l2_norm
+
+    cents = label_centroids(emb, vec_col, label_col)
+    e = F.col(vec_col).cast("array<double>")
+    joined = emb.join(F.broadcast(cents), emb[label_col] == cents["label"])
+    cos = dot(e, F.col("centroid")) / (l2_norm(e) * l2_norm(F.col("centroid")))
+    return joined.select(
+        F.col(id_col),
+        emb[label_col].alias(label_col),
+        F.round(cos, 6).alias("cos_centroid"),
+    )

@@ -1,0 +1,73 @@
+"""Test-set decontamination: flag training docs that overlap a benchmark.
+
+The standard pre-training hygiene pass (GPT-3 §5 / PaLM-style n-gram
+decontamination): any training document sharing at least one k-gram with
+an evaluation benchmark is flagged (and typically dropped) so benchmark
+scores measure generalization, not memorization.
+
+Scale design: both sides reduce to hashed k-gram sets (``shingle_df`` —
+codegen'd xxhash64 longs, never strings), the benchmark side is tiny by
+construction (eval sets are thousands of docs, the corpus is billions),
+so candidate generation is a BROADCAST semi/inner join on the 8-byte
+shingle hash. The corpus never shuffles; cost is one scan + map-side
+join, which is the only shape that survives a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_df
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(id, n_hits): corpus docs sharing >= 1 k-gram with the benchmark,
+    with the count of distinct shared k-grams as evidence strength.
+
+    The benchmark shingle set is deduplicated then broadcast; the corpus
+    explodes its shingles once and map-side joins. Docs with zero overlap
+    do not appear (callers left-anti against this to keep the clean set).
+    """
+    corpus_sh = shingle_df(corpus, text_col, id_col, shingle_k)
+    bench_sh = (
+        shingle_df(benchmark, text_col, id_col, shingle_k)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    ex = corpus_sh.select("id", F.explode("sh").alias("s"))
+    return (
+        ex.join(F.broadcast(bench_sh), "s")
+        .groupBy("id")
+        .agg(F.count_distinct("s").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The clean corpus: drop docs with >= min_hits shared k-grams.
+
+    ``min_hits`` > 1 tolerates incidental single-n-gram collisions
+    (common with small k); the flagged set is computed once and
+    broadcast-anti-joined back onto the corpus rows.
+    """
+    flagged = contamination_hits(
+        corpus, benchmark, text_col, id_col, shingle_k
+    ).where(F.col("n_hits") >= min_hits)
+    return corpus.join(
+        F.broadcast(flagged.select(F.col("id").alias(id_col))),
+        id_col,
+        "left_anti",
+    )

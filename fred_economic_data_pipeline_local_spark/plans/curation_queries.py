@@ -1,0 +1,264 @@
+"""Training-data curation queries: decontamination, sampling, packing,
+repetition, centroid pruning — over ``documents`` and ``embeddings``.
+
+Every query is oracle-backed: the hash families used Spark-side (xxhash64
+k-grams) are mirrored in DuckDB with the equivalent string k-grams (same
+sets, collision odds ~1e-11), and the deterministic samplers use md5 so
+BOTH engines compute the identical sample — reproducible sampling is the
+operator's point, and the oracle proves it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.curation import (
+    cap_per_group,
+    centroid_cosines,
+    hash_sample,
+    label_centroids,
+    pack_sequences,
+    repetition_metrics,
+    stratified_take,
+)
+from ..operators.decontam import contamination_hits, decontaminate
+from .registry import query
+
+# 2-gram shingle sets as strings (DuckDB mirror of shingle_df's hashed
+# form; same fallback: docs shorter than k contribute their whole text)
+_SH2_SQL = """
+list_distinct(CASE
+  WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2 THEN
+    list_transform(
+      generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1),
+      i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
+           regexp_split_to_array(trim(lower(text)), '\\s+')[i+1])
+  ELSE [trim(lower(text))] END)
+"""
+
+# benchmark split: every 50th doc stands in for the eval set
+_BENCH = "doc_id % 50 = 0"
+
+
+@query(
+    "decontam_ngram_hits",
+    oracle=f"""
+WITH sh AS (SELECT doc_id, {_SH2_SQL} AS s FROM documents),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_BENCH}),
+corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT ({_BENCH}))
+SELECT c.doc_id, count(DISTINCT c.g) AS n_hits
+FROM corp c JOIN bench b ON c.g = b.g
+GROUP BY 1
+""",
+    description="test-set decontamination: per-doc count of 2-grams "
+    "shared with the benchmark split (broadcast semi-join on hashed "
+    "shingles; GPT-3-style n-gram overlap)",
+)
+def decontam_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination_hits(corpus, bench).select(
+        F.col("id").alias("doc_id"), "n_hits"
+    )
+
+
+@query(
+    "decontam_clean_count",
+    oracle=f"""
+WITH sh AS (SELECT doc_id, {_SH2_SQL} AS s FROM documents),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_BENCH}),
+corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT ({_BENCH})),
+flagged AS (
+  SELECT c.doc_id FROM corp c JOIN bench b ON c.g = b.g
+  GROUP BY 1 HAVING count(DISTINCT c.g) >= 3
+)
+SELECT d.source, count(*) AS n_clean
+FROM documents d
+WHERE NOT ({_BENCH}) AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+GROUP BY 1
+""",
+    description="decontaminated corpus size per source (min_hits=3 "
+    "tolerance for incidental short-n-gram collisions)",
+)
+def decontam_clean_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    clean = decontaminate(corpus, bench, min_hits=3)
+    return clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+""",
+    description="deterministic ~25% sample: first md5 nibble < 4 — "
+    "content-addressed, so any engine reproduces the identical sample",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_sample(docs, "text", 4).select("doc_id", "lang", "source")
+
+
+@query(
+    "sample_stratified_lang",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) <= 20
+""",
+    description="stratified sample: 20 docs per language, md5-ordered "
+    "(reproducible per-stratum shuffle)",
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_take(docs, ["lang"], 20, "doc_id", key_col="text").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "domain_cap_filter",
+    oracle="""
+SELECT doc_id, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+""",
+    description="per-domain cap: at most 10 docs per source "
+    "(anti-over-representation gate)",
+)
+def domain_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return cap_per_group(docs, "source", 10, "doc_id").select("doc_id", "source")
+
+
+_NTOK_SQL = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)"
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source AS shard, {_NTOK_SQL} AS n_tokens FROM documents)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS BIGINT) AS bin_id
+FROM t
+""",
+    description="sequence packing: docs laid into 256-token training bins "
+    "per shard (streaming first-fit, bounded one-doc overflow; per-shard "
+    "windows keep the pass embarrassingly parallel)",
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(docs, budget_tokens=256, shard_col="source")
+
+
+@query(
+    "pack_bin_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source AS shard, {_NTOK_SQL} AS n_tokens FROM documents),
+p AS (
+  SELECT shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS BIGINT) AS bin_id
+  FROM t
+)
+SELECT shard, bin_id, count(*) AS n_docs,
+       sum(n_tokens) AS tokens_packed,
+       round(sum(n_tokens) / 256.0, 6) AS fill_ratio
+FROM p GROUP BY shard, bin_id
+""",
+    description="packing efficiency: docs, tokens, and fill ratio per bin",
+)
+def pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    packed = pack_sequences(docs, budget_tokens=256, shard_col="source")
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_packed"),
+        F.round(F.sum("n_tokens") / 256.0, 6).alias("fill_ratio"),
+    )
+
+
+@query(
+    "text_repetition_metrics",
+    oracle="""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                              i -> tk[i] || ' ' || tk[i+1])
+             ELSE [] END AS grams
+      FROM t)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                  ELSE 0.0 END, 6) AS dup_ratio
+FROM g
+""",
+    description="Gopher-style repetition gate: duplicate 2-gram fraction "
+    "per doc (high ratio = boilerplate/looping text)",
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_metrics(docs, k=2).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_distinct", "dup_ratio"
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT label,
+             unnest(generate_series(1, len(e))) AS i,
+             unnest(e) AS v
+      FROM c),
+a AS (SELECT label, i, avg(v) AS cv FROM d GROUP BY label, i)
+SELECT label, list(round(cv, 6) ORDER BY i) AS centroid
+FROM a GROUP BY label
+""",
+    description="per-label mean embedding (class prototypes; broadcastable "
+    "dim table for pruning joins)",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = label_centroids(emb)
+    return cents.select(
+        "label",
+        F.transform(F.col("centroid"), lambda x: F.round(x, 6)).alias("centroid"),
+    )
+
+
+@query(
+    "embedding_centroid_prune",
+    oracle="""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT label,
+             unnest(generate_series(1, len(e))) AS i,
+             unnest(e) AS v
+      FROM c),
+cent AS (SELECT label, list(cv ORDER BY i) AS ce
+         FROM (SELECT label, i, avg(v) AS cv FROM d GROUP BY label, i)
+         GROUP BY label)
+SELECT c.vec_id, c.label,
+       round(list_dot_product(c.e, cent.ce) /
+             (sqrt(list_dot_product(c.e, c.e)) *
+              sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS cos_centroid
+FROM c JOIN cent USING (label)
+""",
+    description="SemDeDup/prototype pruning signal: cosine of each vector "
+    "to its own label centroid (low = class outlier, ~1 = redundant core)",
+)
+def embedding_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return centroid_cosines(emb)

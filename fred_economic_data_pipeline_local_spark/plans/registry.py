@@ -97,6 +97,17 @@ _CHECK_FIRST: tuple[str, ...] = (
     "json_extract_props",
     "stream_click_attribution",
     "gap_fill_forward_monthly",
+    # new in round 2 (curation family) — no prior row by definition
+    "decontam_ngram_hits",
+    "decontam_clean_count",
+    "sample_hash_deterministic",
+    "sample_stratified_lang",
+    "domain_cap_filter",
+    "pack_sequences_greedy",
+    "pack_bin_stats",
+    "text_repetition_metrics",
+    "embedding_label_centroids",
+    "embedding_centroid_prune",
 )
 
 
@@ -126,6 +137,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        curation_queries,
         fred_queries,
         llm_queries,
         multimodal_queries,

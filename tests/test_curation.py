@@ -1,0 +1,87 @@
+"""Semantics of the curation operators beyond the fixture oracles:
+packing bounds, decontamination guarantees, sampler determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fred_economic_data_pipeline_local_spark.catalog import load_table
+from fred_economic_data_pipeline_local_spark.operators.curation import (
+    cap_per_group,
+    hash_sample,
+    pack_sequences,
+    repetition_metrics,
+)
+from fred_economic_data_pipeline_local_spark.operators.decontam import (
+    contamination_hits,
+    decontaminate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pack_bins_overflow_by_at_most_one_doc(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    packed = pack_sequences(docs, budget_tokens=256, shard_col="source")
+    stats = (
+        packed.groupBy("shard", "bin_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        # streaming first-fit: a bin holds < budget before its last doc,
+        # so the total can exceed the budget by less than one document
+        assert r.tot < 256 + r.mx
+
+
+def test_pack_assigns_every_doc_exactly_once(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    packed = pack_sequences(docs, budget_tokens=256, shard_col="source")
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_decontaminated_corpus_has_no_flagged_docs(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    clean = decontaminate(corpus, bench, min_hits=3)
+    hits = contamination_hits(clean, bench)
+    assert hits.where(F.col("n_hits") >= 3).count() == 0
+    # and it actually removed something on this fixture (shared vocab)
+    assert clean.count() < corpus.count()
+
+
+def test_hash_sample_is_deterministic_and_validates(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    a = sorted(r.doc_id for r in hash_sample(docs, "text", 4).collect())
+    b = sorted(r.doc_id for r in hash_sample(docs, "text", 4).collect())
+    assert a == b and 0 < len(a) < 500
+    assert hash_sample(docs, "text", 0).count() == 0
+    assert hash_sample(docs, "text", 16).count() == 500
+    with pytest.raises(ValueError):
+        hash_sample(docs, "text", 17)
+
+
+def test_cap_per_group_bounds_every_group(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    capped = cap_per_group(docs, "source", 7, "doc_id")
+    sizes = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in sizes)
+
+
+def test_repetition_ratio_detects_looping_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all words here are fully unique"),
+            (3, "x"),  # shorter than k -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in repetition_metrics(df, k=2).collect()}
+    assert got[1].dup_ratio == 0.8  # 5 grams, 1 distinct
+    assert got[2].dup_ratio == 0.0
+    assert got[3].n_grams == 0 and got[3].dup_ratio == 0.0
