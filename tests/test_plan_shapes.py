@@ -103,3 +103,28 @@ def test_window_range_frame_single_shuffle(spark):
     plan = plan_of(spark, "window_range_trailing_30d")
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_decontam_broadcasts_benchmark_shingles(spark):
+    # the corpus is only ever probed map-side: the benchmark shingle set
+    # builds the broadcast side, and no sort-merge join appears anywhere
+    plan = plan_of(spark, "decontam_ngram_hits")
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_prune_broadcasts_centroids(spark):
+    # #labels rows join against the corpus -> broadcast, never a shuffle
+    # of the embedding table for the join
+    plan = plan_of(spark, "embedding_centroid_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle_window(spark):
+    # per-shard packing: exactly one hash exchange (the shard key) feeds
+    # the cumulative-sum window; no global sort, no second exchange
+    plan = plan_of(spark, "pack_sequences_greedy")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
