@@ -207,10 +207,17 @@ def minhash_candidates(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    w = Window.partitionBy("band", "bucket")
-    banded = banded.withColumn("__n", F.count(F.lit(1)).over(w)).where(
-        F.col("__n") <= bucket_cap
-    ).drop("__n")
+    # degenerate-bucket guard via partial-agg + broadcast anti-join (the
+    # same shape as ngram_jaccard_pairs' df cap): buckets over the cap are
+    # rare boilerplate, so the hot set is tiny and the banded rows never
+    # sort or reshuffle the way a count-over-window would force
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > bucket_cap)
+        .select("band", "bucket")
+    )
+    banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -30,3 +30,19 @@ def test_registry_names_are_stable_identifiers(spark):
 
     for name in entrymod.queries():
         assert re.fullmatch(r"[a-z0-9_]+", name), name
+
+
+def test_check_first_rotation_is_exact(spark):
+    """The driver records the first 50 registry entries per round; the
+    rotation list must reference real queries (a typo would silently drop
+    one from the window) and fit inside the window with no duplicates."""
+    from fred_economic_data_pipeline_local_spark.plans.registry import (
+        _CHECK_FIRST,
+    )
+
+    qs = list(entrymod.queries())
+    assert len(_CHECK_FIRST) == len(set(_CHECK_FIRST))
+    missing = [n for n in _CHECK_FIRST if n not in qs]
+    assert not missing, f"_CHECK_FIRST names not in registry: {missing}"
+    assert len(_CHECK_FIRST) <= 50
+    assert qs[: len(_CHECK_FIRST)] == list(_CHECK_FIRST)
