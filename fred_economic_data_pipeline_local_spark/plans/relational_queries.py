@@ -1340,3 +1340,225 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
+             / sum(vol), 6) AS mkt_share
+FROM base GROUP BY 1
+""",
+    description="TPC-H Q8 shape: national market share within a region — "
+    "7-way join with nation in two roles, conditional-aggregate ratio",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).where(F.col("p_type") == "PROMO")
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(cn), F.col("cn.n_nationkey") == F.col("c_nationkey"))
+        .join(broadcast(region), F.col("r_regionkey") == F.col("cn.n_regionkey"))
+        .join(broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(sn), F.col("sn.n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    num = F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(F.lit(0))
+    return base.groupBy("o_year").agg(
+        F.round(F.sum(num) / F.sum("vol"), 6).alias("mkt_share")
+    )
+
+
+@query(
+    "q12_shipping_delay",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+            THEN 'late' ELSE 'on_time' END AS delay_band,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+    description="TPC-H Q12 shape (fixture carries no shipmode/commitdate, "
+    "so ship-delay bands replace shipmode): fact-fact join + dual "
+    "conditional counts per band",
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    band = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "late"
+    ).otherwise("on_time")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM co GROUP BY 1
+""",
+    description="TPC-H Q13 shape: customer order-count distribution — "
+    "outer join with a non-key ON predicate, then a two-level aggregate",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    co = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+""",
+    description="TPC-H Q17 shape: small-quantity order revenue — "
+    "correlated per-part average decorrelated into a broadcast agg join",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part_keys = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    per_part_cap = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(broadcast(part_keys), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(per_part_cap), F.col("__pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    description="TPC-H Q19 shape: disjunctive multi-attribute predicate "
+    "(OR of ANDs across both join sides) over a broadcast dim join",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+""",
+    description="TPC-H Q22 shape: positive-balance customers with no "
+    "orders — scalar-subquery threshold broadcast + anti join + aggregate",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
