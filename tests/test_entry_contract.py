@@ -32,17 +32,27 @@ def test_registry_names_are_stable_identifiers(spark):
         assert re.fullmatch(r"[a-z0-9_]+", name), name
 
 
-def test_check_first_rotation_is_exact(spark):
+def test_rotation_orders_least_recently_checked_first(spark):
     """The driver records the first 50 registry entries per round; the
-    rotation list must reference real queries (a typo would silently drop
-    one from the window) and fit inside the window with no duplicates."""
+    emitted order must put never-driver-checked queries before any query
+    with an existing CORRECTNESS row, oldest-round rows next — so every
+    query accumulates a driver-green row across rounds without manual
+    reordering."""
     from fred_economic_data_pipeline_local_spark.plans.registry import (
         _CHECK_FIRST,
+        _last_checked_round,
     )
 
     qs = list(entrymod.queries())
     assert len(_CHECK_FIRST) == len(set(_CHECK_FIRST))
     missing = [n for n in _CHECK_FIRST if n not in qs]
     assert not missing, f"_CHECK_FIRST names not in registry: {missing}"
-    assert len(_CHECK_FIRST) <= 50
-    assert qs[: len(_CHECK_FIRST)] == list(_CHECK_FIRST)
+
+    last = _last_checked_round()
+    rounds = [last.get(n, -1) for n in qs]
+    assert rounds == sorted(rounds), "emitted order is not stalest-first"
+    # round-1 artifact exists in this repo: its 50 checked queries must
+    # all sort behind the never-checked ones
+    if last:
+        n_unchecked = sum(1 for n in qs if n not in last)
+        assert all(n in last for n in qs[n_unchecked:])
