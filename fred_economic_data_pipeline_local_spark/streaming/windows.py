@@ -285,3 +285,40 @@ def dedup_events_stream(
             ["event_id"]
         )
     return keyed.dropDuplicates(["event_id"])
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    upsert_batch,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming -> serving-store composition: run the stream to
+    completion (``Trigger.AvailableNow``), handing every micro-batch to
+    ``upsert_batch(batch_df, batch_id)`` — typically a closure over
+    ``sources.serving.jdbc_upsert`` into the keyed serving table.
+
+    This is the streaming form of the reference's load step
+    (load_fred_data.py:36-66): because the sink is a keyed MERGE, replayed
+    micro-batches (restart after failure, reprocessed files) converge to
+    the same table state — end-to-end idempotence from checkpointed
+    source offsets + idempotent writes, which is exactly-once delivery as
+    Structured Streaming defines it. In update-mode aggregations each
+    batch carries only changed keys, so merge cost tracks the delta, not
+    the table.
+    """
+    import contextlib
+
+    ctx = (
+        contextlib.nullcontext(checkpoint_dir)
+        if checkpoint_dir
+        else tempfile.TemporaryDirectory(prefix="ckpt_upsert_")
+    )
+    with ctx as ckpt:
+        q = (
+            stream_df.writeStream.foreachBatch(upsert_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
