@@ -202,6 +202,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
+    dims: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: returns (assignment (id, cell), centroids
     (cell, __i, w)).
@@ -211,9 +212,14 @@ def ivf_assign(
     centroid state never leaves the cluster except as a broadcast of
     n_cells x dims rows. Empty cells fall back to their seed position so
     the cell count is stable.
+
+    Pass ``dims`` when known (it's a property of the embedding model, so
+    callers usually know it); otherwise a one-row probe reads it, which
+    costs one tiny job before the plan is built.
     """
     spark = corpus.sparkSession
-    dims = len(corpus.select(vec_col).first()[0])  # schema-level probe, one row
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])  # one-row probe
     ex = corpus.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x"),
@@ -249,6 +255,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: each query scores only the corpus
     vectors assigned to its ``nprobe`` nearest cells.
@@ -260,7 +267,7 @@ def ivf_topk(
     Recall is bounded by cell/probe geometry — tests pin recall@k against
     ``brute_force_topk`` rather than asserting exactness.
     """
-    assign, cents = ivf_assign(corpus, n_cells, id_col, vec_col)
+    assign, cents = ivf_assign(corpus, n_cells, id_col, vec_col, dims=dims)
     q_ex = queries.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x"),

@@ -232,4 +232,6 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") < _NQUERY)
-    return ivf_topk(emb, queries, k=_K, n_cells=8, nprobe=2)
+    # dims is a property of the embedding model (fixture: 64) — passing it
+    # skips the one-row probe job
+    return ivf_topk(emb, queries, k=_K, n_cells=8, nprobe=2, dims=64)

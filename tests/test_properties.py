@@ -231,3 +231,80 @@ def test_hashed_shingles_match_string_shingles(spark, texts, k):
     for i in hashed:
         for j in hashed:
             assert (hashed[i] == hashed[j]) == (strings[i] == strings[j])
+
+
+texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=texts, budget=st.integers(min_value=1, max_value=16))
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_sequential_reference(spark, docs, budget):
+    """Distributed packing == a sequential cumulative-sum walk per shard."""
+    from fred_economic_data_pipeline_local_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    rows = [(i, t, f"shard{i % 3}") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id)
+        for r in pack_sequences(df, budget, "source").collect()
+    }
+
+    # sequential reference: walk each shard in id order
+    import re as _re
+
+    expected = {}
+    by_shard: dict[str, int] = {}
+    for i, t, shard in sorted(rows, key=lambda x: x[0]):
+        n = len(_re.split(r"\s+", t.strip()))  # split('\s+') semantics
+        cum = by_shard.get(shard, 0)
+        expected[i] = (n, cum // budget)
+        by_shard[shard] = cum + n
+    assert got == expected
+
+
+@given(
+    corpus=st.lists(st.sampled_from(
+        ["a b c", "c d e", "x y z", "p q", "a b", "m n o p"]
+    ), min_size=1, max_size=12),
+    bench=st.lists(st.sampled_from(["a b c", "x y z", "k l"]), max_size=3),
+)
+@settings(**_SETTINGS)
+def test_decontam_matches_python_set_overlap(spark, corpus, bench):
+    """contamination_hits == python 2-gram set intersection counts."""
+    from fred_economic_data_pipeline_local_spark.operators.decontam import (
+        contamination_hits,
+    )
+
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+
+    def grams(t):
+        toks = t.strip().lower().split()
+        if len(toks) < 2:
+            return {t.strip().lower()}
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    bench_set = set().union(*(grams(t) for t in bench)) if bench else set()
+    expected = {}
+    for i, t in enumerate(corpus):
+        hits = len(grams(t) & bench_set)
+        if hits:
+            expected[i] = hits
+    got = {
+        r.id: r.n_hits for r in contamination_hits(cdf, bdf).collect()
+    }
+    assert got == expected
