@@ -121,6 +121,25 @@ def test_centroid_prune_broadcasts_centroids(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_q8_all_joins_broadcast(spark):
+    # 7-way join: every dim (part/customer/nation x2/region/supplier)
+    # broadcast; the fact side is probed only, never pre-shuffled
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") == 7
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    assert "EqualTo(p_type,PROMO)" in plan  # dim filter pushed to scan
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    # Catalyst derives per-side filters from the OR-of-ANDs: the quantity
+    # disjunction reaches the lineitem scan, the brand/size disjunction
+    # reaches the part scan — neither side scans unfiltered
+    plan = plan_of(spark, "q19_discounted_revenue")
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pack_sequences_single_shuffle_window(spark):
     # per-shard packing: exactly one hash exchange (the shard key) feeds
     # the cumulative-sum window; no global sort, no second exchange
