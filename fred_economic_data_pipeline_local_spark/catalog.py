@@ -40,6 +40,10 @@ _RUNTIME_CONF = {
     # non-ASCII string is case-mapped (see session.py); JVM mapping is
     # fast and agrees with DuckDB on the Latin-script fixtures
     "spark.sql.icu.caseMappings.enabled": "false",
+    # lake writers also set this per-write (sources/lake.py), but pin it
+    # here too so ad-hoc overwrites on a foreign session can't static-
+    # truncate sibling partitions
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
 
 

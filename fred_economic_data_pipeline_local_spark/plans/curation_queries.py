@@ -262,3 +262,48 @@ FROM c JOIN cent USING (label)
 def embedding_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return centroid_cosines(emb)
+
+
+@query(
+    "curation_pipeline_end_to_end",
+    oracle=f"""
+WITH corpus AS (SELECT * FROM documents WHERE NOT ({_BENCH})),
+q AS (SELECT * FROM corpus
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5),
+d AS (SELECT * FROM q
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) = 1),
+sh AS (SELECT doc_id, {_SH2_SQL} AS s FROM documents),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_BENCH}),
+corp_g AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT ({_BENCH})),
+flagged AS (
+  SELECT c.doc_id FROM corp_g c JOIN bench b ON c.g = b.g
+  GROUP BY 1 HAVING count(DISTINCT c.g) >= 3
+),
+dc AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+smp AS (SELECT * FROM dc
+        WHERE substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7'))
+SELECT doc_id, lang, source
+FROM smp
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
+""",
+    description="the full curation flow as ONE composed plan: quality gate "
+    "-> exact dedup -> benchmark decontamination -> deterministic 50% "
+    "sample -> per-source cap (operators compose because each is a "
+    "DataFrame -> DataFrame transform; Catalyst fuses the narrow stages)",
+)
+def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    quality = corpus.where(token_count(F.col("text")) >= 5)
+    deduped = exact_dedup(quality)
+    clean = decontaminate(deduped, bench, min_hits=3)
+    sampled = hash_sample(clean, "text", 8)
+    return cap_per_group(sampled, "source", 15, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
