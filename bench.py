@@ -49,6 +49,7 @@ HEADLINE = [
     "multimodal_decode_meta",
     "decontam_ngram_hits",
     "embedding_centroid_prune",
+    "curation_pipeline_end_to_end",
 ]
 
 

@@ -105,3 +105,34 @@ def test_streaming_dedup_matches_batch(spark):
     assert streamed.count() == batch.count()
     # ids must be unique after dedup
     assert streamed.select("event_id").distinct().count() == streamed.count()
+
+
+def test_curation_ops_are_streaming_safe(spark):
+    """The narrow curation operators (quality gate, deterministic sample,
+    repetition-free projections) are stateless DataFrame transforms, so
+    the same function body runs on a streaming frame and agrees with the
+    batch result — curation can run incrementally as documents land."""
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.operators.curation import (
+        hash_sample,
+    )
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        token_count,
+    )
+
+    def curate(df):
+        gated = df.where(token_count(F.col("text")) >= 5)
+        return hash_sample(gated, "text", 4).select("doc_id", "lang", "source")
+
+    batch = curate(load_table(spark, "documents", SF_DIR))
+    stream_docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+    )
+    streamed = run_available_now(curate(stream_docs), "t_curate", "append")
+    cols = ["doc_id", "lang", "source"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
