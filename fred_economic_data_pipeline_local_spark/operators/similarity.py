@@ -343,3 +343,86 @@ def ex_norms(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataFram
         .groupBy("id")
         .agg(F.sqrt(F.sum(F.col("__x") * F.col("__x"))).alias(out_col))
     )
+
+
+def cosine_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at cosine >= threshold, LSH-bucketed
+    (the scale path beside the exact all-pairs ``embedding_neardup_cosine``).
+
+    ``tables`` independent hyperplane signatures (seeded off the table
+    index; deterministic, no stored model): a pair is a candidate when it
+    collides in ANY table, then candidates are verified exactly. Recall
+    for a pair at angle theta is 1 - (1 - (1 - theta/pi)^planes)^tables —
+    ~0.93 at cos 0.9 with 8x8, approaching 1 as similarity rises, which
+    is the regime near-DUP detection cares about. All tables * planes
+    dot products run as one pass of codegen'd sum-aggregates (the same
+    explode shape as minhash signatures); candidate generation groups
+    each bucket's ids and double-explodes pairs (one exchange, no
+    self-join), with ``bucket_cap`` dropping degenerate buckets (e.g.
+    all-zero vectors).
+    """
+    from functools import reduce
+
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    ex = base.select("id", F.posexplode("v").alias("__i", "__x"))
+
+    def weight(t: int, p: int) -> Column:
+        h = F.xxhash64(F.lit(t), F.lit(p), F.col("__i"))
+        return (F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0) - 1.0
+
+    dots = ex.groupBy("id").agg(
+        *[
+            F.sum(F.col("__x") * weight(t, p)).alias(f"d{t}_{p}")
+            for t in range(tables)
+            for p in range(planes)
+        ]
+    )
+
+    def sig(t: int) -> Column:
+        bits = [
+            F.when(F.col(f"d{t}_{p}") > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for p in range(planes)
+        ]
+        return reduce(lambda a, x: a.bitwiseOR(x), bits)
+
+    banded = dots.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), sig(t).alias("sig"))
+                    for t in range(tables)
+                ]
+            )
+        ).alias("ts"),
+    ).select("id", "ts.t", "ts.sig")
+    buckets = banded.groupBy("t", "sig").agg(F.collect_list("id").alias("ids"))
+    if bucket_cap is not None:
+        buckets = buckets.where(F.size("ids") <= bucket_cap)
+    cand = (
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )

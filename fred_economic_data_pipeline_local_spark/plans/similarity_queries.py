@@ -235,3 +235,21 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dims is a property of the embedding model (fixture: 64) — passing it
     # skips the one-row probe job
     return ivf_topk(emb, queries, k=_K, n_cells=8, nprobe=2, dims=64)
+
+
+@query(
+    "embedding_neardup_lsh",
+    oracle=None,  # hash-derived hyperplanes — rows-only; containment vs the
+    # exact pair set is pinned in tests/test_oracle_parity.py
+    description="embedding near-dup pairs, multi-table hyperplane LSH "
+    "bucketed (the scale path for embedding_neardup_cosine: candidates "
+    "collide in >= 1 of 8 signature tables, then verify exactly; recall "
+    "-> 1 as similarity rises)",
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_neardup_lsh
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # 0.4 sits inside the fixture's similarity range (see
+    # embedding_neardup_cosine); production near-dup runs 0.9+
+    return cosine_neardup_lsh(emb, threshold=0.4)

@@ -196,3 +196,24 @@ def test_approx_aggregates_within_bounds_of_duckdb_exact(spark):
         assert g.n_rows == n
         assert abs(g.approx_parts - nd) <= max(3 * 0.02 * nd, 1)
         assert abs(g.approx_p50 - p50) <= 0.02 * abs(p50)
+
+
+def test_embedding_lsh_pairs_contained_in_exact_cosine(spark):
+    """LSH near-dup pairs ⊆ the exact all-pairs result at the same
+    threshold, with identical verified cosines (the verify step is exact,
+    so only recall — never precision — is approximate)."""
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in qs["embedding_neardup_cosine"](spark, SF_DIR).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in qs["embedding_neardup_lsh"](spark, SF_DIR).collect()
+    }
+    assert got, "LSH found no pairs at the fixture threshold"
+    assert set(got) <= set(exact)
+    for pair, c in got.items():
+        assert abs(c - exact[pair]) < 1e-9
