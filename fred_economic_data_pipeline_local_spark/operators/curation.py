@@ -202,3 +202,33 @@ def centroid_cosines(
         emb[label_col].alias(label_col),
         F.round(cos, 6).alias("cos_centroid"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based source mixing: per-group quota ~ ceil(n^alpha),
+    filled deterministically (md5 order) — the Pile/ROOTS-style
+    re-weighting that flattens over-represented sources (alpha < 1 pulls
+    the mix toward uniform; alpha = 1 keeps natural proportions).
+
+    One aggregate builds the (tiny) per-group quota table, broadcast back
+    onto the corpus; the per-group fill is the same keyed-window shape as
+    ``stratified_take``. Fully deterministic: re-runs and other engines
+    reproduce the identical mix.
+    """
+    quotas = df.groupBy(group_col).agg(
+        F.ceil(F.pow(F.count(F.lit(1)), F.lit(alpha))).alias("__quota")
+    )
+    order = [F.md5(F.col(key_col or id_col)).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

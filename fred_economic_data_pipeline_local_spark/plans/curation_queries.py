@@ -307,3 +307,26 @@ def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(sampled, "source", 15, "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="""
+WITH q AS (SELECT source, CAST(ceil(sqrt(count(*))) AS BIGINT) AS quota
+           FROM documents GROUP BY 1)
+SELECT doc_id, source
+FROM documents JOIN q USING (source)
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id)
+        <= quota
+""",
+    description="temperature-based training mix (alpha=0.5): per-source "
+    "quota ceil(n^0.5) filled in deterministic md5 order — flattens "
+    "over-represented sources, reproducible across engines",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import temperature_mix
+
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_mix(docs, "source", alpha=0.5, key_col="text").select(
+        "doc_id", "source"
+    )
