@@ -1562,3 +1562,389 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (
+  SELECT c.partkey, min(c.supplycost) AS min_cost
+  FROM cost c JOIN eu ON c.suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       p_partkey, p_name, round(c.supplycost, 4) AS supplycost
+FROM part
+JOIN cost c ON c.partkey = p_partkey
+JOIN eu ON c.suppkey = s_suppkey
+JOIN best b ON b.partkey = p_partkey AND c.supplycost = b.min_cost
+WHERE p_size <= 10 AND p_type IN ('LARGE', 'SMALL')
+""",
+    description="TPC-H Q2 shape: min-cost supplier per part in a region — "
+    "correlated-min subquery decorrelated into an agg + equi-join "
+    "(fixture has no partsupp, so lineitem unit price is the cost bridge)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference never joins (SURVEY.md §2.5); this extends the engine's
+    relational surface with TPC-H Q2's correlated-min shape.
+
+    Scale notes: ``cost`` is one shuffle on (partkey, suppkey); the
+    per-part min is decorrelated into a second agg over the *already
+    region-filtered* cost rows (never the full corpus), and supplier/
+    nation/region dims broadcast.  The min is an exact selection (no
+    summation), so cross-engine float drift cannot flip the winner.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    part = load_table(spark, "part", sf_dir).where(
+        (F.col("p_size") <= 10) & F.col("p_type").isin("LARGE", "SMALL")
+    )
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    eu = (
+        supp.join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_cost = cost.join(broadcast(eu), F.col("suppkey") == F.col("s_suppkey"))
+    best = eu_cost.groupBy(F.col("partkey").alias("__bpk")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        eu_cost.join(broadcast(part), F.col("p_partkey") == F.col("partkey"))
+        .join(
+            best,
+            (F.col("__bpk") == F.col("partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 4).alias("supplycost"),
+        )
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    description="TPC-H Q9 shape: product-type profit by nation and year — "
+    "5-way star join with a LIKE-filtered part dim (no partsupp cost "
+    "term in the fixture, so profit is discounted revenue)",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted: lineitem joins supplier/part dims (broadcast)
+    and orders (fact-fact shuffle join); the %red% part filter prunes
+    before the orders join so the shuffled side is pre-filtered."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    part = load_table(spark, "part", sf_dir).where(F.col("p_name").like("%red%"))
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey AS partkey, sum(l_extendedprice) AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY 1
+)
+SELECT partkey, round(value, 2) AS value
+FROM v
+WHERE value > (SELECT sum(value) * 0.001 FROM v)
+""",
+    description="TPC-H Q11 shape: important stock value by part — "
+    "grouped value with a HAVING threshold from a scalar subquery over "
+    "the same aggregate (fixture: lineitem value for partsupp value)",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: the scalar global-sum subquery is decorrelated
+    into a broadcast cross join of a 1-row aggregate, so the per-part
+    aggregate is computed ONCE and reused for both branches."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).where(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    v = (
+        li.join(broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = v.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (
+        v.crossJoin(broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    description="TPC-H Q15 shape: top supplier by quarterly revenue — "
+    "reused CTE aggregate + scalar-max subquery against itself",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the revenue 'view' is built once; the scalar max is a
+    1-row broadcast crossJoin so the filter never re-aggregates.  The
+    revenue aggregate shuffles only (suppkey, partial sums)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.crossJoin(broadcast(top))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+""",
+    description="TPC-H Q16 shape: supplier count per part group with a "
+    "NOT-IN exclusion subquery (negative-balance suppliers stand in for "
+    "the comment-complaints filter; lineitem bridges part to supplier)",
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: the NOT IN becomes a broadcast left_anti join (the
+    excluded-supplier set is tiny); distinct-count shuffles only the
+    surviving (brand, type, size, suppkey) tuples."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = (
+        load_table(spark, "supplier", sf_dir)
+        .where(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            broadcast(bad_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9',
+                   'NATION_13', 'NATION_17', 'NATION_21')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN
+          (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 100.0
+  )
+""",
+    description="TPC-H Q20 shape: suppliers with heavy shipments of "
+    "name-matched parts — nested IN subqueries decorrelated into "
+    "broadcast semi-joins with a HAVING'd aggregate in the middle",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (availqty -> shipped quantity): innermost IN is
+    a broadcast semi-join on partkey; the HAVING aggregate shuffles only
+    qualifying (suppkey, qty) rows; the outer IN is a semi-join against
+    the tiny qualifying-supplier set."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).where(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_5", "NATION_9", "NATION_13", "NATION_17", "NATION_21"
+        )
+    )
+    small_parts = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    heavy_suppliers = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(
+            broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .where(F.col("__qty") > 100.0)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            broadcast(heavy_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_0', 'NATION_2', 'NATION_4', 'NATION_6',
+                 'NATION_8', 'NATION_10', 'NATION_12', 'NATION_14',
+                 'NATION_16', 'NATION_18', 'NATION_20', 'NATION_22')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+    description="TPC-H Q21 shape: sole-blame suppliers on failed orders "
+    "— correlated EXISTS + NOT-EXISTS pair decorrelated into one "
+    "per-order distinct-count aggregate (returnflag 'R' stands in for "
+    "the missing receipt/commit dates)",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted.  Instead of two correlated sub-scans per row,
+    one pass over lineitem computes per-order supplier counts:
+
+      EXISTS(other supplier)            <=> n_suppliers  >= 2
+      NOT EXISTS(other supplier w/ 'R') <=> n_r_suppliers = 1
+        (l1 itself carries 'R', so the sole flagged supplier is l1's)
+
+    The fact side then takes ONE broadcast join against the per-order
+    counts — O(|lineitem|) total instead of O(|lineitem| * probes).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderstatus") == "F"
+    )
+    nation = load_table(spark, "nation", sf_dir).where(
+        F.col("n_name").isin(
+            *[f"NATION_{k}" for k in range(0, 23, 2)]
+        )
+    )
+    order_stats = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_suppliers"),
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            broadcast(
+                supp.join(
+                    broadcast(nation),
+                    F.col("n_nationkey") == F.col("s_nationkey"),
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(order_stats, F.col("__ok") == F.col("l_orderkey"))
+        .where((F.col("n_suppliers") >= 2) & (F.col("n_r_suppliers") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

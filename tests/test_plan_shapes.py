@@ -147,3 +147,40 @@ def test_pack_sequences_single_shuffle_window(spark):
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q9_dims_broadcast_fact_join_not_nested(spark):
+    plan = plan_of(spark, "q9_product_type_profit")
+    # part/supplier/nation dims broadcast; only orders may shuffle-join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    # %red% LIKE filter applied dim-side before the join
+    assert "Contains(p_name, red)" in plan or "red" in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    plan = plan_of(spark, "q16_parts_supplier_relationship")
+    assert "LeftAnti, BuildRight" in plan
+    # IN-list predicate evaluated at the part scan, not post-join
+    scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "p_partkey" in l
+    )
+    assert "p_size" in scan
+
+
+def test_q21_decorrelated_to_single_order_aggregate(spark):
+    # the EXISTS / NOT EXISTS pair must become ONE per-order aggregate,
+    # not correlated re-scans: expect exactly one distinct-aggregate
+    # subtree over lineitem and no nested-loop join anywhere
+    plan = plan_of(spark, "q21_suppliers_kept_waiting")
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two distinct-counts share one Expand-based aggregate keyed on order
+    assert "Expand" in plan
+    assert "HashAggregate(keys=[l_orderkey" in plan
+
+
+def test_q2_correlated_min_is_agg_join(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    # decorrelated per-part min feeds an equi-join (partkey, supplycost)
+    assert "min(supplycost" in plan
