@@ -232,3 +232,91 @@ def temperature_mix(
         .where(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# (tag, pattern) pairs in the Java-regex / RE2 COMMON dialect: character
+# classes, bounded repetition, \b, and non-capturing groups only — no
+# backreferences or lookaround — so the DuckDB oracle (RE2) evaluates the
+# exact same language as Spark's JVM regex. Order matters: IP before
+# phone so dotted quads are never half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("PHONE", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Mask PII spans in ``text_col`` with ``<TAG>`` tokens and count hits.
+
+    Adds ``{text_col}_redacted`` plus one ``n_<tag>`` count per pattern.
+    Pure regexp_replace/regexp_count projection: codegen'd, narrow, zero
+    shuffle — at 100 TB this runs at scan speed and pushes nothing to
+    Python. Patterns apply in order to the running result, so a span
+    matched by an earlier pattern is never re-matched by a later one.
+    """
+    out = df
+    red = F.col(text_col)
+    for tag, pat in patterns:
+        out = out.withColumn(f"n_{tag.lower()}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"<{tag}>")
+    return out.withColumn(f"{text_col}_redacted", red)
+
+
+# --- corpus-level boilerplate line removal -----------------------------------
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Drop lines that appear (trimmed) in more than ``max_df_frac`` of
+    docs — the classic header/footer/cookie-banner filter — and rebuild
+    each doc with surviving lines in their original order.
+
+    Shape: posexplode(split) -> per-line document frequency (one shuffle
+    on the trimmed line text, counting DISTINCT docs so in-doc repeats
+    don't inflate df) -> broadcast anti-join of the tiny hot-line set ->
+    per-doc reassembly keyed on id (second shuffle). Nothing all-pairs;
+    the hot-line set is what boilerplate IS (few distinct strings, huge
+    df), so the broadcast side stays small by construction. The in-doc
+    reassembly transform() runs interpreted but only over a doc's own
+    handful of lines, never corpus-wide.
+    """
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__nd"))
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__key", F.trim("__line"))
+    hot = (
+        lines.select("__id", "__key")
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("__df") > F.col("__nd") * max_df_frac)
+        .select("__key")
+    )
+    kept = lines.join(F.broadcast(hot), "__key", "left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias("__ls"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(
+                F.expr("transform(__ls, e -> e.__line)"), sep
+            ).alias(f"{text_col}_clean"),
+        )
+    )
+    # left join keeps docs whose every line was boilerplate (empty result)
+    return df.join(rebuilt, id_col, "left").withColumn(
+        f"{text_col}_clean", F.coalesce(F.col(f"{text_col}_clean"), F.lit(""))
+    )

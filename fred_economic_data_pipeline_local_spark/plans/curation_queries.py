@@ -330,3 +330,56 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(docs, "source", alpha=0.5, key_col="text").select(
         "doc_id", "source"
     )
+
+
+# The documents fixture is clean word-soup (no emails/digits/newlines),
+# so the PII and boilerplate queries inject deterministic spans derived
+# from doc_id via concat — identically on both engines — and then prove
+# the distributed redaction/line-df computation matches the oracle.
+
+@query(
+    "curation_redact_pii",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or 555-123-4567 at 10.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
+       len(regexp_extract_all(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+           '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+         '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g') AS text_redacted
+FROM seeded
+""",
+    description="PII redaction: mask emails / IPs / phone numbers with "
+    "typed tokens and count hits — pure codegen regexp projection, zero "
+    "shuffle (PII spans injected deterministically; fixture is clean)",
+)
+def curation_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import redact_pii
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "text_redacted"
+    )
