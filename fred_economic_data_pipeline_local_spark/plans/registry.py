@@ -50,20 +50,129 @@ def get_query(name: str) -> QuerySpec:
     return _REGISTRY[name]
 
 
-# The driver's correctness harness checks the first N registry entries per
-# round (round 1 recorded exactly the first 50 of 86, in insertion order).
-# To get every query a driver-verified row across rounds, the catalog is
-# emitted least-recently-checked first: _ordered() reads the repo's
-# CORRECTNESS_r*.json artifacts and sorts by the latest round each query
-# appeared in (never-checked queries lead). The rotation is therefore
-# self-maintaining round over round; _CHECK_FIRST only breaks ties among
-# never-checked queries so the round-2 priority families stay in front.
-_CHECK_FIRST: tuple[str, ...] = (
-    # relational tail never reached in round 1
+# CATALOG_ORDER is the catalog's table of contents: a single static,
+# git-tracked ordering of every registered query, grouped by family —
+# the TPC-H relational suite first (numeric order), then the
+# training-data curation / dedup / similarity families, then the FRED
+# parity pipeline, multimodal, temporal joins, time-series, and the
+# remaining relational operators. The order is a one-time editorial
+# choice: it depends on nothing outside this file (in particular, NOT on
+# any evaluation artifact), so `all_queries()` is stable across rounds
+# and environments. `tests/test_registry.py` asserts the list and the
+# registry match exactly, so adding a query without cataloguing it is a
+# test failure, not a silent reorder.
+CATALOG_ORDER: tuple[str, ...] = (
+    # --- TPC-H suite, numeric order ---
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
     "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
     "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipping_delay",
+    "q13_customer_distribution",
     "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    # --- training-data curation ---
+    "decontam_ngram_hits",
+    "decontam_clean_count",
+    "sample_hash_deterministic",
+    "sample_stratified_lang",
+    "domain_cap_filter",
+    "pack_sequences_greedy",
+    "pack_bin_stats",
+    "text_repetition_metrics",
+    "embedding_label_centroids",
+    "embedding_centroid_prune",
+    "curation_pipeline_end_to_end",
+    "sample_temperature_mix",
+    "curation_redact_pii",
+    # --- deduplication ---
+    "dedup_exact_keep_min",
+    "dedup_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_components",
+    # --- similarity / embeddings ---
+    "embedding_neardup_lsh",
+    "embedding_neardup_cosine",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "similarity_ml_minhash_pairs",
+    "similarity_ml_brp_neighbors",
+    "embedding_norms",
+    "embedding_label_stats",
+    # --- text analysis ---
+    "text_token_counts",
+    "text_quality_metrics",
+    "text_language_id",
+    "text_fingerprints",
+    # --- FRED parity pipeline ---
+    "fred_silver_monthly",
+    "fred_gold_yearly",
+    "fred_dedup_append",
+    "fred_upsert_merge",
+    # --- multimodal ---
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_feature_topk",
+    "multimodal_resize_decode",
+    # --- temporal joins ---
+    "asof_clicks_to_purchases",
+    "range_join_price_bands",
+    "interval_join_shipments",
+    # --- time-series / windows / streaming ---
+    "window_rank_customers",
+    "window_lag_month_over_month",
+    "window_rolling_mean",
+    "window_cumulative_user_value",
+    "tumbling_window_events",
+    "sessionize_users",
+    "json_extract_props",
+    "stream_click_attribution",
+    "gap_fill_forward_monthly",
+    # --- relational operators beyond the TPC-H suite ---
+    "semi_join_customers_with_orders",
+    "anti_join_customers_no_recent_orders",
+    "outer_join_order_counts",
+    "union_nations_of_parties",
+    "except_orders_without_items",
+    "intersect_shared_nations",
+    "union_all_lake_layers",
+    "topk_orders_by_price",
+    "rollup_region_nation_customers",
+    "cube_status_priority",
+    "null_functions_events",
+    "from_json_typed_props",
+    "distinct_parts_per_flag",
+    "percentile_order_prices",
+    "approx_aggregates_lineitem",
+    "case_when_price_bands",
+    "string_functions_parts",
+    "date_functions_orders",
+    "scalar_subquery_above_avg",
+    "correlated_subquery_max_per_cust",
+    "profile_table_lineitem",
+    "cast_coercion_values",
+    "pivot_priority_by_status",
+    "unpivot_lineitem_measures",
+    "grouping_sets_region_segment",
+    "window_ntile_percent_rank",
+    "explode_token_frequency",
     "window_frame_first_last",
     "window_range_trailing_30d",
     "cross_join_region_pairs",
@@ -76,81 +185,18 @@ _CHECK_FIRST: tuple[str, ...] = (
     "string_agg_region_nations",
     "array_functions_tokens",
     "null_safe_join_event_kinds",
-    # temporal joins
-    "asof_clicks_to_purchases",
-    "range_join_price_bands",
-    "interval_join_shipments",
-    # similarity / embeddings
-    "similarity_cosine_topk",
-    "similarity_lsh_topk",
-    "embedding_neardup_cosine",
-    "similarity_ml_minhash_pairs",
-    "similarity_ml_brp_neighbors",
-    "embedding_norms",
-    "embedding_label_stats",
-    "similarity_ivf_topk",
-    # time-series windows / sessions / streams
-    "window_rank_customers",
-    "window_lag_month_over_month",
-    "window_rolling_mean",
-    "window_cumulative_user_value",
-    "tumbling_window_events",
-    "sessionize_users",
-    "json_extract_props",
-    "stream_click_attribution",
-    "gap_fill_forward_monthly",
-    # new in round 2 (curation family) — no prior row by definition
-    "decontam_ngram_hits",
-    "decontam_clean_count",
-    "sample_hash_deterministic",
-    "sample_stratified_lang",
-    "domain_cap_filter",
-    "pack_sequences_greedy",
-    "pack_bin_stats",
-    "text_repetition_metrics",
-    "embedding_label_centroids",
-    "embedding_centroid_prune",
 )
 
 
-def _last_checked_round() -> dict[str, int]:
-    """query name -> latest round with a CORRECTNESS_r{N}.json row."""
-    import json
-    import re
-    from pathlib import Path
-
-    root = Path(__file__).resolve().parents[2]
-    out: dict[str, int] = {}
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", p.name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            rows = json.loads(p.read_text())
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
-        for name in rows:
-            out[name] = max(out.get(name, 0), rnd)
-    return out
-
-
 def _ordered() -> list[QuerySpec]:
-    """Registry specs, least-recently-driver-checked first (never-checked
-    lead, _CHECK_FIRST then registration order breaking ties)."""
+    """Registry specs in CATALOG_ORDER; queries not yet catalogued (a
+    test failure, but never a runtime one) trail in registration order."""
     _load_all()
-    last = _last_checked_round()
-    pri = {n: i for i, n in enumerate(_CHECK_FIRST)}
+    pos = {n: i for i, n in enumerate(CATALOG_ORDER)}
     reg_ix = {n: i for i, n in enumerate(_REGISTRY)}
     return sorted(
         _REGISTRY.values(),
-        key=lambda s: (
-            last.get(s.name, -1),
-            pri.get(s.name, len(pri)),
-            reg_ix[s.name],
-        ),
+        key=lambda s: (pos.get(s.name, len(pos)), reg_ix[s.name]),
     )
 
 

@@ -32,27 +32,19 @@ def test_registry_names_are_stable_identifiers(spark):
         assert re.fullmatch(r"[a-z0-9_]+", name), name
 
 
-def test_rotation_orders_least_recently_checked_first(spark):
-    """The driver records the first 50 registry entries per round; the
-    emitted order must put never-driver-checked queries before any query
-    with an existing CORRECTNESS row, oldest-round rows next — so every
-    query accumulates a driver-green row across rounds without manual
-    reordering."""
+def test_catalog_order_matches_registry_exactly(spark):
+    """CATALOG_ORDER is the catalog's static table of contents: every
+    registered query appears exactly once, nothing extra, and the
+    emitted order follows it verbatim — no dependence on anything
+    outside the source tree (in particular, no evaluation artifacts)."""
     from fred_economic_data_pipeline_local_spark.plans.registry import (
-        _CHECK_FIRST,
-        _last_checked_round,
+        CATALOG_ORDER,
     )
 
     qs = list(entrymod.queries())
-    assert len(_CHECK_FIRST) == len(set(_CHECK_FIRST))
-    missing = [n for n in _CHECK_FIRST if n not in qs]
-    assert not missing, f"_CHECK_FIRST names not in registry: {missing}"
-
-    last = _last_checked_round()
-    rounds = [last.get(n, -1) for n in qs]
-    assert rounds == sorted(rounds), "emitted order is not stalest-first"
-    # round-1 artifact exists in this repo: its 50 checked queries must
-    # all sort behind the never-checked ones
-    if last:
-        n_unchecked = sum(1 for n in qs if n not in last)
-        assert all(n in last for n in qs[n_unchecked:])
+    assert len(CATALOG_ORDER) == len(set(CATALOG_ORDER)), "duplicate names"
+    uncatalogued = sorted(set(qs) - set(CATALOG_ORDER))
+    assert not uncatalogued, f"add to CATALOG_ORDER: {uncatalogued}"
+    stale = sorted(set(CATALOG_ORDER) - set(qs))
+    assert not stale, f"remove from CATALOG_ORDER: {stale}"
+    assert qs == list(CATALOG_ORDER), "emitted order must be CATALOG_ORDER"
