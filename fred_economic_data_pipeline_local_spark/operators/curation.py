@@ -259,12 +259,15 @@ def redact_pii(
     Pure regexp_replace/regexp_count projection: codegen'd, narrow, zero
     shuffle — at 100 TB this runs at scan speed and pushes nothing to
     Python. Patterns apply in order to the running result, so a span
-    matched by an earlier pattern is never re-matched by a later one.
+    matched by an earlier pattern is never re-matched by a later one —
+    and each ``n_<tag>`` is counted on that same running text, so the
+    counts equal the number of ``<TAG>`` tokens actually inserted (e.g.
+    ``555-123-4567@x.com`` is one EMAIL, zero PHONE).
     """
     out = df
     red = F.col(text_col)
     for tag, pat in patterns:
-        out = out.withColumn(f"n_{tag.lower()}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        out = out.withColumn(f"n_{tag.lower()}", F.regexp_count(red, F.lit(pat)))
         red = F.regexp_replace(red, pat, f"<{tag}>")
     return out.withColumn(f"{text_col}_redacted", red)
 

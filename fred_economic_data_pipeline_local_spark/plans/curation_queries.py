@@ -170,7 +170,7 @@ p AS (
   FROM t
 )
 SELECT shard, bin_id, count(*) AS n_docs,
-       sum(n_tokens) AS tokens_packed,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
        round(sum(n_tokens) / 256.0, 6) AS fill_ratio
 FROM p GROUP BY shard, bin_id
 """,
@@ -222,21 +222,22 @@ WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 d AS (SELECT label,
              unnest(generate_series(1, len(e))) AS i,
              unnest(e) AS v
-      FROM c),
-a AS (SELECT label, i, avg(v) AS cv FROM d GROUP BY label, i)
-SELECT label, list(round(cv, 6) ORDER BY i) AS centroid
-FROM a GROUP BY label
+      FROM c)
+SELECT label, CAST(i - 1 AS INTEGER) AS dim, round(avg(v), 6) AS value
+FROM d GROUP BY label, i
 """,
-    description="per-label mean embedding (class prototypes; broadcastable "
-    "dim table for pruning joins)",
+    description="per-label mean embedding (class prototypes), emitted as "
+    "(label, dim, value) rows — the exploded form is hashable by any "
+    "order-insensitive comparator; library callers get the array form "
+    "from operators.curation.label_centroids",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     cents = label_centroids(emb)
     return cents.select(
         "label",
-        F.transform(F.col("centroid"), lambda x: F.round(x, 6)).alias("centroid"),
-    )
+        F.posexplode(F.col("centroid")).alias("dim", "v"),
+    ).select("label", "dim", F.round(F.col("v"), 6).alias("value"))
 
 
 @query(
@@ -349,7 +350,9 @@ WITH seeded AS (
 )
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-       len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
+       len(regexp_extract_all(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
        len(regexp_extract_all(
            regexp_replace(
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),

@@ -1403,10 +1403,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
             THEN 'late' ELSE 'on_time' END AS delay_band,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY 1
 """,

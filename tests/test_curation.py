@@ -85,3 +85,28 @@ def test_repetition_ratio_detects_looping_text(spark):
     assert got[1].dup_ratio == 0.8  # 5 grams, 1 distinct
     assert got[2].dup_ratio == 0.0
     assert got[3].n_grams == 0 and got[3].dup_ratio == 0.0
+
+
+def test_redact_pii_counts_follow_sequential_replacement(spark):
+    """Counts are taken on the running redacted text: a span consumed by
+    an earlier pattern never also counts for a later one (ADVICE r2)."""
+    from fred_economic_data_pipeline_local_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            # phone digits inside an email local part: EMAIL only
+            (1, "reach me at 555-123-4567@x.com"),
+            # dotted quad inside an email domain: EMAIL, plus one real IP
+            (2, "host user@10.0.5.1.com and 10.1.2.3"),
+            # disjoint spans: one of each
+            (3, "call 555-123-4567 or mail a@b.co from 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone) == (1, 0, 0)
+    assert got[1].text_redacted == "reach me at <EMAIL>"
+    assert (got[2].n_email, got[2].n_ip, got[2].n_phone) == (1, 1, 0)
+    assert got[2].text_redacted == "host <EMAIL> and <IP>"
+    assert (got[3].n_email, got[3].n_ip, got[3].n_phone) == (1, 1, 1)
+    assert got[3].text_redacted == "call <PHONE> or mail <EMAIL> from <IP>"
