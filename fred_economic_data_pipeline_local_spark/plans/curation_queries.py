@@ -26,17 +26,20 @@ from ..operators.curation import (
 from ..operators.decontam import contamination_hits, decontaminate
 from .registry import query
 
-# 2-gram shingle sets as strings (DuckDB mirror of shingle_df's hashed
+# k-gram shingle sets as strings (DuckDB mirror of shingle_df's hashed
 # form; same fallback: docs shorter than k contribute their whole text)
-_SH2_SQL = """
+def _sh_sql(k: int) -> str:
+    tk = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    gram = " || ' ' || ".join(f"{tk}[i+{j}]" if j else f"{tk}[i]" for j in range(k))
+    return f"""
 list_distinct(CASE
-  WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2 THEN
-    list_transform(
-      generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1),
-      i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
-           regexp_split_to_array(trim(lower(text)), '\\s+')[i+1])
+  WHEN len({tk}) >= {k} THEN
+    list_transform(generate_series(1, len({tk}) - {k - 1}), i -> {gram})
   ELSE [trim(lower(text))] END)
 """
+
+
+_SH2_SQL = _sh_sql(2)
 
 # benchmark split: every 50th doc stands in for the eval set
 _BENCH = "doc_id % 50 = 0"
@@ -275,12 +278,12 @@ d AS (SELECT * FROM q
       QUALIFY row_number() OVER (
         PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
         ORDER BY doc_id) = 1),
-sh AS (SELECT doc_id, {_SH2_SQL} AS s FROM documents),
+sh AS (SELECT doc_id, {_sh_sql(4)} AS s FROM documents),
 bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_BENCH}),
 corp_g AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT ({_BENCH})),
 flagged AS (
   SELECT c.doc_id FROM corp_g c JOIN bench b ON c.g = b.g
-  GROUP BY 1 HAVING count(DISTINCT c.g) >= 3
+  GROUP BY 1 HAVING count(DISTINCT c.g) >= 2
 ),
 dc AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
 smp AS (SELECT * FROM dc
@@ -290,9 +293,11 @@ FROM smp
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
 """,
     description="the full curation flow as ONE composed plan: quality gate "
-    "-> exact dedup -> benchmark decontamination -> deterministic 50% "
-    "sample -> per-source cap (operators compose because each is a "
-    "DataFrame -> DataFrame transform; Catalyst fuses the narrow stages)",
+    "-> exact dedup -> benchmark decontamination (4-gram, min_hits=2: "
+    "flags a real but bounded fraction of the word-soup fixture at every "
+    "scale) -> deterministic 50% sample -> per-source cap (operators "
+    "compose because each is a DataFrame -> DataFrame transform; Catalyst "
+    "fuses the narrow stages)",
 )
 def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
@@ -303,7 +308,7 @@ def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 50 != 0)
     quality = corpus.where(token_count(F.col("text")) >= 5)
     deduped = exact_dedup(quality)
-    clean = decontaminate(deduped, bench, min_hits=3)
+    clean = decontaminate(deduped, bench, shingle_k=4, min_hits=2)
     sampled = hash_sample(clean, "text", 8)
     return cap_per_group(sampled, "source", 15, "doc_id").select(
         "doc_id", "lang", "source"

@@ -110,3 +110,21 @@ def test_redact_pii_counts_follow_sequential_replacement(spark):
     assert got[2].text_redacted == "host <EMAIL> and <IP>"
     assert (got[3].n_email, got[3].n_ip, got[3].n_phone) == (1, 1, 1)
     assert got[3].text_redacted == "call <PHONE> or mail <EMAIL> from <IP>"
+
+
+def test_curation_pipeline_is_not_degenerate(spark):
+    """The composed quality->dedup->decontam->sample->cap pipeline must
+    emit a meaningful fraction of the corpus, not prove composition on an
+    empty result (VERDICT r2): the 4-gram/min_hits=2 decontam gate flags
+    some docs but nowhere near all of them."""
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+    out = all_queries()["curation_pipeline_end_to_end"](spark, SF_DIR)
+    n = out.count()
+    corpus_n = (
+        load_table(spark, "documents", SF_DIR)
+        .where("doc_id % 50 != 0")
+        .count()
+    )
+    assert n >= corpus_n * 0.1, f"pipeline degenerate: {n}/{corpus_n} rows"
+    assert n < corpus_n, "pipeline filtered nothing"
