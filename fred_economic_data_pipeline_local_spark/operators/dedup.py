@@ -283,38 +283,44 @@ def ngram_jaccard_pairs(
     block_col: str | None = "source",
     shingle_k: int = 2,
     threshold: float = 0.5,
-    df_cap: int | None = 10_000,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word k-grams for pairs within a block.
 
     Inverted-index decomposition instead of an all-pairs array compare:
-    explode (hashed) shingles -> GROUP the postings per (block, shingle)
-    -> emit each posting list's id pairs with a double explode -> count
-    common shingles per pair -> J = common / (|A| + |B| - common).
+    explode (hashed) shingles -> self equi-join on (block, shingle) ->
+    count common shingles per pair -> J = common / (|A| + |B| - common).
     Shingles are 64-bit hashes (see ``shingle_df``), so postings shuffle
     8-byte keys instead of strings, and only pairs sharing >= 1 shingle
     are ever materialized (J=0 pairs can't pass any positive threshold):
     Σ_s d_s² postings-pairs rather than |block|² full array
-    intersections. Grouping the posting list (collect_list) instead of
-    self-joining the exploded postings halves the shuffles — one exchange
-    to build the lists + one for the pair counts, versus shuffling both
-    join sides and then the counts — and pair emission stays inside
-    codegen (explode x2 over the grouped array). A size-band predicate
+    intersections. The self-join shuffles one exchange that both sides
+    REUSE (``ReusedExchange`` in the physical plan), so the posting table
+    is computed and shuffled once, not twice. A size-band predicate
     (J >= t implies min(|A|,|B|) >= t·max(|A|,|B|)) prunes
     popular-shingle pair inflation without changing the result set.
 
+    Strategy note (measured, not guessed): round 2 rewrote pair emission
+    as grouped posting lists (collect_list + double explode — one fewer
+    logical shuffle). The driver's bench showed it 1.37x SLOWER at sf0.1,
+    and an isolated A/B (tools/ab_ngram_jaccard.py, alternating runs,
+    cache-clear + GC between measurements) reproduced it: grouped median
+    1.11 s vs self-join 0.69 s. With exchange reuse the self-join never
+    pays the second shuffle the grouping was supposed to save, while
+    collect_list pays struct materialization per posting. So the
+    self-join form is both the measured and the at-scale winner.
+
     Posting-list skew (a shingle in d docs costs d² candidate pairs,
     regardless of the size band) is the scale killer on boilerplate-heavy
-    corpora ("all rights reserved…"), so posting lists longer than
-    ``df_cap`` are dropped — with the grouped layout this is a free
-    ``size() <= df_cap`` filter, no extra aggregation or broadcast. The
-    pair cost is then bounded by Σ_s min(d_s, df_cap)². Caveat: a dropped
+    corpora ("all rights reserved…"), so ``df_cap`` drops postings whose
+    block-local document frequency exceeds the cap before the join,
+    bounding the cost at Σ_s min(d_s, df_cap)². The default is None —
+    fully exact Jaccard, matching this operator's documented semantics
+    and its DuckDB oracle; 100 TB callers opt into a cap explicitly
+    (mirroring ``bucket_cap`` on the MinHash path). With a cap, a dropped
     shingle still counts toward |A| and |B| but not toward ``common``, so
     Jaccard is UNDERestimated for pairs sharing a capped shingle —
-    possible false negatives, never false positives. A shingle in
-    >df_cap documents is boilerplate by construction; pairs held together
-    only by boilerplate are the ones you want demoted. ``df_cap=None``
-    restores fully exact semantics.
+    possible false negatives, never false positives.
 
     Blocking (default: same ``source``) bounds the candidate space; pass
     ``block_col=None`` to compare across the whole corpus. Returns
@@ -326,29 +332,40 @@ def ngram_jaccard_pairs(
     sh = shingle_df(
         blocked, text_col, id_col, shingle_k, extra_cols=("block",)
     ).withColumn("__n", F.size("sh"))
-    postings = (
-        sh.select("id", "block", "__n", F.explode("sh").alias("s"))
-        .groupBy("block", "s")
-        .agg(F.collect_list(F.struct("id", "__n")).alias("docs"))
-    )
+    ex = sh.select("id", "block", "__n", F.explode("sh").alias("s"))
     if df_cap is not None:
-        postings = postings.where(F.size("docs") <= df_cap)
-    t = F.lit(float(threshold))
-    pairs = (
-        postings.select(F.explode("docs").alias("a"), F.col("docs"))
-        .select("a", F.explode("docs").alias("b"))
-        .where(
-            (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.__n") >= t * F.col("b.__n"))
-            & (F.col("b.__n") >= t * F.col("a.__n"))
+        # hot-shingle set via partial-aggregated groupBy (map-side combine
+        # shuffles one row per distinct shingle, not per posting), then a
+        # broadcast anti-join: >df_cap shingles are boilerplate, so the
+        # hot set is tiny by construction and the postings themselves
+        # never reshuffle
+        hot = (
+            ex.groupBy("block", "s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > df_cap)
+            .select("block", "s")
         )
+        ex = ex.join(F.broadcast(hot), ["block", "s"], "left_anti")
+    t = F.lit(float(threshold))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.__n") >= t * F.col("b.__n"))
+            & (F.col("b.__n") >= t * F.col("a.__n")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__n").alias("na"),
+            F.col("b.__n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    common = pairs.groupBy(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.__n").alias("na"),
-        F.col("b.__n").alias("nb"),
-    ).agg(F.count(F.lit(1)).alias("common"))
     return (
         common.withColumn(
             "jaccard",
