@@ -256,6 +256,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """IVF approximate cosine top-k: each query scores only the corpus
     vectors assigned to its ``nprobe`` nearest cells.
@@ -267,7 +268,9 @@ def ivf_topk(
     Recall is bounded by cell/probe geometry — tests pin recall@k against
     ``brute_force_topk`` rather than asserting exactness.
     """
-    assign, cents = ivf_assign(corpus, n_cells, id_col, vec_col, dims=dims)
+    assign, cents = ivf_assign(
+        corpus, n_cells, id_col, vec_col, lloyd_iters=lloyd_iters, dims=dims
+    )
     q_ex = queries.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x"),

@@ -1478,12 +1478,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_brand") == "Brand#23")
         .select("p_partkey")
     )
-    per_part_cap = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+    # semi-join the fact against the (broadcast) qualifying part keys
+    # BEFORE the per-part aggregate, so the broadcast agg covers only the
+    # filtered brand's parts — O(#brand parts), not O(#parts) (ADVICE r2)
+    brand_li = li.join(
+        broadcast(part_keys),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    )
+    per_part_cap = brand_li.groupBy(F.col("l_partkey").alias("__pk")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_cap")
     )
     return (
-        li.join(broadcast(part_keys), F.col("p_partkey") == F.col("l_partkey"))
-        .join(broadcast(per_part_cap), F.col("__pk") == F.col("l_partkey"))
+        brand_li.join(broadcast(per_part_cap), F.col("__pk") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("qty_cap"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
