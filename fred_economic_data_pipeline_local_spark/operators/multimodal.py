@@ -6,14 +6,15 @@ frame-sample / feature-extract run as Arrow-batched ``mapInPandas``
 stages so the (expensive) per-item Python work is vectorized per batch
 and scales with partitions, never with driver memory.
 
-The actual codec work (JPEG decode, audio resample, video frame grab)
-needs image/audio libraries that are NOT in this container, so the codec
-edge is stubbed: ``real_decode=True`` raises NotImplementedError, and the
-default path computes deterministic fake outputs from the bytes + metadata.
-Everything Spark-side — schemas, batch iteration, 1->N frame explosion,
-partitioning, composition with the similarity operators — is real and
-tested; swapping the stub for PIL/libsndfile changes only the inner
-per-batch function.
+The heavy codec work (JPEG decode, audio resample, video frame grab)
+needs image/audio libraries that are NOT in this container, so the
+default decode path computes deterministic fake outputs from the bytes +
+metadata. PNG needs no external libraries, though: ``real_decode=True``
+runs the pure-Python PNG codec (``operators.png`` — zlib inflate + full
+scanline filter reconstruction) through the exact same ``mapInPandas``
+plumbing, proving the batch shape on genuine decode work. Swapping in
+PIL/libsndfile for other formats changes only the inner per-batch
+function.
 """
 
 from __future__ import annotations
@@ -68,6 +69,54 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a REAL (valid, decodable) PNG payload per row.
+
+    Each row gets an 8-bit grayscale PNG whose geometry and pixel value
+    are closed-form functions of the id — ``width = 4 + id % 8``,
+    ``height = 4 + (id // 8) % 8``, solid ``value = id % 251`` — so a
+    correctness oracle can predict the decoded statistics without ever
+    seeing the bytes. Encoding runs per Arrow batch in ``mapInPandas``
+    (the codec edge is where Python belongs; everything around it stays
+    JVM-side).
+    """
+    from .png import encode_png_gray
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("media", BinaryType(), True),
+            StructField("media_meta", MEDIA_META_SCHEMA, True),
+        ]
+    )
+
+    ids_df = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def _encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            medias, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, v = 4 + i % 8, 4 + (i // 8) % 8, i % 251
+                medias.append(encode_png_gray(w, h, v))
+                metas.append(
+                    {
+                        "media_type": "image/png",
+                        "width": w,
+                        "height": h,
+                        "n_frames": 1,
+                        "sample_rate": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": medias, "media_meta": metas}
+            )
+
+    return ids_df.mapInPandas(_encode, out_schema)
+
+
 _DECODE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), True),
@@ -114,15 +163,14 @@ def decode_media(df: DataFrame, decode_fn=None, real_decode: bool = False) -> Da
     batch. The codec edge is pluggable — a real pipeline passes a
     PIL/libsndfile-backed function and reuses this exact plumbing; the
     default is the deterministic stub. ``real_decode=True`` without a
-    ``decode_fn`` raises, documenting that no codec libraries ship in
-    this environment.
+    ``decode_fn`` runs the built-in pure-Python PNG decoder
+    (``operators.png``): genuine codec work for PNG payloads, a
+    ValueError for formats that would need external libraries.
     """
     if real_decode and decode_fn is None:
-        raise NotImplementedError(
-            "real media decode requires PIL/libsndfile/ffmpeg, which are not "
-            "available in this environment; pass decode_fn=<your decoder> "
-            "to run a real codec through the same mapInPandas plumbing"
-        )
+        from .png import png_decode_batch
+
+        decode_fn = png_decode_batch
     fn = decode_fn or stub_decode_batch
 
     def _decode(batches: Iterator) -> Iterator:

@@ -85,6 +85,36 @@ def multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(4 + doc_id % 8 AS INTEGER) AS width,
+       CAST(4 + (doc_id // 8) % 8 AS INTEGER) AS height,
+       round(CAST(doc_id % 251 AS DOUBLE), 6) AS mean_px
+FROM documents
+""",
+    description="REAL codec round trip: per-row valid 8-bit grayscale "
+    "PNGs (pure-Python encoder, Up-filtered scanlines) decoded by the "
+    "pure-Python parser — signature, IHDR, zlib inflate, full filter "
+    "reconstruction — via decode_media(real_decode=True). The oracle "
+    "predicts the decoded geometry and pixel mean in closed form, so a "
+    "decoder that skips un-filtering hash-mismatches (it would read "
+    "~value/height, not value)",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_png_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    decoded = decode_media(attach_png_media(docs), real_decode=True)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_byte", 6).alias("mean_px"),
+    )
+
+
+@query(
     "multimodal_resize_decode",
     oracle=f"""
 SELECT doc_id,

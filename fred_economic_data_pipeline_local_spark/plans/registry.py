@@ -106,6 +106,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_components",
+    # --- real-codec multimodal round trip (new in r3) ---
+    "multimodal_png_roundtrip",
     # --- similarity / embeddings ---
     "embedding_neardup_lsh",
     "embedding_neardup_cosine",

@@ -40,9 +40,12 @@ def test_injected_decoder_flows_through_map_in_pandas(spark):
     assert all(r.width > 0 for r in stub_rows)
 
 
-def test_real_decode_without_fn_still_documents_env_boundary(spark):
-    with pytest.raises(NotImplementedError, match="decode_fn"):
-        decode_media(_media(spark), real_decode=True)
+def test_real_decode_without_fn_runs_the_png_codec(spark):
+    """real_decode=True now runs the built-in pure-Python PNG decoder;
+    non-PNG payloads (here: raw UTF-8 text bytes) fail its signature
+    check instead of silently producing stub numbers."""
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_media(_media(spark), real_decode=True).collect()
 
 
 def test_real_decode_with_fn_is_allowed(spark):
