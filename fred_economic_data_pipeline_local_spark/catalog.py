@@ -66,12 +66,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; known: {sorted(FIXTURE_SCHEMAS)}")
     tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         # ts is parquet TIMESTAMP(NANOS,false): Spark has no nanosecond
         # timestamp, so scan the physical int64 (nanosAsLong) and truncate
         # to microseconds with integer division (ns magnitudes exceed
         # double's 2^53 — float division would corrupt), matching DuckDB's
-        # ns->us truncation.
+        # ns->us truncation. Fixture generations with plain
+        # TIMESTAMP(MICROS) take the ordinary schema-pinned read below —
+        # the unit is sniffed once per path from the parquet footer.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, StructField, StructType
 
@@ -87,6 +89,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select(*[f.name for f in FIXTURE_SCHEMAS["events"].fields])
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
+
+
+_TS_UNIT_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True if events.ts is parquet TIMESTAMP(NANOS) at this path.
+
+    One driver-side footer read per path (cached) — the same metadata the
+    scan planner reads anyway, so this adds no data I/O. Defaults to the
+    plain read when the footer can't be inspected.
+    """
+    cached = _TS_UNIT_CACHE.get(path)
+    if cached is None:
+        try:
+            import pyarrow.parquet as pq
+
+            cached = str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+        except Exception:
+            cached = False
+        _TS_UNIT_CACHE[path] = cached
+    return cached
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

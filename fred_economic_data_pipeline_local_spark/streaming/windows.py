@@ -34,12 +34,23 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# events fixture schema with ts as raw int64 nanos (the parquet carries
-# TIMESTAMP(NANOS); see catalog.load_table for the batch-side handling)
-_EVENTS_RAW = StructType(
+# events fixture schema variants: ts as raw int64 nanos (parquet
+# TIMESTAMP(NANOS) generations) or a plain microsecond timestamp — the
+# unit is sniffed from the footer, mirroring catalog.load_table
+_EVENTS_RAW_NANOS = StructType(
     [
         StructField("event_id", LongType(), True),
         StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+_EVENTS_MICROS = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
@@ -51,20 +62,29 @@ _EVENTS_RAW = StructType(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture directory.
 
-    ``maxFilesPerTrigger`` bounds per-micro-batch work; the nanosecond
-    timestamp is truncated to micros exactly as the batch reader does.
+    ``maxFilesPerTrigger`` bounds per-micro-batch work; when the fixture
+    generation carries TIMESTAMP(NANOS), the timestamp is truncated to
+    micros exactly as the batch reader does.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    from ..catalog import _events_ts_is_nanos
+
     # the file source wants a directory: stream the fixture dir with a
     # glob pinned to the events file (new files matching the glob would be
     # picked up incrementally — the lake-ingest discovery pattern)
+    nanos = _events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(_EVENTS_RAW_NANOS if nanos else _EVENTS_MICROS)
         .option("maxFilesPerTrigger", 4)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(
