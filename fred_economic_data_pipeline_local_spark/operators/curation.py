@@ -323,3 +323,90 @@ def strip_boilerplate_lines(
     return df.join(rebuilt, id_col, "left").withColumn(
         f"{text_col}_clean", F.coalesce(F.col(f"{text_col}_clean"), F.lit(""))
     )
+
+
+# --- deterministic dataset splitting -----------------------------------------
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash.
+
+    Each row gets a ``split`` label by bucketing md5(id) mod 100 against
+    cumulative integer weights (must sum to 100). md5 — not rand() and
+    not xxhash64 — for the same reason as ``hash_sample``: the assignment
+    is a pure function of the key that any engine reproduces bit-for-bit,
+    so a doc never migrates between train and test across re-runs,
+    retries, or engine migrations (the leakage failure mode of
+    rand-based splits). Narrow projection; zero shuffle at any scale.
+    """
+    total = sum(w for _, w in weights)
+    if total != 100:
+        raise ValueError(f"weights must sum to 100, got {total}")
+    # first 8 hex chars -> int, mod 100: uniform over the keyspace
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    acc = 0
+    expr = None
+    for name, w in weights:
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+# --- hard-negative mining over embeddings ------------------------------------
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_query: int | None = None,
+) -> DataFrame:
+    """Top-k most-similar vectors with a DIFFERENT label, per query vector.
+
+    Contrastive-training data mining: the hardest negatives are the
+    near-misses — high cosine similarity, wrong label. Implemented as a
+    broadcast of the (bounded) query side against the corpus with the
+    label-inequality predicate fused into the join, then a per-query
+    top-k window. The corpus side never shuffles for the join (broadcast
+    hash join); the single shuffle is the window's partition on query id,
+    which is bounded by |queries| * |corpus-candidates-above-cut| only if
+    a threshold is applied first — here the window input is
+    |queries| x |corpus|, so callers bound n_query (mirroring
+    brute_force_topk; the IVF/LSH paths are the unbounded-query scale
+    path). Returns (query_id, neg_id, neg_label, cos_sim).
+    """
+    from .similarity import cosine
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        F.col(label_col).alias("lbl"),
+    )
+    q = base if n_query is None else base.where(F.col("id") < n_query)
+    joined = base.alias("c").join(
+        F.broadcast(q.alias("q")),
+        (F.col("q.id") != F.col("c.id")) & (F.col("q.lbl") != F.col("c.lbl")),
+    )
+    cos = cosine(F.col("q.e"), F.col("c.e"))
+    scored = joined.select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neg_id"),
+        F.col("c.lbl").alias("neg_label"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

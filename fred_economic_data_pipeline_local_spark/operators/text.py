@@ -104,3 +104,136 @@ def fingerprint(col: Column) -> Column:
     """
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(normalized)
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, table A1), scaled to the
+# fixture corpus: the word-count floor is lowered from 50 to 20 so the rule
+# discriminates on the word-soup documents (lengths 1..~120 tokens) instead
+# of rejecting everything.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher-style quality rules as boolean columns + keep flag.
+
+    The classic pre-training quality gate (Gopher §A1.1 / C4): each rule is
+    an independent boolean so downstream curation can report per-rule
+    rejection rates, and ``q_keep`` is their conjunction. Pure column
+    arithmetic over one projection — zero shuffle, whole-stage codegen'd,
+    so at 100 TB this is scan-bound. Rules:
+
+    - ``r_word_count``: token count within [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+    - ``r_mean_word_len``: mean token length within [3, 10]
+    - ``r_symbol_ratio``: '#'/'...' symbol-to-token ratio <= 0.1
+    - ``r_alpha_words``: >= 80% of tokens contain an alphabetic character
+    - ``r_stopwords``: >= 2 English stopword hits (the Gopher "has common
+      words" screen)
+    """
+    t = F.col(text_col)
+    toks = tokens(F.lower(t))
+    n_tok = F.size(toks).cast("double")
+    safe_n = F.greatest(n_tok, F.lit(1.0))
+    mean_len = F.aggregate(toks, F.lit(0.0), lambda a, x: a + F.length(x)) / safe_n
+    n_symbols = (
+        F.size(F.regexp_extract_all(t, F.lit(r"(#|\.\.\.)"), 1)).cast("double")
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+    stop_hits = _marker_hits(toks, STOPWORDS_EN)
+    rules = {
+        "r_word_count": (n_tok >= GOPHER_MIN_WORDS) & (n_tok <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (mean_len >= GOPHER_MEAN_WORD_LEN[0])
+        & (mean_len <= GOPHER_MEAN_WORD_LEN[1]),
+        "r_symbol_ratio": (n_symbols / safe_n) <= GOPHER_MAX_SYMBOL_RATIO,
+        "r_alpha_words": (n_alpha / safe_n) >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        "r_stopwords": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    out = df.select("*", *[c.alias(name) for name, c in rules.items()])
+    keep = rules["r_word_count"]
+    for name in list(rules)[1:]:
+        keep = keep & rules[name]
+    return out.withColumn("q_keep", keep)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Mean per-token corpus-unigram log-probability — a perplexity proxy.
+
+    The cheap LM-quality screen used when a real KenLM pass is too
+    expensive: score_i = mean_t log(count(t)/N) over doc i's tokens, where
+    counts come from the whole corpus (or a supplied ``vocab`` of
+    (token, n) — e.g. computed on a reference corpus). Outlier-low scores
+    mark gibberish/rare-token documents; outlier-high mark boilerplate.
+
+    Plan shape: explode tokens -> groupBy(token) count (map-side partial
+    agg shrinks the shuffle to |vocab| rows) -> join the exploded tokens
+    back to the vocab -> per-doc avg. The vocab side of the join is
+    Zipf-bounded (vocab grows ~sublinearly with corpus size) and the join
+    key is the token itself, so at 100 TB this is two narrow-key shuffles;
+    no window, no driver state. Returns (id, n_tokens, logprob) with
+    logprob rounded to 6 dp.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    if vocab is None:
+        vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # rename the vocab side: it shares lineage with ex (self-referential
+    # aggregate), so joining on bare column names would be ambiguous
+    vocab = vocab.select(F.col("tok").alias("__vtok"), F.col("n").alias("__vn"))
+    total = vocab.agg(F.sum("__vn").alias("__N"))
+    # 1-row total joined via broadcast: keeps everything one codegen pass
+    scored = (
+        ex.join(vocab, F.col("tok") == F.col("__vtok"))
+        .join(F.broadcast(total))
+        .select("id", (F.log(F.col("__vn") / F.col("__N"))).alias("lp"))
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("logprob"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping token windows (training chunking).
+
+    Standard pre-training document chunking: windows of ``window`` tokens
+    every ``stride`` tokens, the final partial window kept iff it starts
+    before the text ends (so every token lands in >= 1 chunk and chunk 0
+    always exists). Implemented as sequence+explode+slice — all codegen,
+    fan-out happens executor-side, and the output inherits the input's
+    partitioning (no shuffle). Returns (id, chunk_id, chunk_text,
+    n_chunk_tokens).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 1, 1+stride, ... while start <= n (1-based slice)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__tk"), starts.alias("__st")
+    )
+    ex = base.select(
+        "id", "__tk", F.posexplode("__st").alias("chunk_id", "start")
+    )
+    chunk = F.slice(F.col("__tk"), F.col("start"), F.lit(window))
+    return ex.select(
+        "id",
+        "chunk_id",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+    )

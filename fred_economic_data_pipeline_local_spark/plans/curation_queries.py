@@ -391,3 +391,63 @@ def curation_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs).select(
         "doc_id", "n_email", "n_ip", "n_phone", "text_redacted"
     )
+
+
+_SPLIT_BUCKET_SQL = (
+    "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "curation_split_counts",
+    oracle=f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs FROM s GROUP BY split, lang
+""",
+    description="deterministic 90/5/5 train/val/test split by md5(id) "
+    "bucket — content-hash assignment that never migrates docs between "
+    "splits across re-runs or engines; per-(split, lang) counts",
+)
+def curation_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import assign_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        assign_split(docs)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_HN_COS = (
+    "list_dot_product(q.e, c.e) / "
+    "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))"
+)
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+q AS (SELECT * FROM c WHERE vec_id < 5)
+SELECT q.vec_id AS query_id, c.vec_id AS neg_id, c.label AS neg_label,
+       round({_HN_COS}, 6) AS cos_sim
+FROM q JOIN c ON q.vec_id <> c.vec_id AND q.label <> c.label
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY round({_HN_COS}, 6) DESC, neg_id) <= 5
+""",
+    description="contrastive hard-negative mining: per query vector, the "
+    "top-5 highest-cosine corpus vectors with a DIFFERENT label "
+    "(broadcast query side; corpus never shuffles for the join)",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import hard_negatives
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hard_negatives(emb, k=5, n_query=5)

@@ -247,3 +247,99 @@ def dedup_ngram_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.5)
     return neardup_components(pairs)
+
+
+_GOPHER_STOP = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+_LTOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "text_gopher_flags",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_LTOKS_SQL} AS tk, text FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS n_tok,
+         greatest(CAST(len(tk) AS DOUBLE), 1.0) AS safe_n,
+         CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+           / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS mean_len,
+         CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS DOUBLE) AS n_sym,
+         CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alpha,
+         len(list_filter(tk, x -> list_contains({_GOPHER_STOP}, x))) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       (n_tok >= 20 AND n_tok <= 100000) AS r_word_count,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_word_len,
+       (n_sym / safe_n) <= 0.1 AS r_symbol_ratio,
+       (n_alpha / safe_n) >= 0.8 AS r_alpha_words,
+       stop_hits >= 2 AS r_stopwords,
+       ((n_tok >= 20 AND n_tok <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND (n_sym / safe_n) <= 0.1
+        AND (n_alpha / safe_n) >= 0.8
+        AND stop_hits >= 2) AS q_keep
+FROM m
+""",
+    description="Gopher-style quality rule flags: word count, mean word "
+    "length, symbol ratio, alphabetic-word ratio, stopword screen — each "
+    "rule a boolean column plus the conjunction keep flag",
+)
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_quality_flags
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return gopher_quality_flags(docs).drop("text")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id AS id, unnest({_LTOKS_SQL}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS n FROM ex GROUP BY tok),
+total AS (SELECT sum(n) AS N FROM vocab)
+SELECT ex.id, CAST(count(*) AS INTEGER) AS n_tokens,
+       round(avg(ln(CAST(vocab.n AS DOUBLE) / total.N)), 6) AS logprob
+FROM ex JOIN vocab USING (tok) CROSS JOIN total
+GROUP BY ex.id
+""",
+    description="corpus-unigram mean log-probability per doc (perplexity "
+    "proxy): vocab build + token join + per-doc avg — the cheap LM "
+    "quality screen",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import unigram_logprob
+
+    docs = load_table(spark, "documents", sf_dir)
+    return unigram_logprob(docs)
+
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents),
+ex AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk), 1), {_CHUNK_S})) AS start
+  FROM t
+)
+SELECT doc_id AS id,
+       CAST((start - 1) / {_CHUNK_S} AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(tk, start, start + {_CHUNK_W} - 1), ' ') AS chunk_text,
+       CAST(len(list_slice(tk, start, start + {_CHUNK_W} - 1)) AS INTEGER) AS n_chunk_tokens
+FROM ex
+""",
+    description="overlapping token-window chunking (window 32, stride 24): "
+    "sequence+posexplode+slice, all codegen, no shuffle",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_tokens(docs, window=_CHUNK_W, stride=_CHUNK_S)

@@ -99,6 +99,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "curation_pipeline_end_to_end",
     "sample_temperature_mix",
     "curation_redact_pii",
+    "curation_split_counts",
+    "embedding_hard_negatives",
     # --- deduplication ---
     "dedup_exact_keep_min",
     "dedup_groups",
@@ -123,6 +125,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_quality_metrics",
     "text_language_id",
     "text_fingerprints",
+    "text_gopher_flags",
+    "text_unigram_logprob",
+    "text_chunk_windows",
     # --- FRED parity pipeline ---
     "fred_silver_monthly",
     "fred_gold_yearly",

@@ -1,0 +1,158 @@
+"""Unit tests for the round-3 text/curation additions: Gopher quality
+flags, unigram log-prob scoring, token-window chunking, deterministic
+split assignment, hard-negative mining."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fred_economic_data_pipeline_local_spark.operators.curation import (
+    assign_split,
+    hard_negatives,
+)
+from fred_economic_data_pipeline_local_spark.operators.text import (
+    chunk_tokens,
+    gopher_quality_flags,
+    unigram_logprob,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestGopherFlags:
+    def test_short_doc_fails_word_count_only_rules_it_fails(self, spark):
+        df = _docs(spark, [(1, "the cat sat on a mat")])  # 6 tokens
+        row = gopher_quality_flags(df).collect()[0]
+        assert not row.r_word_count
+        assert not row.q_keep
+
+    def test_good_doc_keeps(self, spark):
+        text = " ".join(["the quick brown fox jumps over a lazy dog and"] * 3)
+        df = _docs(spark, [(1, text)])  # 30 tokens, clean prose
+        row = gopher_quality_flags(df).collect()[0]
+        assert row.r_word_count and row.r_mean_word_len and row.r_symbol_ratio
+        assert row.r_alpha_words and row.r_stopwords
+        assert row.q_keep
+
+    def test_symbol_heavy_doc_fails_symbol_rule(self, spark):
+        words = ["the", "and", "word"] * 8
+        text = " ".join(words) + " " + " ".join(["#"] * 6)  # 6 symbols / 30 tokens
+        row = gopher_quality_flags(_docs(spark, [(1, text)])).collect()[0]
+        assert not row.r_symbol_ratio
+        assert not row.q_keep
+
+    def test_numeric_doc_fails_alpha_rule(self, spark):
+        text = " ".join(["123"] * 18 + ["the", "and"])
+        row = gopher_quality_flags(_docs(spark, [(1, text)])).collect()[0]
+        assert not row.r_alpha_words
+
+
+class TestUnigramLogprob:
+    def test_matches_hand_computation(self, spark):
+        # corpus: "a a b" + "b c" -> counts a:2 b:2 c:1, N=5
+        df = _docs(spark, [(1, "a a b"), (2, "b c")])
+        out = {r.id: r for r in unigram_logprob(df).collect()}
+        lp_a, lp_b, lp_c = math.log(2 / 5), math.log(2 / 5), math.log(1 / 5)
+        assert out[1].n_tokens == 3
+        assert out[1].logprob == pytest.approx(
+            round((lp_a + lp_a + lp_b) / 3, 6), abs=1e-6
+        )
+        assert out[2].logprob == pytest.approx(round((lp_b + lp_c) / 2, 6), abs=1e-6)
+
+    def test_rare_token_doc_scores_lower(self, spark):
+        rows = [(i, "common words here again") for i in range(10)]
+        rows.append((99, "zyzzyva qwerty plugh"))
+        out = {r.id: r.logprob for r in unigram_logprob(_docs(spark, rows)).collect()}
+        assert out[99] < out[0]
+
+
+class TestChunkTokens:
+    def test_window_stride_layout(self, spark):
+        df = _docs(spark, [(1, "a b c d e")])
+        rows = sorted(
+            chunk_tokens(df, window=3, stride=2).collect(), key=lambda r: r.chunk_id
+        )
+        assert [(r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in rows] == [
+            (0, "a b c", 3),
+            (1, "c d e", 3),
+            (2, "e", 1),
+        ]
+
+    def test_every_token_covered_and_chunk_zero_exists(self, spark):
+        df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(50)))])
+        rows = chunk_tokens(df, window=8, stride=5).collect()
+        assert min(r.chunk_id for r in rows) == 0
+        covered = set()
+        for r in rows:
+            covered.update(r.chunk_text.split())
+        assert covered == {f"t{i}" for i in range(50)}
+
+    def test_short_doc_single_chunk(self, spark):
+        rows = chunk_tokens(_docs(spark, [(1, "only two")]), window=32, stride=24).collect()
+        assert len(rows) == 1 and rows[0].chunk_text == "only two"
+
+
+class TestAssignSplit:
+    def test_deterministic_and_total(self, spark):
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in assign_split(df).collect()}
+        b = {r.doc_id: r.split for r in assign_split(df).collect()}
+        assert a == b
+        assert set(a.values()) == {"train", "val", "test"}
+
+    def test_proportions_roughly_match_weights(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        counts = (
+            assign_split(df).groupBy("split").count().rdd.collectAsMap()
+        )
+        assert counts["train"] / 2000 == pytest.approx(0.9, abs=0.05)
+        assert counts["val"] / 2000 == pytest.approx(0.05, abs=0.03)
+        assert counts["test"] / 2000 == pytest.approx(0.05, abs=0.03)
+
+    def test_rejects_bad_weights(self, spark):
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            assign_split(df, weights=(("train", 50), ("test", 40)))
+
+
+class TestHardNegatives:
+    @pytest.fixture()
+    def emb(self, spark):
+        # two clusters on orthogonal axes plus a near-miss with wrong label
+        rows = [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),
+            (2, [0.8, 0.2, 0.0], 1),  # hard negative for label-0 queries
+            (3, [0.0, 1.0, 0.0], 1),
+            (4, [0.0, 0.9, 0.1], 1),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_negatives_never_share_label(self, emb):
+        out = hard_negatives(emb, k=3).collect()
+        labels = {0: 0, 1: 0, 2: 1, 3: 1, 4: 1}
+        for r in out:
+            assert labels[r.query_id] != r.neg_label
+
+    def test_hardest_negative_ranks_first(self, emb):
+        out = [
+            r
+            for r in hard_negatives(emb, k=3).collect()
+            if r.query_id == 0
+        ]
+        best = max(out, key=lambda r: r.cos_sim)
+        assert best.neg_id == 2  # the near-miss, not the orthogonal vectors
+
+    def test_k_bounds_output(self, emb):
+        out = hard_negatives(emb, k=1).collect()
+        per_query = {}
+        for r in out:
+            per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
+        assert all(v == 1 for v in per_query.values())
