@@ -504,15 +504,26 @@ def neardup_components(
     Nodes with no pairs are absent by construction (singleton docs are
     their own component trivially — callers keep the full corpus with a
     left join + coalesce(component, id)).
+
+    Iteration hygiene: the per-round state runs at a fraction of the
+    EDGE data's partition count rather than spark.sql.shuffle.partitions
+    — label state is proportional to the vertex set, so inheriting a
+    wide static shuffle conf turns every tiny fixpoint round into a
+    storm of near-empty tasks (on a real cluster AQE would coalesce
+    these; local mode runs with AQE off, see catalog.py). Superseded
+    round checkpoints are released by ContextCleaner once the loop
+    drops its reference (checkpoint blocks are reference-tracked).
     """
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
+    n_parts = max(1, edges.rdd.getNumPartitions() // 4)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .repartition(n_parts, "id")
         .localCheckpoint()
     )
     if labels.isEmpty():  # empty graph
@@ -535,6 +546,7 @@ def neardup_components(
                     F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
                 ).alias("label"),
             )
+            .repartition(n_parts, "id")
             .localCheckpoint()
         )
         changed = stepped.where(F.col("label") != F.col("__old")).count()
