@@ -380,6 +380,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (PPJoin-style) — the
+    100 TB shape for exact set-similarity joins.
+
+    Same result set as ``ngram_jaccard_pairs`` (pinned by
+    ``tests/test_dedup_caps.py``), different candidate generation: only
+    each doc's PREFIX — its |A| - ceil(t*|A|) + 1 globally-rarest
+    shingles (ties broken by shingle value for a total order) — is
+    indexed and self-joined. Standard guarantee (Chaudhuri et al. 2006;
+    Xiao et al. 2008): J(A,B) >= t implies |A∩B| >= ceil(t*max(|A|,|B|)),
+    and two sets with overlap >= a must collide within their
+    (size - a + 1)-length prefixes under any shared total order. Sorting
+    the order by ascending document frequency makes the indexed postings
+    the RARE shingles, so the candidate join cost is Σ_s∈prefixes d_s² —
+    on boilerplate-heavy corpora orders of magnitude below the full
+    Σ_s d_s², with zero false negatives (the win the df_cap approximation
+    buys only by giving up exactness).
+
+    Candidates are then verified exactly on the full shingle arrays
+    (array_intersect on the per-doc sets, same rounding as the postings
+    form). Extra cost vs the full self-join: one df aggregation, one
+    posting↔df join, and one per-(block, id) window sort — each a
+    narrow-key shuffle linear in the posting count, traded against a
+    quadratic candidate reduction.
+    """
+    blocked = df.withColumn(
+        "block", F.col(block_col) if block_col else F.lit(1)
+    )
+    sh = shingle_df(
+        blocked, text_col, id_col, shingle_k, extra_cols=("block",)
+    ).withColumn("__n", F.size("sh"))
+    ex = sh.select("id", "block", "__n", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("block", "s").agg(F.count(F.lit(1)).alias("__df"))
+    t = float(threshold)
+    w = Window.partitionBy("block", "id").orderBy(F.col("__df").asc(), F.col("s").asc())
+    prefix = (
+        ex.join(dfreq, ["block", "s"])
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1)
+        .select("id", "block", "__n", "s")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.__n") >= F.lit(t) * F.col("b.__n"))
+            & (F.col("b.__n") >= F.lit(t) * F.col("a.__n")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("__common", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__common")
+                / (
+                    F.size("__sha") + F.size("__shb") - F.col("__common")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_table(
