@@ -640,3 +640,38 @@ def neardup_components(
         f"neardup_components did not converge in {max_iters} rounds; "
         "raise max_iters (rounds needed ~= graph diameter)"
     )
+
+
+def resolve_neardups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Collapse a near-dup pair graph into a deduplicated corpus.
+
+    The step after candidate verification in every near-dup pipeline:
+    connected components over the verified pairs, every doc labeled with
+    its component (singletons label themselves via the left join +
+    coalesce), then one representative — the min id — kept per
+    component. Output: the surviving rows of ``df`` plus their
+    ``component`` label.
+
+    Scale shape: the component table is bounded by the number of
+    non-singleton nodes (tiny relative to the corpus), the corpus joins
+    it on the id key once, and the keep-min step is a per-component
+    window whose skew is bounded by the largest near-dup cluster.
+    """
+    comp = neardup_components(pairs, id_a, id_b)
+    labeled = (
+        df.join(comp, df[id_col] == comp["id"], "left")
+        .withColumn("component", F.coalesce(comp["component"], df[id_col]))
+        .drop("id")
+    )
+    w = Window.partitionBy("component").orderBy(F.col(id_col).asc())
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

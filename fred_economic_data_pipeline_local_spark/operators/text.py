@@ -237,3 +237,50 @@ def chunk_tokens(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
     )
+
+
+def score_linear(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality score: sigmoid(bias + mean token weight).
+
+    The CCNet/LLaMA-pipeline quality-classifier shape — a bag-of-words
+    linear model applied corpus-wide — expressed as pure Catalyst: the
+    weight table is a literal map (model sizes are KBs; at 100 TB the
+    model broadcasts, the corpus never shuffles), tokens outside the
+    vocabulary contribute 0, and the per-doc reduction is a codegen'd
+    aggregate over the token array — no explode, no join, no Python.
+    Mean (not sum) keeps the logit length-invariant, matching fastText's
+    average-of-embeddings reduction. Returns (id, n_tokens, logit, score)
+    with logit/score rounded to 6 dp.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    if weights:
+        kv = []
+        for tok, wt in sorted(weights.items()):
+            kv.extend([F.lit(tok), F.lit(float(wt))])
+        wmap = F.create_map(*kv)
+        total = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(wmap[x], F.lit(0.0)),
+        )
+    else:  # empty model: every token is OOV
+        total = F.lit(0.0)
+    logit = F.lit(float(bias)) + total / F.greatest(n.cast("double"), F.lit(1.0))
+    # Only the sigmoid is emitted, rounded to 6 dp. The raw logit is
+    # cross-engine-hostile BOTH ways: unrounded, engines' summation
+    # orders differ in the last ulp; rounded, lattice-valued weight sums
+    # (w/10n) land exactly on .5e-6 boundaries where round() direction
+    # legitimately differs. The sigmoid's exp() output is off-lattice, so
+    # 6-dp rounding is stable (boundary hits are measure-zero).
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("int").alias("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+    )

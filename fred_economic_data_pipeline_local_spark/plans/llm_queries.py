@@ -343,3 +343,89 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return chunk_tokens(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+# fastText-style linear quality model over the fixture vocabulary:
+# positive weight on function/common words, negative on markup-ish and
+# jargon tokens. The values are an editorial constant, not learned —
+# the operator under test is the scoring plan, not the model.
+QUALITY_WEIGHTS: dict[str, float] = {
+    "the": 1.5, "a": 1.0, "and": 1.2, "of": 1.1, "to": 0.9,
+    "data": 0.6, "value": 0.5, "query": 0.4, "table": 0.4, "row": 0.3,
+    "hash": -0.4, "vector": -0.5, "batch": -0.3, "dup": -1.2, "spark": -0.2,
+}
+
+
+def _weight_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{tok}' THEN {wt!r}" for tok, wt in sorted(QUALITY_WEIGHTS.items())
+    )
+    return f"CASE x {whens} ELSE 0.0 END"
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_LTOKS_SQL} AS tk FROM documents),
+m AS (
+  SELECT doc_id AS id,
+         CAST(len(tk) AS INTEGER) AS n_tokens,
+         CAST(list_sum(list_transform(tk, x -> {_weight_case_sql()})) AS DOUBLE)
+           / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS logit
+  FROM t
+)
+SELECT id, n_tokens,
+       round(1.0 / (1.0 + exp(-logit)), 6) AS score
+FROM m
+""",
+    description="fastText-style linear quality score: sigmoid of the mean "
+    "token weight under a broadcast bag-of-words model (literal map, "
+    "codegen aggregate — no explode, no join, no Python)",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import score_linear
+
+    docs = load_table(spark, "documents", sf_dir)
+    return score_linear(docs, QUALITY_WEIGHTS)
+
+
+@query(
+    "dedup_neardup_resolve",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+       coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+QUALIFY row_number() OVER (PARTITION BY coalesce(c.component, d.doc_id)
+                           ORDER BY d.doc_id) = 1
+""",
+    description="near-dup resolution end to end: verified 2-gram Jaccard "
+    "pairs -> connected components -> min-id representative per cluster; "
+    "singletons survive via left join + coalesce",
+)
+def dedup_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import resolve_neardups
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.5)
+    return resolve_neardups(docs, pairs)

@@ -108,6 +108,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_components",
+    "dedup_neardup_resolve",
     # --- real-codec multimodal round trip (new in r3) ---
     "multimodal_png_roundtrip",
     # --- similarity / embeddings ---
@@ -128,6 +129,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_gopher_flags",
     "text_unigram_logprob",
     "text_chunk_windows",
+    "text_quality_score",
     # --- FRED parity pipeline ---
     "fred_silver_monthly",
     "fred_gold_yearly",

@@ -156,3 +156,45 @@ class TestHardNegatives:
         for r in out:
             per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
         assert all(v == 1 for v in per_query.values())
+
+
+class TestScoreLinear:
+    def test_matches_hand_sigmoid(self, spark):
+        import math
+
+        from fred_economic_data_pipeline_local_spark.operators.text import score_linear
+
+        df = _docs(spark, [(1, "good good bad"), (2, "neutral words")])
+        out = {r.id: r for r in score_linear(df, {"good": 1.0, "bad": -2.0}).collect()}
+        assert out[1].score == pytest.approx(
+            round(1 / (1 + math.exp(-((1.0 + 1.0 - 2.0) / 3))), 6), abs=1e-6
+        )
+        assert out[2].score == pytest.approx(0.5, abs=1e-6)  # all OOV -> logit 0
+
+    def test_bias_shifts_score(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.text import score_linear
+
+        df = _docs(spark, [(1, "x y z")])
+        lo = score_linear(df, {}, bias=-1.0).collect()[0].score
+        hi = score_linear(df, {}, bias=1.0).collect()[0].score
+        assert lo < 0.5 < hi
+
+
+class TestResolveNeardups:
+    def test_keeps_min_per_component_and_singletons(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.dedup import (
+            resolve_neardups,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+        )
+        # components: {0,1,2} via chain 0-1, 1-2; {4,5}; 3 singleton
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+        )
+        out = sorted(
+            (r.doc_id, r.component)
+            for r in resolve_neardups(docs, pairs, id_col="doc_id").collect()
+        )
+        assert out == [(0, 0), (3, 3), (4, 4)]
