@@ -184,3 +184,46 @@ def test_q2_correlated_min_is_agg_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # decorrelated per-part min feeds an equi-join (partkey, supplycost)
     assert "min(supplycost" in plan
+
+
+# --- round-3 additions -------------------------------------------------------
+
+def test_gopher_flags_is_scan_only(spark):
+    """Quality gates are a pure projection: no Exchange at any scale."""
+    plan = plan_of(spark, "text_gopher_flags")
+    assert "Exchange" not in plan
+
+
+def test_quality_score_is_scan_only_no_join(spark):
+    """The linear model is a literal map: no join, no shuffle — the whole
+    classifier rides the scan."""
+    plan = plan_of(spark, "text_quality_score")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_chunk_windows_no_shuffle(spark):
+    """Chunk fan-out happens executor-side; output inherits partitioning."""
+    plan = plan_of(spark, "text_chunk_windows")
+    assert "Exchange" not in plan
+
+
+def test_split_assignment_shuffles_only_for_the_count(spark):
+    """assign_split itself is a narrow projection; the single exchange in
+    the counting query belongs to its groupBy."""
+    plan = plan_of(spark, "curation_split_counts")
+    assert plan.count("Exchange") == 1
+
+
+def test_hard_negatives_broadcasts_query_side(spark):
+    plan = plan_of(spark, "embedding_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan  # inequality join, tiny broadcast side
+    assert "BroadcastExchange" in plan
+
+
+def test_unigram_logprob_vocab_join_shape(spark):
+    """Vocab build partial-aggregates before its shuffle, and the 1-row
+    total joins via broadcast."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastExchange" in plan  # the 1-row total
+    assert plan.count("HashAggregate") >= 4  # partial+final for vocab and per-doc
