@@ -597,11 +597,15 @@ def neardup_components(
     round checkpoints are released by ContextCleaner once the loop
     drops its reference (checkpoint blocks are reference-tracked).
     """
-    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # materialize the pair pipeline ONCE before mirroring: a union of two
+    # projections of an unmaterialized `pairs` evaluates the (expensive)
+    # pair-generation plan once per branch — exchange reuse dedupes the
+    # shuffles but not the post-shuffle aggregation/filter work
+    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint()
     edges = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    n_parts = max(1, edges.rdd.getNumPartitions() // 4)
+    )
+    n_parts = max(1, fwd.rdd.getNumPartitions() // 4)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
