@@ -206,6 +206,13 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # materialize the banded table once: it feeds the hot-bucket
+    # aggregate, the anti-join probe, AND both sides of the bucket
+    # self-join — unmaterialized, the 64-min-agg signature build
+    # re-evaluates per consumer (exchange reuse dedupes the shuffle, not
+    # the post-shuffle aggregation). 16 narrow rows per doc, spillable;
+    # measured ~2x off the cold pipeline at sf0.1.
+    banded = banded.localCheckpoint()
 
     # degenerate-bucket guard via partial-agg + broadcast anti-join (the
     # same shape as ngram_jaccard_pairs' df cap): buckets over the cap are
