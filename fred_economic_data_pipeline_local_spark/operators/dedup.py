@@ -549,6 +549,10 @@ def simhash_neardup(
             )
         ).alias("ck"),
     ).select("id", "sh", "ck.chunk", "ck.key")
+    # materialize once before the self-join: both join sides otherwise
+    # re-evaluate the signature aggregation (same pattern as the MinHash
+    # banded table; exchange reuse covers the shuffle, not the agg)
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
