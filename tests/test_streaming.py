@@ -136,3 +136,44 @@ def test_curation_ops_are_streaming_safe(spark):
     streamed = run_available_now(curate(stream_docs), "t_curate", "append")
     cols = ["doc_id", "lang", "source"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_round3_text_ops_are_streaming_safe(spark):
+    """Gopher flags, the linear quality scorer, chunking, and split
+    assignment are stateless projections — they run unchanged on a
+    streaming frame and agree with the batch result."""
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.operators.curation import (
+        assign_split,
+    )
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        chunk_tokens,
+        gopher_quality_flags,
+        score_linear,
+    )
+    from fred_economic_data_pipeline_local_spark.plans.llm_queries import (
+        QUALITY_WEIGHTS,
+    )
+
+    def curate(df):
+        flagged = gopher_quality_flags(df).select("doc_id", "text", "q_keep")
+        scored = score_linear(flagged, QUALITY_WEIGHTS).select(
+            "id", F.col("score")
+        )
+        chunks = chunk_tokens(assign_split(flagged.where("q_keep"))).select(
+            "id", "chunk_id", "n_chunk_tokens"
+        )
+        return chunks.join(scored, "id")
+
+    batch = curate(load_table(spark, "documents", SF_DIR))
+    stream_docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+    )
+    streamed = run_available_now(curate(stream_docs), "t_curate3", "append")
+    cols = ["id", "chunk_id", "n_chunk_tokens", "score"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
