@@ -154,6 +154,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "json_extract_props",
     "stream_click_attribution",
     "gap_fill_forward_monthly",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     # --- relational operators beyond the TPC-H suite ---
     "semi_join_customers_with_orders",
     "anti_join_customers_no_recent_orders",

@@ -313,3 +313,79 @@ def gap_fill_forward_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("filled_total"),
         )
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+  FROM events GROUP BY user_id
+)
+SELECT
+  CAST(count(t_view) AS BIGINT) AS n_view,
+  CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_view_click,
+  CAST(count(CASE WHEN t_click > t_view AND t_purch > t_click THEN 1 END) AS BIGINT)
+    AS n_view_click_purchase
+FROM u
+""",
+    description="event funnel: users reaching view -> click-after-view -> "
+    "purchase-after-click, via one conditional min-aggregation per user "
+    "then one global conditional count — two partial-aggregated shuffles, "
+    "no join, no window over the raw event stream",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purch"),
+    )
+    vc = F.col("t_click") > F.col("t_view")
+    vcp = vc & (F.col("t_purch") > F.col("t_click"))
+    return firsts.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(vc, F.lit(1))).alias("n_view_click"),
+        F.count(F.when(vcp, F.lit(1))).alias("n_view_click_purchase"),
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('week', f.cohort_week, a.active_week) AS INTEGER) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+    description="cohort retention: users bucketed by first-activity week, "
+    "counted per (cohort, week offset); first-touch aggregation reuses the "
+    "user_id shuffle for the activity-distinct and the join",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
