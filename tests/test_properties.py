@@ -308,3 +308,30 @@ def test_decontam_matches_python_set_overlap(spark, corpus, bench):
         r.id: r.n_hits for r in contamination_hits(cdf, bdf).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31), min_size=1, max_size=40, unique=True
+    )
+)
+def test_assign_split_matches_pure_python_md5(spark, ids):
+    """The split assignment is documented as a pure function of the key
+    that ANY engine reproduces — prove it against hashlib directly, not
+    just against DuckDB (which shares no code with either)."""
+    import hashlib
+
+    from fred_economic_data_pipeline_local_spark.operators.curation import (
+        assign_split,
+    )
+
+    def expected(doc_id: int) -> str:
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return "train" if bucket < 90 else ("val" if bucket < 95 else "test")
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.split for r in assign_split(df).collect()}
+    assert got == {i: expected(i) for i in ids}
