@@ -58,9 +58,16 @@ def normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out)
 
 
-def compare_query(spark, name: str, sf_dir: str) -> None:
+def compare_query(
+    spark, name: str, sf_dir: str, conf_overrides: dict[str, str] | None = None
+) -> None:
     """Assert the Spark query matches its DuckDB oracle. Raises on any
-    count/column/value difference with a readable diff."""
+    count/column/value difference with a readable diff.
+
+    ``conf_overrides`` are applied AFTER the query builder runs (the
+    builder's load_table path calls catalog.tune_session, which pins the
+    local-mode profile) but before the collect, so runtime-execution
+    confs like AQE can be forced for a cluster-profile check."""
     from fred_economic_data_pipeline_local_spark.plans import all_oracles, all_queries
 
     q = all_queries()[name]
@@ -68,6 +75,8 @@ def compare_query(spark, name: str, sf_dir: str) -> None:
     assert sql is not None, f"{name} has no oracle"
 
     sdf = q(spark, sf_dir)
+    for k, v in (conf_overrides or {}).items():
+        spark.conf.set(k, v)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     d_cols, d_rows = duckdb_run(sql, sf_dir)

@@ -1,0 +1,47 @@
+"""Results must not depend on AQE being off.
+
+Local mode pins spark.sql.adaptive.enabled=false (measured per-stage
+re-planning pathology on a single JVM — see catalog.py), but the 100 TB
+cluster profile runs with AQE ON (skew splitting, runtime broadcast,
+partition coalescing). This suite re-runs a representative slice of the
+oracle corpus — one query per physical family: wide agg, broadcast
+chain, fact-fact join, window, iterative components, salted skew join —
+with AQE enabled and checks the DuckDB comparison still holds, so the
+correctness story is config-independent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_DIR
+from .oracle_utils import compare_query
+
+AQE_SLICE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "interval_join_shipments",
+    "window_rank_customers",
+    "dedup_ngram_components",
+    "skew_salted_join_revenue",
+]
+
+
+@pytest.fixture()
+def aqe_spark(spark):
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+
+@pytest.mark.parametrize("name", AQE_SLICE)
+def test_oracle_parity_with_aqe_enabled(aqe_spark, name):
+    # the query builder's load_table path calls catalog.tune_session,
+    # which re-pins AQE off for local mode — compare_query's
+    # conf_overrides re-enable it after planning, before execution
+    compare_query(
+        aqe_spark,
+        name,
+        SF_DIR,
+        conf_overrides={"spark.sql.adaptive.enabled": "true"},
+    )
+    assert aqe_spark.conf.get("spark.sql.adaptive.enabled") == "true"
