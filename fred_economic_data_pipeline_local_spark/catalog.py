@@ -49,6 +49,12 @@ _RUNTIME_CONF = {
 
 def tune_session(spark: SparkSession) -> None:
     for k, v in _RUNTIME_CONF.items():
+        if k == "spark.sql.adaptive.enabled":
+            # cluster-profile escape hatch: local mode pins AQE off (see
+            # note above), but tests proving config-independence (and a
+            # real cluster deployment) override via the environment so
+            # the pin doesn't silently undo their setting mid-query-build
+            v = os.environ.get("SPARK_GRAFT_AQE", v)
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -108,7 +114,10 @@ def _events_ts_is_nanos(path: str) -> bool:
 
             cached = str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
         except Exception:
-            cached = False
+            # do NOT cache the failure: the file may simply not exist yet
+            # (probe before fixture generation) — caching False here would
+            # permanently mis-route a later NANOS file at the same path
+            return False
         _TS_UNIT_CACHE[path] = cached
     return cached
 

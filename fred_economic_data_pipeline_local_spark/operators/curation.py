@@ -390,7 +390,10 @@ def hard_negatives(
         F.col(vec_col).cast("array<double>").alias("e"),
         F.col(label_col).alias("lbl"),
     )
-    q = base if n_query is None else base.where(F.col("id") < n_query)
+    # n_query bounds the NUMBER of query rows (deterministically, lowest
+    # ids first) — not an id-value threshold, which would silently yield
+    # fewer/zero queries on corpora whose ids aren't dense from 0
+    q = base if n_query is None else base.orderBy(F.col("id").asc()).limit(n_query)
     joined = base.alias("c").join(
         F.broadcast(q.alias("q")),
         (F.col("q.id") != F.col("c.id")) & (F.col("q.lbl") != F.col("c.lbl")),

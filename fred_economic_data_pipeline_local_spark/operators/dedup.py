@@ -678,11 +678,16 @@ def resolve_neardups(
     it on the id key once, and the keep-min step is a per-component
     window whose skew is bounded by the largest near-dup cluster.
     """
-    comp = neardup_components(pairs, id_a, id_b)
+    # rename the component table's columns before joining: a bare
+    # drop("id") after the join would also remove the corpus id column
+    # whenever id_col == "id" (the natural name for sibling operators)
+    comp = neardup_components(pairs, id_a, id_b).select(
+        F.col("id").alias("__nd_id"), F.col("component")
+    )
     labeled = (
-        df.join(comp, df[id_col] == comp["id"], "left")
-        .withColumn("component", F.coalesce(comp["component"], df[id_col]))
-        .drop("id")
+        df.join(comp, df[id_col] == F.col("__nd_id"), "left")
+        .withColumn("component", F.coalesce(F.col("component"), df[id_col]))
+        .drop("__nd_id")
     )
     w = Window.partitionBy("component").orderBy(F.col(id_col).asc())
     return (

@@ -164,14 +164,21 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab: DataFrame | None = None,
+    oov_logprob: float | None = None,
 ) -> DataFrame:
     """Mean per-token corpus-unigram log-probability — a perplexity proxy.
 
     The cheap LM-quality screen used when a real KenLM pass is too
     expensive: score_i = mean_t log(count(t)/N) over doc i's tokens, where
-    counts come from the whole corpus (or a supplied ``vocab`` of
-    (token, n) — e.g. computed on a reference corpus). Outlier-low scores
-    mark gibberish/rare-token documents; outlier-high mark boilerplate.
+    counts come from the whole corpus, or from a supplied ``vocab``
+    DataFrame with columns ``tok`` (token) and ``n`` (count) — e.g.
+    computed on a reference corpus. With an external vocab, tokens
+    outside it score ``oov_logprob`` (default: the add-one floor
+    log(1/(N+1))) rather than being dropped — OOV tokens are exactly the
+    gibberish signal this screen exists to catch, so an inner join that
+    silently excluded them (and dropped all-OOV docs entirely) would
+    invert the ranking. Outlier-low scores mark gibberish/rare-token
+    documents; outlier-high mark boilerplate.
 
     Plan shape: explode tokens -> groupBy(token) count (map-side partial
     agg shrinks the shuffle to |vocab| rows) -> join the exploded tokens
@@ -191,11 +198,23 @@ def unigram_logprob(
     # aggregate), so joining on bare column names would be ambiguous
     vocab = vocab.select(F.col("tok").alias("__vtok"), F.col("n").alias("__vn"))
     total = vocab.agg(F.sum("__vn").alias("__N"))
-    # 1-row total joined via broadcast: keeps everything one codegen pass
+    oov = (
+        F.lit(float(oov_logprob))
+        if oov_logprob is not None
+        else F.log(F.lit(1.0) / (F.col("__N") + 1))
+    )
+    # left join keeps OOV tokens (impossible with the default corpus
+    # vocab, the screen's whole point with an external one); 1-row total
+    # joined via broadcast keeps everything one codegen pass
     scored = (
-        ex.join(vocab, F.col("tok") == F.col("__vtok"))
+        ex.join(vocab, F.col("tok") == F.col("__vtok"), "left")
         .join(F.broadcast(total))
-        .select("id", (F.log(F.col("__vn") / F.col("__N"))).alias("lp"))
+        .select(
+            "id",
+            F.when(F.col("__vn").isNull(), oov)
+            .otherwise(F.log(F.col("__vn") / F.col("__N")))
+            .alias("lp"),
+        )
     )
     return scored.groupBy("id").agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
@@ -255,8 +274,9 @@ def score_linear(
     vocabulary contribute 0, and the per-doc reduction is a codegen'd
     aggregate over the token array — no explode, no join, no Python.
     Mean (not sum) keeps the logit length-invariant, matching fastText's
-    average-of-embeddings reduction. Returns (id, n_tokens, logit, score)
-    with logit/score rounded to 6 dp.
+    average-of-embeddings reduction. Returns (id, n_tokens, score) with
+    score rounded to 6 dp (the raw logit is deliberately not emitted —
+    see the comment below).
     """
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)

@@ -28,16 +28,20 @@ AQE_SLICE = [
 
 
 @pytest.fixture()
-def aqe_spark(spark):
+def aqe_spark(spark, monkeypatch):
+    # SPARK_GRAFT_AQE makes catalog.tune_session honor the override, so
+    # AQE stays ON even through the query builder's load_table path —
+    # without it, eagerly-executing builders (neardup_components'
+    # localCheckpoint rounds) would run under the local-mode pin and the
+    # check would be vacuous for exactly the iterative family it names
+    monkeypatch.setenv("SPARK_GRAFT_AQE", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     yield spark
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
 
 @pytest.mark.parametrize("name", AQE_SLICE)
 def test_oracle_parity_with_aqe_enabled(aqe_spark, name):
-    # the query builder's load_table path calls catalog.tune_session,
-    # which re-pins AQE off for local mode — compare_query's
-    # conf_overrides re-enable it after planning, before execution
     compare_query(
         aqe_spark,
         name,

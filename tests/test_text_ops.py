@@ -198,3 +198,50 @@ class TestResolveNeardups:
             for r in resolve_neardups(docs, pairs, id_col="doc_id").collect()
         )
         assert out == [(0, 0), (3, 3), (4, 4)]
+
+
+class TestReviewFixes:
+    def test_resolve_neardups_with_id_col_named_id(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.dedup import (
+            resolve_neardups,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(4)], "id long, text string"
+        )
+        pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        out = sorted(
+            (r.id, r.component)
+            for r in resolve_neardups(docs, pairs, id_col="id").collect()
+        )
+        assert out == [(0, 0), (2, 2), (3, 3)]
+
+    def test_unigram_logprob_external_vocab_scores_oov(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            unigram_logprob,
+        )
+
+        docs = _docs(spark, [(1, "known known strange"), (2, "gibberish only")])
+        vocab = spark.createDataFrame([("known", 8), ("only", 2)], "tok string, n long")
+        out = {r.id: r for r in unigram_logprob(docs, vocab=vocab).collect()}
+        # every doc present, OOV tokens floored rather than dropped
+        assert set(out) == {1, 2}
+        assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+        # all-known doc outranks the half-gibberish one under the floor
+        assert out[2].logprob < out[1].logprob
+
+    def test_hard_negatives_n_query_counts_rows_not_id_threshold(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            hard_negatives,
+        )
+
+        rows = [
+            (1000, [1.0, 0.0], 0),
+            (1001, [0.9, 0.1], 1),
+            (1002, [0.0, 1.0], 0),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = hard_negatives(emb, k=1, n_query=2).collect()
+        assert {r.query_id for r in out} == {1000, 1001}

@@ -3,6 +3,11 @@ generation for ngram_jaccard_pairs, under bench.py conditions (sf0.1,
 local[SPARK_GRAFT_CPUS], cache-clear + GC between measurements,
 alternating order so JVM drift hits both variants equally).
 
+The LIVE operator (``ngram_jaccard_pairs``) is the self-join form; the
+grouped form (round 2's collect_list + double-explode rewrite, reverted
+in round 3) is preserved verbatim below as ``grouped_variant`` so the
+comparison stays reproducible from the repo alone.
+
     python tools/ab_ngram_jaccard.py [reps]
 """
 
@@ -25,7 +30,7 @@ from fred_economic_data_pipeline_local_spark.operators.dedup import (
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def selfjoin_variant(
+def grouped_variant(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -34,40 +39,37 @@ def selfjoin_variant(
     threshold: float = 0.5,
     df_cap: int | None = None,
 ) -> DataFrame:
-    """The pre-r2 pair generation: explode postings, self equi-join on
-    (block, shingle). Kept verbatim for measurement."""
+    """Round 2's pair generation (commit f71e54b), kept verbatim for
+    measurement: group postings per (block, shingle), emit each list's
+    id pairs with a double explode — one exchange for the lists + one
+    for the pair counts, versus the self-join's shuffled-both-sides."""
     blocked = df.withColumn("block", F.col(block_col) if block_col else F.lit(1))
     sh = shingle_df(
         blocked, text_col, id_col, shingle_k, extra_cols=("block",)
     ).withColumn("__n", F.size("sh"))
-    ex = sh.select("id", "block", "__n", F.explode("sh").alias("s"))
-    if df_cap is not None:
-        hot = (
-            ex.groupBy("block", "s")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > df_cap)
-            .select("block", "s")
-        )
-        ex = ex.join(F.broadcast(hot), ["block", "s"], "left_anti")
-    t = F.lit(float(threshold))
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.__n") >= t * F.col("b.__n"))
-            & (F.col("b.__n") >= t * F.col("a.__n")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.__n").alias("na"),
-            F.col("b.__n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+    postings = (
+        sh.select("id", "block", "__n", F.explode("sh").alias("s"))
+        .groupBy("block", "s")
+        .agg(F.collect_list(F.struct("id", "__n")).alias("docs"))
     )
+    if df_cap is not None:
+        postings = postings.where(F.size("docs") <= df_cap)
+    t = F.lit(float(threshold))
+    pairs = (
+        postings.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.__n") >= t * F.col("b.__n"))
+            & (F.col("b.__n") >= t * F.col("a.__n"))
+        )
+    )
+    common = pairs.groupBy(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.__n").alias("na"),
+        F.col("b.__n").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("common"))
     return (
         common.withColumn(
             "jaccard",
@@ -96,8 +98,8 @@ def main() -> None:
     ).count().count()
 
     variants = {
-        "grouped": lambda: ngram_jaccard_pairs(docs, df_cap=None),
-        "selfjoin": lambda: selfjoin_variant(docs, df_cap=None),
+        "grouped": lambda: grouped_variant(docs, df_cap=None),
+        "selfjoin": lambda: ngram_jaccard_pairs(docs, df_cap=None),
     }
     n_g = variants["grouped"]().count()
     n_s = variants["selfjoin"]().count()
