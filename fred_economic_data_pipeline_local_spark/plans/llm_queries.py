@@ -429,3 +429,66 @@ def dedup_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.5)
     return resolve_neardups(docs, pairs)
+
+
+@query(
+    "curation_quality_report",
+    oracle=f"""
+WITH t AS (SELECT source, {_LTOKS_SQL} AS tk, text FROM documents),
+m AS (
+  SELECT source,
+         CAST(len(tk) AS DOUBLE) AS n_tok,
+         greatest(CAST(len(tk) AS DOUBLE), 1.0) AS safe_n,
+         CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+           / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS mean_len,
+         CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS DOUBLE) AS n_sym,
+         CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alpha,
+         len(list_filter(tk, x -> list_contains({_GOPHER_STOP}, x))) AS stop_hits
+  FROM t
+),
+f AS (
+  SELECT source,
+         (n_tok >= 20 AND n_tok <= 100000) AS r_word_count,
+         (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_word_len,
+         (n_sym / safe_n) <= 0.1 AS r_symbol_ratio,
+         (n_alpha / safe_n) >= 0.8 AS r_alpha_words,
+         stop_hits >= 2 AS r_stopwords
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CASE WHEN r_word_count THEN 1.0 ELSE 0.0 END), 6) AS p_word_count,
+       round(avg(CASE WHEN r_mean_word_len THEN 1.0 ELSE 0.0 END), 6) AS p_mean_word_len,
+       round(avg(CASE WHEN r_symbol_ratio THEN 1.0 ELSE 0.0 END), 6) AS p_symbol_ratio,
+       round(avg(CASE WHEN r_alpha_words THEN 1.0 ELSE 0.0 END), 6) AS p_alpha_words,
+       round(avg(CASE WHEN r_stopwords THEN 1.0 ELSE 0.0 END), 6) AS p_stopwords,
+       round(avg(CASE WHEN r_word_count AND r_mean_word_len AND r_symbol_ratio
+                       AND r_alpha_words AND r_stopwords THEN 1.0 ELSE 0.0 END), 6)
+         AS p_keep
+FROM f GROUP BY source
+""",
+    description="curation dashboard: per-source pass rate of each Gopher "
+    "rule plus the overall keep rate — the monitoring query a 100 TB "
+    "ingest runs per crawl snapshot (per-rule booleans aggregate "
+    "map-side; one narrow shuffle on source)",
+)
+def curation_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_quality_flags
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    flagged = gopher_quality_flags(docs)
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_alpha_words", "r_stopwords",
+    ]
+    aggs = [
+        F.round(F.avg(F.when(F.col(r), 1.0).otherwise(0.0)), 6).alias(
+            f"p_{r[2:]}"
+        )
+        for r in rules
+    ]
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *aggs,
+        F.round(F.avg(F.when(F.col("q_keep"), 1.0).otherwise(0.0)), 6).alias("p_keep"),
+    )

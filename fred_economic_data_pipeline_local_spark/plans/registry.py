@@ -101,6 +101,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "curation_redact_pii",
     "curation_split_counts",
     "embedding_hard_negatives",
+    "curation_quality_report",
     # --- deduplication ---
     "dedup_exact_keep_min",
     "dedup_groups",
