@@ -115,6 +115,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # --- similarity / embeddings ---
     "embedding_neardup_lsh",
     "embedding_neardup_cosine",
+    "embedding_neardup_resolve",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "similarity_lsh_topk",

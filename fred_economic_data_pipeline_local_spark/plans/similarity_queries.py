@@ -259,3 +259,59 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.4 sits inside the fixture's similarity range (see
     # embedding_neardup_cosine); production near-dup runs 0.9+
     return cosine_neardup_lsh(emb, threshold=0.4)
+
+
+@query(
+    "embedding_neardup_resolve",
+    oracle="""
+WITH RECURSIVE c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT v.vec_id, v.label, coalesce(c2.component, v.vec_id) AS component
+FROM embeddings v LEFT JOIN comp c2 ON v.vec_id = c2.id
+QUALIFY row_number() OVER (PARTITION BY coalesce(c2.component, v.vec_id)
+                           ORDER BY v.vec_id) = 1
+""",
+    description="SemDeDup-shaped embedding dedup end to end: exact "
+    "cosine-threshold pairs -> connected components -> min-id "
+    "representative per semantic cluster (singletons survive); the "
+    "LSH-bucketed pair path (embedding_neardup_lsh) swaps in as the "
+    "candidate generator at 100 TB",
+)
+def embedding_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import resolve_neardups
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (
+        l2_norm(F.col("a.e")) * l2_norm(F.col("b.e"))
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    return resolve_neardups(
+        emb.select("vec_id", "label"), pairs, id_col="vec_id"
+    )
