@@ -110,3 +110,67 @@ def run_catalog(
         cfg.series_id: run_series(spark, cfg, lake_root, fetcher)
         for cfg in load_catalog(catalog_path)
     }
+
+
+# --- curation job (extension family through the same job-runner shape) -------
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Declarative knobs for a corpus-curation run (the training-data
+    analogue of SeriesConfig): one entry drives gate -> dedup ->
+    decontam -> split -> partitioned write, idempotently."""
+
+    min_tokens: int = 5
+    decontam_shingle_k: int = 4
+    decontam_min_hits: int = 2
+    bench_modulus: int = 50  # doc_id % modulus == 0 -> benchmark split
+    split_weights: tuple[tuple[str, int], ...] = (
+        ("train", 90), ("val", 5), ("test", 5),
+    )
+
+
+def run_curation_job(
+    spark: SparkSession,
+    docs_path: str,
+    out_root: str,
+    cfg: CurationConfig = CurationConfig(),
+) -> dict[str, int]:
+    """Curate a documents parquet into a split-partitioned training lake.
+
+    Pipeline (each stage a DataFrame transform, fused by Catalyst):
+    token-count gate -> exact dedup -> benchmark n-gram decontamination
+    -> deterministic split assignment -> parquet partitioned by
+    ``split`` with dynamic partition overwrite, so re-running the job
+    replaces exactly the splits it produces (the reference's idempotent
+    month re-run semantics, applied to corpus snapshots). Returns
+    per-split row counts.
+    """
+    from .operators.curation import assign_split
+    from .operators.decontam import decontaminate
+    from .operators.dedup import exact_dedup
+    from .operators.text import token_count
+
+    docs = spark.read.parquet(docs_path)
+    bench = docs.where(F.col("doc_id") % cfg.bench_modulus == 0)
+    corpus = docs.where(F.col("doc_id") % cfg.bench_modulus != 0)
+    gated = corpus.where(token_count(F.col("text")) >= cfg.min_tokens)
+    deduped = exact_dedup(gated)
+    clean = decontaminate(
+        deduped,
+        bench,
+        shingle_k=cfg.decontam_shingle_k,
+        min_hits=cfg.decontam_min_hits,
+    )
+    labeled = assign_split(clean, weights=cfg.split_weights)
+    (
+        labeled.repartition(F.col("split"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("split")
+        .parquet(out_root)
+    )
+    out = spark.read.parquet(out_root)
+    return {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }

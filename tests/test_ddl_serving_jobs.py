@@ -135,3 +135,32 @@ def test_run_catalog_end_to_end(spark, tmp_path):
         spark, cfgs[0], str(tmp_path / "lake"), fetcher
     )
     assert counts2 == {"bronze": 4, "silver": 2, "gold": 2}
+
+
+def test_run_curation_job_idempotent(spark, tmp_path):
+    """The curation job writes a split-partitioned lake, counts match the
+    inline pipeline, and a re-run replaces (not duplicates) the output."""
+    from fred_economic_data_pipeline_local_spark.jobs import (
+        CurationConfig,
+        run_curation_job,
+    )
+
+    out = str(tmp_path / "curated")
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    counts1 = run_curation_job(spark, docs_path, out)
+    assert set(counts1) <= {"train", "val", "test"} and sum(counts1.values()) > 0
+    # layout: Hive-partitioned by split
+    import os
+
+    assert any(d.startswith("split=") for d in os.listdir(out))
+    # idempotent re-run: same counts, no duplication
+    counts2 = run_curation_job(spark, docs_path, out)
+    assert counts2 == counts1
+    # docs never leak across splits on re-run (content-hash assignment)
+    df = spark.read.parquet(out)
+    assert df.select("doc_id").distinct().count() == df.count()
+    # tighter config gates more docs out
+    strict = run_curation_job(
+        spark, docs_path, str(tmp_path / "strict"), CurationConfig(min_tokens=40)
+    )
+    assert sum(strict.values()) < sum(counts1.values())
