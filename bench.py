@@ -9,6 +9,15 @@ Each query is forced to full execution with a count-collapsing action
 (``df.foreach`` would serialize rows to Python; a ``count()`` over the
 already-computed result keeps everything JVM-side and still executes the
 whole plan because these queries all end in aggregates/limits/joins).
+
+Noise control: each query runs ``SPARK_GRAFT_BENCH_REPS`` times (default
+3) and the reported timing is the MIN of the reps. Two consecutive
+rounds (r03, r04) showed 1.2-1.9x per-query deltas on byte-identical
+code with the old single-shot harness — single-shot measures the host
+(GC pauses, page cache, CPU contention), not the code. The min is the
+standard noise-floor estimator for a deterministic workload: host noise
+only ever ADDS time, so the min of k reps converges on true query cost,
+and ``delta_vs_prev`` compares mins, never the cold first rep.
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Headline set: the flagship FRED aggregation plus the queries that
 # exercise each scale-critical physical shape (wide agg, fact-fact join,
@@ -73,24 +83,30 @@ def main() -> None:
         if name not in qs:
             continue
         fn = qs[name]
-        # one warm-up of the first query only would hide JVM warm-up in
-        # every remaining query unevenly; instead measure cold, per query,
-        # like the driver does.
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        dt = time.perf_counter() - t0
+        reps: list[float] = []
+        n = 0
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            reps.append(time.perf_counter() - t0)
+            # isolate reps/queries: drop SQL-cached plans (CacheManager
+            # holds persisted DataFrames by strong reference —
+            # ContextCleaner never frees them, so e.g. minhash's shingle
+            # cache would squeeze execution memory for every later
+            # query), then force a GC to release reference-tracked
+            # shuffle/broadcast state (the default forced-GC timer is
+            # 30 min). Done between reps too, so every rep re-executes
+            # the full plan rather than reading a cached result.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        dt = min(reps)
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        # isolate queries: drop SQL-cached plans (CacheManager holds
-        # persisted DataFrames by strong reference — ContextCleaner never
-        # frees them, so e.g. minhash's shingle cache would squeeze
-        # execution memory for every later query), then force a GC to
-        # release reference-tracked shuffle/broadcast state (the default
-        # forced-GC timer is 30 min)
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        print(
+            f"# {name}: min {dt:.3f}s of {[round(r, 3) for r in reps]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_queries_total",
@@ -98,6 +114,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": REPS,
+        "stat": "min",
     }
     prev = _prev_round_timings(sf)
     if prev:

@@ -97,28 +97,57 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 
 
-_TS_UNIT_CACHE: dict[str, bool] = {}
+# keyed on (path, mtime_ns, size): a regenerated fixture at the SAME path
+# (the driver rewrites testdata between rounds, possibly switching the
+# parquet timestamp unit) invalidates the cached verdict automatically
+_TS_UNIT_CACHE: dict[tuple[str, int, int], bool] = {}
 
 
 def _events_ts_is_nanos(path: str) -> bool:
     """True if events.ts is parquet TIMESTAMP(NANOS) at this path.
 
-    One driver-side footer read per path (cached) — the same metadata the
-    scan planner reads anyway, so this adds no data I/O. Defaults to the
-    plain read when the footer can't be inspected.
+    One driver-side footer read per file version (cached on
+    (path, mtime, size)) — the same metadata the scan planner reads
+    anyway, so this adds no data I/O. A missing path is not an error
+    (probe before fixture generation -> plain read); a path that EXISTS
+    but whose footer can't be inspected (pyarrow absent, corrupt footer)
+    raises instead of silently guessing: guessing "not nanos" on a real
+    NANOS file would mis-read every timestamp by 10^3, which must be a
+    loud failure, never a wrong answer.
     """
-    cached = _TS_UNIT_CACHE.get(path)
+    try:
+        st = os.stat(path)
+    except OSError:
+        # not there yet — nothing to sniff; not cached, so a later file
+        # at the same path is probed fresh
+        return False
+    key = (path, st.st_mtime_ns, st.st_size)
+    cached = _TS_UNIT_CACHE.get(key)
     if cached is None:
+        # Spark may write a parquet *directory*; the footer lives in the
+        # part files
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not parts:
+                raise RuntimeError(
+                    f"parquet dir {path!r} has no part files to sniff the "
+                    "events.ts timestamp unit from"
+                )
+            probe = os.path.join(path, parts[0])
         try:
             import pyarrow.parquet as pq
 
-            cached = str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
-        except Exception:
-            # do NOT cache the failure: the file may simply not exist yet
-            # (probe before fixture generation) — caching False here would
-            # permanently mis-route a later NANOS file at the same path
-            return False
-        _TS_UNIT_CACHE[path] = cached
+            cached = str(pq.read_schema(probe).field("ts").type) == "timestamp[ns]"
+        except Exception as exc:
+            raise RuntimeError(
+                f"cannot determine the parquet timestamp unit of existing "
+                f"file {probe!r} (events.ts may be TIMESTAMP(NANOS), which "
+                f"Spark would silently mis-scan): {exc}"
+            ) from exc
+        _TS_UNIT_CACHE[key] = cached
     return cached
 
 

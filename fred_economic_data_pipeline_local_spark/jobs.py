@@ -123,7 +123,12 @@ class CurationConfig:
     min_tokens: int = 5
     decontam_shingle_k: int = 4
     decontam_min_hits: int = 2
-    bench_modulus: int = 50  # doc_id % modulus == 0 -> benchmark split
+    # doc_id % modulus == 0 -> held out as the `benchmark` split: these
+    # rows are the decontamination reference AND are written to the lake
+    # under split=benchmark (ungated, undeduped — eval sets are curated
+    # upstream), so every input doc lands in exactly one split and the
+    # job accounts for 100% of its input.
+    bench_modulus: int = 50
     split_weights: tuple[tuple[str, int], ...] = (
         ("train", 90), ("val", 5), ("test", 5),
     )
@@ -142,8 +147,12 @@ def run_curation_job(
     -> deterministic split assignment -> parquet partitioned by
     ``split`` with dynamic partition overwrite, so re-running the job
     replaces exactly the splits it produces (the reference's idempotent
-    month re-run semantics, applied to corpus snapshots). Returns
-    per-split row counts.
+    month re-run semantics, applied to corpus snapshots). The benchmark
+    rows themselves are written under ``split=benchmark`` so no input
+    doc silently vanishes. Returns per-split row counts, computed from
+    the DataFrame that was written — NOT re-read from ``out_root``,
+    where pre-existing partitions this run didn't produce (e.g. a prior
+    run with different split names) would leak into the summary.
     """
     from .operators.curation import assign_split
     from .operators.decontam import decontaminate
@@ -161,16 +170,25 @@ def run_curation_job(
         shingle_k=cfg.decontam_shingle_k,
         min_hits=cfg.decontam_min_hits,
     )
-    labeled = assign_split(clean, weights=cfg.split_weights)
-    (
-        labeled.repartition(F.col("split"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("split")
-        .parquet(out_root)
+    labeled = assign_split(clean, weights=cfg.split_weights).unionByName(
+        bench.withColumn("split", F.lit("benchmark"))
     )
-    out = spark.read.parquet(out_root)
-    return {
-        r["split"]: r["n"]
-        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # persist: the plan below it is consumed twice (write + counts), and
+    # the dedup/decontam stages each contain a shuffle worth one compute
+    labeled = labeled.persist()
+    try:
+        (
+            labeled.repartition(F.col("split"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("split")
+            .parquet(out_root)
+        )
+        return {
+            r["split"]: r["n"]
+            for r in labeled.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        labeled.unpersist()

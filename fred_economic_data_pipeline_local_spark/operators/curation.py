@@ -368,6 +368,7 @@ def hard_negatives(
     label_col: str = "label",
     k: int = 5,
     n_query: int | None = None,
+    unbounded: bool = False,
 ) -> DataFrame:
     """Top-k most-similar vectors with a DIFFERENT label, per query vector.
 
@@ -379,10 +380,21 @@ def hard_negatives(
     hash join); the single shuffle is the window's partition on query id,
     which is bounded by |queries| * |corpus-candidates-above-cut| only if
     a threshold is applied first — here the window input is
-    |queries| x |corpus|, so callers bound n_query (mirroring
-    brute_force_topk; the IVF/LSH paths are the unbounded-query scale
-    path). Returns (query_id, neg_id, neg_label, cos_sim).
+    |queries| x |corpus|, so ``n_query`` is REQUIRED: with every row a
+    query this is an O(n²) broadcast nested loop, which at corpus scale
+    is a driver OOM (broadcasting the full corpus) before it is a
+    quadratic compute bill. Callers that genuinely want all-pairs on a
+    KNOWN-small input (tests, eval sets) opt in with ``unbounded=True``;
+    the IVF/LSH paths are the unbounded-query scale path. Returns
+    (query_id, neg_id, neg_label, cos_sim).
     """
+    if n_query is None and not unbounded:
+        raise ValueError(
+            "hard_negatives: pass n_query to bound the broadcast query "
+            "side, or unbounded=True to accept the O(n^2) all-pairs "
+            "broadcast on a known-small input (scale path: IVF/LSH "
+            "similarity operators)"
+        )
     from .similarity import cosine
 
     base = df.select(

@@ -148,7 +148,10 @@ def test_run_curation_job_idempotent(spark, tmp_path):
     out = str(tmp_path / "curated")
     docs_path = "/root/testdata/sf0.001/documents.parquet"
     counts1 = run_curation_job(spark, docs_path, out)
-    assert set(counts1) <= {"train", "val", "test"} and sum(counts1.values()) > 0
+    assert set(counts1) <= {"train", "val", "test", "benchmark"}
+    assert sum(counts1.values()) > 0
+    # the held-out eval rows are accounted for, not silently dropped
+    assert counts1.get("benchmark", 0) > 0
     # layout: Hive-partitioned by split
     import os
 

@@ -136,7 +136,7 @@ class TestHardNegatives:
         )
 
     def test_negatives_never_share_label(self, emb):
-        out = hard_negatives(emb, k=3).collect()
+        out = hard_negatives(emb, k=3, unbounded=True).collect()
         labels = {0: 0, 1: 0, 2: 1, 3: 1, 4: 1}
         for r in out:
             assert labels[r.query_id] != r.neg_label
@@ -144,14 +144,14 @@ class TestHardNegatives:
     def test_hardest_negative_ranks_first(self, emb):
         out = [
             r
-            for r in hard_negatives(emb, k=3).collect()
+            for r in hard_negatives(emb, k=3, unbounded=True).collect()
             if r.query_id == 0
         ]
         best = max(out, key=lambda r: r.cos_sim)
         assert best.neg_id == 2  # the near-miss, not the orthogonal vectors
 
     def test_k_bounds_output(self, emb):
-        out = hard_negatives(emb, k=1).collect()
+        out = hard_negatives(emb, k=1, unbounded=True).collect()
         per_query = {}
         for r in out:
             per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
