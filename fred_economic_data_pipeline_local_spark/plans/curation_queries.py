@@ -451,3 +451,80 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return hard_negatives(emb, k=5, n_query=5)
+
+
+# DuckDB mirror of run_curation_job's default-config pipeline
+# (jobs.py:run_curation_job): benchmark holdout (doc_id % 50) -> token
+# gate (>= 5 whitespace tokens) -> exact dedup (min-id per normalized-
+# content fingerprint) -> 4-gram decontamination vs the benchmark
+# (drop at >= 2 shared shingles) -> md5-bucket 90/5/5 split, with the
+# benchmark rows themselves landing in split=benchmark.
+_JOB_SH4 = _sh_sql(4)
+_CURATION_JOB_ORACLE = f"""
+WITH bench AS (SELECT * FROM documents WHERE {_BENCH}),
+corpus AS (
+  SELECT * FROM documents
+  WHERE NOT ({_BENCH})
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+    FROM corpus
+  ) QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+),
+bsh AS (
+  SELECT DISTINCT unnest(s) AS g
+  FROM (SELECT {_JOB_SH4} AS s FROM bench)
+),
+csh AS (
+  SELECT doc_id, unnest(s) AS g
+  FROM (SELECT doc_id, {_JOB_SH4} AS s FROM dedup)
+),
+flagged AS (
+  SELECT c.doc_id FROM csh c JOIN bsh b ON c.g = b.g
+  GROUP BY 1 HAVING count(DISTINCT c.g) >= 2
+),
+labeled AS (
+  SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+  UNION ALL
+  SELECT 'benchmark' AS split FROM bench
+)
+SELECT split, count(*) AS n_docs FROM labeled GROUP BY 1
+"""
+
+
+@query(
+    "curation_job_split_counts",
+    oracle=_CURATION_JOB_ORACLE,
+    description="the declarative curation JOB end-to-end (gate -> exact "
+    "dedup -> benchmark decontamination -> deterministic split -> "
+    "partitioned lake write): per-split doc counts read back from the "
+    "written lake, so the driver verifies the composed job, not just its "
+    "stages",
+)
+def curation_job_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs ``run_curation_job`` against a scratch lake and returns the
+    per-split counts FROM THE WRITTEN FILES (a real write-read round
+    trip — the oracle independently recomputes the whole pipeline in
+    DuckDB). The scratch root is deterministic per sf so re-runs hit the
+    job's dynamic-overwrite idempotence path instead of littering tmp."""
+    import os
+    import tempfile
+
+    from ..jobs import run_curation_job
+
+    out_root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_curation_job",
+        os.path.basename(sf_dir.rstrip("/") or "sf"),
+    )
+    run_curation_job(spark, os.path.join(sf_dir, "documents.parquet"), out_root)
+    return (
+        spark.read.parquet(out_root)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

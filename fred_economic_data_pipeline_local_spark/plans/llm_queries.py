@@ -17,6 +17,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_neardup,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_neardup,
 )
 from ..operators.text import (
@@ -168,9 +169,9 @@ list_distinct(list_transform(
 """
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# shared by the postings-join and prefix-filtered (PPJoin) forms: both
+# compute the SAME exact result set — one oracle proves both
+_NGRAM_JACCARD_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
   FROM documents
@@ -181,12 +182,31 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
-""",
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
     description="exact 2-gram Jaccard near-dup pairs, blocked by source",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.5)
+
+
+@query(
+    "dedup_ngram_jaccard_prefix",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    description="exact 2-gram Jaccard pairs via PPJoin prefix filtering: "
+    "only each doc's rarest |A| - ceil(t|A|) + 1 shingles are indexed and "
+    "self-joined, then candidates verify on the full shingle sets — the "
+    "100 TB shape for exact set-similarity joins (same result set as "
+    "dedup_ngram_jaccard, proven by the shared oracle)",
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs_prefix(docs, shingle_k=2, threshold=0.5)
 
 
 @query(
