@@ -117,6 +117,96 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids_df.mapInPandas(_encode, out_schema)
 
 
+def attach_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a MIXED-format media column: even ids get a real PNG,
+    odd ids a real binary PGM — same closed-form geometry/value rules as
+    ``attach_png_media`` so the decoded stats stay oracle-predictable.
+    This is the realistic lake shape (one binary column, per-row format
+    recorded in typed metadata) that a format-dispatching decoder must
+    handle; the per-batch encode runs at the Arrow edge like the others.
+    """
+    from .pgm import encode_pgm_gray
+    from .png import encode_png_gray
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("media", BinaryType(), True),
+            StructField("media_meta", MEDIA_META_SCHEMA, True),
+        ]
+    )
+
+    ids_df = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def _encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            medias, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, v = 4 + i % 8, 4 + (i // 8) % 8, i % 251
+                if i % 2 == 0:
+                    medias.append(encode_png_gray(w, h, v))
+                    mt = "image/png"
+                else:
+                    medias.append(encode_pgm_gray(w, h, v))
+                    mt = "image/x-portable-graymap"
+                metas.append(
+                    {
+                        "media_type": mt,
+                        "width": w,
+                        "height": h,
+                        "n_frames": 1,
+                        "sample_rate": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": medias, "media_meta": metas}
+            )
+
+    return ids_df.mapInPandas(_encode, out_schema)
+
+
+def mixed_decode_batch(pdf):
+    """Format-dispatching per-batch decoder: routes each row to the PNG
+    or PGM parser on ``media_meta.media_type``, raising on formats with
+    no registered codec (the honest behavior at a real decode edge —
+    never silently stub). Row order within the batch is preserved."""
+    import pandas as pd
+
+    from .pgm import decode_pgm_gray
+    from .png import decode_png_gray
+
+    codecs = {
+        "image/png": decode_png_gray,
+        "image/x-portable-graymap": decode_pgm_gray,
+    }
+    ids, lens, ws, hs, means = [], [], [], [], []
+    for doc_id, media, meta in zip(
+        pdf["doc_id"], pdf["media"], pdf["media_meta"]
+    ):
+        mt = meta["media_type"]
+        if mt not in codecs:
+            raise ValueError(f"no codec registered for {mt!r}")
+        w, h, mean = codecs[mt](bytes(media))
+        ids.append(doc_id)
+        lens.append(len(media))
+        ws.append(w)
+        hs.append(h)
+        means.append(mean)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "byte_len": pd.Series(lens, dtype="int64"),
+            "width": pd.Series(ws, dtype="int32"),
+            "height": pd.Series(hs, dtype="int32"),
+            "duration_s": pd.Series([None] * len(ids), dtype="float64"),
+            "mean_byte": pd.Series(means, dtype="float64"),
+        }
+    )
+
+
 _DECODE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), True),

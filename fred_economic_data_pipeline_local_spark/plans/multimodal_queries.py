@@ -141,3 +141,40 @@ def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("duration_s", 6).alias("duration_s"),
     )
+
+
+@query(
+    "multimodal_mixed_codec",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+            ELSE 'image/x-portable-graymap' END AS media_type,
+       CAST(4 + doc_id % 8 AS INTEGER) AS width,
+       CAST(4 + (doc_id // 8) % 8 AS INTEGER) AS height,
+       round(CAST(doc_id % 251 AS DOUBLE), 6) AS mean_px
+FROM documents
+""",
+    description="format-dispatching decode over a MIXED media column: "
+    "even ids carry real PNGs, odd ids real binary PGMs, one binary "
+    "column + typed metadata; mixed_decode_batch routes each row to the "
+    "matching pure-Python parser through the same mapInPandas plumbing. "
+    "The oracle predicts geometry and pixel mean per format in closed "
+    "form, so a decoder that ignores the format tag (or averages raw "
+    "file bytes, header included) hash-mismatches",
+)
+def multimodal_mixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_mixed_media, mixed_decode_batch
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = attach_mixed_media(docs)
+    decoded = decode_media(media, decode_fn=mixed_decode_batch)
+    fmt = F.when(F.col("doc_id") % 2 == 0, F.lit("image/png")).otherwise(
+        F.lit("image/x-portable-graymap")
+    )
+    return decoded.select(
+        "doc_id",
+        fmt.alias("media_type"),
+        "width",
+        "height",
+        F.round("mean_byte", 6).alias("mean_px"),
+    )

@@ -125,8 +125,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_components",
     "dedup_neardup_resolve",
-    # --- real-codec multimodal round trip ---
+    # --- real-codec multimodal round trips (PNG; mixed PNG+PGM dispatch) ---
     "multimodal_png_roundtrip",
+    "multimodal_mixed_codec",
     # --- similarity / embeddings ---
     "embedding_neardup_lsh",
     "embedding_neardup_cosine",
