@@ -580,6 +580,7 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (id, component),
     component = min id reachable from the node.
@@ -607,6 +608,12 @@ def neardup_components(
     these; local mode runs with AQE off, see catalog.py). Superseded
     round checkpoints are released by ContextCleaner once the loop
     drops its reference (checkpoint blocks are reference-tracked).
+
+    ``stats`` (optional dict) is filled with convergence observability:
+    ``n_parts`` (the edge-scaled per-round partition count) and
+    ``rounds`` (propagation rounds until the zero-change fixpoint,
+    including the final verifying round) — tests pin the O(diameter)
+    claim and the conf-independent partition sizing through it.
     """
     # materialize the pair pipeline ONCE before mirroring: a union of two
     # projections of an unmaterialized `pairs` evaluates the (expensive)
@@ -617,6 +624,8 @@ def neardup_components(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     n_parts = max(1, fwd.rdd.getNumPartitions() // 4)
+    if stats is not None:
+        stats["n_parts"] = n_parts
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -625,8 +634,10 @@ def neardup_components(
         .localCheckpoint()
     )
     if labels.isEmpty():  # empty graph
+        if stats is not None:
+            stats["rounds"] = 0
         return labels.select("id", F.col("label").alias("component"))
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
         nb_min = (
             edges.join(
                 labels.select(F.col("id").alias("b"), F.col("label").alias("lb")),
@@ -650,6 +661,8 @@ def neardup_components(
         changed = stepped.where(F.col("label") != F.col("__old")).count()
         labels = stepped.drop("__old")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(
         f"neardup_components did not converge in {max_iters} rounds; "
