@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_exact_keep_min",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
     "dedup_ngram_components",
     "similarity_cosine_topk",
     "similarity_ivf_topk",

@@ -417,23 +417,39 @@ def ngram_jaccard_pairs_prefix(
     form). Extra cost vs the full self-join: one df aggregation, one
     posting↔df join, and one per-(block, id) window sort — each a
     narrow-key shuffle linear in the posting count, traded against a
-    quadratic candidate reduction.
+    quadratic candidate reduction. On uniform (skew-free) corpora the
+    postings form is ~25% faster (measured at sf0.1: 1.34 s vs 1.69 s
+    min-of-3) because the reduction buys nothing there; this operator is
+    the right default only when document-frequency skew exists — which
+    at web scale it always does.
     """
     blocked = df.withColumn(
         "block", F.col(block_col) if block_col else F.lit(1)
     )
-    sh = shingle_df(
-        blocked, text_col, id_col, shingle_k, extra_cols=("block",)
-    ).withColumn("__n", F.size("sh"))
+    # materialize the shingle table once: it feeds the posting explode AND
+    # both sides of the verification join — unmaterialized, the tokenize+
+    # hash+collect_set pipeline runs three times (same rationale as the
+    # banded-table checkpoint on the MinHash path)
+    sh = (
+        shingle_df(blocked, text_col, id_col, shingle_k, extra_cols=("block",))
+        .withColumn("__n", F.size("sh"))
+        .localCheckpoint()
+    )
     ex = sh.select("id", "block", "__n", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("block", "s").agg(F.count(F.lit(1)).alias("__df"))
     t = float(threshold)
     w = Window.partitionBy("block", "id").orderBy(F.col("__df").asc(), F.col("s").asc())
+    # materialize the prefix index too: it is BOTH sides of the candidate
+    # self-join, and broadcast build sides don't participate in exchange
+    # reuse — without this the dfreq aggregate + per-doc window sort (the
+    # expensive part of prefix construction) execute twice. The table is
+    # small by construction: ~(1-t) of the postings survive the prefix cut.
     prefix = (
         ex.join(dfreq, ["block", "s"])
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1)
         .select("id", "block", "__n", "s")
+        .localCheckpoint()
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
