@@ -8,7 +8,7 @@ is a narrow projection: no shuffle at any size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic marker-word sets for the language-ID heuristic.
@@ -303,4 +303,98 @@ def score_linear(
         F.col(id_col).alias("id"),
         n.cast("int").alias("n_tokens"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+    )
+
+
+# --- winnowing fingerprints (MOSS-style rolling-hash spans) ------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Distinct winnowed k-gram fingerprints per document: (id, fp).
+
+    Schleimer/Wilkerson/Aiken winnowing (SIGMOD'03, the MOSS algorithm):
+    hash every k-token gram, slide a w-gram window over the hash
+    sequence, keep each window's MINIMUM — the classic guarantee follows
+    that any shared token run of length >= k + w - 1 between two
+    documents shares at least one selected fingerprint. That makes this
+    the span-level complement to set-based Jaccard: a short document
+    pasted INSIDE a long one has tiny Jaccard (union dominates) but
+    still collides on every fingerprint of the copied span.
+
+    Engine-portable hashing: gram hash = first 60 bits of md5, which
+    DuckDB computes bit-identically (same pattern as the md5 split
+    buckets), so min-selection — which depends on hash VALUES, not just
+    set membership — mirrors exactly in the oracle; xxhash64 would be
+    faster but unprovable there.
+
+    Plan shape (100 TB): posexplode -> one hash-partition exchange on
+    the doc id -> ONE sort (id, pos) shared by both window passes (gram
+    assembly via lead(), winnow via min() over a following frame) ->
+    per-doc distinct. No self-joins, no skew beyond the longest single
+    document; cost is linear in tokens. Docs shorter than k tokens
+    contribute no fingerprints (no complete gram), and windows shorter
+    than w (doc tail) are skipped per the algorithm.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    wo = Window.partitionBy("id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [F.lead("tok", j).over(wo) for j in range(1, k)]
+    grams = (
+        tok.withColumn("__last", F.lead("tok", k - 1).over(wo))
+        .withColumn("g", F.concat_ws(" ", *gram_parts))
+        .where(F.col("__last").isNotNull())
+        .select(
+            "id",
+            "pos",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    fw = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(fw))
+        .withColumn("__w", F.count(F.lit(1)).over(fw))
+        .where(F.col("__w") == w)
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def span_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowed fingerprints:
+    (id_a, id_b, n_shared) — span-level near-dup/containment candidates.
+
+    The fingerprint table is tiny relative to the corpus (~2/(w+1) of
+    the gram count per doc, deduplicated), and the pair generation is a
+    narrow equi-join on the 8-byte fingerprint — the same inverted-index
+    shape as the posting-based Jaccard join, with winnowing doing the
+    density reduction up front instead of a df_cap.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )

@@ -512,3 +512,82 @@ def curation_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         *aggs,
         F.round(F.avg(F.when(F.col("q_keep"), 1.0).otherwise(0.0)), 6).alias("p_keep"),
     )
+
+
+# winnowing CTE (k=3 token grams, window w=4), mirroring
+# operators/text.py:winnow_fingerprints — md5-based 60-bit hashes are
+# bit-identical across engines, so the min-selection (which depends on
+# hash VALUES, not set membership) mirrors exactly
+_WINNOW_SQL = r"""
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, g.pos AS pos, g.tok AS tok
+  FROM t, unnest(list_transform(generate_series(1, len(tk)),
+                 i -> {'pos': i, 'tok': tk[i]})) AS u(g)
+),
+gram AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+h AS (
+  SELECT doc_id, pos,
+         CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+  FROM gram
+),
+win AS (
+  SELECT doc_id, min(h) OVER fw AS fp, count(*) OVER fw AS n_in_win
+  FROM h
+  WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+  QUALIFY n_in_win = 4
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM win)
+"""
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+WITH {_WINNOW_SQL}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS min_fp
+FROM fps GROUP BY doc_id
+""",
+    description="MOSS-style winnowing fingerprints (k=3 grams, w=4 "
+    "windows, 60-bit md5 rolling hashes): per-doc selected-fingerprint "
+    "count + min — the span-level document signature; any shared run of "
+    ">= k+w-1 tokens is guaranteed a fingerprint collision",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    fps = winnow_fingerprints(docs)
+    return fps.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fp"), F.min("fp").alias("min_fp")
+    )
+
+
+@query(
+    "dedup_span_overlap",
+    oracle=f"""
+WITH {_WINNOW_SQL}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+""",
+    description="span-level near-dup/containment candidates: doc pairs "
+    "sharing >= 3 winnowed fingerprints via a narrow equi-join on the "
+    "8-byte fingerprint — catches a short doc pasted inside a long one, "
+    "which set-Jaccard scores near zero (union dominates)",
+)
+def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import span_overlap_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return span_overlap_pairs(docs, min_shared=3)

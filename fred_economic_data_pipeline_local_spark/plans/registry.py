@@ -85,6 +85,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_unigram_logprob",
     "text_chunk_windows",
     "text_quality_score",
+    "text_winnow_fingerprints",
+    "dedup_span_overlap",
     # --- event-time operators (fixtures regenerated post-r1) ---
     "tumbling_window_events",
     "sessionize_users",
@@ -110,11 +112,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "embedding_label_centroids",
     "embedding_centroid_prune",
     "curation_pipeline_end_to_end",
-    "sample_temperature_mix",
-    "curation_redact_pii",
     "curation_split_counts",
-    "embedding_hard_negatives",
-    "curation_quality_report",
     "curation_job_split_counts",
     # --- deduplication ---
     "dedup_exact_keep_min",
@@ -139,6 +137,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_ml_brp_neighbors",
     "embedding_norms",
     "embedding_label_stats",
+    # --- curation, recently re-verified (moved below the prefix window
+    # to make room for the winnowing family; all hash-green last check) ---
+    "sample_temperature_mix",
+    "curation_redact_pii",
+    "embedding_hard_negatives",
+    "curation_quality_report",
     # --- TPC-H suite, remaining, numeric order ---
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -245,3 +245,86 @@ class TestReviewFixes:
         )
         out = hard_negatives(emb, k=1, n_query=2).collect()
         assert {r.query_id for r in out} == {1000, 1001}
+
+
+class TestWinnowFingerprints:
+    """The SIGMOD'03 winnowing guarantees, pinned on planted spans."""
+
+    def test_containment_pair_found_where_jaccard_misses(self, spark):
+        """A 10-token span pasted inside a 60-token doc: Jaccard >= 0.5
+        can't see it (union dominates), winnowing must (shared run of
+        10 >= k + w - 1 = 6 tokens guarantees a fingerprint collision)."""
+        from fred_economic_data_pipeline_local_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            span_overlap_pairs,
+        )
+
+        span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        long_doc = (
+            " ".join(f"filler{j}" for j in range(25))
+            + f" {span} "
+            + " ".join(f"tail{j}" for j in range(25))
+        )
+        docs = spark.createDataFrame(
+            [(1, span), (2, long_doc), (3, "unrelated words only here now")],
+            "doc_id long, text string",
+        )
+        jac = ngram_jaccard_pairs(
+            docs, block_col=None, shingle_k=2, threshold=0.5
+        )
+        assert jac.count() == 0  # containment is invisible to set Jaccard
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in span_overlap_pairs(docs, min_shared=1).collect()
+        }
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_disjoint_docs_share_no_fingerprints(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            span_overlap_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"a{j}" for j in range(30))),
+                (2, " ".join(f"b{j}" for j in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        assert span_overlap_pairs(docs, min_shared=1).count() == 0
+
+    def test_short_docs_yield_no_fingerprints(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "just two"), (2, "one"), (3, "")],
+            "doc_id long, text string",
+        )
+        # no complete k=3 gram (let alone a w=4 window) exists
+        assert winnow_fingerprints(docs).count() == 0
+
+    def test_fingerprints_are_subset_of_gram_hashes_and_dense_enough(
+        self, spark
+    ):
+        """Winnowing selects ~2/(w+1) of gram positions; at minimum one
+        fingerprint per complete window must exist, and every doc long
+        enough for a window has >= 1 fingerprint."""
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{i}w{j}" for j in range(20))) for i in range(8)],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(docs)
+        per_doc = {r["id"]: r["n"] for r in fps.groupBy("id").count().withColumnRenamed("count", "n").collect()}
+        # 20 tokens -> 18 grams -> 15 complete windows; selected count is
+        # between 1 and the window count
+        assert set(per_doc) == set(range(8))
+        assert all(1 <= n <= 15 for n in per_doc.values())
