@@ -227,3 +227,46 @@ def test_unigram_logprob_vocab_join_shape(spark):
     plan = plan_of(spark, "text_unigram_logprob")
     assert "BroadcastExchange" in plan  # the 1-row total
     assert plan.count("HashAggregate") >= 4  # partial+final for vocab and per-doc
+
+
+def test_winnow_fingerprints_single_exchange_shared_sort(spark):
+    """The winnowing signature pipeline must be exactly: explode -> ONE
+    hash exchange on the doc id -> ONE sort shared by both window passes
+    (gram assembly + winnow min) -> distinct that REUSES the id
+    partitioning (grouping on (id, fp) is satisfied by id partitioning,
+    so no second shuffle). Linear in tokens at any scale."""
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        winnow_fingerprints(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- *") >= 1  # codegen spans present
+    assert plan.count("Sort ") == 1  # both windows share the one sort
+    assert plan.count("Window ") == 2
+
+
+def test_span_overlap_joins_on_fingerprint_key(spark):
+    """Pair generation is an equi-join on the 8-byte fp — never a
+    nested-loop or cartesian expansion."""
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        span_overlap_pairs,
+    )
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        span_overlap_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
