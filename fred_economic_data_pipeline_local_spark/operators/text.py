@@ -377,6 +377,7 @@ def span_overlap_pairs(
     k: int = 3,
     w: int = 4,
     min_shared: int = 2,
+    fp_cap: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowed fingerprints:
     (id_a, id_b, n_shared) — span-level near-dup/containment candidates.
@@ -385,9 +386,33 @@ def span_overlap_pairs(
     the gram count per doc, deduplicated), and the pair generation is a
     narrow equi-join on the 8-byte fingerprint — the same inverted-index
     shape as the posting-based Jaccard join, with winnowing doing the
-    density reduction up front instead of a df_cap.
+    density reduction up front.
+
+    Density reduction is not skew immunity: a boilerplate span present
+    in d documents ("all rights reserved…") still puts ONE shared
+    fingerprint in d posting rows and costs d² candidate pairs in the
+    equi-join, exactly the hot-shingle failure mode of the Jaccard path.
+    ``fp_cap`` drops fingerprints whose corpus document frequency
+    exceeds the cap before the join — same shape as ``df_cap`` there:
+    hot-fp set via partial-aggregated groupBy (one row per distinct fp
+    shuffles, not per posting) then a broadcast anti-join, bounding the
+    join at Σ_fp min(d_fp, fp_cap)². A dropped fingerprint cannot count
+    toward ``n_shared``, so overlap is UNDERcounted for pairs sharing a
+    capped (i.e. ubiquitous-boilerplate) span — possible false
+    negatives, never false positives. Default None: exact, matching the
+    DuckDB oracle; 100 TB callers opt in explicitly.
     """
+    # checkpoint BEFORE deriving the hot set so the winnowing subtree is
+    # computed once, not once per consumer (hot aggregate + both join sides)
     fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint()
+    if fp_cap is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > fp_cap)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), ["fp"], "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(

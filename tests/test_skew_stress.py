@@ -119,3 +119,60 @@ def test_bucket_cap_drops_degenerate_lsh_bucket(spark):
     # pair's 2-doc buckets survive -> candidates collapse from C(60,2)+1
     # to exactly 1, the Σ C(min(d,cap) not exceeded, 2) accounting
     assert capped == {(100, 101)}
+
+
+def _boiler_span_docs(spark):
+    """40 docs opening with one 10-token boilerplate span then unique
+    tails (every pair shares a >= k+w-1 token run => a fingerprint), plus
+    3 planted identical pairs made of globally unique tokens."""
+    boiler = " ".join(f"b{j}" for j in range(10))
+    rows = [(i, f"{boiler} tx{i} ty{i} tz{i}") for i in range(40)]
+    for p in range(3):
+        dup = " ".join(f"u{p}w{j}" for j in range(8))
+        rows += [(500 + 2 * p, dup), (501 + 2 * p, dup)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fp_cap_drops_boilerplate_span_fingerprints(spark):
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        span_overlap_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = _boiler_span_docs(spark)
+    cap = 10
+    # ground truth from the operator's own fingerprint table, so the
+    # accounting covers exactly the postings the join sees (window
+    # minima at the boilerplate/tail boundary are doc-dependent)
+    posting = {}
+    for r in winnow_fingerprints(docs).collect():
+        posting.setdefault(r["fp"], set()).add(r["id"])
+    dfs = {fp: len(ids) for fp, ids in posting.items()}
+    assert max(dfs.values()) == 40  # the skew is real: df=40 fingerprints
+
+    def expected(max_df):
+        pairs = {}
+        for fp, ids in posting.items():
+            if dfs[fp] > max_df:
+                continue
+            for a in ids:
+                for b in ids:
+                    if a < b:
+                        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        return {(a, b, n) for (a, b), n in pairs.items()}
+
+    uncapped = {tuple(r) for r in span_overlap_pairs(docs, min_shared=1).collect()}
+    capped = {
+        tuple(r)
+        for r in span_overlap_pairs(docs, min_shared=1, fp_cap=cap).collect()
+    }
+    assert uncapped == expected(10**9)
+    assert capped == expected(cap)
+    # the mega-clique collapses; the planted rare-span pairs survive
+    assert {(a, b) for (a, b, _) in uncapped} >= {
+        (a, b) for a in range(40) for b in range(a + 1, 40)
+    }
+    planted = {(500 + 2 * p, 501 + 2 * p) for p in range(3)}
+    assert {(a, b) for (a, b, _) in capped if a >= 500} == planted
+    # false negatives only: capped pairs are a subset at reduced counts
+    assert {(a, b) for (a, b, _) in capped} <= {(a, b) for (a, b, _) in uncapped}
