@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_prefix",
     "dedup_ngram_components",
+    "dedup_span_overlap",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "text_token_counts",

@@ -528,3 +528,34 @@ def curation_job_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# per-column profile blocks, one UNION ALL branch per documents column —
+# the DuckDB mirror of profile_columns' single-agg + pivot (BIGINT casts:
+# DuckDB count arithmetic can land HUGEINT, which pandas reads as float64
+# and the driver's value hash would then diverge on, r3 lesson)
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents"""
+    for c in ("doc_id", "text", "lang", "source", "n_chars")
+)
+
+
+@query(
+    "profile_documents",
+    oracle=_PROFILE_SQL,
+    description="snapshot ingest monitor: per-column null count, exact "
+    "distinct cardinality, and native-typed min/max over documents in "
+    "ONE scan + ONE aggregate row (long-form output joins against the "
+    "previous snapshot's profile for drift alerts; approx_distinct=True "
+    "is the HLL++ scale path)",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+
+    return profile_columns(load_table(spark, "documents", sf_dir))

@@ -114,6 +114,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "curation_pipeline_end_to_end",
     "curation_split_counts",
     "curation_job_split_counts",
+    "profile_documents",
     # --- deduplication ---
     "dedup_exact_keep_min",
     "dedup_groups",

@@ -1,0 +1,56 @@
+"""profile_columns: single-pass column profiling semantics."""
+
+from __future__ import annotations
+
+from fred_economic_data_pipeline_local_spark.operators.profile import (
+    profile_columns,
+)
+
+
+def _rows(df):
+    return {r["col_name"]: r.asDict() for r in df.collect()}
+
+
+def test_profile_nulls_distincts_native_minmax(spark):
+    df = spark.createDataFrame(
+        [(9, "b", None), (10, "a", 2.5), (None, "a", -1.5), (9, None, None)],
+        "k long, s string, v double",
+    )
+    p = _rows(profile_columns(df))
+    assert set(p) == {"k", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in p.values())
+    assert (p["k"]["n_nulls"], p["s"]["n_nulls"], p["v"]["n_nulls"]) == (1, 1, 2)
+    # count(DISTINCT) excludes nulls in both engines
+    assert (p["k"]["n_distinct"], p["s"]["n_distinct"], p["v"]["n_distinct"]) == (2, 2, 2)
+    # min/max computed on the NATIVE type then stringified: numeric 9 < 10
+    # (lexicographic would invert), negative doubles order correctly
+    assert (p["k"]["min_value"], p["k"]["max_value"]) == ("9", "10")
+    assert (p["s"]["min_value"], p["s"]["max_value"]) == ("a", "b")
+    assert (p["v"]["min_value"], p["v"]["max_value"]) == ("-1.5", "2.5")
+
+
+def test_profile_all_null_column_and_subset(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "a long, b string")
+    p = _rows(profile_columns(df, cols=["b"]))
+    assert list(p) == ["b"]
+    assert p["b"]["n_nulls"] == 2
+    assert p["b"]["n_distinct"] == 0
+    assert p["b"]["min_value"] is None and p["b"]["max_value"] is None
+
+
+def test_profile_approx_mode_drops_expand(spark):
+    df = spark.range(1000).selectExpr("id", "id % 7 as m")
+    exact = _rows(profile_columns(df))
+    approx = _rows(profile_columns(df, approx_distinct=True))
+    # HLL++ at rsd 5%: tiny cardinalities are near-exact
+    assert approx["m"]["n_distinct"] == 7
+    assert abs(approx["id"]["n_distinct"] - 1000) <= 50
+    assert exact["id"]["n_distinct"] == 1000
+    # the scale path plans no Expand (no per-distinct-column row blowup)
+    assert "Expand" in profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in (
+        profile_columns(df, approx_distinct=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
