@@ -75,3 +75,67 @@ def profile_columns(
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def profile_drift(
+    curr: DataFrame,
+    prev: DataFrame,
+    null_rate_jump: float = 0.01,
+    distinct_ratio_band: tuple[float, float] = (0.5, 2.0),
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report from two ``profile_columns``
+    outputs: one row per column with current/previous null rates,
+    distinct cardinalities, and boolean alerts.
+
+    This is the consumer the long-form profile exists for: a full-outer
+    join on ``col_name`` (so a column appearing in or vanishing from the
+    schema surfaces as a row with one NULL side and ``alert_schema``
+    set), then pure column arithmetic. Both inputs are tiny (one row per
+    column), so the join is trivially broadcast and the whole report
+    costs two profile scans — there is no third pass over the data.
+
+    Alerts: ``alert_nulls`` when the null RATE rose by more than
+    ``null_rate_jump`` (absolute); ``alert_distinct`` when the distinct-
+    cardinality ratio curr/prev leaves ``distinct_ratio_band`` (key
+    explosion or collapse); ``alert_schema`` on column add/remove.
+    Rates and the ratio are rounded to 6dp so the report is stable
+    across engines.
+    """
+    lo, hi = distinct_ratio_band
+    c = curr.select(
+        F.col("col_name"),
+        F.col("n_rows").alias("n_rows_curr"),
+        F.col("n_nulls").alias("__nn_c"),
+        F.col("n_distinct").alias("n_distinct_curr"),
+    )
+    p = prev.select(
+        F.col("col_name"),
+        F.col("n_rows").alias("n_rows_prev"),
+        F.col("n_nulls").alias("__nn_p"),
+        F.col("n_distinct").alias("n_distinct_prev"),
+    )
+    j = c.join(p, "col_name", "full_outer")
+    rate_c = F.round(F.col("__nn_c") / F.greatest(F.col("n_rows_curr"), F.lit(1)), 6)
+    rate_p = F.round(F.col("__nn_p") / F.greatest(F.col("n_rows_prev"), F.lit(1)), 6)
+    ratio = F.round(
+        F.col("n_distinct_curr") / F.greatest(F.col("n_distinct_prev"), F.lit(1)).cast("double"),
+        6,
+    )
+    schema_alert = F.col("n_rows_curr").isNull() | F.col("n_rows_prev").isNull()
+    return j.select(
+        "col_name",
+        "n_rows_curr",
+        "n_rows_prev",
+        rate_c.alias("null_rate_curr"),
+        rate_p.alias("null_rate_prev"),
+        "n_distinct_curr",
+        "n_distinct_prev",
+        ratio.alias("distinct_ratio"),
+        F.coalesce(rate_c - rate_p > F.lit(null_rate_jump), F.lit(False)).alias(
+            "alert_nulls"
+        ),
+        F.coalesce(
+            (ratio < F.lit(lo)) | (ratio > F.lit(hi)), F.lit(False)
+        ).alias("alert_distinct"),
+        schema_alert.alias("alert_schema"),
+    )

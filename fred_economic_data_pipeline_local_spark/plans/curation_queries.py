@@ -534,16 +534,21 @@ def curation_job_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the DuckDB mirror of profile_columns' single-agg + pivot (BIGINT casts:
 # DuckDB count arithmetic can land HUGEINT, which pandas reads as float64
 # and the driver's value hash would then diverge on, r3 lesson)
-_PROFILE_SQL = "\nUNION ALL\n".join(
-    f"""SELECT '{c}' AS col_name,
+def _profile_sql(cols: tuple[str, ...], where: str = "TRUE") -> str:
+    return "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
        CAST(min({c}) AS VARCHAR) AS min_value,
        CAST(max({c}) AS VARCHAR) AS max_value
-FROM documents"""
-    for c in ("doc_id", "text", "lang", "source", "n_chars")
-)
+FROM documents WHERE {where}"""
+        for c in cols
+    )
+
+
+_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+_PROFILE_SQL = _profile_sql(_DOC_COLS)
 
 
 @query(
@@ -559,3 +564,52 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_columns
 
     return profile_columns(load_table(spark, "documents", sf_dir))
+
+
+# drift oracle: full-outer join of two profile CTEs (current snapshot vs
+# a simulated previous one missing every 5th doc AND the n_chars column,
+# so both the cardinality-ratio and the schema-change alerts fire)
+_DRIFT_PREV_WHERE = "doc_id % 5 <> 0"
+_DRIFT_SQL = f"""
+WITH curr AS ({_profile_sql(_DOC_COLS)}),
+prev AS ({_profile_sql(_DOC_COLS[:-1], _DRIFT_PREV_WHERE)}),
+j AS (
+  SELECT coalesce(c.col_name, p.col_name) AS col_name,
+         c.n_rows AS n_rows_curr, p.n_rows AS n_rows_prev,
+         round(c.n_nulls / greatest(c.n_rows, 1), 6) AS null_rate_curr,
+         round(p.n_nulls / greatest(p.n_rows, 1), 6) AS null_rate_prev,
+         c.n_distinct AS n_distinct_curr, p.n_distinct AS n_distinct_prev,
+         round(c.n_distinct / CAST(greatest(p.n_distinct, 1) AS DOUBLE), 6)
+           AS distinct_ratio,
+         (c.n_rows IS NULL OR p.n_rows IS NULL) AS alert_schema
+  FROM curr c FULL OUTER JOIN prev p ON c.col_name = p.col_name
+)
+SELECT col_name, n_rows_curr, n_rows_prev, null_rate_curr, null_rate_prev,
+       n_distinct_curr, n_distinct_prev, distinct_ratio,
+       coalesce(null_rate_curr - null_rate_prev > 0.01, FALSE) AS alert_nulls,
+       coalesce(distinct_ratio < 0.5 OR distinct_ratio > 2.0, FALSE)
+         AS alert_distinct,
+       alert_schema
+FROM j
+"""
+
+
+@query(
+    "profile_drift_documents",
+    oracle=_DRIFT_SQL,
+    description="snapshot drift report: full-outer join of two column "
+    "profiles (current vs a simulated previous snapshot missing every "
+    "5th doc and the n_chars column) with null-rate, distinct-ratio, "
+    "and schema-change alerts — the alerting consumer the long-form "
+    "profile exists for; both profile inputs are one-row-per-column, "
+    "so the report adds zero passes over the data",
+)
+def profile_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns, profile_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    curr = profile_columns(docs)
+    prev = profile_columns(
+        docs.where(F.col("doc_id") % 5 != 0), cols=list(_DOC_COLS[:-1])
+    )
+    return profile_drift(curr, prev)

@@ -115,6 +115,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "curation_split_counts",
     "curation_job_split_counts",
     "profile_documents",
+    "profile_drift_documents",
     # --- deduplication ---
     "dedup_exact_keep_min",
     "dedup_groups",
@@ -128,9 +129,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "multimodal_png_roundtrip",
     "multimodal_mixed_codec",
     # --- similarity / embeddings ---
-    "embedding_neardup_lsh",
+    # hash-checked before rows-only: the fixed-size verified prefix ends
+    # near here, and a hash row is the stronger signal to keep inside it
     "embedding_neardup_cosine",
     "embedding_neardup_resolve",
+    "embedding_neardup_lsh",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "similarity_lsh_topk",

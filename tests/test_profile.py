@@ -54,3 +54,32 @@ def test_profile_approx_mode_drops_expand(spark):
         .executedPlan()
         .toString()
     )
+
+
+def test_profile_drift_alerts(spark):
+    from fred_economic_data_pipeline_local_spark.operators.profile import (
+        profile_drift,
+    )
+
+    curr = spark.createDataFrame(
+        [("a", 100, 10, 50, "x", "y"), ("b", 100, 0, 10, "x", "y"),
+         ("new", 100, 0, 3, "x", "y")],
+        "col_name string, n_rows long, n_nulls long, n_distinct long, "
+        "min_value string, max_value string",
+    )
+    prev = spark.createDataFrame(
+        [("a", 100, 1, 49, "x", "y"), ("b", 100, 0, 30, "x", "y"),
+         ("gone", 100, 0, 7, "x", "y")],
+        curr.schema,
+    )
+    d = {r["col_name"]: r.asDict() for r in profile_drift(curr, prev).collect()}
+    # a: null rate jumped 0.01 -> 0.10 (alert); distinct 50/49 in band
+    assert d["a"]["alert_nulls"] and not d["a"]["alert_distinct"]
+    # b: distinct collapsed 30 -> 10 (ratio 0.33 < 0.5)
+    assert d["b"]["alert_distinct"] and not d["b"]["alert_nulls"]
+    # schema changes surface from BOTH sides of the full-outer join,
+    # with alerts coalesced to definite booleans, never NULL
+    assert d["new"]["alert_schema"] and d["new"]["n_rows_prev"] is None
+    assert d["gone"]["alert_schema"] and d["gone"]["n_rows_curr"] is None
+    assert d["gone"]["alert_nulls"] is False
+    assert not d["a"]["alert_schema"] and not d["b"]["alert_schema"]
