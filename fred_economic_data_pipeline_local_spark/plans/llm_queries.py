@@ -591,3 +591,31 @@ def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return span_overlap_pairs(docs, min_shared=3)
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+WITH fp AS (SELECT *, {_FP_SQL} AS f FROM documents),
+idx AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 <> 0),
+inc AS (SELECT * FROM fp WHERE doc_id % 5 = 0)
+SELECT doc_id, text, lang, source, n_chars
+FROM inc
+WHERE f NOT IN (SELECT f FROM idx)
+QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+""",
+    description="O(delta) per-snapshot ingest dedup: incoming docs "
+    "(every 5th) anti-joined against the existing corpus' fingerprint "
+    "index, then exact-deduped within the batch — the incremental path "
+    "that avoids re-pairing the full corpus each ingest (index is a "
+    "narrow fp table, bucketable so only the delta shuffles)",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_exact_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    index = duplicate_groups(existing).select("fingerprint", "keep_id")
+    kept, _delta = incremental_exact_dedup(incoming, index)
+    return kept

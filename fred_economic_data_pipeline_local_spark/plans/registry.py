@@ -119,6 +119,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # --- deduplication ---
     "dedup_exact_keep_min",
     "dedup_groups",
+    "dedup_incremental_ingest",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_prefix",
     "dedup_minhash_lsh",
