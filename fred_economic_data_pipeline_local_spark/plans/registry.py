@@ -123,7 +123,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_prefix",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_components",
     "dedup_neardup_resolve",
     # --- real-codec multimodal round trips (PNG; mixed PNG+PGM dispatch) ---
@@ -134,6 +133,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     # near here, and a hash row is the stronger signal to keep inside it
     "embedding_neardup_cosine",
     "embedding_neardup_resolve",
+    # rows-only entries sit just past the verified prefix: their weaker
+    # check yields to never-yet-checked hash-gated queries above
+    "dedup_simhash",
     "embedding_neardup_lsh",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
