@@ -207,23 +207,26 @@ def minhash_signatures(
     )
 
 
-def minhash_candidates(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    bucket_cap: int = 1000,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) sharing >= 1 MinHash band bucket.
+    """Materialized LSH band table: (id, band, bucket), ``bands`` rows
+    per doc. A doc's banding depends only on its own shingle set, so the
+    table is corpus-independent and append-only — exactly the index an
+    incremental ingest persists (see ``incremental_minhash_candidates``).
 
-    rows/band = num_hashes/bands tunes the similarity threshold
-    (s* ~ (1/bands)^(1/rows)). Plan: signature build -> explode to
-    (band, bucket) -> self equi-join per bucket. ``bucket_cap`` guards
-    against degenerate buckets (boilerplate): buckets larger than the cap
-    are dropped (they would be exact-dup territory anyway).
+    Materialized (localCheckpoint) because every consumer — the
+    hot-bucket aggregate, the anti-join probe, both sides of the bucket
+    join — would otherwise re-run the 64-min-agg signature build
+    (exchange reuse dedupes the shuffle, not the post-shuffle
+    aggregation). 16 narrow rows per doc, spillable; measured ~2x off
+    the cold pipeline at sf0.1.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingles)
@@ -245,13 +248,30 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # materialize the banded table once: it feeds the hot-bucket
-    # aggregate, the anti-join probe, AND both sides of the bucket
-    # self-join — unmaterialized, the 64-min-agg signature build
-    # re-evaluates per consumer (exchange reuse dedupes the shuffle, not
-    # the post-shuffle aggregation). 16 narrow rows per doc, spillable;
-    # measured ~2x off the cold pipeline at sf0.1.
-    banded = banded.localCheckpoint()
+    return banded.localCheckpoint()
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    bucket_cap: int = 1000,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) sharing >= 1 MinHash band bucket.
+
+    rows/band = num_hashes/bands tunes the similarity threshold
+    (s* ~ (1/bands)^(1/rows)). Plan: signature build -> explode to
+    (band, bucket) -> self equi-join per bucket. ``bucket_cap`` guards
+    against degenerate buckets (boilerplate): buckets larger than the cap
+    are dropped (they would be exact-dup territory anyway).
+    """
+    banded = minhash_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_k, shingles
+    )
 
     # degenerate-bucket guard via partial-agg + broadcast anti-join (the
     # same shape as ngram_jaccard_pairs' df cap): buckets over the cap are
@@ -278,6 +298,65 @@ def minhash_candidates(
         .distinct()
     )
     return pairs
+
+
+def incremental_minhash_candidates(
+    incoming: DataFrame,
+    bucket_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    bucket_cap: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """O(delta) near-dup candidates for a per-snapshot ingest: pairs
+    involving at least one incoming doc, probed against the persisted
+    ``bucket_index`` (the (id, band, bucket) table ``minhash_banded``
+    built for the existing corpus). Returns ``(pairs, index_delta)`` —
+    append ``index_delta`` after the ingest commits.
+
+    The expensive work — shingling and the 64-min-agg signature build —
+    runs over the DELTA only: a doc's banding is corpus-independent, so
+    the old corpus is never re-signed, just equi-joined as a narrow
+    (8+4+8)-byte-row index (bucketable on (band, bucket) so only the
+    delta shuffles; same posture as ``incremental_exact_dedup``).
+
+    ``bucket_cap`` accounts on UNION sizes (old + new members), so a
+    bucket that goes degenerate only after the ingest is still dropped —
+    the returned pair set provably equals the full-corpus
+    ``minhash_candidates`` pair set minus pairs wholly inside the old
+    corpus (pinned in ``tests/test_incremental_dedup.py``). Old-old
+    pairs were already emitted by earlier snapshots; re-deriving them is
+    the O(corpus²) cost this operator exists to avoid.
+    """
+    new_banded = minhash_banded(
+        incoming, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    union = bucket_index.select("id", "band", "bucket").unionByName(new_banded)
+    hot = (
+        union.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > bucket_cap)
+        .select("band", "bucket")
+    )
+    probe = new_banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    build = union.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    pairs = (
+        probe.alias("a")
+        .join(
+            build.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs, new_banded
 
 
 def minhash_neardup(

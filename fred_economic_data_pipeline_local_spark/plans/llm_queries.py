@@ -619,3 +619,24 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = duplicate_groups(existing).select("fingerprint", "keep_id")
     kept, _delta = incremental_exact_dedup(incoming, index)
     return kept
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=None,  # xxhash64 family — rows-only check; equivalence to
+    # full-corpus minhash_candidates minus old-only pairs is pinned in
+    # tests/test_incremental_dedup.py
+    description="O(delta) near-dup ingest: incoming docs (every 5th) "
+    "signed and banded, probed against the existing corpus' persisted "
+    "(id, band, bucket) index — signatures computed over the delta "
+    "only; bucket_cap accounts on union (old+new) bucket sizes",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_minhash_candidates, minhash_banded
+
+    docs = load_table(spark, "documents", sf_dir)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    index = minhash_banded(existing)
+    pairs, _delta = incremental_minhash_candidates(incoming, index)
+    return pairs

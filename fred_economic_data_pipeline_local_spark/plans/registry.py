@@ -136,6 +136,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # rows-only entries sit just past the verified prefix: their weaker
     # check yields to never-yet-checked hash-gated queries above
     "dedup_simhash",
+    "dedup_incremental_minhash",
     "embedding_neardup_lsh",
     "similarity_cosine_topk",
     "similarity_ivf_topk",

@@ -53,3 +53,58 @@ def test_incremental_empty_index_is_plain_dedup(spark):
     kept, delta = incremental_exact_dedup(incoming, empty_index)
     assert {r["doc_id"] for r in kept.collect()} == {5, 7}
     assert delta.count() == 2
+
+
+def test_incremental_minhash_equals_full_minus_old_pairs(spark):
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_banded,
+        minhash_candidates,
+    )
+
+    rows = []
+    # three near-dup families straddling the old/new split, plus noise
+    for fam in range(3):
+        t = f"family {fam} shared body of text tokens one two three four"
+        rows += [(fam * 10, t), (fam * 10 + 1, t), (fam * 10 + 100, t)]
+    rows += [(500 + i, f"noise{i} unique{i} words{i} here{i} now{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    kw = dict(num_hashes=16, bands=4, shingle_k=2, bucket_cap=1000)
+    full = {tuple(r) for r in minhash_candidates(docs, **kw).collect()}
+    old_only = {tuple(r) for r in minhash_candidates(old, **kw).collect()}
+    index = minhash_banded(old, num_hashes=16, bands=4, shingle_k=2)
+    pairs, delta = incremental_minhash_candidates(new, index, **kw)
+    got = {tuple(r) for r in pairs.collect()}
+    assert got == full - old_only
+    assert got  # the split really produces cross-batch candidates
+    # index delta: one banding row per (new doc, band)
+    assert delta.count() == new.count() * 4
+
+
+def test_incremental_minhash_union_bucket_cap(spark):
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_banded,
+    )
+
+    # 30 old + 30 new byte-identical docs: every band bucket holds 60
+    # members only in the UNION — a per-side count (30) would miss the cap
+    hot = "identical boilerplate doc repeated across old and new snapshots"
+    old = spark.createDataFrame(
+        [(i, hot) for i in range(30)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, hot) for i in range(30)] + [(990, "rare pair a b c"), (991, "rare pair a b c")],
+        "doc_id long, text string",
+    )
+    index = minhash_banded(old, num_hashes=16, bands=4, shingle_k=2)
+    pairs, _ = incremental_minhash_candidates(
+        new, index, num_hashes=16, bands=4, shingle_k=2, bucket_cap=50
+    )
+    got = {tuple(r) for r in pairs.collect()}
+    # the 60-member union bucket (> 50) is dropped; the rare in-batch
+    # pair survives
+    assert got == {(990, 991)}
