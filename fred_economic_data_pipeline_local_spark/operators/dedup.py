@@ -804,6 +804,49 @@ def neardup_components(
     )
 
 
+def incremental_components(
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Merge a new snapshot's near-dup pairs into existing component
+    assignments: (id, component) covering every previously-assigned doc
+    plus every doc touched by a new pair — equal to recomputing
+    components over (old pairs UNION new pairs) from scratch.
+
+    The old corpus enters as STAR edges (id -> its component label), one
+    narrow row per non-singleton doc, never its O(|old pairs|) pair set:
+    a component's star is connectivity-equivalent to any pair graph that
+    produced it, and its label (the min id) is itself a member node, so
+    min-label propagation over (stars UNION new pairs) reaches exactly
+    the full-graph fixpoint. Stars also have diameter 2, so the merged
+    graph's diameter — and the round count — is driven by the DELTA's
+    structure, not the accumulated corpus. This is the third leg of the
+    per-snapshot ingest path (after ``incremental_exact_dedup`` and
+    ``incremental_minhash_candidates``): assignments are maintained
+    across snapshots, not re-derived from a corpus-wide pair join.
+    """
+    stars = assignments.where(F.col(id_col) != F.col(comp_col)).select(
+        F.col(id_col).alias(id_a), F.col(comp_col).alias(id_b)
+    )
+    edges = stars.unionByName(new_pairs.select(F.col(id_a), F.col(id_b)))
+    merged = neardup_components(edges, id_a, id_b, max_iters, stats)
+    ids = (
+        assignments.select(F.col(id_col).alias("id"))
+        .unionByName(new_pairs.select(F.col(id_a).alias("id")))
+        .unionByName(new_pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    return ids.join(merged, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def resolve_neardups(
     df: DataFrame,
     pairs: DataFrame,

@@ -640,3 +640,64 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = minhash_banded(existing)
     pairs, _delta = incremental_minhash_candidates(incoming, index)
     return pairs
+
+
+@query(
+    "dedup_incremental_components",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+scope AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id % 5 <> 0
+  UNION
+  SELECT id_a AS id FROM pairs WHERE id_a % 5 = 0 OR id_b % 5 = 0
+  UNION
+  SELECT id_b AS id FROM pairs WHERE id_a % 5 = 0 OR id_b % 5 = 0
+)
+SELECT s.id, coalesce(c.component, s.id) AS component
+FROM scope s LEFT JOIN comp c ON s.id = c.id
+""",
+    description="O(delta) component maintenance: the existing corpus' "
+    "(id, component) assignments enter as star edges (one narrow row "
+    "per non-singleton doc, diameter 2) and only the delta's pairs are "
+    "new graph structure — provably equal to recomputing components "
+    "over the full pair graph (the oracle does exactly that recompute)",
+)
+def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_components, neardup_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    old_pairs = ngram_jaccard_pairs(existing, shingle_k=2, threshold=0.5)
+    comps_old = neardup_components(old_pairs)
+    assignments = (
+        existing.select(F.col("doc_id").alias("id"))
+        .join(comps_old, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    # delta pair generation: in production this is the incremental
+    # MinHash path's verified output; here the exact pair join filtered
+    # to pairs touching the batch gives identical semantics
+    new_pairs = ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.5).where(
+        (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+    )
+    return incremental_components(assignments, new_pairs)

@@ -122,9 +122,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_incremental_ingest",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_prefix",
-    "dedup_minhash_lsh",
     "dedup_ngram_components",
     "dedup_neardup_resolve",
+    "dedup_incremental_components",
     # --- real-codec multimodal round trips (PNG; mixed PNG+PGM dispatch) ---
     "multimodal_png_roundtrip",
     "multimodal_mixed_codec",
@@ -135,6 +135,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "embedding_neardup_resolve",
     # rows-only entries sit just past the verified prefix: their weaker
     # check yields to never-yet-checked hash-gated queries above
+    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental_minhash",
     "embedding_neardup_lsh",

@@ -108,3 +108,63 @@ def test_incremental_minhash_union_bucket_cap(spark):
     # the 60-member union bucket (> 50) is dropped; the rare in-batch
     # pair survives
     assert got == {(990, 991)}
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        incremental_components,
+        neardup_components,
+    )
+
+    old_pairs = spark.createDataFrame(
+        # two old components: {1,2,3} and {10,11}; 20 is a singleton
+        [(1, 2), (2, 3), (10, 11)],
+        "id_a long, id_b long",
+    )
+    old_ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "id long"
+    )
+    comps = neardup_components(old_pairs)
+    assignments = (
+        old_ids.join(comps, "id", "left")
+        .selectExpr("id", "coalesce(component, id) AS component")
+    )
+    new_pairs = spark.createDataFrame(
+        # 100-3 bridges INTO component {1,2,3}; 10-20 merges the old
+        # {10,11} component with old singleton 20; 200-201 is brand new
+        [(100, 3), (10, 20), (200, 201)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in incremental_components(assignments, new_pairs).collect()
+    }
+    full = neardup_components(
+        old_pairs.unionByName(new_pairs)
+    )
+    scope = {1, 2, 3, 10, 11, 20, 100, 200, 201}
+    expect = {
+        (r["id"], r["component"]) for r in full.collect() if r["id"] in scope
+    }
+    assert got == expect
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (100, 1),
+        (10, 10), (11, 10), (20, 10),
+        (200, 200), (201, 200),
+    }
+
+
+def test_incremental_components_no_new_pairs_is_identity(spark):
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        incremental_components,
+    )
+
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7)], "id long, component long"
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        (r["id"], r["component"])
+        for r in incremental_components(assignments, empty).collect()
+    }
+    assert got == {(1, 1), (2, 1), (7, 7)}
