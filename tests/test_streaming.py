@@ -177,3 +177,52 @@ def test_round3_text_ops_are_streaming_safe(spark):
     streamed = run_available_now(curate(stream_docs), "t_curate3", "append")
     cols = ["id", "chunk_id", "n_chunk_tokens", "score"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_ingest_dedup_matches_incremental_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        duplicate_groups,
+        incremental_exact_dedup,
+    )
+    from fred_economic_data_pipeline_local_spark.streaming.ingest import (
+        stream_ingest_dedup,
+    )
+
+    existing = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha  BETA"),   # cross-corpus dup under normalization
+            (11, "fresh one"),
+            (12, "fresh one"),     # in-stream dup of 11
+            (13, "fresh two"),
+        ],
+        "doc_id long, text string",
+    )
+    inc_dir = str(tmp_path / "incoming")
+    incoming.repartition(2).write.parquet(inc_dir)
+    index = duplicate_groups(existing).select("fingerprint", "keep_id")
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(inc_dir)
+    streamed = run_available_now(
+        stream_ingest_dedup(stream, index), "t_ingest_dedup", "append"
+    )
+    # batch equivalence on CONTENT: the stream keeps the first arrival per
+    # fingerprint (order nondeterministic across files), the batch path
+    # keeps the min id — same fingerprint set either way
+    batch_kept, _ = incremental_exact_dedup(incoming, index)
+    fp = lambda df: {
+        r[0]
+        for r in df.select(
+            F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+        ).collect()
+    }
+    assert fp(streamed) == fp(batch_kept)
+    assert streamed.count() == 2  # "fresh one" once, "fresh two"
+    # batch frames run the identical plan (left outer + filter == anti)
+    assert fp(stream_ingest_dedup(incoming, index)) == fp(batch_kept)
