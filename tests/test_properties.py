@@ -335,3 +335,37 @@ def test_assign_split_matches_pure_python_md5(spark, ids):
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     got = {r.doc_id: r.split for r in assign_split(df).collect()}
     assert got == {i: expected(i) for i in ids}
+
+
+_pf_val = st.one_of(st.none(), st.integers(-1_000_000, 1_000_000))
+_pf_str = st.one_of(st.none(), st.text(alphabet="abcXYZ 0-9", max_size=6))
+
+
+@given(
+    nums=st.lists(_pf_val, min_size=1, max_size=30),
+    strs=st.lists(_pf_str, min_size=1, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_profile_columns_matches_python_reference(spark, nums, strs):
+    from fred_economic_data_pipeline_local_spark.operators.profile import (
+        profile_columns,
+    )
+
+    n = max(len(nums), len(strs))
+    nums = nums + [None] * (n - len(nums))
+    strs = strs + [None] * (n - len(strs))
+    df = spark.createDataFrame(
+        list(zip(nums, strs)), "k long, s string"
+    )
+    got = {r["col_name"]: r.asDict() for r in profile_columns(df).collect()}
+    for name, vals in (("k", nums), ("s", strs)):
+        present = [v for v in vals if v is not None]
+        assert got[name]["n_rows"] == n
+        assert got[name]["n_nulls"] == n - len(present)
+        assert got[name]["n_distinct"] == len(set(present))
+        if present:
+            assert got[name]["min_value"] == str(min(present))
+            assert got[name]["max_value"] == str(max(present))
+        else:
+            assert got[name]["min_value"] is None
+            assert got[name]["max_value"] is None
