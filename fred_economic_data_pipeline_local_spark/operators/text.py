@@ -380,7 +380,14 @@ def span_overlap_pairs(
     fp_cap: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowed fingerprints:
-    (id_a, id_b, n_shared) — span-level near-dup/containment candidates.
+    (id_a, id_b, n_shared, containment) — span-level near-dup and
+    containment candidates. ``containment`` = n_shared / min(|fp_A|,
+    |fp_B|): the fraction of the SMALLER document's fingerprints found
+    in the pair, i.e. the asymmetric overlap measure winnowing exists
+    for — a short doc pasted verbatim inside a long one scores ~1.0
+    here while its Jaccard stays near zero (union dominates). Under
+    ``fp_cap`` both the numerator and the per-doc counts exclude capped
+    (boilerplate) fingerprints, so the score stays consistent.
 
     The fingerprint table is tiny relative to the corpus (~2/(w+1) of
     the gram count per doc, deduplicated), and the pair generation is a
@@ -413,6 +420,7 @@ def span_overlap_pairs(
             .select("fp")
         )
         fps = fps.join(F.broadcast(hot), ["fp"], "left_anti")
+    counts = fps.groupBy("id").agg(F.count(F.lit(1)).alias("__nfp"))
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(
@@ -422,4 +430,14 @@ def span_overlap_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+        .join(counts.select(F.col("id").alias("id_a"), F.col("__nfp").alias("__na")), "id_a")
+        .join(counts.select(F.col("id").alias("id_b"), F.col("__nfp").alias("__nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("__na", "__nb").cast("double"), 6
+            ).alias("containment"),
+        )
     )

@@ -576,15 +576,24 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_span_overlap",
     oracle=f"""
-WITH {_WINNOW_SQL}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
-FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= 3
+WITH {_WINNOW_SQL},
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM fps GROUP BY 1),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT p.id_a, p.id_b, p.n_shared,
+       round(p.n_shared / CAST(least(ca.nfp, cb.nfp) AS DOUBLE), 6)
+         AS containment
+FROM p JOIN cnt ca ON p.id_a = ca.doc_id JOIN cnt cb ON p.id_b = cb.doc_id
 """,
     description="span-level near-dup/containment candidates: doc pairs "
     "sharing >= 3 winnowed fingerprints via a narrow equi-join on the "
-    "8-byte fingerprint — catches a short doc pasted inside a long one, "
-    "which set-Jaccard scores near zero (union dominates)",
+    "8-byte fingerprint, scored by containment = n_shared / min(|fp|) — "
+    "the asymmetric measure that catches a short doc pasted inside a "
+    "long one, which set-Jaccard scores near zero (union dominates)",
 )
 def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import span_overlap_pairs

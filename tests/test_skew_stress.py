@@ -161,11 +161,13 @@ def test_fp_cap_drops_boilerplate_span_fingerprints(spark):
                         pairs[(a, b)] = pairs.get((a, b), 0) + 1
         return {(a, b, n) for (a, b), n in pairs.items()}
 
-    uncapped = {tuple(r) for r in span_overlap_pairs(docs, min_shared=1).collect()}
-    capped = {
-        tuple(r)
-        for r in span_overlap_pairs(docs, min_shared=1, fp_cap=cap).collect()
-    }
+    proj = ["id_a", "id_b", "n_shared"]
+    res_uncapped = span_overlap_pairs(docs, min_shared=1).collect()
+    res_capped = span_overlap_pairs(docs, min_shared=1, fp_cap=cap).collect()
+    # containment is consistently capped-denominated: in (0, 1] always
+    assert all(0.0 < r["containment"] <= 1.0 for r in res_uncapped + res_capped)
+    uncapped = {tuple(r[c] for c in proj) for r in res_uncapped}
+    capped = {tuple(r[c] for c in proj) for r in res_capped}
     assert uncapped == expected(10**9)
     assert capped == expected(cap)
     # the mega-clique collapses; the planted rare-span pairs survive
