@@ -429,3 +429,167 @@ def cosine_neardup_lsh(
         .where(cos >= threshold)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+# --- int8 scalar quantization ------------------------------------------------
+
+def int8_codes(vec: Column) -> tuple[Column, Column]:
+    """(scale, codes) for symmetric max-abs int8 quantization of an
+    array<double> column.
+
+    scale = max|x| / 127; code_i = floor(x_i/scale + 0.5) — explicit
+    half-up rounding rather than round(), because round() half-even vs
+    half-away semantics differ across engines while floor(x + 0.5) is
+    identical everywhere. An all-zero vector gets scale 0 and all-zero
+    codes (the 0/0 guard), so dequantization code*scale is total.
+    """
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = maxabs / F.lit(127.0)
+    codes = F.transform(
+        vec,
+        lambda x: F.when(scale > 0, F.floor(x / scale + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return scale, codes
+
+
+def quantize_int8_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 quantization audit: scale, code mass, worst error.
+
+    The go/no-go report run before switching an ANN index to compressed
+    codes: max_abs_err ≤ scale/2 by construction, so a violation means
+    the quantizer (not the data) is broken. Pure projection — no shuffle,
+    no Python; at 100 TB this is a single scan that can ride along any
+    other pass over the embedding table.
+    Returns (id, n_dims, scale, sum_codes, max_abs_err), doubles 6 dp.
+    """
+    v = _as_double(F.col(vec_col))
+    scale, codes = int8_codes(v)
+    err = F.array_max(
+        F.zip_with(v, codes, lambda x, c: F.abs(x - c.cast("double") * scale))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(v).alias("n_dims"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "sum_codes"
+        ),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k via int8 codes with exact rescoring.
+
+    The compressed-index ANN pattern: candidate generation ranks by the
+    cosine of the QUANTIZED vectors — the per-vector scales cancel in
+    cos(q̂, ĉ) = idot(cq, cc)/(√idot(cq,cq)·√idot(cc,cc)), so the scoring
+    pass touches only integer codes (4× less data than float32, the
+    whole point at 100 TB: the scan that dominates brute-force ANN reads
+    the code column, never the float column). The top refine·k
+    candidates per query are then rescored with exact double cosine and
+    the final top-k is exact over that candidate set. All integer dot
+    products are exact in doubles (|code| ≤ 127, so 64-dim dots stay
+    ≪ 2^53), making candidate ranking bit-identical across engines.
+    Ties broken by neighbor id at both cuts. Recall < 1 only when a true
+    neighbor's quantized rank falls past refine·k; tests pin recall@k
+    against ``brute_force_topk``.
+    """
+    def with_codes(df_in: DataFrame, id_out: str, pfx: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        _, codes = int8_codes(v)
+        return df_in.select(
+            F.col(id_col).alias(id_out),
+            v.alias(f"{pfx}v"),
+            codes.alias(f"{pfx}c"),
+        )
+
+    c = with_codes(corpus, "neighbor_id", "__c")
+    q = with_codes(queries, "query_id", "__q")
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qc, cc = F.col("__qc"), F.col("__cc")
+    approx = idot(qc, cc) / (F.sqrt(idot(qc, qc)) * F.sqrt(idot(cc, cc)))
+    cand = (
+        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .where((F.size(F.filter(qc, lambda x: x != 0)) > 0)
+               & (F.size(F.filter(cc, lambda x: x != 0)) > 0))
+        .withColumn("approx_cos", approx)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= refine * k)
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.select("query_id", "neighbor_id", "cos_sim")
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# --- k-means assignment ------------------------------------------------------
+
+def kmeans_assign_report(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-pass nearest-seed k-means assignment with a cluster report.
+
+    Seeds are the ``k`` lowest-id vectors (deterministic — no RNG, no
+    stored model); every vector is assigned to the seed minimizing
+    squared L2, computed as dot(a,a) - 2·dot(a,s) + dot(s,s) so each
+    side's self-dot is one fold and the expression order is mirrorable
+    in SQL. The k-row seed table broadcasts, so every seed row for a
+    vector is partition-local and the argmin is a hash aggregate
+    (min_by with a (sqdist, seed_id) struct tiebreak — no sort, full
+    map-side partial aggregation, one narrow (vid, cluster, sqdist) row
+    per vector shuffled). Lloyd refinement lives in ``ivf_assign``;
+    this operator is the assignment/report step a curation pipeline
+    runs against FIXED centroids (cluster balance, inertia drift
+    between snapshots).
+    Returns (cluster_id, n_members, avg_sqdist) — doubles 6 dp.
+    """
+    c = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e"))
+    seeds = (
+        c.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("seed_id"), F.col("e").alias("se"))
+    )
+    a, s = F.col("e"), F.col("se")
+    sqdist = dot(a, a) - F.lit(2.0) * dot(a, s) + dot(s, s)
+    scored = c.crossJoin(broadcast(seeds)).withColumn("sqdist", sqdist)
+    assigned = scored.groupBy("vid").agg(
+        F.min_by("seed_id", F.struct(F.col("sqdist"), F.col("seed_id"))).alias(
+            "cluster_id"
+        ),
+        F.min("sqdist").alias("sqdist"),
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("sqdist"), 6).alias("avg_sqdist"),
+    )

@@ -441,3 +441,96 @@ def span_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the classic keyword extractor.
+
+    tfidf(d, t) = tf(d, t) * ln(N / df(t)) with raw counts (no smoothing:
+    a term in every document scores exactly 0, which is the behavior the
+    screen wants — boilerplate terms vanish from every doc's keyword
+    list). Ties broken by term ascending, so the result is deterministic.
+
+    Plan shape: explode tokens -> groupBy(id, term) count (tf) ->
+    groupBy(term) count of the tf rows (df — each (id, term) row is one
+    distinct doc, so no countDistinct shuffle) -> join tf to the
+    Zipf-bounded df table on the term -> per-doc row_number top-k. At
+    100 TB: the exploded projection carries only (id, term); both
+    aggregations map-side combine; the df-side of the join grows with
+    vocabulary (~sublinear), not corpus; the final window partitions by
+    doc id, which is the same key tf was already shuffled on.
+    Returns (id, term, tf, tfidf) with tfidf rounded to 6 dp.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = ex.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__N"))
+    scored = (
+        tf.join(dfreq.withColumnRenamed("term", "__dt"), tf.term == F.col("__dt"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("__N") / F.col("__df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def topk_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by frequency.
+
+    The corpus-statistics primitive behind boilerplate mining and
+    contamination screening: which n-token sequences dominate the corpus.
+    N-grams are built JVM-side with transform over an index sequence
+    (element_at is 1-based), so a doc with fewer than ``n`` tokens
+    contributes nothing and no Python runs anywhere.
+
+    Plan shape: per-row n-gram array -> explode -> groupBy(ngram) count
+    -> global top-k. The single shuffle is on the n-gram string with
+    map-side partial aggregation, so executors ship one row per distinct
+    n-gram per partition, not one per occurrence; the final top-k is a
+    TakeOrderedAndProject on the already-aggregated (Zipf-bounded)
+    distinct set. Ties broken by n-gram ascending. Returns (ngram, freq).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    # sequence(1, size-(n-1)) runs DESCENDING when size < n (Spark's
+    # sequence never returns empty for start != stop), so short docs are
+    # routed to an explicit empty array; the floor of 1 inside sequence
+    # keeps every element_at index >= 1 even in the discarded branch
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return counts.orderBy(F.desc("freq"), F.asc("ngram")).limit(k)

@@ -710,3 +710,64 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
     )
     return incremental_components(assignments, new_pairs)
+
+
+_TFIDF_K = 5
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id AS id, unnest({_LTOKS_SQL}) AS term FROM documents
+),
+fx AS (SELECT id, term FROM ex WHERE term <> ''),
+tf AS (SELECT id, term, count(*) AS tf FROM fx GROUP BY id, term),
+dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT tf.id, tf.term, tf.tf,
+       round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dfc), 6) AS tfidf
+FROM tf JOIN dfq USING (term) CROSS JOIN n
+QUALIFY row_number() OVER (
+  PARTITION BY tf.id
+  ORDER BY round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dfc), 6) DESC, term
+) <= {_TFIDF_K}
+""",
+    description="per-doc top-5 keywords by tf-idf: explode -> tf ->"
+    " Zipf-bounded df join -> windowed top-k; unsmoothed idf so"
+    " corpus-wide boilerplate terms score exactly 0",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_top_terms(docs, k=_TFIDF_K)
+
+
+_NGRAM_TOPK = 20
+
+
+@query(
+    "text_topk_ngrams",
+    oracle=f"""
+WITH t AS (SELECT {_LTOKS_SQL} AS tk FROM documents),
+g AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(tk) - 1),
+           i -> tk[i] || ' ' || tk[i + 1])) AS ngram
+  FROM t WHERE len(tk) >= 2
+)
+SELECT ngram, count(*) AS freq
+FROM g GROUP BY ngram
+ORDER BY freq DESC, ngram
+LIMIT {_NGRAM_TOPK}
+""",
+    description="corpus-wide top-20 word bigrams: JVM-side n-gram build,"
+    " one map-combined shuffle on the ngram string, TakeOrdered top-k —"
+    " the boilerplate-mining / contamination-screen corpus statistic",
+)
+def text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import topk_ngrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    return topk_ngrams(docs, n=2, k=_NGRAM_TOPK)

@@ -142,10 +142,18 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "similarity_lsh_topk",
+    "similarity_quantized_topk",
     "similarity_ml_minhash_pairs",
     "similarity_ml_brp_neighbors",
     "embedding_norms",
     "embedding_label_stats",
+    "embedding_quantize_int8",
+    "embedding_kmeans_assign",
+    # --- text corpus statistics (added r5; past the verified prefix —
+    # the window is full and the text family already has hash-green
+    # rows inside it; these are oracle-backed for the local mirror) ---
+    "text_tfidf_top_terms",
+    "text_topk_ngrams",
     # --- curation, recently re-verified (moved below the prefix window
     # to make room for the winnowing family; all hash-green last check) ---
     "sample_temperature_mix",

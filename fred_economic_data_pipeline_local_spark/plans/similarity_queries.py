@@ -315,3 +315,119 @@ def embedding_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_neardups(
         emb.select("vec_id", "label"), pairs, id_col="vec_id"
     )
+
+
+# shared int8-quantization SQL fragments: symmetric max-abs scale with
+# explicit floor(x + 0.5) half-up rounding (round() half-even vs
+# half-away differs across engines; floor(x + 0.5) is identical)
+_Q8_CTES = """
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+m AS (SELECT vec_id AS id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM c),
+q8 AS (SELECT id, e, scale,
+              list_transform(e, x -> CASE WHEN scale > 0
+                  THEN CAST(floor(x / scale + 0.5) AS BIGINT)
+                  ELSE 0 END) AS cd
+       FROM m)
+"""
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+WITH {_Q8_CTES}
+SELECT id, CAST(len(e) AS INTEGER) AS n_dims, round(scale, 6) AS scale,
+       CAST(list_sum(cd) AS BIGINT) AS sum_codes,
+       round(list_max(list_transform(
+           generate_series(1, len(e)),
+           i -> abs(e[i] - CAST(cd[i] AS DOUBLE) * scale))), 6) AS max_abs_err
+FROM q8
+""",
+    description="int8 scalar-quantization audit: per-vector max-abs scale, "
+    "code mass, worst reconstruction error (<= scale/2 by construction) — "
+    "the go/no-go report before switching the ANN index to 4x-smaller codes",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_int8_stats
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return quantize_int8_stats(emb)
+
+
+_REFINE = 3
+
+
+@query(
+    "similarity_quantized_topk",
+    oracle=f"""
+WITH {_Q8_CTES},
+qs AS (SELECT * FROM q8 WHERE id < {_NQUERY}),
+pair AS (
+  SELECT qs.id AS query_id, c2.id AS neighbor_id, qs.e AS qe, c2.e AS ce,
+         list_dot_product(CAST(qs.cd AS DOUBLE[]), CAST(c2.cd AS DOUBLE[])) AS dab,
+         list_dot_product(CAST(qs.cd AS DOUBLE[]), CAST(qs.cd AS DOUBLE[])) AS daa,
+         list_dot_product(CAST(c2.cd AS DOUBLE[]), CAST(c2.cd AS DOUBLE[])) AS dbb
+  FROM qs JOIN q8 c2 ON qs.id <> c2.id
+  WHERE len(list_filter(qs.cd, x -> x <> 0)) > 0
+    AND len(list_filter(c2.cd, x -> x <> 0)) > 0
+),
+short AS (
+  SELECT query_id, neighbor_id, qe, ce FROM pair
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY dab / (sqrt(daa) * sqrt(dbb)) DESC, neighbor_id
+  ) <= {_REFINE * _K}
+)
+SELECT query_id, neighbor_id,
+       round(list_dot_product(qe, ce) /
+             (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+             6) AS cos_sim
+FROM short
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) <= {_K}
+""",
+    description="compressed-index ANN: candidates ranked by the cosine of "
+    "int8 codes (scales cancel, so the scan reads 4x-smaller integer codes "
+    "and ranking is bit-exact across engines), top refine*k rescored with "
+    "exact double cosine — the scan-dominated 100 TB path where the float "
+    "column is only read for the shortlist",
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantized_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < _NQUERY)
+    return quantized_topk(emb, queries, k=_K, refine=_REFINE)
+
+
+_KMEANS_K = 8
+
+
+@query(
+    "embedding_kmeans_assign",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id AS seed_id, e AS se FROM c ORDER BY vec_id LIMIT {_KMEANS_K}),
+d AS (SELECT c.vec_id AS vid, s.seed_id,
+             list_dot_product(c.e, c.e)
+               - 2.0 * list_dot_product(c.e, s.se)
+               + list_dot_product(s.se, s.se) AS sqdist
+      FROM c CROSS JOIN s),
+a AS (SELECT vid, seed_id, sqdist FROM d
+      QUALIFY row_number() OVER (PARTITION BY vid
+                                 ORDER BY sqdist, seed_id) = 1)
+SELECT seed_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(sqdist), 6) AS avg_sqdist
+FROM a GROUP BY seed_id
+""",
+    description="fixed-centroid k-means assignment report: k lowest-id "
+    "seeds broadcast, argmin via min_by hash aggregate (no sort, map-side "
+    "combine), per-cluster membership + inertia — the cluster-balance / "
+    "drift monitor a curation pipeline runs between snapshots",
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_assign_report
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kmeans_assign_report(emb, k=_KMEANS_K)

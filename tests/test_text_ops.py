@@ -328,3 +328,70 @@ class TestWinnowFingerprints:
         # between 1 and the window count
         assert set(per_doc) == set(range(8))
         assert all(1 <= n <= 15 for n in per_doc.values())
+
+
+class TestTfidfTopTerms:
+    def test_hand_computed_scores(self, spark):
+        """3 docs: 'the' appears in all (idf 0, scores exactly 0),
+        'cat' in one (idf ln 3), tf multiplies."""
+        import math
+
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            tfidf_top_terms,
+        )
+
+        docs = _docs(
+            spark,
+            [(1, "the cat cat"), (2, "the dog"), (3, "the bird")],
+        )
+        rows = {
+            (r["id"], r["term"]): r
+            for r in tfidf_top_terms(docs, k=5).collect()
+        }
+        assert rows[(1, "the")]["tfidf"] == 0.0
+        assert rows[(1, "cat")]["tf"] == 2
+        assert rows[(1, "cat")]["tfidf"] == pytest.approx(
+            round(2 * math.log(3), 6), abs=1e-9
+        )
+
+    def test_top_k_cut_and_tiebreak(self, spark):
+        """6 distinct equal-score terms, k=3: the 3 alphabetically
+        first survive (deterministic tie policy)."""
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            tfidf_top_terms,
+        )
+
+        docs = _docs(spark, [(1, "b f a e c d"), (2, "zzz")])
+        kept = sorted(
+            r["term"]
+            for r in tfidf_top_terms(docs, k=3).where(F.col("id") == 1).collect()
+        )
+        assert kept == ["a", "b", "c"]
+
+
+class TestTopkNgrams:
+    def test_counts_and_order(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            topk_ngrams,
+        )
+
+        docs = _docs(
+            spark,
+            [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        )
+        rows = topk_ngrams(docs, n=2, k=10).collect()
+        freqs = {r["ngram"]: r["freq"] for r in rows}
+        assert freqs == {"a b": 3, "b a": 1, "b c": 1}
+        # ordering: freq desc then ngram asc
+        assert [r["ngram"] for r in rows] == ["a b", "b a", "b c"]
+
+    def test_short_docs_contribute_nothing(self, spark):
+        """Docs with < n tokens must not produce descending-sequence
+        garbage grams (Spark's sequence(1, 0) is [1, 0], not empty)."""
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            topk_ngrams,
+        )
+
+        docs = _docs(spark, [(1, "solo"), (2, ""), (3, "a trigram here")])
+        rows = topk_ngrams(docs, n=3, k=10).collect()
+        assert {r["ngram"] for r in rows} == {"a trigram here"}
