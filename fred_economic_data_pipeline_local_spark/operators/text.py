@@ -534,3 +534,76 @@ def topk_ngrams(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return counts.orderBy(F.desc("freq"), F.asc("ngram")).limit(k)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-compressibility quality signal: ratio = deflated / raw bytes.
+
+    The cheap information-density gate from the RefinedWeb/FineWeb
+    family: near-zero ratios flag repetitive boilerplate (a compressor
+    is the ultimate duplicate-span detector), ratios near or above 1
+    flag high-entropy gibberish; natural prose sits in between. zlib at
+    a fixed level is deterministic, so the signal is reproducible —
+    but it is a C library call, not SQL, so this runs at the codec edge
+    as Arrow-batched ``mapInPandas`` (the same slow-path contract as
+    the PNG/PGM codecs: Python touches each row once, everything before
+    and after stays JVM-side; no per-row Python UDF, no driver collect).
+    Scale shape: embarrassingly parallel scan, zero shuffles; at 100 TB
+    the cost is the deflate itself, amortized across executors.
+    Returns (id, n_bytes, n_deflate, ratio) with ratio rounded to 6 dp;
+    empty/null docs get ratio NULL (no bytes to measure, not 0/0).
+    """
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("n_bytes", IntegerType(), True),
+            StructField("n_deflate", IntegerType(), True),
+            StructField("ratio", DoubleType(), True),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t")
+    )
+
+    def _deflate(batches: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [
+                None if t is None else t.encode("utf-8") for t in pdf["__t"]
+            ]
+            n_bytes = [None if b is None else len(b) for b in raw]
+            n_defl = [
+                None if b is None else len(zlib.compress(b, level)) for b in raw
+            ]
+            ratio = [
+                round(d / n, 6) if n else None
+                for n, d in zip(n_bytes, n_defl)
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": pd.array(n_bytes, dtype="Int32"),
+                    "n_deflate": pd.array(n_defl, dtype="Int32"),
+                    "ratio": pd.array(ratio, dtype="Float64"),
+                }
+            )
+
+    return src.mapInPandas(_deflate, out_schema)

@@ -771,3 +771,21 @@ def text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return topk_ngrams(docs, n=2, k=_NGRAM_TOPK)
+
+
+@query(
+    "text_compression_ratio",
+    oracle=None,  # zlib is a C library call, not SQL — rows-only here;
+    # byte-exact equality vs direct python zlib over the same fixture is
+    # pinned in tests/test_text_ops.py (same library, so the check is
+    # the mapInPandas plumbing: batching, null handling, dtypes)
+    description="zlib-compressibility quality gate (RefinedWeb/FineWeb "
+    "family): deflated/raw byte ratio per doc — near 0 flags repetitive "
+    "boilerplate, near/above 1 flags high-entropy gibberish; "
+    "Arrow-batched mapInPandas at the codec edge, zero shuffles",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import compression_ratio
+
+    docs = load_table(spark, "documents", sf_dir)
+    return compression_ratio(docs)

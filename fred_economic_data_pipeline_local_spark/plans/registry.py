@@ -154,6 +154,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # rows inside it; these are oracle-backed for the local mirror) ---
     "text_tfidf_top_terms",
     "text_topk_ngrams",
+    "text_compression_ratio",
     # --- curation, recently re-verified (moved below the prefix window
     # to make room for the winnowing family; all hash-green last check) ---
     "sample_temperature_mix",

@@ -395,3 +395,56 @@ class TestTopkNgrams:
         docs = _docs(spark, [(1, "solo"), (2, ""), (3, "a trigram here")])
         rows = topk_ngrams(docs, n=3, k=10).collect()
         assert {r["ngram"] for r in rows} == {"a trigram here"}
+
+
+class TestCompressionRatio:
+    def test_matches_direct_zlib(self, spark):
+        """The distributed result must equal a driver-side zlib pass over
+        the same rows byte-for-byte — proving the Arrow plumbing (batch
+        boundaries, null handling, dtypes) changes nothing."""
+        import zlib
+
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            compression_ratio,
+        )
+
+        docs = _docs(
+            spark,
+            [
+                (1, "abc " * 200),          # repetitive -> tiny ratio
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, ""),                    # empty -> NULL ratio
+                (4, None),                  # null text -> NULL everything
+            ],
+        )
+        got = {r["id"]: r for r in compression_ratio(docs).collect()}
+        for i, t in [(1, "abc " * 200), (2, "the quick brown fox jumps over the lazy dog")]:
+            raw = t.encode()
+            assert got[i]["n_bytes"] == len(raw)
+            assert got[i]["n_deflate"] == len(zlib.compress(raw, 6))
+            assert got[i]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert got[3]["n_bytes"] == 0 and got[3]["ratio"] is None
+        assert got[4]["n_bytes"] is None and got[4]["ratio"] is None
+
+    def test_orders_boilerplate_below_prose_below_noise(self, spark):
+        """The gate's reason to exist: repetitive < prose < high-entropy."""
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            compression_ratio,
+        )
+
+        import hashlib
+
+        noise = " ".join(
+            hashlib.md5(str(i).encode()).hexdigest() for i in range(40)
+        )
+        prose = (
+            "a reasonably normal english sentence with varied words appears "
+            "here and continues for a while because short strings pay the "
+            "deflate header overhead and would not separate cleanly "
+        ) * 4
+        docs = _docs(
+            spark,
+            [(1, "dup dup dup " * 100), (2, prose), (3, noise)],
+        )
+        r = {x["id"]: x["ratio"] for x in compression_ratio(docs).collect()}
+        assert r[1] < r[2] < r[3]
