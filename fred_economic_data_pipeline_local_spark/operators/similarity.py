@@ -506,18 +506,6 @@ def quantized_topk(
     neighbor's quantized rank falls past refine·k; tests pin recall@k
     against ``brute_force_topk``.
     """
-    def with_codes(df_in: DataFrame, id_out: str, pfx: str) -> DataFrame:
-        v = _as_double(F.col(vec_col))
-        _, codes = int8_codes(v)
-        return df_in.select(
-            F.col(id_col).alias(id_out),
-            v.alias(f"{pfx}v"),
-            codes.alias(f"{pfx}c"),
-        )
-
-    c = with_codes(corpus, "neighbor_id", "__c")
-    q = with_codes(queries, "query_id", "__q")
-
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
@@ -525,12 +513,29 @@ def quantized_topk(
             lambda acc, x: acc + x,
         )
 
+    def with_codes(df_in: DataFrame, id_out: str, pfx: str) -> DataFrame:
+        """Project (id, vec, codes, code norm) — the norm computed ONCE
+        per row here, never per candidate pair (the same once-per-side
+        discipline ivf_topk applies to its float norms), and zero-norm
+        rows dropped before the join rather than filtered per pair."""
+        v = _as_double(F.col(vec_col))
+        _, codes = int8_codes(v)
+        return (
+            df_in.select(
+                F.col(id_col).alias(id_out),
+                v.alias(f"{pfx}v"),
+                codes.alias(f"{pfx}c"),
+            )
+            .withColumn(f"{pfx}n", F.sqrt(idot(F.col(f"{pfx}c"), F.col(f"{pfx}c"))))
+            .where(F.col(f"{pfx}n") > 0)
+        )
+
+    c = with_codes(corpus, "neighbor_id", "__c")
+    q = with_codes(queries, "query_id", "__q")
     qc, cc = F.col("__qc"), F.col("__cc")
-    approx = idot(qc, cc) / (F.sqrt(idot(qc, qc)) * F.sqrt(idot(cc, cc)))
+    approx = idot(qc, cc) / (F.col("__qn") * F.col("__cn"))
     cand = (
         c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .where((F.size(F.filter(qc, lambda x: x != 0)) > 0)
-               & (F.size(F.filter(cc, lambda x: x != 0)) > 0))
         .withColumn("approx_cos", approx)
     )
     w1 = Window.partitionBy("query_id").orderBy(
