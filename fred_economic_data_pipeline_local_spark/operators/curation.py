@@ -425,3 +425,56 @@ def hard_negatives(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Row-level diff of two corpus snapshots by content fingerprint.
+
+    The what-changed report run between lake snapshots before an
+    incremental job decides what to reprocess: full outer join on the id
+    carrying ONLY (id, fingerprint) — never the payload — so the shuffle
+    is two narrow columns regardless of document size. With both
+    snapshots bucketed on the id (operators/bucketing.py) the join plans
+    exchange-free; at 100 TB that makes the diff a co-located
+    merge, not a data move. Status per id:
+
+    - ``added``: id only in ``new``
+    - ``removed``: id only in ``old``
+    - ``changed``: id in both, fingerprints differ
+    - ``unchanged``: id in both, fingerprints equal
+
+    Inputs must carry (id_col, fp_col) — fingerprint via
+    ``operators.text.fingerprint`` or any stable content hash.
+    Returns (id, status).
+    """
+    o = old.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__ofp"))
+    n = new.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__nfp"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("__ofp").isNull(), F.lit("added"))
+        .when(F.col("__nfp").isNull(), F.lit("removed"))
+        .when(F.col("__ofp") != F.col("__nfp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("id", status.alias("status"))
+
+
+def snapshot_diff_counts(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Aggregate ``snapshot_diff`` to (status, n) — the 4-row dashboard
+    line an ingest pipeline alerts on (a spike in ``changed`` between
+    snapshots usually means an upstream re-crawl, not new data)."""
+    return (
+        snapshot_diff(old, new, id_col, fp_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -613,3 +613,53 @@ def profile_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 5 != 0), cols=list(_DOC_COLS[:-1])
     )
     return profile_drift(curr, prev)
+
+
+_SNAP_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "snapshot_diff_counts",
+    oracle=f"""
+WITH oldv AS (
+  SELECT doc_id, {_SNAP_FP} AS fp FROM documents WHERE doc_id % 7 <> 0
+),
+newv AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(
+           CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+         )), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 5 <> 0
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY status
+""",
+    description="content-level snapshot diff: old (every 7th doc absent) "
+    "vs new (every 5th absent, every 3rd re-crawled with edited text) "
+    "full-outer-joined on (id, fingerprint) only — two narrow columns "
+    "shuffled regardless of document size, exchange-free when both "
+    "snapshots are id-bucketed — aggregated to the 4-row "
+    "added/removed/changed/unchanged dashboard",
+)
+def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import snapshot_diff_counts as diff_counts
+    from ..operators.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    edited = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", fingerprint(edited).alias("fp")
+    )
+    return diff_counts(old, new)

@@ -128,3 +128,54 @@ def test_curation_pipeline_is_not_degenerate(spark):
     )
     assert n >= corpus_n * 0.1, f"pipeline degenerate: {n}/{corpus_n} rows"
     assert n < corpus_n, "pipeline filtered nothing"
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            snapshot_diff,
+            snapshot_diff_counts,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, fp string"
+        )
+        status = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert status == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+        counts = {
+            r["status"]: r["n"] for r in snapshot_diff_counts(old, new).collect()
+        }
+        assert counts == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+    def test_diff_joins_narrow_on_id(self, spark):
+        """The fingerprint is computed scan-side and the join exchanges
+        partition on the id: each Exchange's immediate child Project
+        emits exactly the two narrow columns (id, fp-alias), never the
+        text payload — shipping text would defeat the design at 100 TB."""
+        import re
+
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            snapshot_diff,
+        )
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            fingerprint,
+        )
+        import pyspark.sql.functions as F
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        snap = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        plan = snapshot_diff(snap, snap)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(id#" in plan
+        # every exchange child projects 2 columns: [id, __ofp/__nfp]
+        for m in re.finditer(r"Exchange hashpartitioning\(id#\d+", plan):
+            tail = plan[m.end():]
+            proj = re.search(r"Project \[([^\]]*)\]", tail)
+            assert proj is not None
+            # exactly two top-level output aliases: id and the fp column
+            # (text#N may appear INSIDE the md5 expression — that's the
+            # scan-side compute; it must not be an output of its own)
+            assert proj.group(1).count(" AS ") == 2, proj.group(1)
+            assert re.search(r"AS (__ofp|__nfp)#\d+\]?$", proj.group(1)), proj.group(1)
