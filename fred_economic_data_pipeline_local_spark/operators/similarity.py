@@ -570,10 +570,13 @@ def kmeans_assign_report(
     squared L2, computed as dot(a,a) - 2·dot(a,s) + dot(s,s) so each
     side's self-dot is one fold and the expression order is mirrorable
     in SQL. The k-row seed table broadcasts, so every seed row for a
-    vector is partition-local and the argmin is a hash aggregate
-    (min_by with a (sqdist, seed_id) struct tiebreak — no sort, full
-    map-side partial aggregation, one narrow (vid, cluster, sqdist) row
-    per vector shuffled). Lloyd refinement lives in ``ivf_assign``;
+    vector is partition-local and the argmin is a min_by aggregate with
+    a (sqdist, seed_id) struct tiebreak. The struct ordering makes Spark
+    plan it as a partial+final SortAggregate rather than a hash
+    aggregate — the partial still completes map-side (the broadcast
+    keeps all k rows of a vector in one partition), so the one exchange
+    carries a single narrow (vid, cluster, sqdist) row per vector; no
+    Window node anywhere (pinned). Lloyd refinement lives in ``ivf_assign``;
     this operator is the assignment/report step a curation pipeline
     runs against FIXED centroids (cluster balance, inertia drift
     between snapshots).

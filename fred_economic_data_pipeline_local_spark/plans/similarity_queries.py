@@ -422,8 +422,9 @@ SELECT seed_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
 FROM a GROUP BY seed_id
 """,
     description="fixed-centroid k-means assignment report: k lowest-id "
-    "seeds broadcast, argmin via min_by hash aggregate (no sort, map-side "
-    "combine), per-cluster membership + inertia — the cluster-balance / "
+    "seeds broadcast, argmin via a min_by aggregate whose partial completes "
+    "map-side (one narrow row per vector shuffled, no Window node), "
+    "per-cluster membership + inertia — the cluster-balance / "
     "drift monitor a curation pipeline runs between snapshots",
 )
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

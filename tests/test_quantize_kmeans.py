@@ -126,8 +126,9 @@ class TestKmeansAssign:
         assert rep[1]["n_members"] == 2  # vec 1 and 3
 
     def test_no_sort_window_in_plan(self, spark):
-        """The argmin is a min_by hash aggregate: a sort-based Window in
-        the plan would mean the narrow-shuffle design regressed."""
+        """The argmin is a min_by aggregate (partial completes map-side):
+        a Window node in the plan would mean the narrow-shuffle design
+        regressed to a sort-the-world row_number formulation."""
         plan = kmeans_assign_report(_emb(spark), k=8)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "BroadcastNestedLoopJoin" in plan  # k-row broadcast seeds
