@@ -478,3 +478,38 @@ def snapshot_diff_counts(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def split_leakage_audit(
+    assignments: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup groups that span train/val/test splits — the
+    contamination audit run after any split assignment.
+
+    A deterministic hash split (``assign_split``) keys on the doc id,
+    so two NEAR-duplicate documents (different ids, same content) can
+    legally land in different splits — which silently leaks training
+    data into test. This audit joins the split assignment onto the
+    near-dup component labels and reports every component whose members
+    straddle more than one split. ``components`` is (id, component) from
+    ``neardup_components`` / ``incremental_components`` — already
+    restricted to non-singleton groups, which are exactly the leakage
+    candidates.
+
+    Scale shape: both inputs are narrow (id, label) tables; the join
+    shuffles on the id, the audit aggregate on the component — no text,
+    no vectors, no window. Output: (component, n_docs, n_splits,
+    splits) for leaking components only, splits as a sorted CSV so the
+    row is engine-stable.
+    """
+    j = components.join(
+        assignments.select(F.col(id_col).alias("id"), "split"), "id"
+    )
+    per = j.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("split").alias("n_splits"),
+        F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+    )
+    return per.where(F.col("n_splits") > 1)

@@ -663,3 +663,81 @@ def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", fingerprint(edited).alias("fp")
     )
     return diff_counts(old, new)
+
+
+_LEAK_SHINGLES = """
+list_distinct(list_transform(
+  generate_series(0, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 0)),
+  i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[i+1:i+2], ' ')
+))
+"""
+
+
+@query(
+    "curation_split_leakage",
+    oracle=f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' v2', source
+  FROM documents WHERE doc_id % 50 = 0
+),
+sh AS (
+  SELECT doc_id AS id, source AS block, {_LEAK_SHINGLES} AS s FROM corpus
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+sp AS (
+  SELECT doc_id AS id,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+),
+agg AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+         array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+  FROM comp JOIN sp USING (id)
+  GROUP BY component
+)
+SELECT * FROM agg WHERE n_splits > 1
+""",
+    description="split-contamination audit over a simulated re-crawl "
+    "(every 50th doc re-ingested under a new id with edited text — the "
+    "exact mechanism that defeats id-hash splits): near-dup components "
+    "(2-gram Jaccard >= 0.5) joined onto the deterministic md5 "
+    "train/val/test assignment; every component straddling splits is a "
+    "test-set leak. Narrow (id, label) joins only, no text shuffled",
+)
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import assign_split, split_leakage_audit
+    from ..operators.dedup import neardup_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source"
+    )
+    recrawl = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "source",
+    )
+    corpus = docs.unionByName(recrawl)
+    pairs = ngram_jaccard_pairs(corpus, shingle_k=2, threshold=0.5)
+    comps = neardup_components(pairs)
+    return split_leakage_audit(assign_split(corpus), comps)

@@ -156,6 +156,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_topk_ngrams",
     "text_compression_ratio",
     "snapshot_diff_counts",
+    "curation_split_leakage",
     # --- curation, recently re-verified (moved below the prefix window
     # to make room for the winnowing family; all hash-green last check) ---
     "sample_temperature_mix",

@@ -179,3 +179,41 @@ class TestSnapshotDiff:
             # scan-side compute; it must not be an output of its own)
             assert proj.group(1).count(" AS ") == 2, proj.group(1)
             assert re.search(r"AS (__ofp|__nfp)#\d+\]?$", proj.group(1)), proj.group(1)
+
+
+class TestSplitLeakage:
+    def test_only_straddling_components_reported(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            split_leakage_audit,
+        )
+
+        comps = spark.createDataFrame(
+            [(1, 100), (2, 100), (3, 200), (4, 200), (5, 300), (6, 300)],
+            "id long, component long",
+        )
+        splits = spark.createDataFrame(
+            [
+                (1, "train"), (2, "test"),            # leak: train+test
+                (3, "train"), (4, "train"),           # clean
+                (5, "val"), (6, "test"),              # leak: test+val
+            ],
+            "doc_id long, split string",
+        )
+        rows = {r["component"]: r for r in split_leakage_audit(splits, comps).collect()}
+        assert set(rows) == {100, 300}
+        assert rows[100]["splits"] == "test,train"
+        assert rows[100]["n_docs"] == 2 and rows[100]["n_splits"] == 2
+        assert rows[300]["splits"] == "test,val"
+
+    def test_members_missing_assignment_are_ignored(self, spark):
+        """An inner join: a component member absent from the assignment
+        table (e.g. gated out before splitting) can't leak."""
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            split_leakage_audit,
+        )
+
+        comps = spark.createDataFrame(
+            [(1, 100), (2, 100)], "id long, component long"
+        )
+        splits = spark.createDataFrame([(1, "train")], "doc_id long, split string")
+        assert split_leakage_audit(splits, comps).count() == 0
