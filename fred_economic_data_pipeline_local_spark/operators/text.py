@@ -607,3 +607,44 @@ def compression_ratio(
             )
 
     return src.mapInPandas(_deflate, out_schema)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k vocabulary with cumulative corpus coverage — the Zipf curve
+    a tokenizer-vocab decision reads ("the top N tokens cover X% of the
+    corpus").
+
+    Plan shape: explode -> one map-combined count shuffle on the token
+    (the same single-exchange scan ``topk_ngrams`` does) -> TakeOrdered
+    cuts to k rows BEFORE any window, so the running-sum window runs
+    over k rows, not the vocabulary — a global sort of the full vocab
+    never happens. The corpus-total token count joins as a 1-row
+    broadcast. Ties broken by token ascending everywhere.
+    Returns (rank, token, freq, share, cum_share) — doubles 6 dp.
+    """
+    ex = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    counts = (
+        ex.where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("__N"))
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "freq",
+            F.round(F.col("freq") / F.col("__N"), 6).alias("share"),
+            F.round(F.sum("freq").over(wsum) / F.col("__N"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )

@@ -789,3 +789,34 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return compression_ratio(docs)
+
+
+_VOCAB_K = 20
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH ex AS (
+  SELECT unnest({_LTOKS_SQL}) AS token FROM documents
+),
+v AS (SELECT token, count(*) AS freq FROM ex WHERE token <> '' GROUP BY token),
+t AS (SELECT sum(freq) AS n FROM v),
+tk AS (SELECT token, freq FROM v ORDER BY freq DESC, token LIMIT {_VOCAB_K})
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INTEGER) AS rank,
+       token, freq,
+       round(freq / (SELECT n FROM t), 6) AS share,
+       round(sum(freq) OVER (ORDER BY freq DESC, token
+                             ROWS UNBOUNDED PRECEDING)
+             / (SELECT n FROM t), 6) AS cum_share
+FROM tk
+""",
+    description="Zipf coverage curve: top-20 tokens with per-token and "
+    "cumulative corpus share — TakeOrdered cuts to k rows before the "
+    "running-sum window, so the full vocabulary is never globally sorted",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import vocab_coverage
+
+    docs = load_table(spark, "documents", sf_dir)
+    return vocab_coverage(docs, k=_VOCAB_K)

@@ -154,6 +154,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # rows inside it; these are oracle-backed for the local mirror) ---
     "text_tfidf_top_terms",
     "text_topk_ngrams",
+    "text_vocab_coverage",
     "text_compression_ratio",
     "snapshot_diff_counts",
     "curation_split_leakage",

@@ -369,3 +369,44 @@ def test_profile_columns_matches_python_reference(spark, nums, strs):
         else:
             assert got[name]["min_value"] is None
             assert got[name]["max_value"] is None
+
+
+# --- int8 quantizer vs pure-Python reference ---------------------------------
+
+_vec = st.lists(
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(vecs=st.lists(_vec, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_quantize_int8_matches_pure_python(spark, vecs):
+    """quantize_int8_stats == the same arithmetic in plain Python on
+    arbitrary float32 vectors (zero vectors, negatives, tiny scales):
+    same scale, same code mass, same worst error — Catalyst's fold order
+    and floor(x/scale + 0.5) must be bit-identical to the scalar loop."""
+    import math
+
+    from fred_economic_data_pipeline_local_spark.operators.similarity import (
+        quantize_int8_stats,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: r for r in quantize_int8_stats(df).collect()}
+
+    for i, v in rows:
+        # mirror the operator's cast: float32 storage -> double math
+        dv = [float(pd.Series([x], dtype="float32").iloc[0]) for x in v]
+        maxabs = max(abs(x) for x in dv)
+        scale = maxabs / 127.0
+        codes = [
+            0 if scale == 0 else int(math.floor(x / scale + 0.5)) for x in dv
+        ]
+        err = max(abs(x - c * scale) for x, c in zip(dv, codes))
+        assert got[i]["n_dims"] == len(v)
+        assert got[i]["scale"] == round(scale, 6)
+        assert got[i]["sum_codes"] == sum(codes)
+        assert got[i]["max_abs_err"] == round(err, 6)
