@@ -58,6 +58,8 @@ HEADLINE = [
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "text_token_counts",
+    "text_tfidf_top_terms",
+    "snapshot_diff_counts",
     "multimodal_decode_meta",
     "decontam_ngram_hits",
     "embedding_centroid_prune",

@@ -452,12 +452,26 @@ def snapshot_diff(
     ``operators.text.fingerprint`` or any stable content hash.
     Returns (id, status).
     """
-    o = old.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__ofp"))
-    n = new.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__nfp"))
+    # presence is tracked with explicit markers, NOT fingerprint
+    # nullness: a null-text row (null fp) present in both snapshots must
+    # compare as present, and the fp inequality below is deliberately
+    # null-propagating (one null fp -> no 'changed' verdict -> falls to
+    # 'unchanged'), mirroring SQL <> semantics so the DuckDB oracle and
+    # this plan agree on every null combination
+    o = old.select(
+        F.col(id_col).alias("id"),
+        F.lit(True).alias("__in_old"),
+        F.col(fp_col).alias("__ofp"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"),
+        F.lit(True).alias("__in_new"),
+        F.col(fp_col).alias("__nfp"),
+    )
     j = o.join(n, "id", "full_outer")
     status = (
-        F.when(F.col("__ofp").isNull(), F.lit("added"))
-        .when(F.col("__nfp").isNull(), F.lit("removed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
         .when(F.col("__ofp") != F.col("__nfp"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )

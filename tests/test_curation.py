@@ -174,10 +174,12 @@ class TestSnapshotDiff:
             tail = plan[m.end():]
             proj = re.search(r"Project \[([^\]]*)\]", tail)
             assert proj is not None
-            # exactly two top-level output aliases: id and the fp column
-            # (text#N may appear INSIDE the md5 expression — that's the
-            # scan-side compute; it must not be an output of its own)
-            assert proj.group(1).count(" AS ") == 2, proj.group(1)
+            # exactly three top-level output aliases: id, the 1-byte
+            # presence marker, and the fp column (text#N may appear
+            # INSIDE the md5 expression — that's the scan-side compute;
+            # it must not be an output of its own)
+            assert proj.group(1).count(" AS ") == 3, proj.group(1)
+            assert " AS __in_" in proj.group(1)
             assert re.search(r"AS (__ofp|__nfp)#\d+\]?$", proj.group(1)), proj.group(1)
 
 
@@ -217,3 +219,21 @@ class TestSplitLeakage:
         )
         splits = spark.createDataFrame([(1, "train")], "doc_id long, split string")
         assert split_leakage_audit(splits, comps).count() == 0
+
+    def test_null_fingerprints_follow_sql_semantics(self, spark):
+        """Presence comes from row existence, not fp nullness: a null-fp
+        row in both snapshots is 'unchanged' (SQL <> null-propagation),
+        never 'added'."""
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "doc_id long, fp string"
+        )
+        new = spark.createDataFrame(
+            [(1, None), (2, "y"), (3, None)], "doc_id long, fp string"
+        )
+        status = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        # null <> null -> no verdict -> unchanged; null <> 'y' likewise
+        assert status == {1: "unchanged", 2: "unchanged", 3: "unchanged"}
