@@ -183,6 +183,24 @@ class TestSnapshotDiff:
             assert re.search(r"AS (__ofp|__nfp)#\d+\]?$", proj.group(1)), proj.group(1)
 
 
+    def test_null_fingerprints_follow_sql_semantics(self, spark):
+        """Presence comes from row existence, not fp nullness: a null-fp
+        row in both snapshots is 'unchanged' (SQL <> null-propagation),
+        never 'added'."""
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "doc_id long, fp string"
+        )
+        new = spark.createDataFrame(
+            [(1, None), (2, "y"), (3, None)], "doc_id long, fp string"
+        )
+        status = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        # null <> null -> no verdict -> unchanged; null <> 'y' likewise
+        assert status == {1: "unchanged", 2: "unchanged", 3: "unchanged"}
+
 class TestSplitLeakage:
     def test_only_straddling_components_reported(self, spark):
         from fred_economic_data_pipeline_local_spark.operators.curation import (
@@ -219,21 +237,3 @@ class TestSplitLeakage:
         )
         splits = spark.createDataFrame([(1, "train")], "doc_id long, split string")
         assert split_leakage_audit(splits, comps).count() == 0
-
-    def test_null_fingerprints_follow_sql_semantics(self, spark):
-        """Presence comes from row existence, not fp nullness: a null-fp
-        row in both snapshots is 'unchanged' (SQL <> null-propagation),
-        never 'added'."""
-        from fred_economic_data_pipeline_local_spark.operators.curation import (
-            snapshot_diff,
-        )
-
-        old = spark.createDataFrame(
-            [(1, None), (2, None), (3, "x")], "doc_id long, fp string"
-        )
-        new = spark.createDataFrame(
-            [(1, None), (2, "y"), (3, None)], "doc_id long, fp string"
-        )
-        status = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
-        # null <> null -> no verdict -> unchanged; null <> 'y' likewise
-        assert status == {1: "unchanged", 2: "unchanged", 3: "unchanged"}
