@@ -167,13 +167,18 @@ class TestSnapshotDiff:
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         snap = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-        plan = snapshot_diff(snap, snap)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning(id#" in plan
-        # every exchange child projects 2 columns: [id, __ofp/__nfp]
-        for m in re.finditer(r"Exchange hashpartitioning\(id#\d+", plan):
-            tail = plan[m.end():]
-            proj = re.search(r"Project \[([^\]]*)\]", tail)
-            assert proj is not None
+        new = docs.where(F.col("doc_id") % 5 != 0).select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        )
+        plan = snapshot_diff(snap, new)._jdf.queryExecution().executedPlan().toString()
+        matches = list(re.finditer(r"Exchange hashpartitioning\(id#\d+", plan))
+        assert matches
+        checked = 0
+        for m in matches:
+            proj = re.search(r"Project \[([^\]]*)\]", plan[m.end():])
+            if proj is None:
+                # a ReusedExchange reference prints without its subtree
+                continue
             # exactly three top-level output aliases: id, the 1-byte
             # presence marker, and the fp column (text#N may appear
             # INSIDE the md5 expression — that's the scan-side compute;
@@ -181,6 +186,8 @@ class TestSnapshotDiff:
             assert proj.group(1).count(" AS ") == 3, proj.group(1)
             assert " AS __in_" in proj.group(1)
             assert re.search(r"AS (__ofp|__nfp)#\d+\]?$", proj.group(1)), proj.group(1)
+            checked += 1
+        assert checked >= 1
 
 
     def test_null_fingerprints_follow_sql_semantics(self, spark):
