@@ -527,3 +527,45 @@ def split_leakage_audit(
         F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
     )
     return per.where(F.col("n_splits") > 1)
+
+
+def shuffle_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic distributed corpus shuffle: (bucket, pos) per doc.
+
+    Training-order randomization at scale is NOT a global sort: the
+    scalable (and restart-stable) construction hashes each doc into one
+    of ``n_buckets`` shuffle shards and orders within the shard by a
+    second hash — readers then concatenate shards. Both coordinates are
+    md5-derived (like ``assign_split``/``hash_sample``): a pure function
+    of (seed, id) any engine reproduces bit-for-bit, so a re-run, a
+    retried task, or a different engine yields the identical order —
+    rand() would reshuffle on every retry, which silently breaks
+    data-order reproducibility claims in training logs.
+
+    Plan shape: one narrow projection + one hash exchange on the bucket
+    + per-bucket sort for the row_number — no global sort, no
+    single-partition window; bucket count scales with the cluster.
+    Ties cannot occur (the tiebreak includes the unique id). Returns
+    (id, bucket, pos) with pos dense 1..|bucket|.
+    """
+    sid = F.col(id_col).cast("string")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.lit(":b:"), sid)), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets
+    ).cast("int")
+    order_key = F.md5(F.concat(F.lit(seed), F.lit(":o:"), sid))
+    w = Window.partitionBy("bucket").orderBy("order_key", "id")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            bucket.alias("bucket"),
+            order_key.alias("order_key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("id", "bucket", "pos")
+    )

@@ -741,3 +741,36 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(corpus, shingle_k=2, threshold=0.5)
     comps = neardup_components(pairs)
     return split_leakage_audit(assign_split(corpus), comps)
+
+
+_SHUF_B = (
+    "CAST(CONCAT('0x', substr(md5('s0:b:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 16"
+)
+
+
+@query(
+    "curation_shuffle_assignment",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id AS id,
+         CAST({_SHUF_B} AS INTEGER) AS bucket,
+         md5('s0:o:' || CAST(doc_id AS VARCHAR)) AS order_key
+  FROM documents
+)
+SELECT id, bucket,
+       CAST(row_number() OVER (PARTITION BY bucket
+                               ORDER BY order_key, id) AS INTEGER) AS pos
+FROM s
+""",
+    description="deterministic distributed corpus shuffle: md5 hash into "
+    "16 shuffle shards + md5 in-shard order — training-order "
+    "randomization WITHOUT a global sort (one bucket exchange, per-bucket "
+    "sort), reproducible bit-for-bit across runs/retries/engines where "
+    "rand() would reshuffle on every retry",
+)
+def curation_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import shuffle_assignment
+
+    docs = load_table(spark, "documents", sf_dir)
+    return shuffle_assignment(docs, n_buckets=16, seed="s0")

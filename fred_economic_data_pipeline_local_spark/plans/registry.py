@@ -158,6 +158,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_compression_ratio",
     "snapshot_diff_counts",
     "curation_split_leakage",
+    "curation_shuffle_assignment",
     # --- curation, recently re-verified (moved below the prefix window
     # to make room for the winnowing family; all hash-green last check) ---
     "sample_temperature_mix",

@@ -244,3 +244,33 @@ class TestSplitLeakage:
         )
         splits = spark.createDataFrame([(1, "train")], "doc_id long, split string")
         assert split_leakage_audit(splits, comps).count() == 0
+
+
+class TestShuffleAssignment:
+    def test_deterministic_total_and_dense(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            shuffle_assignment,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR)
+        a = shuffle_assignment(docs, n_buckets=8, seed="s1")
+        b = shuffle_assignment(docs, n_buckets=8, seed="s1")
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb                      # bit-reproducible
+        assert len(ra) == docs.count()       # total: every doc placed once
+        per = {}
+        for _id, bucket, pos in ra:
+            per.setdefault(bucket, []).append(pos)
+        for bucket, poss in per.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1))  # dense
+
+    def test_seed_changes_the_order(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            shuffle_assignment,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR)
+        a = {r["id"]: (r["bucket"], r["pos"]) for r in shuffle_assignment(docs, seed="s1").collect()}
+        b = {r["id"]: (r["bucket"], r["pos"]) for r in shuffle_assignment(docs, seed="s2").collect()}
+        assert a != b
