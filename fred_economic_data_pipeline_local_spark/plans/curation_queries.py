@@ -774,3 +774,27 @@ def curation_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return shuffle_assignment(docs, n_buckets=16, seed="s0")
+
+
+@query(
+    "profile_incremental_documents",
+    oracle=None,  # the HLL sketch binary has no SQL mirror; the merge's
+    # defining property (union of per-snapshot sketches tracks the
+    # direct sketch of the union within 1%, estimates within 2% of
+    # exact distincts) is pinned in tests/test_profile.py
+    description="O(delta) profile maintenance: per-snapshot mergeable "
+    "column profiles (counts + Datasketches HLL per column) unioned "
+    "into the corpus profile without re-scanning the accumulated "
+    "corpus — the statistics-side counterpart of the incremental "
+    "dedup indexes; merge input is #snapshots x #columns tiny rows",
+)
+def profile_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import merge_sketch_profiles, sketch_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    return merge_sketch_profiles(
+        sketch_profile(old, cols), sketch_profile(new, cols)
+    )

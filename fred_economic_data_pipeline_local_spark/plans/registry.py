@@ -159,6 +159,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "snapshot_diff_counts",
     "curation_split_leakage",
     "curation_shuffle_assignment",
+    # rows-only (HLL binary has no SQL mirror) — must stay OUT of the
+    # verified prefix, which is kept 100% oracle-backed
+    "profile_incremental_documents",
     # --- curation, recently re-verified (moved below the prefix window
     # to make room for the winnowing family; all hash-green last check) ---
     "sample_temperature_mix",

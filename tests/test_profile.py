@@ -2,9 +2,13 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from fred_economic_data_pipeline_local_spark.operators.profile import (
     profile_columns,
 )
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def _rows(df):
@@ -83,3 +87,55 @@ def test_profile_drift_alerts(spark):
     assert d["gone"]["alert_schema"] and d["gone"]["n_rows_curr"] is None
     assert d["gone"]["alert_nulls"] is False
     assert not d["a"]["alert_schema"] and not d["b"]["alert_schema"]
+
+
+class TestSketchProfile:
+    def test_merge_tracks_direct_sketch_of_union(self, spark):
+        """The defining property: union of per-snapshot sketches carries
+        the information of sketching the union directly. Estimates are
+        NOT bit-equal (the union gadget estimates from HLL_8 registers;
+        a direct sketch may estimate from a sparser mode), so the pin is
+        1% — far inside the gap any real drift would show."""
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            merge_sketch_profiles,
+            sketch_profile,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        cols = ["lang", "source", "doc_id"]
+        old = docs.where(F.col("doc_id") % 5 != 0)
+        new = docs.where(F.col("doc_id") % 5 == 0)
+        merged = {
+            r["col_name"]: r
+            for r in merge_sketch_profiles(
+                sketch_profile(old, cols), sketch_profile(new, cols)
+            ).collect()
+        }
+        direct = {
+            r["col_name"]: r
+            for r in merge_sketch_profiles(sketch_profile(docs, cols)).collect()
+        }
+        assert set(merged) == set(cols)
+        for c in cols:
+            assert merged[c]["n_rows"] == direct[c]["n_rows"] == docs.count()
+            assert merged[c]["n_nulls"] == direct[c]["n_nulls"]
+            m, d = merged[c]["n_distinct_est"], direct[c]["n_distinct_est"]
+            assert abs(m - d) <= max(1, 0.01 * d), (c, m, d)
+
+    def test_estimates_track_exact_distincts(self, spark):
+        """At fixture cardinalities (<= 500) lg_k=12 HLL is exact-ish:
+        within 2% of the true distinct count per column."""
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            merge_sketch_profiles,
+            sketch_profile,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        cols = ["lang", "source", "doc_id"]
+        est = {
+            r["col_name"]: r["n_distinct_est"]
+            for r in merge_sketch_profiles(sketch_profile(docs, cols)).collect()
+        }
+        for c in cols:
+            exact = docs.select(c).distinct().count()
+            assert abs(est[c] - exact) <= max(1, exact * 0.02), (c, est[c], exact)
