@@ -820,3 +820,50 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return vocab_coverage(docs, k=_VOCAB_K)
+
+
+@query(
+    "quality_monitor_windows",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_minutes(CAST(doc_id AS INTEGER)) AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, ts, {_LTOKS_SQL} AS tk,
+         CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS DOUBLE) AS n_sym
+  FROM base
+),
+k AS (
+  SELECT source, ts,
+         (CAST(len(tk) AS DOUBLE) >= 20 AND CAST(len(tk) AS DOUBLE) <= 100000
+          AND CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+              / greatest(CAST(len(tk) AS DOUBLE), 1.0) BETWEEN 3.0 AND 10.0
+          AND n_sym / greatest(CAST(len(tk) AS DOUBLE), 1.0) <= 0.1
+          AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              / greatest(CAST(len(tk) AS DOUBLE), 1.0) >= 0.8
+          AND len(list_filter(tk, x -> list_contains({_GOPHER_STOP}, x))) >= 2
+         ) AS keep
+  FROM m
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS keep_rate
+FROM k GROUP BY 1, 2
+""",
+    description="windowed ingest-quality monitor (batch form of the "
+    "watermarked stream in streaming/monitor.py): per-(hour window, "
+    "source) Gopher keep rates over synthetic ingest time — the "
+    "keep-rate-drop alert a crawler dashboard fires on; stream/batch "
+    "equivalence pinned in tests/test_streaming.py",
+)
+def quality_monitor_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.monitor import ingest_time, quality_monitor
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_monitor(ingest_time(docs))

@@ -159,6 +159,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "snapshot_diff_counts",
     "curation_split_leakage",
     "curation_shuffle_assignment",
+    "quality_monitor_windows",
     # rows-only (HLL binary has no SQL mirror) — must stay OUT of the
     # verified prefix, which is kept 100% oracle-backed
     "profile_incremental_documents",

@@ -226,3 +226,23 @@ def test_stream_ingest_dedup_matches_incremental_batch(spark, tmp_path):
     assert streamed.count() == 2  # "fresh one" once, "fresh two"
     # batch frames run the identical plan (left outer + filter == anti)
     assert fp(stream_ingest_dedup(incoming, index)) == fp(batch_kept)
+
+
+def test_quality_monitor_stream_matches_batch(spark):
+    """The watermarked windowed Gopher keep-rate monitor is the same
+    computation on a stream and a batch frame (stream/batch
+    unification) — and it must produce non-trivial windows."""
+    from fred_economic_data_pipeline_local_spark.streaming.monitor import (
+        ingest_time,
+        quality_monitor,
+        stream_documents,
+    )
+
+    batch = quality_monitor(ingest_time(load_table(spark, "documents", SF_DIR)))
+    streamed = run_available_now(
+        quality_monitor(ingest_time(stream_documents(spark, SF_DIR))),
+        "t_quality_monitor",
+    )
+    cols = ["window_start", "source", "n_docs", "n_keep", "keep_rate"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() > 1
