@@ -24,6 +24,12 @@ AQE_SLICE = [
     "window_rank_customers",
     "dedup_ngram_components",
     "skew_salted_join_revenue",
+    # round-5 physical shapes: windowed top-k over a self-referential
+    # aggregate pair (tf/df), full-outer narrow diff join, min_by
+    # argmin under a k-row broadcast
+    "text_tfidf_top_terms",
+    "snapshot_diff_counts",
+    "embedding_kmeans_assign",
 ]
 
 
