@@ -648,3 +648,134 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def _java_regex_quote(s: str) -> str:
+    """Escape a literal for Java regex (pattern position)."""
+    return "".join(ch if ch.isalnum() else "\\" + ch for ch in s)
+
+
+def _java_repl_quote(s: str) -> str:
+    """Escape a literal for Java regex replacement position ($ and backslash)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_freq: int = 2,
+):
+    """Learn the top-``n_merges`` BPE merges over the corpus.
+
+    Byte-pair-encoding vocabulary induction as iterative Spark jobs --
+    the real construction behind "train a tokenizer on the corpus". The
+    loop state is the DISTINCT-WORD table (word, frequency, symbols):
+    Zipf-bounded, so each round's pair count aggregates a
+    vocabulary-sized table no matter how large the corpus is -- the
+    corpus is scanned exactly once, up front. Per round:
+
+    1. count adjacent symbol pairs weighted by word frequency
+       (explode -> one map-combined shuffle on the (a, b) pair);
+    2. pick the argmax (ties broken by (a, b) ascending -- the
+       deterministic tie policy a reproducible tokenizer needs); the
+       single-row collect is a model/control-flow decision like the
+       Lloyd-iteration centroid state, not a data-path collect;
+    3. apply the merge to every word via one regexp_replace (greedy
+       non-overlapping left-to-right -- Java regex and the classic BPE
+       scan agree, pinned against a pure-Python reference in
+       ``tests/test_text_ops.py``), then localCheckpoint the small
+       vocab table so round k+1 does not replay rounds 1..k.
+
+    Stops early when the best pair's frequency drops below
+    ``min_freq``. Returns (merges, vocab): ``merges`` a list of
+    (left, right, freq) in rank order, ``vocab`` the final symbolized
+    distinct-word DataFrame (w, wf, sym).
+    """
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    # "hello" -> "h e l l o": split into chars, join with single spaces
+    vocab = words.withColumn(
+        "sym", F.array_join(F.split(F.col("w"), ""), " ")
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split(F.col("sym"), " ")
+        n = F.size(syms)
+        pairs = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.element_at(syms, i.cast("int")).alias("a"),
+                    F.element_at(syms, (i + 1).cast("int")).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            vocab.select(F.explode(pairs).alias("p"), "wf")
+            .groupBy("p")
+            .agg(F.sum("wf").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_freq:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b, int(top[0]["n"])))
+        pat = (
+            "(?<=^|\\s)" + _java_regex_quote(a) + " "
+            + _java_regex_quote(b) + "(?=\\s|$)"
+        )
+        vocab = vocab.withColumn(
+            "sym", F.regexp_replace("sym", pat, _java_repl_quote(a + b))
+        ).localCheckpoint()
+    return merges, vocab
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge list: (id, n_words, n_bpe_tokens).
+
+    Applying k merges is k chained regexp_replace expressions over the
+    spaced-symbol form of each word -- one projection, no loop state,
+    no Python: the merge list is baked into the plan the way the
+    quality-classifier weights are. Token count = symbols remaining
+    after all merges; merges never cross word boundaries because each
+    word is symbolized independently.
+    """
+
+    def apply_merges(sym: Column) -> Column:
+        out = sym
+        for a, b, _ in merges:
+            pat = (
+                "(?<=^|\\s)" + _java_regex_quote(a) + " "
+                + _java_regex_quote(b) + "(?=\\s|$)"
+            )
+            out = F.regexp_replace(out, F.lit(pat), F.lit(_java_repl_quote(a + b)))
+        return out
+
+    word_syms = F.transform(
+        tokens(F.lower(F.col(text_col))),
+        lambda w: F.array_join(F.split(w, ""), " "),
+    )
+    n_bpe = F.aggregate(
+        F.transform(word_syms, lambda s: F.size(F.split(apply_merges(s), " "))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+    )

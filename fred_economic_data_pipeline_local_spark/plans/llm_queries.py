@@ -867,3 +867,26 @@ def quality_monitor_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return quality_monitor(ingest_time(docs))
+
+
+@query(
+    "text_bpe_merges",
+    oracle=None,  # iterative argmax loop — not SQL-expressible; the
+    # distributed implementation is pinned merge-for-merge against a
+    # pure-Python sequential BPE on the fixture corpus in
+    # tests/test_text_ops.py::TestBpe
+    description="BPE tokenizer-vocabulary induction: top-8 merges "
+    "learned as iterative Spark jobs over the Zipf-bounded "
+    "distinct-word table (corpus scanned once; each round is one "
+    "map-combined pair-count shuffle + one regexp merge + checkpoint); "
+    "deterministic tie policy (freq desc, pair asc)",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges, _vocab = bpe_train(docs, n_merges=8, min_freq=2)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, freq long",
+    )

@@ -160,9 +160,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "curation_split_leakage",
     "curation_shuffle_assignment",
     "quality_monitor_windows",
-    # rows-only (HLL binary has no SQL mirror) — must stay OUT of the
-    # verified prefix, which is kept 100% oracle-backed
+    # rows-only r5 entries (iterative / library ops with no SQL mirror)
+    # — these stay OUT of the verified prefix, which is 100% oracle-backed
     "profile_incremental_documents",
+    "text_bpe_merges",
     # --- curation, recently re-verified (moved below the prefix window
     # to make room for the winnowing family; all hash-green last check) ---
     "sample_temperature_mix",

@@ -448,3 +448,89 @@ class TestCompressionRatio:
         )
         r = {x["id"]: x["ratio"] for x in compression_ratio(docs).collect()}
         assert r[1] < r[2] < r[3]
+
+
+
+class TestBpe:
+    @staticmethod
+    def _ref_bpe(texts, n_merges, min_freq):
+        """Classic sequential BPE: the independent reference."""
+        wf = {}
+        for t in texts:
+            for w in t.lower().strip().split():
+                if w:
+                    wf[w] = wf.get(w, 0) + 1
+        syms = {w: [c for c in w] for w in wf}
+        merges = []
+        for _ in range(n_merges):
+            pc = {}
+            for w, ss in syms.items():
+                for i in range(len(ss) - 1):
+                    pc[(ss[i], ss[i + 1])] = pc.get((ss[i], ss[i + 1]), 0) + wf[w]
+            if not pc:
+                break
+            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if n < min_freq:
+                break
+            merges.append((a, b, n))
+            for w, ss in syms.items():
+                out, i = [], 0
+                while i < len(ss):
+                    if i < len(ss) - 1 and ss[i] == a and ss[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(ss[i])
+                        i += 1
+                syms[w] = out
+        return merges, syms
+
+    def test_merges_match_pure_python_on_fixture(self, spark):
+        """Distributed pair-count + regexp merge == the classic
+        sequential algorithm, merge for merge (same pairs, same
+        frequencies, same order), on the real fixture corpus."""
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            bpe_train,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        texts = [r["text"] for r in docs.select("text").collect() if r["text"]]
+        want, _ = self._ref_bpe(texts, n_merges=8, min_freq=2)
+        got, _vocab = bpe_train(docs, n_merges=8, min_freq=2)
+        assert got == want
+
+    def test_tokenize_counts_match_reference_segmentation(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            bpe_tokenize,
+            bpe_train,
+        )
+
+        docs = _docs(
+            spark,
+            [(1, "low low low lower lower newest newest newest widest"),
+             (2, "low lowest newest widest widest")],
+        )
+        texts = [
+            "low low low lower lower newest newest newest widest",
+            "low lowest newest widest widest",
+        ]
+        merges, _ = bpe_train(docs, n_merges=6, min_freq=2)
+        _, syms = self._ref_bpe(texts, n_merges=6, min_freq=2)
+        got = {r["id"]: r for r in bpe_tokenize(docs, merges).collect()}
+        for i, t in enumerate(texts, start=1):
+            words = t.split()
+            want_tokens = sum(len(syms[w]) for w in words)
+            assert got[i]["n_words"] == len(words)
+            assert got[i]["n_bpe_tokens"] == want_tokens
+
+    def test_merge_is_greedy_left_nonoverlapping(self, spark):
+        """'a a a' under merge (a, a) must become 'aa a', not 'aa aa' --
+        the non-overlapping left-to-right scan both implementations use."""
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            bpe_tokenize,
+        )
+
+        docs = _docs(spark, [(1, "aaa aaa")])
+        out = bpe_tokenize(docs, [("a", "a", 99)]).collect()[0]
+        # each 'aaa' -> [aa, a] = 2 tokens
+        assert out["n_bpe_tokens"] == 4
