@@ -410,3 +410,72 @@ def test_quantize_int8_matches_pure_python(spark, vecs):
         assert got[i]["scale"] == round(scale, 6)
         assert got[i]["sum_codes"] == sum(codes)
         assert got[i]["max_abs_err"] == round(err, 6)
+
+
+
+# --- corpus statistics vs pure-Python references -----------------------------
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_topk_ngrams_matches_counter(spark, texts):
+    """Bigram counts == collections.Counter over the same tokenization,
+    including the (freq desc, ngram asc) cut order."""
+    from collections import Counter
+
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        topk_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = Counter()
+    for t in texts:
+        toks = t.lower().strip().split()
+        for i in range(len(toks) - 1):
+            want[toks[i] + " " + toks[i + 1]] += 1
+    got = [(r["ngram"], r["freq"]) for r in topk_ngrams(df, n=2, k=1000).collect()]
+    assert got == sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_tfidf_matches_pure_python(spark, texts):
+    """Per-doc tf-idf scores == the same arithmetic in plain Python
+    (raw tf, unsmoothed ln(N/df), 6 dp rounding, term-asc tiebreak)."""
+    import math
+    from collections import Counter
+
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_docs = len(texts)
+    tfs = {
+        i: Counter(w for w in t.lower().strip().split() if w)
+        for i, t in enumerate(texts)
+    }
+    dfreq = Counter()
+    for tf in tfs.values():
+        dfreq.update(tf.keys())
+    want = {}
+    for i, tf in tfs.items():
+        scored = [
+            (term, n, round(n * math.log(n_docs / dfreq[term]), 6))
+            for term, n in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        want[i] = scored[:5]
+    got = {}
+    for r in tfidf_top_terms(df, k=5).collect():
+        got.setdefault(r["id"], []).append((r["term"], r["tf"], r["tfidf"]))
+    for i in want:
+        got_sorted = sorted(got.get(i, []), key=lambda x: (-x[2], x[0]))
+        assert got_sorted == want[i], (i, got_sorted, want[i])
