@@ -505,6 +505,13 @@ def quantized_topk(
     Ties broken by neighbor id at both cuts. Recall < 1 only when a true
     neighbor's quantized rank falls past refine·k; tests pin recall@k
     against ``brute_force_topk``.
+
+    Like ``brute_force_topk``, per-pair scoring folds over the code
+    arrays — acceptable while the broadcast query set is bounded (the
+    fold count is |queries|·|corpus|, same as the exact baseline).
+    When the query side grows past broadcast size, the candidate phase
+    swaps to ``ivf_topk``'s exploded posexplode→groupBy-sum shape,
+    which keeps every multiply-add in whole-stage codegen.
     """
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
