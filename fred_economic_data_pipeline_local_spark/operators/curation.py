@@ -553,6 +553,8 @@ def shuffle_assignment(
     Ties cannot occur (the tiebreak includes the unique id). Returns
     (id, bucket, pos) with pos dense 1..|bucket|.
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     sid = F.col(id_col).cast("string")
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.lit(":b:"), sid)), 1, 8), 16, 10)

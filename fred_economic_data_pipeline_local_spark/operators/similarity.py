@@ -589,6 +589,8 @@ def kmeans_assign_report(
     between snapshots).
     Returns (cluster_id, n_members, avg_sqdist) — doubles 6 dp.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     c = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e"))
     seeds = (
         c.orderBy("vid")

@@ -692,6 +692,10 @@ def bpe_train(
     (left, right, freq) in rank order, ``vocab`` the final symbolized
     distinct-word DataFrame (w, wf, sym).
     """
+    if n_merges < 0 or min_freq < 1:
+        raise ValueError(
+            f"need n_merges >= 0 and min_freq >= 1, got {n_merges}, {min_freq}"
+        )
     words = (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
         .where(F.col("w") != "")

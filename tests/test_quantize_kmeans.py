@@ -132,3 +132,33 @@ class TestKmeansAssign:
         plan = kmeans_assign_report(_emb(spark), k=8)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "BroadcastNestedLoopJoin" in plan  # k-row broadcast seeds
+
+
+class TestValidation:
+    def test_rejects_bad_parameters(self, spark):
+        import pytest as _pt
+
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            shuffle_assignment,
+        )
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            bpe_train,
+        )
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            shuffle_assignment(docs, n_buckets=0)
+        with _pt.raises(ValueError):
+            kmeans_assign_report(_emb(spark), k=0)
+        with _pt.raises(ValueError):
+            bpe_train(docs, min_freq=0)
+
+    def test_bpe_empty_corpus_returns_no_merges(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            bpe_train,
+        )
+
+        docs = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+        merges, vocab = bpe_train(docs, n_merges=4)
+        assert merges == []
+        assert vocab.count() == 0
