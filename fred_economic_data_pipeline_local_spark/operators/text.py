@@ -783,3 +783,79 @@ def bpe_tokenize(
         F.size(tokens(F.lower(F.col(text_col)))).alias("n_words"),
         n_bpe.alias("n_bpe_tokens"),
     )
+
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM mean log-probability per doc.
+
+    The step up from ``unigram_logprob`` when the unigram screen is too
+    blunt: score_i = mean_t ln( lam*P(cur|prev) + (1-lam)*P(cur) ) with
+    corpus-estimated counts; a document's first token (no prev) scores
+    pure unigram. Word-salad documents share the unigram distribution
+    with clean prose but not the bigram transitions, which is exactly
+    the gap this screen measures.
+
+    Plan shape: (prev, cur) pairs are built JVM-side with a transform
+    over the token array (no window, no per-doc sort), then exploded;
+    the three count tables (bigram, unigram-as-prev, unigram) are
+    Zipf-bounded aggregates of that same exploded projection, joined
+    back on the token strings; N enters as a 1-row broadcast. At
+    100 TB: one explode-shuffle per count table, vocabulary-sized join
+    sides, per-doc avg on the id — the same narrow-key discipline as
+    tf-idf. Returns (id, n_tokens, logprob 6dp).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.struct(
+                F.when(i > 1, F.element_at(toks, (i - 1).cast("int"))).alias(
+                    "prev"
+                ),
+                F.element_at(toks, i.cast("int")).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p")).select(
+        "id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    uni = ex.groupBy("cur").agg(F.count(F.lit(1)).alias("cn")).select(
+        F.col("cur").alias("__u"), F.col("cn").alias("__cn")
+    )
+    prevn = ex.where(F.col("prev").isNotNull()).groupBy("prev").agg(
+        F.count(F.lit(1)).alias("pn")
+    ).select(F.col("prev").alias("__pw"), F.col("pn").alias("__pn"))
+    bi = ex.where(F.col("prev").isNotNull()).groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("bn")
+    ).select(
+        F.col("prev").alias("__bp"), F.col("cur").alias("__bc"),
+        F.col("bn").alias("__bn"),
+    )
+    total = uni.agg(F.sum("__cn").alias("__N"))
+    scored = (
+        ex.join(uni, ex.cur == F.col("__u"))
+        .join(prevn, ex.prev == F.col("__pw"), "left")
+        .join(
+            bi,
+            (ex.prev == F.col("__bp")) & (ex.cur == F.col("__bc")),
+            "left",
+        )
+        .join(F.broadcast(total))
+    )
+    p_uni = F.col("__cn") / F.col("__N")
+    p_bi = F.coalesce(F.col("__bn") / F.col("__pn"), F.lit(0.0))
+    lp = F.when(
+        F.col("prev").isNull(), F.log(p_uni)
+    ).otherwise(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni))
+    return scored.select("id", lp.alias("__lp")).groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("logprob"),
+    )

@@ -890,3 +890,42 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, freq long",
     )
+
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH t AS (SELECT doc_id AS id, {_LTOKS_SQL} AS tk FROM documents),
+ex AS (
+  SELECT id, CASE WHEN u.i > 1 THEN tk[u.i - 1] END AS prev, tk[u.i] AS cur
+  FROM t CROSS JOIN unnest(generate_series(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 1
+),
+uni AS (SELECT cur, count(*) AS cn FROM ex GROUP BY cur),
+pv AS (SELECT prev AS pw, count(*) AS pn FROM ex WHERE prev IS NOT NULL GROUP BY prev),
+bi AS (SELECT prev AS bp, cur AS bc, count(*) AS bn
+       FROM ex WHERE prev IS NOT NULL GROUP BY prev, cur),
+tot AS (SELECT sum(cn) AS n FROM uni)
+SELECT ex.id, CAST(count(*) AS INTEGER) AS n_tokens,
+       round(avg(CASE WHEN ex.prev IS NULL
+                      THEN ln(uni.cn / (SELECT n FROM tot))
+                      ELSE ln(0.7 * coalesce(bi.bn / pv.pn, 0.0)
+                              + 0.30000000000000004 * uni.cn / (SELECT n FROM tot))
+                 END), 6) AS logprob
+FROM ex
+JOIN uni ON ex.cur = uni.cur
+LEFT JOIN pv ON ex.prev = pv.pw
+LEFT JOIN bi ON ex.prev = bi.bp AND ex.cur = bi.bc
+GROUP BY ex.id
+""",
+    description="interpolated bigram-LM mean log-probability per doc "
+    "(lam=0.7): the transition-aware perplexity proxy that separates "
+    "word salad from prose sharing the same unigram distribution; "
+    "JVM-side pair build (no window), Zipf-bounded count-table joins",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_logprob
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bigram_logprob(docs, lam=0.7)

@@ -534,3 +534,36 @@ class TestBpe:
         out = bpe_tokenize(docs, [("a", "a", 99)]).collect()[0]
         # each 'aaa' -> [aa, a] = 2 tokens
         assert out["n_bpe_tokens"] == 4
+
+
+class TestBigramLogprob:
+    def test_word_salad_scores_below_prose_with_same_unigrams(self, spark):
+        """The screen's reason to exist: a scrambled doc shares the
+        unigram distribution with its source (unigram_logprob ties) but
+        not the transitions (bigram_logprob separates)."""
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            bigram_logprob,
+            unigram_logprob,
+        )
+
+        prose = "the cat sat on the mat"
+        salad = "mat the on sat cat the"  # same multiset of tokens
+        rows = [(i, prose) for i in range(8)] + [(99, salad)]
+        docs = _docs(spark, rows)
+        bi = {r["id"]: r["logprob"] for r in bigram_logprob(docs).collect()}
+        uni = {r["id"]: r["logprob"] for r in unigram_logprob(docs).collect()}
+        assert uni[99] == uni[0]          # unigram screen is blind
+        assert bi[99] < bi[0]             # bigram screen is not
+
+    def test_single_token_doc_scores_pure_unigram(self, spark):
+        import math
+
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            bigram_logprob,
+        )
+
+        docs = _docs(spark, [(1, "a a b"), (2, "b")])
+        # corpus tokens: a a b b -> N=4, c(b)=2; doc 2 = one token, no prev
+        out = {r["id"]: r for r in bigram_logprob(docs).collect()}
+        assert out[2]["n_tokens"] == 1
+        assert out[2]["logprob"] == pytest.approx(round(math.log(2 / 4), 6), abs=1e-9)
