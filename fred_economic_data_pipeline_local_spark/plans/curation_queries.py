@@ -798,3 +798,50 @@ def profile_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return merge_sketch_profiles(
         sketch_profile(old, cols), sketch_profile(new, cols)
     )
+
+
+@query(
+    "embedding_outlier_zscores",
+    oracle="""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT label,
+             unnest(generate_series(1, len(e))) AS i,
+             unnest(e) AS v
+      FROM c),
+cent AS (SELECT label, list(cv ORDER BY i) AS ce
+         FROM (SELECT label, i, avg(v) AS cv FROM d GROUP BY label, i)
+         GROUP BY label),
+cos AS (
+  SELECT c.vec_id, c.label,
+         round(list_dot_product(c.e, cent.ce) /
+               (sqrt(list_dot_product(c.e, c.e)) *
+                sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS cc
+  FROM c JOIN cent USING (label)
+),
+st AS (SELECT label, avg(cc) AS mu, stddev_samp(cc) AS sd
+       FROM cos GROUP BY label)
+SELECT cos.vec_id, cos.label,
+       round((cos.cc - st.mu) / st.sd, 6) AS z
+FROM cos JOIN st USING (label)
+""",
+    description="per-label outlier score: z-normalized cosine-to-centroid "
+    "(the normalized SemDeDup signal — comparable across labels with "
+    "different intra-class spreads); label-stats table is #labels rows, "
+    "broadcast back, no window",
+)
+def embedding_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import centroid_cosines
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cos = centroid_cosines(emb)
+    st = cos.groupBy(F.col("label").alias("__l")).agg(
+        F.avg("cos_centroid").alias("__mu"),
+        F.stddev_samp("cos_centroid").alias("__sd"),
+    )
+    return cos.join(F.broadcast(st), cos.label == F.col("__l")).select(
+        "vec_id",
+        "label",
+        F.round((F.col("cos_centroid") - F.col("__mu")) / F.col("__sd"), 6).alias(
+            "z"
+        ),
+    )

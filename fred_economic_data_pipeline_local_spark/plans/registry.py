@@ -167,6 +167,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # oracle-backed, added after the rows-only block formed; order here
     # is cosmetic (everything past position 50 is outside the window)
     "text_bigram_logprob",
+    "embedding_outlier_zscores",
     # --- curation, recently re-verified (moved below the prefix window
     # to make room for the winnowing family; all hash-green last check) ---
     "sample_temperature_mix",
