@@ -929,3 +929,21 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bigram_logprob(docs, lam=0.7)
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle=None,  # depends on the iteratively-learned merge list; the
+    # merge learning AND the greedy segmentation are pinned against the
+    # pure-Python reference in tests/test_text_ops.py::TestBpe
+    description="apply the corpus-learned BPE merges: per-doc whitespace "
+    "vs subword token counts — the learned-tokenizer upgrade of "
+    "text_token_counts' regex proxy; the merge list is baked into one "
+    "chained-regexp projection (no join, no Python)",
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_tokenize, bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges, _ = bpe_train(docs, n_merges=8, min_freq=2)
+    return bpe_tokenize(docs, merges)

@@ -164,6 +164,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # — these stay OUT of the verified prefix, which is 100% oracle-backed
     "profile_incremental_documents",
     "text_bpe_merges",
+    "text_bpe_token_counts",
     # oracle-backed, added after the rows-only block formed; order here
     # is cosmetic (everything past position 50 is outside the window)
     "text_bigram_logprob",
