@@ -59,6 +59,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_token_counts",
     "text_tfidf_top_terms",
+    "text_bigram_logprob",
     "snapshot_diff_counts",
     "multimodal_decode_meta",
     "decontam_ngram_hits",

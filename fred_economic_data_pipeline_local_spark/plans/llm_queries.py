@@ -947,3 +947,42 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     merges, _ = bpe_train(docs, n_merges=8, min_freq=2)
     return bpe_tokenize(docs, merges)
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang AS lang_actual,
+         {_marker_sql(LANG_MARKERS['en'])} AS score_en,
+         {_marker_sql(LANG_MARKERS['es'])} AS score_es,
+         {_marker_sql(LANG_MARKERS['de'])} AS score_de,
+         {_marker_sql(LANG_MARKERS['fr'])} AS score_fr
+  FROM documents
+),
+pred AS (
+  SELECT lang_actual,
+         CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+              WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+              WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+              WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+              ELSE 'fr' END AS lang_pred
+  FROM scored
+)
+SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY lang_actual, lang_pred
+""",
+    description="language-ID evaluation: (actual, predicted) confusion "
+    "counts for the marker-word classifier against the fixture's lang "
+    "labels — the per-snapshot classifier-drift check an ingest "
+    "pipeline alerts on; one #langs^2-row aggregate over the scan",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.col("lang").alias("lang_actual"), "text"
+    )
+    return (
+        language_id(docs)
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

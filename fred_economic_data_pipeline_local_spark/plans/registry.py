@@ -169,6 +169,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # is cosmetic (everything past position 50 is outside the window)
     "text_bigram_logprob",
     "embedding_outlier_zscores",
+    "text_langid_confusion",
     # --- curation, recently re-verified (moved below the prefix window
     # to make room for the winnowing family; all hash-green last check) ---
     "sample_temperature_mix",
