@@ -170,6 +170,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_bigram_logprob",
     "embedding_outlier_zscores",
     "text_langid_confusion",
+    "events_volume_anomaly",
     # --- curation, recently re-verified (moved below the prefix window
     # to make room for the winnowing family; all hash-green last check) ---
     "sample_temperature_mix",

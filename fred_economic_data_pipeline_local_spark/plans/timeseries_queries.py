@@ -389,3 +389,49 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_volume_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         strftime(ts - to_microseconds(epoch_us(ts) % 3600000000),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd
+  FROM hourly GROUP BY event_type
+)
+SELECT hourly.event_type, hourly.window_start, hourly.n_events,
+       round((hourly.n_events - st.mu) / st.sd, 6) AS z
+FROM hourly JOIN st USING (event_type)
+""",
+    description="event-volume anomaly scores: hourly counts per type "
+    "z-normalized against the type's own across-hours distribution — "
+    "the traffic-spike/dropout monitor; the per-type stats table is "
+    "#types rows broadcast back, no window over the timeline",
+)
+def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    bucket_us = F.unix_micros("ts") - F.unix_micros("ts") % (3600 * 1_000_000)
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros(bucket_us), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    st = hourly.groupBy(F.col("event_type").alias("__t")).agg(
+        F.avg("n_events").alias("__mu"),
+        F.stddev_samp("n_events").alias("__sd"),
+    )
+    return hourly.join(
+        F.broadcast(st), hourly.event_type == F.col("__t")
+    ).select(
+        "event_type",
+        "window_start",
+        "n_events",
+        F.round((F.col("n_events") - F.col("__mu")) / F.col("__sd"), 6).alias("z"),
+    )
