@@ -445,8 +445,9 @@ def snapshot_diff(
 
     - ``added``: id only in ``new``
     - ``removed``: id only in ``old``
-    - ``changed``: id in both, fingerprints differ
-    - ``unchanged``: id in both, fingerprints equal
+    - ``changed``: id in both, fingerprints differ (null-safe: a
+      null->content or content->null transition counts as changed)
+    - ``unchanged``: id in both, fingerprints equal (null == null)
 
     Inputs must carry (id_col, fp_col) — fingerprint via
     ``operators.text.fingerprint`` or any stable content hash.
@@ -454,10 +455,11 @@ def snapshot_diff(
     """
     # presence is tracked with explicit markers, NOT fingerprint
     # nullness: a null-text row (null fp) present in both snapshots must
-    # compare as present, and the fp inequality below is deliberately
-    # null-propagating (one null fp -> no 'changed' verdict -> falls to
-    # 'unchanged'), mirroring SQL <> semantics so the DuckDB oracle and
-    # this plan agree on every null combination
+    # compare as present. The fp comparison is NULL-SAFE (IS DISTINCT
+    # FROM): a fingerprint transitioning between null and real content
+    # IS a change — reprocessing decisions consume this diff, and a
+    # null-propagating <> would silently classify those rows 'unchanged'
+    # and skip them. The DuckDB oracle mirrors with IS DISTINCT FROM.
     o = old.select(
         F.col(id_col).alias("id"),
         F.lit(True).alias("__in_old"),
@@ -472,7 +474,7 @@ def snapshot_diff(
     status = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))
-        .when(F.col("__ofp") != F.col("__nfp"), F.lit("changed"))
+        .when(~F.col("__ofp").eqNullSafe(F.col("__nfp")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select("id", status.alias("status"))

@@ -205,6 +205,8 @@ def merge_sketch_profiles(*profiles: DataFrame) -> DataFrame:
     territory, no scan of any corpus."""
     import functools
 
+    if not profiles:
+        raise ValueError("merge_sketch_profiles needs at least one profile")
     all_p = functools.reduce(lambda a, b: a.unionByName(b), profiles)
     return all_p.groupBy("col_name").agg(
         F.sum("n_rows").alias("n_rows"),

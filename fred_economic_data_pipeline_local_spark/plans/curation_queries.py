@@ -635,7 +635,7 @@ j AS (
   SELECT coalesce(o.doc_id, n.doc_id) AS id,
          CASE WHEN o.doc_id IS NULL THEN 'added'
               WHEN n.doc_id IS NULL THEN 'removed'
-              WHEN o.fp <> n.fp THEN 'changed'
+              WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
               ELSE 'unchanged' END AS status
   FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
 )

@@ -190,10 +190,12 @@ class TestSnapshotDiff:
         assert checked >= 1
 
 
-    def test_null_fingerprints_follow_sql_semantics(self, spark):
-        """Presence comes from row existence, not fp nullness: a null-fp
-        row in both snapshots is 'unchanged' (SQL <> null-propagation),
-        never 'added'."""
+    def test_null_fingerprints_are_null_safe(self, spark):
+        """Presence comes from row existence, not fp nullness, and the
+        fp comparison is null-safe (IS DISTINCT FROM): null==null is
+        'unchanged', a null<->content transition is 'changed' — the
+        semantics a reprocessing consumer needs (a doc whose text went
+        from NULL to real content MUST be reprocessed)."""
         from fred_economic_data_pipeline_local_spark.operators.curation import (
             snapshot_diff,
         )
@@ -205,8 +207,7 @@ class TestSnapshotDiff:
             [(1, None), (2, "y"), (3, None)], "doc_id long, fp string"
         )
         status = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
-        # null <> null -> no verdict -> unchanged; null <> 'y' likewise
-        assert status == {1: "unchanged", 2: "unchanged", 3: "unchanged"}
+        assert status == {1: "unchanged", 2: "changed", 3: "changed"}
 
 class TestSplitLeakage:
     def test_only_straddling_components_reported(self, spark):

@@ -139,3 +139,16 @@ class TestSketchProfile:
         for c in cols:
             exact = docs.select(c).distinct().count()
             assert abs(est[c] - exact) <= max(1, exact * 0.02), (c, est[c], exact)
+
+
+def test_merge_requires_at_least_one_profile():
+    """Zero-arg merge fails with a clear contract error, not a bare
+    functools.reduce TypeError (ADVICE r5)."""
+    import pytest
+
+    from fred_economic_data_pipeline_local_spark.operators.profile import (
+        merge_sketch_profiles,
+    )
+
+    with pytest.raises(ValueError, match="at least one profile"):
+        merge_sketch_profiles()

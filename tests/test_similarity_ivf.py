@@ -62,3 +62,22 @@ def test_ivf_recall_floor_without_lloyd_refinement(spark):
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
     recall = hits / exact.count()
     assert recall >= 0.6, f"recall@10 = {recall}"
+
+
+def test_catalog_ivf_plan_construction_runs_no_job(spark):
+    """The registered similarity_ivf_topk passes dims explicitly, so
+    building the plan must fire ZERO Spark jobs (the one-row dims probe
+    in ivf_assign is the only eager edge, and the catalog path must
+    never hit it). Asserted via a job group: any job launched during
+    construction would be attributed to it (VERDICT r5 item 4)."""
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-plan-construction", "must stay lazy")
+    try:
+        df = all_queries()["similarity_ivf_topk"](spark, SF_001)
+        jobs = sc.statusTracker().getJobIdsForGroup("ivf-plan-construction")
+        assert list(jobs) == [], f"plan construction ran jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert df.count() >= 0  # the lazily-built plan still executes
