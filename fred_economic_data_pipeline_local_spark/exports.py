@@ -1,0 +1,61 @@
+"""Oracle-visible intermediate exports.
+
+The hash-family operators (MinHash/SimHash/hyperplane LSH, IVF cells)
+derive candidates from xxhash64 — a hash DuckDB cannot recompute, which
+is why those catalog entries historically carried only the weak
+rows-only check. The fix (VERDICT r5 item 2) is the pattern
+``tests/test_oracle_parity.py`` already proved locally: the operator's
+INTERMEDIATE (signature table, band/bucket index, cell assignment) is
+itself deterministic data. Export it as parquet, and the DuckDB oracle
+recomputes the downstream candidate-generation + exact-verification
+from the exported index with plain SQL — upgrading the driver's check
+from rows-only to full value-hash equality. The hash computation itself
+stays unverifiable by construction; everything AFTER it (bucketing,
+candidate joins, caps, exact verify, ranking, tiebreaks) becomes
+hash-gated.
+
+At 100 TB this is not test scaffolding but the real shape: LSH band
+tables, IVF assignments, and signature tables are persisted index
+tables (bucketed, append-maintained — see ``incremental_minhash_
+candidates``), and reading the operator's input back from the persisted
+index is exactly what a production query does. ``export_table`` writes
+the index once and returns the read-back DataFrame, so the downstream
+plan consumes the materialized parquet (also truncating lineage, the
+same job the localCheckpoints used to do on these paths).
+
+The export directory is a fixed, git-ignored location inside the repo
+(the only writable root the driver and the local tests share); oracle
+SQL strings embed the absolute path at import time via ``export_sql``.
+Query → oracle ordering is guaranteed by the comparison protocol (the
+Spark callable runs before the oracle SQL), matching both
+``tests/oracle_utils.compare_query`` and the driver's sweep.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+EXPORT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".oracle_exports",
+)
+
+
+def export_path(name: str) -> str:
+    return os.path.join(EXPORT_DIR, name)
+
+
+def export_sql(name: str) -> str:
+    """DuckDB FROM-clause fragment reading an exported intermediate."""
+    return f"read_parquet('{export_path(name)}/*.parquet')"
+
+
+def export_table(df: DataFrame, name: str) -> DataFrame:
+    """Materialize ``df`` at the fixed export location; return the
+    read-back frame (the downstream plan consumes the same bytes the
+    oracle reads — no recompute divergence window)."""
+    path = export_path(name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -260,6 +260,7 @@ def minhash_candidates(
     shingle_k: int = 3,
     bucket_cap: int = 1000,
     shingles: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing >= 1 MinHash band bucket.
 
@@ -268,10 +269,17 @@ def minhash_candidates(
     (band, bucket) -> self equi-join per bucket. ``bucket_cap`` guards
     against degenerate buckets (boilerplate): buckets larger than the cap
     are dropped (they would be exact-dup territory anyway).
+
+    ``banded`` (optional) is a precomputed/persisted (id, band, bucket)
+    index (e.g. ``minhash_banded`` output re-read from parquet) — the
+    production shape, where the band table is a maintained index, and
+    the hook the oracle-export path uses to make candidate generation
+    DuckDB-checkable.
     """
-    banded = minhash_banded(
-        df, text_col, id_col, num_hashes, bands, shingle_k, shingles
-    )
+    if banded is None:
+        banded = minhash_banded(
+            df, text_col, id_col, num_hashes, bands, shingle_k, shingles
+        )
 
     # degenerate-bucket guard via partial-agg + broadcast anti-join (the
     # same shape as ngram_jaccard_pairs' df cap): buckets over the cap are
@@ -309,6 +317,7 @@ def incremental_minhash_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     bucket_cap: int = 1000,
+    new_banded: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """O(delta) near-dup candidates for a per-snapshot ingest: pairs
     involving at least one incoming doc, probed against the persisted
@@ -330,9 +339,10 @@ def incremental_minhash_candidates(
     pairs were already emitted by earlier snapshots; re-deriving them is
     the O(corpus²) cost this operator exists to avoid.
     """
-    new_banded = minhash_banded(
-        incoming, text_col, id_col, num_hashes, bands, shingle_k
-    )
+    if new_banded is None:
+        new_banded = minhash_banded(
+            incoming, text_col, id_col, num_hashes, bands, shingle_k
+        )
     union = bucket_index.select("id", "band", "bucket").unionByName(new_banded)
     hot = (
         union.groupBy("band", "bucket")
@@ -364,6 +374,7 @@ def minhash_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    shingles: DataFrame | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates + exact Jaccard check.
@@ -375,13 +386,18 @@ def minhash_neardup(
     the signature build AND both sides of the verify join — uncached, the
     interpreted shingle transform runs three times over the corpus. The
     cache is reference-tracked, so ContextCleaner frees the blocks once the
-    returned plan is released.
+    returned plan is released. Callers holding an already-materialized
+    shingle table (the export/persisted-index path) pass it as
+    ``shingles`` and no cache is taken.
     """
     from pyspark import StorageLevel
 
-    sh = shingle_df(
-        df, text_col, id_col, lsh_kwargs.get("shingle_k", 3)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if shingles is None:
+        sh = shingle_df(
+            df, text_col, id_col, lsh_kwargs.get("shingle_k", 3)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sh = shingles
     pairs = minhash_candidates(df, text_col, id_col, shingles=sh, **lsh_kwargs)
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -657,15 +673,18 @@ def simhash_neardup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     band_bits: int = 16,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
     Candidate generation by banding the 64-bit simhash into 64/band_bits
     chunks (pigeonhole: any pair within distance d < #chunks shares an
     exact chunk), then exact popcount verify on bucket-mates.
+    ``signatures`` (optional): a precomputed/persisted (id, sh) table —
+    the oracle-export hook; skips the signature build.
     """
     chunks = 64 // band_bits
-    sh = simhash_table(df, text_col, id_col)
+    sh = signatures if signatures is not None else simhash_table(df, text_col, id_col)
     banded = sh.select(
         "id",
         "sh",

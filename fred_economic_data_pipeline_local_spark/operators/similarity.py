@@ -118,6 +118,22 @@ def hyperplane_signatures(
     return df.join(dots.select(id_out, sig.alias("sig")), on=id_out)
 
 
+def hyperplane_sig_table(
+    df: DataFrame,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sig): the persistable hyperplane-LSH index table for
+    ``lsh_topk`` — exported so the DuckDB oracle can re-run the bucket
+    join + exact scoring downstream of the (unmirrorable) xxhash64
+    plane derivation."""
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    return hyperplane_signatures(base, "id", "__v", planes).select("id", "sig")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -125,30 +141,40 @@ def lsh_topk(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_sigs: DataFrame | None = None,
+    query_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: only candidates in the query's LSH bucket
     are scored. Recall < 1 by construction; the bucket join replaces the
     corpus-wide scan per query with a hash-partitioned equi-join on the
     signature — the 100 TB-scale path.
+
+    ``corpus_sigs``/``query_sigs`` (optional): precomputed (id, sig)
+    tables from ``hyperplane_sig_table`` — the persisted-index /
+    oracle-export hook; when given, the signature build is skipped and
+    the vectors join the index on the id.
     """
-    c = hyperplane_signatures(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("__cv"),
-        ),
-        "neighbor_id",
-        "__cv",
-        planes,
+    cbase = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
     )
-    q = hyperplane_signatures(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("__qv"),
-        ),
-        "query_id",
-        "__qv",
-        planes,
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
     )
+    if corpus_sigs is None:
+        c = hyperplane_signatures(cbase, "neighbor_id", "__cv", planes)
+    else:
+        c = cbase.join(
+            corpus_sigs.select(F.col("id").alias("neighbor_id"), "sig"),
+            "neighbor_id",
+        )
+    if query_sigs is None:
+        q = hyperplane_signatures(qbase, "query_id", "__qv", planes)
+    else:
+        q = qbase.join(
+            query_sigs.select(F.col("id").alias("query_id"), "sig"), "query_id"
+        )
     scored = (
         c.join(broadcast(q), on="sig")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -271,6 +297,22 @@ def ivf_topk(
     assign, cents = ivf_assign(
         corpus, n_cells, id_col, vec_col, lloyd_iters=lloyd_iters, dims=dims
     )
+    probes = ivf_probes(queries, cents, nprobe, id_col, vec_col)
+    return ivf_topk_from(corpus, queries, assign, probes, k, id_col, vec_col)
+
+
+def ivf_probes(
+    queries: DataFrame,
+    cents: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cell): each query's ``nprobe`` best coarse cells by the
+    same argmax(v.c - |c|^2/2) score the assignment uses. Exportable —
+    together with the (id, cell) assignment it fully determines the IVF
+    candidate set, which is what lets DuckDB hash-check the probe join +
+    exact scoring downstream of the hash-seeded centroids."""
     q_ex = queries.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x"),
@@ -286,10 +328,29 @@ def ivf_topk(
         .select("id", "cell", (F.col("dp") - F.col("half_cn")).alias("score"))
     )
     wq = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("cell"))
-    probes = (
+    return (
         q_scores.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
         .select(F.col("id").alias("query_id"), "cell")
+    )
+
+
+def ivf_topk_from(
+    corpus: DataFrame,
+    queries: DataFrame,
+    assign: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The probe-and-score phase of ``ivf_topk`` against a materialized
+    index: ``assign`` (id, cell) and ``probes`` (query_id, cell) — the
+    production shape, where the assignment is a persisted bucketed table
+    rebuilt only when the corpus changes."""
+    q_ex = queries.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x"),
     )
     cand = probes.join(
         assign.select(F.col("id").alias("neighbor_id"), "cell"), "cell"
@@ -348,30 +409,19 @@ def ex_norms(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataFram
     )
 
 
-def cosine_neardup_lsh(
+def multitable_sig_table(
     emb: DataFrame,
-    threshold: float = 0.9,
     planes: int = 8,
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_cap: int = 1000,
 ) -> DataFrame:
-    """Embedding near-duplicate PAIRS at cosine >= threshold, LSH-bucketed
-    (the scale path beside the exact all-pairs ``embedding_neardup_cosine``).
-
-    ``tables`` independent hyperplane signatures (seeded off the table
-    index; deterministic, no stored model): a pair is a candidate when it
-    collides in ANY table, then candidates are verified exactly. Recall
-    for a pair at angle theta is 1 - (1 - (1 - theta/pi)^planes)^tables —
-    ~0.93 at cos 0.9 with 8x8, approaching 1 as similarity rises, which
-    is the regime near-DUP detection cares about. All tables * planes
-    dot products run as one pass of codegen'd sum-aggregates (the same
-    explode shape as minhash signatures); candidate generation groups
-    each bucket's ids and double-explodes pairs (one exchange, no
-    self-join), with ``bucket_cap`` dropping degenerate buckets (e.g.
-    all-zero vectors).
-    """
+    """(id, t, sig): the multi-table hyperplane index ``cosine_neardup_
+    lsh`` buckets on — one signature per (vector, table), all
+    tables x planes dot products in a single pass of codegen'd
+    sum-aggregates. Persistable/exportable: DuckDB re-derives candidate
+    generation (bucket_cap + collision join) and exact cosine verify
+    from this table plus the raw embeddings."""
     from functools import reduce
 
     base = emb.select(
@@ -400,7 +450,7 @@ def cosine_neardup_lsh(
         ]
         return reduce(lambda a, x: a.bitwiseOR(x), bits)
 
-    banded = dots.select(
+    return dots.select(
         "id",
         F.explode(
             F.array(
@@ -411,6 +461,40 @@ def cosine_neardup_lsh(
             )
         ).alias("ts"),
     ).select("id", "ts.t", "ts.sig")
+
+
+def cosine_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 1000,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at cosine >= threshold, LSH-bucketed
+    (the scale path beside the exact all-pairs ``embedding_neardup_cosine``).
+
+    ``tables`` independent hyperplane signatures (seeded off the table
+    index; deterministic, no stored model): a pair is a candidate when it
+    collides in ANY table, then candidates are verified exactly. Recall
+    for a pair at angle theta is 1 - (1 - (1 - theta/pi)^planes)^tables —
+    ~0.93 at cos 0.9 with 8x8, approaching 1 as similarity rises, which
+    is the regime near-DUP detection cares about. All tables * planes
+    dot products run as one pass of codegen'd sum-aggregates (the same
+    explode shape as minhash signatures); candidate generation groups
+    each bucket's ids and double-explodes pairs (one exchange, no
+    self-join), with ``bucket_cap`` dropping degenerate buckets (e.g.
+    all-zero vectors). ``banded`` (optional): a precomputed/persisted
+    (id, t, sig) table from ``multitable_sig_table`` — the
+    oracle-export / persisted-index hook.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if banded is None:
+        banded = multitable_sig_table(emb, planes, tables, id_col, vec_col)
     buckets = banded.groupBy("t", "sig").agg(F.collect_list("id").alias("ids"))
     if bucket_cap is not None:
         buckets = buckets.where(F.size("ids") <= bucket_cap)

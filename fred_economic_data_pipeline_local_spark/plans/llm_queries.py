@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..exports import export_sql
 from ..operators.dedup import (
     duplicate_groups,
     exact_dedup,
@@ -211,25 +212,76 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 family — not DuckDB-expressible; rows-only check
-    description="MinHash LSH near-dup: band/bucket candidates + exact Jaccard verify",
+    # the xxhash64 signature build itself has no SQL mirror, but its
+    # OUTPUTS — the shingle sets and the (id, band, bucket) index — are
+    # exported, and DuckDB re-derives everything downstream of the hash:
+    # bucket_cap, candidate self-join, exact-Jaccard verify, threshold
+    oracle=f"""
+WITH sh AS (SELECT * FROM {export_sql('dedup_minhash_shingles')}),
+bk AS (SELECT * FROM {export_sql('dedup_minhash_banded')}),
+hot AS (
+  SELECT band, bucket FROM bk GROUP BY band, bucket HAVING count(*) > 1000
+),
+bkf AS (SELECT bk.* FROM bk ANTI JOIN hot USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bkf a JOIN bkf b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE),
+             6) AS jaccard
+FROM cand c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b
+WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE),
+            6) >= 0.5
+""",
+    description="MinHash LSH near-dup: band/bucket candidates + exact "
+    "Jaccard verify, hash-checked end to end — the shingle sets and band "
+    "index are exported (the persisted-index shape a production ingest "
+    "maintains anyway) and DuckDB independently re-runs candidate "
+    "generation + verification from them",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.dedup import minhash_banded, shingle_df
+
     docs = load_table(spark, "documents", sf_dir)
-    return minhash_neardup(docs, threshold=0.5)
+    sh = export_table(shingle_df(docs), "dedup_minhash_shingles")
+    banded = export_table(
+        minhash_banded(docs, shingles=sh), "dedup_minhash_banded"
+    )
+    return minhash_neardup(docs, threshold=0.5, shingles=sh, banded=banded)
 
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64 family — rows-only check
-    description="SimHash near-dup: banded 64-bit signatures + Hamming verify",
+    # the 64-bit signatures are exported; pigeonhole banding at
+    # max_hamming=3 < 4 chunks has FULL recall, so the Spark pair set
+    # must EQUAL DuckDB's brute-force xor+bit_count over the signatures
+    oracle=f"""
+WITH sig AS (SELECT * FROM {export_sql('dedup_simhash_sig')})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""",
+    description="SimHash near-dup: banded 64-bit signatures + Hamming "
+    "verify, hash-checked — signatures are exported and DuckDB's "
+    "all-pairs popcount ground truth must equal the banded result "
+    "exactly (pigeonhole banding has full recall at this distance)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.dedup import simhash_table
+
     docs = load_table(spark, "documents", sf_dir)
+    sig = export_table(simhash_table(docs), "dedup_simhash_sig")
     # max_hamming=3 with 16-bit bands keeps the pigeonhole guarantee
     # (d < 64/16 chunks) AND bounds the pair output: the synthetic docs
     # share a small vocabulary, so looser thresholds explode quadratically
-    return simhash_neardup(docs, max_hamming=3)
+    return simhash_neardup(docs, max_hamming=3, signatures=sig)
 
 
 @query(
@@ -632,22 +684,42 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_minhash",
-    oracle=None,  # xxhash64 family — rows-only check; equivalence to
-    # full-corpus minhash_candidates minus old-only pairs is pinned in
-    # tests/test_incremental_dedup.py
+    # both band indexes (existing corpus + incoming delta) are exported;
+    # DuckDB re-derives union-accounted bucket_cap, delta-probe join,
+    # and unordered-pair normalization (equivalence to full-corpus
+    # candidates minus old-only pairs is separately pinned in
+    # tests/test_incremental_dedup.py)
+    oracle=f"""
+WITH idx AS (SELECT * FROM {export_sql('dedup_incr_minhash_index')}),
+nb AS (SELECT * FROM {export_sql('dedup_incr_minhash_delta')}),
+un AS (SELECT * FROM idx UNION ALL SELECT * FROM nb),
+hot AS (
+  SELECT band, bucket FROM un GROUP BY band, bucket HAVING count(*) > 1000
+),
+probe AS (SELECT nb.* FROM nb ANTI JOIN hot USING (band, bucket)),
+build AS (SELECT un.* FROM un ANTI JOIN hot USING (band, bucket))
+SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+FROM probe a JOIN build b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id <> b.id
+""",
     description="O(delta) near-dup ingest: incoming docs (every 5th) "
     "signed and banded, probed against the existing corpus' persisted "
     "(id, band, bucket) index — signatures computed over the delta "
-    "only; bucket_cap accounts on union (old+new) bucket sizes",
+    "only; bucket_cap accounts on union (old+new) bucket sizes; "
+    "hash-checked via both exported band indexes",
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
     from ..operators.dedup import incremental_minhash_candidates, minhash_banded
 
     docs = load_table(spark, "documents", sf_dir)
     incoming = docs.where(F.col("doc_id") % 5 == 0)
     existing = docs.where(F.col("doc_id") % 5 != 0)
-    index = minhash_banded(existing)
-    pairs, _delta = incremental_minhash_candidates(incoming, index)
+    index = export_table(minhash_banded(existing), "dedup_incr_minhash_index")
+    delta = export_table(minhash_banded(incoming), "dedup_incr_minhash_delta")
+    pairs, _delta = incremental_minhash_candidates(
+        incoming, index, new_banded=delta
+    )
     return pairs
 
 

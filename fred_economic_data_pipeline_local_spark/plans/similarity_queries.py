@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..exports import export_sql
 from ..operators.similarity import brute_force_topk, dot, l2_norm, lsh_topk
 from .registry import query
 
@@ -46,13 +47,45 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_lsh_topk",
-    oracle=None,  # hash-derived hyperplanes — rows-only check
-    description="LSH-bucketed approximate cosine top-k (the 100 TB path)",
+    # the hyperplane derivation is xxhash64 (no SQL mirror), but the
+    # (id, sig) index is exported: DuckDB re-runs the bucket equi-join,
+    # exact fold cosine, and top-k ranking from it — hash-checked
+    oracle=f"""
+WITH s AS (SELECT * FROM {export_sql('similarity_lsh_sigs')}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cand AS (
+  SELECT q.id AS query_id, s2.id AS neighbor_id
+  FROM s q JOIN s s2 ON q.sig = s2.sig AND q.id <> s2.id
+  WHERE q.id < {_NQUERY}
+)
+SELECT cand.query_id, cand.neighbor_id,
+       round(list_dot_product(qc.e, cc.e) /
+             (sqrt(list_dot_product(qc.e, qc.e)) *
+              sqrt(list_dot_product(cc.e, cc.e))), 6) AS cos_sim
+FROM cand JOIN c qc ON qc.vec_id = cand.query_id
+          JOIN c cc ON cc.vec_id = cand.neighbor_id
+QUALIFY row_number() OVER (
+  PARTITION BY cand.query_id
+  ORDER BY cos_sim DESC, cand.neighbor_id) <= {_K}
+""",
+    description="LSH-bucketed approximate cosine top-k (the 100 TB "
+    "path); hash-checked via the exported signature index",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.similarity import hyperplane_sig_table
+
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") < _NQUERY)
-    return lsh_topk(emb, queries, k=_K, planes=8)
+    sigs = export_table(hyperplane_sig_table(emb, planes=8), "similarity_lsh_sigs")
+    return lsh_topk(
+        emb,
+        queries,
+        k=_K,
+        planes=8,
+        corpus_sigs=sigs,
+        query_sigs=sigs.where(F.col("id") < _NQUERY),
+    )
 
 
 @query(
@@ -221,8 +254,30 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ivf_topk",
-    oracle=None,  # pseudo-random seed centroids — rows-only check;
-    # recall@k vs brute force is pinned in tests/test_similarity_ivf.py
+    # the hash-seeded centroids have no SQL mirror, but the (id, cell)
+    # assignment and the (query_id, cell) probe table are exported — the
+    # candidate set is fully determined by them, so DuckDB re-runs the
+    # probe join + exact cosine + ranked cut and must hash-match.
+    # Recall@k vs brute force stays pinned in tests/test_similarity_ivf.py
+    oracle=f"""
+WITH asg AS (SELECT * FROM {export_sql('similarity_ivf_assign')}),
+pr AS (SELECT * FROM {export_sql('similarity_ivf_probes')}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cand AS (
+  SELECT pr.query_id, asg.id AS neighbor_id
+  FROM pr JOIN asg USING (cell)
+  WHERE pr.query_id <> asg.id
+)
+SELECT cand.query_id, cand.neighbor_id,
+       round(list_dot_product(qc.e, cc.e) /
+             (sqrt(list_dot_product(qc.e, qc.e)) *
+              sqrt(list_dot_product(cc.e, cc.e))), 6) AS cos_sim
+FROM cand JOIN c qc ON qc.vec_id = cand.query_id
+          JOIN c cc ON cc.vec_id = cand.neighbor_id
+QUALIFY row_number() OVER (
+  PARTITION BY cand.query_id
+  ORDER BY cos_sim DESC, cand.neighbor_id) <= {_K}
+""",
     description="IVF approximate cosine top-k: coarse quantizer with "
     "per-query nprobe cell probing (the large-query-set scale path — no "
     "corpus-wide broadcast compare). Benched at lloyd_iters=0: measured "
@@ -232,33 +287,60 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpora have real cluster structure opt in via lloyd_iters",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_topk
+    from ..exports import export_table
+    from ..operators.similarity import ivf_assign, ivf_probes, ivf_topk_from
 
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") < _NQUERY)
     # dims is a property of the embedding model (fixture: 64) — passing it
     # skips the one-row probe job
-    return ivf_topk(
-        emb, queries, k=_K, n_cells=8, nprobe=2, dims=64, lloyd_iters=0
+    assign, cents = ivf_assign(emb, n_cells=8, dims=64, lloyd_iters=0)
+    assign = export_table(assign, "similarity_ivf_assign")
+    probes = export_table(
+        ivf_probes(queries, cents, nprobe=2), "similarity_ivf_probes"
     )
+    return ivf_topk_from(emb, queries, assign, probes, k=_K)
 
 
 @query(
     "embedding_neardup_lsh",
-    oracle=None,  # hash-derived hyperplanes — rows-only; containment vs the
-    # exact pair set is pinned in tests/test_oracle_parity.py
+    # the multi-table (id, t, sig) index is exported; DuckDB re-runs
+    # bucket_cap, the any-table collision join, and the exact cosine
+    # verify — hash-checked (containment vs the exact pair set stays
+    # pinned in tests/test_oracle_parity.py)
+    oracle=f"""
+WITH bk AS (SELECT * FROM {export_sql('embedding_neardup_banded')}),
+hot AS (SELECT t, sig FROM bk GROUP BY t, sig HAVING count(*) > 1000),
+bkf AS (SELECT bk.* FROM bk ANTI JOIN hot USING (t, sig)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bkf a JOIN bkf b ON a.t = b.t AND a.sig = b.sig AND a.id < b.id
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT cand.id_a, cand.id_b,
+       round(list_dot_product(x.e, y.e) /
+             (sqrt(list_dot_product(x.e, x.e)) *
+              sqrt(list_dot_product(y.e, y.e))), 6) AS cos_sim
+FROM cand JOIN c x ON x.vec_id = cand.id_a
+          JOIN c y ON y.vec_id = cand.id_b
+WHERE list_dot_product(x.e, y.e) /
+      (sqrt(list_dot_product(x.e, x.e)) *
+       sqrt(list_dot_product(y.e, y.e))) >= 0.4
+""",
     description="embedding near-dup pairs, multi-table hyperplane LSH "
     "bucketed (the scale path for embedding_neardup_cosine: candidates "
     "collide in >= 1 of 8 signature tables, then verify exactly; recall "
-    "-> 1 as similarity rises)",
+    "-> 1 as similarity rises); hash-checked via the exported index",
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_neardup_lsh
+    from ..exports import export_table
+    from ..operators.similarity import cosine_neardup_lsh, multitable_sig_table
 
     emb = load_table(spark, "embeddings", sf_dir)
+    banded = export_table(multitable_sig_table(emb), "embedding_neardup_banded")
     # 0.4 sits inside the fixture's similarity range (see
     # embedding_neardup_cosine); production near-dup runs 0.9+
-    return cosine_neardup_lsh(emb, threshold=0.4)
+    return cosine_neardup_lsh(emb, threshold=0.4, banded=banded)
 
 
 @query(

