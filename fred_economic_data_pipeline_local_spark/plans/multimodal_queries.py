@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..exports import export_sql
 from ..operators.multimodal import (
     attach_media,
     decode_media,
@@ -72,12 +73,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_feature_topk",
-    oracle=None,  # byte-fold stub embedding — rows-only check
-    description="media -> feature vector -> cosine top-k (full multimodal path)",
+    # the byte-fold stub embedding itself is a Python codec stage (no
+    # SQL mirror), but its OUTPUT vectors are exported, and DuckDB runs
+    # the brute-force cosine top-k over them — everything downstream of
+    # feature extraction is hash-checked
+    oracle=f"""
+WITH f AS (SELECT * FROM {export_sql('multimodal_features')}),
+c AS (SELECT doc_id, CAST(feature AS DOUBLE[]) AS e FROM f),
+q AS (SELECT * FROM c WHERE doc_id < 5)
+SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+       round(list_dot_product(q.e, c.e) /
+             (sqrt(list_dot_product(q.e, q.e)) *
+              sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+FROM q JOIN c ON q.doc_id <> c.doc_id
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, c.doc_id) <= 5
+""",
+    description="media -> feature vector -> cosine top-k (full "
+    "multimodal path); the extracted feature table is exported and the "
+    "ANN stage is hash-checked against DuckDB's brute-force rerun",
 )
 def multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+
     docs = load_table(spark, "documents", sf_dir)
-    feats = extract_features(attach_media(docs), dim=8)
+    feats = export_table(
+        extract_features(attach_media(docs), dim=8), "multimodal_features"
+    )
     queries = feats.where(F.col("doc_id") < 5)
     return brute_force_topk(
         feats, queries, k=5, id_col="doc_id", vec_col="feature"

@@ -430,17 +430,54 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_aggregates_lineitem",
-    oracle=None,  # sketch-based estimates differ engine-to-engine by design
-    description="approximate aggregates: HLL distinct + t-digest percentile "
-    "(the 100 TB substitutes for exact distinct/percentile; accuracy bounds "
-    "pinned in tests/test_approx.py)",
+    # sketch estimates (HLL registers, t-digest centroids) differ
+    # engine-to-engine BY DESIGN, so the sketch VALUES can't be hashed.
+    # What can be: the exact aggregates the sketches approximate, plus
+    # Spark-computed bound certificates (|approx - exact| within the
+    # sketch's published error). The oracle recomputes the exact side
+    # and pins the certificates TRUE — a sketch drifting out of its
+    # error contract now hash-mismatches at the driver instead of only
+    # failing a local test.
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+       TRUE AS nd_within_bounds,
+       TRUE AS p50_within_bounds
+FROM lineitem GROUP BY 1
+""",
+    description="approximate aggregates: HLL distinct + t-digest "
+    "percentile (the 100 TB substitutes for exact distinct/percentile) "
+    "emitted as self-certifying bound checks against the exact values, "
+    "which the oracle independently recomputes — the exact columns "
+    "hash-match and the TRUE certificates fail the hash if either "
+    "sketch leaves its error envelope",
 )
 def approx_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_p50"),
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_partkey").alias("n_parts_exact"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__p50"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx_nd"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__approx_p50"),
+    )
+    # bound certificates: HLL within 3x its configured rsd (or +-1 at
+    # tiny cardinality), t-digest median within 2% of the exact median
+    nd_ok = F.abs(F.col("__approx_nd") - F.col("n_parts_exact")) <= F.greatest(
+        F.lit(3 * 0.02) * F.col("n_parts_exact"), F.lit(1.0)
+    )
+    p50_ok = F.abs(F.col("__approx_p50") - F.col("__p50")) <= F.lit(0.02) * F.abs(
+        F.col("__p50")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "n_parts_exact",
+        F.round("__p50", 6).alias("p50_exact"),
+        nd_ok.alias("nd_within_bounds"),
+        p50_ok.alias("p50_within_bounds"),
     )
 
 

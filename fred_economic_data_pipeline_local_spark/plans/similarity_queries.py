@@ -126,8 +126,33 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ml_minhash_pairs",
-    oracle=None,  # model-fitted hash family — rows-only check
-    description="pyspark.ml MinHashLSH similarity join (library-backed variant)",
+    # the model's fitted MinHash coefficients can't be re-derived in
+    # SQL, but the per-doc hash values and the HashingTF nonzero index
+    # sets are exported: a candidate is any pair agreeing on >= 1 of the
+    # 8 hash values (exactly approxSimilarityJoin's OR-amplified join),
+    # and the jaccard distance is recomputed from the index sets with
+    # the same 1 - |A∩B|/|A∪B| expression ML's keyDistance uses —
+    # hash-checked end to end
+    oracle=f"""
+WITH t AS (SELECT * FROM {export_sql('ml_minhash_tables')}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.idx AS ia, b.idx AS ib
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(generate_series(1, len(a.hs)),
+                        i -> a.hs[i] = b.hs[i])) > 0
+),
+d AS (
+  SELECT id_a, id_b,
+         1 - CAST(len(list_intersect(ia, ib)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(ia, ib))) AS DOUBLE) AS jd
+  FROM pairs
+)
+SELECT id_a, id_b, round(1 - jd, 6) AS jaccard FROM d WHERE jd < 0.5
+""",
+    description="pyspark.ml MinHashLSH similarity join (library-backed "
+    "variant); hash-checked via the exported hash tables + token-index "
+    "sets (HashingTF's murmur3-seed-42 indexing is replicated exactly "
+    "by F.hash, so the exported index sets are the vectors' nonzero set)",
 )
 def similarity_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library-backed near-dup path: ml.feature HashingTF + MinHashLSH
@@ -135,6 +160,9 @@ def similarity_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative to operators/dedup.py's hand-built banding (SURVEY §7.2).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    from ..exports import export_table
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
@@ -144,6 +172,29 @@ def similarity_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(toks)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = mh.fit(feats)
+    # exported oracle index: the 8 min-hash values per doc (each hash
+    # table emits a 1-element vector) + the distinct HashingTF feature
+    # indices (Catalyst's F.hash IS HashingTF's murmur3(seed=42); pmod
+    # mirrors its nonNegativeMod)
+    export_table(
+        model.transform(feats).select(
+            "doc_id",
+            F.array(
+                *[
+                    vector_to_array(F.col("hashes")[i]).getItem(0).cast("long")
+                    for i in range(8)
+                ]
+            ).alias("hs"),
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        "tokens", lambda t: F.pmod(F.hash(t), F.lit(1 << 16))
+                    )
+                )
+            ).alias("idx"),
+        ),
+        "ml_minhash_tables",
+    )
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
     return (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
@@ -157,8 +208,34 @@ def similarity_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ml_brp_neighbors",
-    oracle=None,  # model-fitted hyperplanes — rows-only check
-    description="pyspark.ml BucketedRandomProjectionLSH ANN (euclidean)",
+    # the fitted random projections can't be re-derived in SQL, but the
+    # per-vector bucket ids (floor(proj/bucketLength), one per hash
+    # table) are exported: candidates agree on >= 1 bucket, distances
+    # are exact euclidean over the raw embeddings (same sequential
+    # index-order sum as ML's Vectors.sqdist), ranked on the rounded
+    # distance with the neighbor-id tiebreak — hash-checked
+    oracle=f"""
+WITH t AS (SELECT * FROM {export_sql('ml_brp_buckets')}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cand AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM t q JOIN t b ON q.vec_id <> b.vec_id
+  WHERE q.vec_id < {_NQUERY}
+    AND len(list_filter(generate_series(1, len(q.hs)),
+                        i -> q.hs[i] = b.hs[i])) > 0
+)
+SELECT cand.query_id, cand.neighbor_id,
+       round(sqrt(list_sum(list_transform(
+           generate_series(1, len(qe.e)),
+           i -> (qe.e[i] - ce.e[i]) * (qe.e[i] - ce.e[i])))), 6)
+         AS euclid_dist
+FROM cand JOIN c qe ON qe.vec_id = cand.query_id
+          JOIN c ce ON ce.vec_id = cand.neighbor_id
+QUALIFY row_number() OVER (PARTITION BY cand.query_id
+                           ORDER BY euclid_dist ASC, cand.neighbor_id) <= {_K}
+""",
+    description="pyspark.ml BucketedRandomProjectionLSH ANN (euclidean); "
+    "hash-checked via the exported per-table bucket ids",
 )
 def similarity_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library-backed ANN: one distributed BucketedRandomProjectionLSH
@@ -168,7 +245,7 @@ def similarity_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds when the query set is itself a big DataFrame.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import Window
 
     emb = load_table(spark, "embeddings", sf_dir).select(
@@ -179,6 +256,23 @@ def similarity_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         numHashTables=4, seed=42,
     )
     model = brp.fit(emb)
+    # exported oracle index: each table's bucket id for every vector
+    # (floor(projection / bucketLength) — exact in doubles, lossless as
+    # a long)
+    from ..exports import export_table
+
+    export_table(
+        model.transform(emb).select(
+            "vec_id",
+            F.array(
+                *[
+                    vector_to_array(F.col("hashes")[i]).getItem(0).cast("long")
+                    for i in range(4)
+                ]
+            ).alias("hs"),
+        ),
+        "ml_brp_buckets",
+    )
     queries = emb.where(F.col("vec_id") < _NQUERY)
     # threshold bounds the candidate set; fixture pairwise distances are
     # well under this, so every true neighbor is a candidate

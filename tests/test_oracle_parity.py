@@ -169,33 +169,11 @@ def test_multimodal_feature_topk_matches_duckdb_on_exported_features(
     assert got == expected
 
 
-def test_approx_aggregates_within_bounds_of_duckdb_exact(spark):
-    """HLL distinct within 3x the configured rsd of DuckDB's exact
-    count(DISTINCT); t-digest p50 within 2% of the exact median."""
-    from fred_economic_data_pipeline_local_spark.plans import all_queries
-    from .oracle_utils import duckdb_run
-
-    got = {
-        r.l_returnflag: r
-        for r in all_queries()["approx_aggregates_lineitem"](
-            spark, SF_DIR
-        ).collect()
-    }
-    _, exact_rows = duckdb_run(
-        """
-        SELECT l_returnflag, count(DISTINCT l_partkey) AS nd,
-               quantile_cont(l_extendedprice, 0.5) AS p50,
-               count(*) AS n
-        FROM lineitem GROUP BY 1
-        """,
-        SF_DIR,
-    )
-    assert len(exact_rows) == len(got)
-    for flag, nd, p50, n in exact_rows:
-        g = got[flag]
-        assert g.n_rows == n
-        assert abs(g.approx_parts - nd) <= max(3 * 0.02 * nd, 1)
-        assert abs(g.approx_p50 - p50) <= 0.02 * abs(p50)
+# approx_aggregates_lineitem graduated from this adjunct section: the
+# registered query is now self-certifying (exact aggregates + boolean
+# bound certificates) with a full DuckDB oracle, so the parametrized
+# test_oracle_parity row covers what a bespoke bounds test did here;
+# tests/test_approx.py keeps the independent raw-sketch probes.
 
 
 def test_embedding_lsh_pairs_contained_in_exact_cosine(spark):
