@@ -133,3 +133,49 @@ def fred_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.round(F.col("value") * 2, 6)
     )
     return upsert_merge(target, source)
+
+
+@query(
+    "fred_merge_into_lake",
+    # identical oracle to fred_upsert_merge: the lakehouse MERGE must
+    # produce byte-identical content through its full write-commit-read
+    # round trip (versioned parquet + atomic _LATEST pointer flip)
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+t AS (SELECT indicator, observation_year, observation_month, value,
+             observation_count FROM silver WHERE observation_month <= 8),
+s AS (SELECT indicator, observation_year, observation_month,
+             round(value * 2, 6) AS value, observation_count
+      FROM silver WHERE observation_month >= 5)
+SELECT COALESCE(s.indicator, t.indicator) AS indicator,
+       COALESCE(s.observation_year, t.observation_year) AS observation_year,
+       COALESCE(s.observation_month, t.observation_month) AS observation_month,
+       CASE WHEN s.indicator IS NOT NULL THEN s.value ELSE t.value END AS value,
+       CASE WHEN s.indicator IS NOT NULL THEN s.observation_count
+            ELSE t.observation_count END AS observation_count
+FROM t FULL OUTER JOIN s
+  ON t.indicator = s.indicator
+ AND t.observation_year = s.observation_year
+ AND t.observation_month = s.observation_month
+""",
+    description="SURVEY §2.2 K3, lakehouse backend: the same ON CONFLICT "
+    "DO UPDATE merge executed as a transactional MERGE INTO against a "
+    "versioned parquet lake table (copy-on-write version dirs + atomic "
+    "_LATEST pointer commit — sources/lakehouse.py), read back from the "
+    "committed version",
+)
+def fred_merge_into_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_path
+    from ..sources.lakehouse import LakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value", "observation_count"
+    )
+    target = silver.where(F.col("observation_month") <= 8)
+    source = silver.where(F.col("observation_month") >= 5).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    table = LakeTable(export_path("fred_merge_lake"))
+    table.overwrite(target)
+    table.merge_into(source)
+    return table.read(spark)

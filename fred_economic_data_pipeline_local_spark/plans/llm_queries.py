@@ -847,20 +847,51 @@ def text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_compression_ratio",
-    oracle=None,  # zlib is a C library call, not SQL — rows-only here;
-    # byte-exact equality vs direct python zlib over the same fixture is
-    # pinned in tests/test_text_ops.py (same library, so the check is
-    # the mapInPandas plumbing: batching, null handling, dtypes)
+    # zlib itself is a C library call, not SQL (byte-exact equality vs
+    # direct python zlib stays pinned in tests/test_text_ops.py), but
+    # the deflated SIZES — the only Python-computed values — are
+    # exported, and DuckDB independently recomputes the raw byte counts
+    # (strlen == utf-8 octet_length) plus the ratio arithmetic and null
+    # handling: everything downstream of the codec edge hash-checks
+    oracle=f"""
+WITH d AS (SELECT id, n_deflate FROM {export_sql('text_deflate_sizes')}),
+doc AS (SELECT doc_id AS id, CAST(strlen(text) AS INTEGER) AS n_bytes
+        FROM documents)
+SELECT doc.id, doc.n_bytes, d.n_deflate,
+       CASE WHEN doc.n_bytes > 0
+            THEN round(CAST(d.n_deflate AS DOUBLE) / doc.n_bytes, 6)
+       END AS ratio
+FROM doc LEFT JOIN d USING (id)
+""",
     description="zlib-compressibility quality gate (RefinedWeb/FineWeb "
     "family): deflated/raw byte ratio per doc — near 0 flags repetitive "
     "boilerplate, near/above 1 flags high-entropy gibberish; "
-    "Arrow-batched mapInPandas at the codec edge, zero shuffles",
+    "Arrow-batched mapInPandas at the codec edge, zero shuffles; "
+    "hash-checked via the exported deflate sizes (ratio + byte counts "
+    "recomputed JVM-side and mirrored by DuckDB)",
 )
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
     from ..operators.text import compression_ratio
 
     docs = load_table(spark, "documents", sf_dir)
-    return compression_ratio(docs)
+    # the codec edge emits only (id, n_deflate); byte counts and the
+    # ratio are recomputed JVM-side so the arithmetic is oracle-mirrored
+    defl = export_table(
+        compression_ratio(docs).select("id", "n_deflate"), "text_deflate_sizes"
+    )
+    base = docs.select(
+        F.col("doc_id").alias("id"), F.octet_length("text").alias("n_bytes")
+    )
+    return base.join(defl, "id", "left").select(
+        "id",
+        "n_bytes",
+        "n_deflate",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("n_deflate").cast("double") / F.col("n_bytes"), 6),
+        ).alias("ratio"),
+    )
 
 
 _VOCAB_K = 20

@@ -52,31 +52,94 @@ def get_query(name: str) -> QuerySpec:
 
 # CATALOG_ORDER is the catalog's table of contents: a single static,
 # git-tracked ordering of every registered query, grouped by family.
-# The order is a one-time editorial choice: it depends on nothing
-# outside this file (in particular, NOT on any evaluation artifact), so
-# `all_queries()` is stable across rounds and environments.
-# `tests/test_entry_contract.py` asserts the list and the registry match
-# exactly, so adding a query without cataloguing it is a test failure,
-# not a silent reorder.
+# The order is a one-time editorial choice per round: it depends on
+# nothing outside this file (in particular, NOT on any evaluation
+# artifact), so `all_queries()` is stable across rounds and
+# environments. `tests/test_entry_contract.py` asserts the list and the
+# registry match exactly, so adding a query without cataloguing it is a
+# test failure, not a silent reorder.
 #
-# Editorial reslot (one-time): external consumers verify a fixed-size
-# prefix of this catalog, so the prefix should carry the queries whose
-# verification is most valuable — the engine's flagship FRED parity
-# pipeline, the query families added most recently (text-quality,
-# funnel/retention, the PPJoin prefix join, the composed curation job,
-# multimodal codecs), and the event-time operators whose fixtures were
-# regenerated after their last verification. The TPC-H suite — the most
-# conventional SQL in the catalog, exhaustively oracle-checked many
-# times over — moves behind them; a representative handful (wide agg,
-# fact-fact join chain, broadcast chain, deep join tree, group-by-
-# having) stays in the prefix as the relational canary.
+# Editorial reslot #3 (round 6, mandated by the round-5 verdict):
+# external consumers verify a fixed-size prefix of this catalog, so the
+# prefix carries the queries whose verification is currently most
+# valuable, in rotation priority:
+#   1. the 19 round-5 additions that have never received an external
+#      verification row (text corpus statistics, BPE, monitors,
+#      snapshot/leakage audits, quantization, k-means);
+#   2. the queries upgraded this round from rows-only to hash-checked
+#      via exported intermediates (MinHash/SimHash/hyperplane/IVF/ML
+#      LSH, approx aggregates, multimodal ANN) — their first-ever hash
+#      rows — plus the new lakehouse MERGE INTO backend;
+#   3. a refresh block of queries whose last verification row dates to
+#      round 1 (multimodal decode family, semi/anti/outer joins,
+#      rollup/cube/grouping-sets, pivot/unpivot, subqueries).
+# Everything demoted below the window is hash-green as of round 5 and
+# remains covered by the identical local mirror
+# (tests/test_oracle_parity.py) every round. Still-unrotated round-1/2
+# rows (8 relational + 26 window/skew/multiset entries) are the head of
+# round 7's rotation.
 CATALOG_ORDER: tuple[str, ...] = (
-    # --- FRED parity pipeline (the flagship) ---
+    # ===== verified window (first 50) =====
+    # --- 1. never-externally-checked round-5 additions ---
+    "text_tfidf_top_terms",
+    "text_topk_ngrams",
+    "text_vocab_coverage",
+    "text_compression_ratio",
+    "text_bigram_logprob",
+    "text_langid_confusion",
+    "text_bpe_merges",
+    "text_bpe_token_counts",
+    "snapshot_diff_counts",
+    "curation_split_leakage",
+    "curation_shuffle_assignment",
+    "quality_monitor_windows",
+    "events_volume_anomaly",
+    "profile_incremental_documents",
+    "embedding_outlier_zscores",
+    "embedding_quantize_int8",
+    "embedding_kmeans_assign",
+    "similarity_quantized_topk",
+    "dedup_incremental_minhash",
+    # --- 2. new this round + first-ever hash rows for the upgraded set ---
+    "fred_merge_into_lake",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup_lsh",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "multimodal_feature_topk",
+    "similarity_ml_minhash_pairs",
+    "similarity_ml_brp_neighbors",
+    "approx_aggregates_lineitem",
+    # --- 3. round-1 refresh block (oldest external rows in the catalog) ---
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize_decode",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_no_recent_orders",
+    "outer_join_order_counts",
+    "union_all_lake_layers",
+    "topk_orders_by_price",
+    "rollup_region_nation_customers",
+    "cube_status_priority",
+    "from_json_typed_props",
+    "percentile_order_prices",
+    "pivot_priority_by_status",
+    "unpivot_lineitem_measures",
+    "grouping_sets_region_segment",
+    "window_ntile_percent_rank",
+    "explode_token_frequency",
+    "scalar_subquery_above_avg",
+    "correlated_subquery_max_per_cust",
+    "date_functions_orders",
+    "cast_coercion_values",
+    # ===== below the window: hash-green r5/r6, mirrored locally =====
+    # --- FRED parity pipeline (the flagship; r5 green) ---
     "fred_silver_monthly",
     "fred_gold_yearly",
     "fred_dedup_append",
     "fred_upsert_merge",
-    # --- text analysis ---
+    # --- text analysis (r5 green) ---
     "text_token_counts",
     "text_quality_metrics",
     "text_language_id",
@@ -87,97 +150,20 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_quality_score",
     "text_winnow_fingerprints",
     "dedup_span_overlap",
-    # --- event-time operators (fixtures regenerated post-r1) ---
+    "text_repetition_metrics",
+    # --- event-time operators (r5 green) ---
     "tumbling_window_events",
     "sessionize_users",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "asof_clicks_to_purchases",
     "window_range_trailing_30d",
-    # --- TPC-H canaries: one per scale-critical physical shape ---
+    # --- TPC-H canaries + suite ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
     "q9_product_type_profit",
     "q18_large_volume_customers",
-    # --- training-data curation ---
-    "decontam_ngram_hits",
-    "decontam_clean_count",
-    "sample_hash_deterministic",
-    "sample_stratified_lang",
-    "domain_cap_filter",
-    "pack_sequences_greedy",
-    "pack_bin_stats",
-    "text_repetition_metrics",
-    "embedding_label_centroids",
-    "embedding_centroid_prune",
-    "curation_pipeline_end_to_end",
-    "curation_split_counts",
-    "curation_job_split_counts",
-    "profile_documents",
-    "profile_drift_documents",
-    # --- deduplication ---
-    "dedup_exact_keep_min",
-    "dedup_groups",
-    "dedup_incremental_ingest",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_ngram_components",
-    "dedup_neardup_resolve",
-    "dedup_incremental_components",
-    # --- real-codec multimodal round trips (PNG; mixed PNG+PGM dispatch) ---
-    "multimodal_png_roundtrip",
-    "multimodal_mixed_codec",
-    # --- similarity / embeddings ---
-    # hash-checked before rows-only: the fixed-size verified prefix ends
-    # near here, and a hash row is the stronger signal to keep inside it
-    "embedding_neardup_cosine",
-    "embedding_neardup_resolve",
-    # rows-only entries sit just past the verified prefix: their weaker
-    # check yields to never-yet-checked hash-gated queries above
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_incremental_minhash",
-    "embedding_neardup_lsh",
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "similarity_quantized_topk",
-    "similarity_ml_minhash_pairs",
-    "similarity_ml_brp_neighbors",
-    "embedding_norms",
-    "embedding_label_stats",
-    "embedding_quantize_int8",
-    "embedding_kmeans_assign",
-    # --- text corpus statistics (added r5; past the verified prefix —
-    # the window is full and the text family already has hash-green
-    # rows inside it; these are oracle-backed for the local mirror) ---
-    "text_tfidf_top_terms",
-    "text_topk_ngrams",
-    "text_vocab_coverage",
-    "text_compression_ratio",
-    "snapshot_diff_counts",
-    "curation_split_leakage",
-    "curation_shuffle_assignment",
-    "quality_monitor_windows",
-    # rows-only r5 entries (iterative / library ops with no SQL mirror)
-    # — these stay OUT of the verified prefix, which is 100% oracle-backed
-    "profile_incremental_documents",
-    "text_bpe_merges",
-    "text_bpe_token_counts",
-    # oracle-backed, added after the rows-only block formed; order here
-    # is cosmetic (everything past position 50 is outside the window)
-    "text_bigram_logprob",
-    "embedding_outlier_zscores",
-    "text_langid_confusion",
-    "events_volume_anomaly",
-    # --- curation, recently re-verified (moved below the prefix window
-    # to make room for the winnowing family; all hash-green last check) ---
-    "sample_temperature_mix",
-    "curation_redact_pii",
-    "embedding_hard_negatives",
-    "curation_quality_report",
-    # --- TPC-H suite, remaining, numeric order ---
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -195,11 +181,43 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
-    # --- multimodal ---
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_feature_topk",
-    "multimodal_resize_decode",
+    # --- training-data curation ---
+    "decontam_ngram_hits",
+    "decontam_clean_count",
+    "sample_hash_deterministic",
+    "sample_stratified_lang",
+    "domain_cap_filter",
+    "pack_sequences_greedy",
+    "pack_bin_stats",
+    "embedding_label_centroids",
+    "embedding_centroid_prune",
+    "curation_pipeline_end_to_end",
+    "curation_split_counts",
+    "curation_job_split_counts",
+    "profile_documents",
+    "profile_drift_documents",
+    "sample_temperature_mix",
+    "curation_redact_pii",
+    "embedding_hard_negatives",
+    "curation_quality_report",
+    # --- deduplication ---
+    "dedup_exact_keep_min",
+    "dedup_groups",
+    "dedup_incremental_ingest",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_ngram_components",
+    "dedup_neardup_resolve",
+    "dedup_incremental_components",
+    # --- real-codec multimodal round trips ---
+    "multimodal_png_roundtrip",
+    "multimodal_mixed_codec",
+    # --- similarity / embeddings ---
+    "embedding_neardup_cosine",
+    "embedding_neardup_resolve",
+    "similarity_cosine_topk",
+    "embedding_norms",
+    "embedding_label_stats",
     # --- temporal joins ---
     "range_join_price_bands",
     "interval_join_shipments",
@@ -212,33 +230,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "stream_click_attribution",
     "gap_fill_forward_monthly",
     # --- relational operators beyond the TPC-H suite ---
-    "semi_join_customers_with_orders",
-    "anti_join_customers_no_recent_orders",
-    "outer_join_order_counts",
     "union_nations_of_parties",
     "except_orders_without_items",
     "intersect_shared_nations",
-    "union_all_lake_layers",
-    "topk_orders_by_price",
-    "rollup_region_nation_customers",
-    "cube_status_priority",
     "null_functions_events",
-    "from_json_typed_props",
     "distinct_parts_per_flag",
-    "percentile_order_prices",
-    "approx_aggregates_lineitem",
     "case_when_price_bands",
     "string_functions_parts",
-    "date_functions_orders",
-    "scalar_subquery_above_avg",
-    "correlated_subquery_max_per_cust",
     "profile_table_lineitem",
-    "cast_coercion_values",
-    "pivot_priority_by_status",
-    "unpivot_lineitem_measures",
-    "grouping_sets_region_segment",
-    "window_ntile_percent_rank",
-    "explode_token_frequency",
     "window_frame_first_last",
     "cross_join_region_pairs",
     "skew_salted_join_revenue",

@@ -1,0 +1,109 @@
+"""Lakehouse MERGE INTO backend (sources/lakehouse.py): the same checks
+test_jdbc_derby.py runs against the RDBMS backend — merge read-back
+equals the engine-level upsert_merge, idempotence on re-run — plus the
+version-log properties the parquet backend adds (atomic commit, orphan
+tolerance, time travel, vacuum)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from fred_economic_data_pipeline_local_spark.operators.serve import upsert_merge
+from fred_economic_data_pipeline_local_spark.sources.lakehouse import LakeTable
+
+
+def _frames(spark):
+    target = spark.createDataFrame(
+        [("gdp", 2024, 1, 1.0, 3), ("gdp", 2024, 2, 2.0, 4), ("cpi", 2024, 1, 9.0, 1)],
+        "indicator string, observation_year int, observation_month int, "
+        "value double, observation_count long",
+    )
+    source = spark.createDataFrame(
+        [("gdp", 2024, 2, 20.0, 5), ("gdp", 2024, 3, 30.0, 6)],
+        target.schema,
+    )
+    return target, source
+
+
+KEYS = ["indicator", "observation_year", "observation_month"]
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_merge_matches_engine_upsert_and_is_idempotent(spark, tmp_path):
+    target, source = _frames(spark)
+    table = LakeTable(str(tmp_path / "t"))
+    table.overwrite(target)
+    v1 = table.merge_into(source, KEYS)
+    expected = _rows(upsert_merge(target, source, KEYS))
+    assert _rows(table.read(spark)) == expected
+    assert v1 == 1
+    # re-running the identical merge commits a new version with
+    # identical content (idempotent by value)
+    v2 = table.merge_into(source, KEYS)
+    assert v2 == 2
+    assert _rows(table.read(spark)) == expected
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    target, source = _frames(spark)
+    table = LakeTable(str(tmp_path / "t"))
+    table.overwrite(target)
+    table.merge_into(source, KEYS)
+    # version 0 still reads as the pre-merge target
+    assert _rows(table.read(spark, version=0)) == _rows(target)
+    removed = table.vacuum(keep=1)
+    assert removed == [0]
+    assert table.versions() == [1]
+    assert table.read(spark).count() == 4
+
+
+def test_orphan_version_is_unreachable_and_overwritten(spark, tmp_path):
+    """A crash between the version write and the pointer flip leaves an
+    orphan v-dir: readers never see it (pointer still names the old
+    version) and the next merge overwrites it."""
+    target, source = _frames(spark)
+    root = str(tmp_path / "t")
+    table = LakeTable(root)
+    table.overwrite(target)
+    # simulate the crash: v=1 written with garbage content, no commit
+    source.limit(1).write.mode("overwrite").parquet(os.path.join(root, "v=1"))
+    assert table.current_version() == 0
+    assert _rows(table.read(spark)) == _rows(target)  # orphan invisible
+    v = table.merge_into(source, KEYS)
+    assert v == 1  # overwrote the orphan
+    assert _rows(table.read(spark)) == _rows(upsert_merge(target, source, KEYS))
+
+
+def test_uninitialized_table_raises(spark, tmp_path):
+    import pytest
+
+    table = LakeTable(str(tmp_path / "missing"))
+    with pytest.raises(FileNotFoundError):
+        table.read(spark)
+    _, source = _frames(spark)
+    with pytest.raises(FileNotFoundError):
+        table.merge_into(source, KEYS)
+
+
+def test_null_keys_merge_null_safely(spark, tmp_path):
+    """upsert_merge joins null-safely on keys; the lakehouse round trip
+    must preserve that (a null-keyed target row is UPDATED by a
+    null-keyed source row, not duplicated)."""
+    target = spark.createDataFrame(
+        [(None, 2024, 1, 1.0, 1), ("gdp", 2024, 1, 2.0, 2)],
+        "indicator string, observation_year int, observation_month int, "
+        "value double, observation_count long",
+    )
+    source = spark.createDataFrame([(None, 2024, 1, 10.0, 9)], target.schema)
+    table = LakeTable(str(tmp_path / "t"))
+    table.overwrite(target)
+    table.merge_into(source, KEYS)
+    got = _rows(table.read(spark))
+    assert got == _rows(upsert_merge(target, source, KEYS))
+    assert (None, 2024, 1, 10.0, 9) in got
+    assert len(got) == 2
