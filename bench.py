@@ -57,6 +57,9 @@ HEADLINE = [
     "dedup_span_overlap",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
+    "similarity_quantized_topk",
+    "text_bpe_merges",
+    "fred_merge_into_lake",
     "text_token_counts",
     "text_tfidf_top_terms",
     "text_bigram_logprob",

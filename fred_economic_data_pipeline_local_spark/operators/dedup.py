@@ -552,10 +552,17 @@ def ngram_jaccard_pairs_prefix(
     posting↔df join, and one per-(block, id) window sort — each a
     narrow-key shuffle linear in the posting count, traded against a
     quadratic candidate reduction. On uniform (skew-free) corpora the
-    postings form is ~25% faster (measured at sf0.1: 1.34 s vs 1.69 s
-    min-of-3) because the reduction buys nothing there; this operator is
-    the right default only when document-frequency skew exists — which
-    at web scale it always does.
+    postings form is ~18% faster (tools/ab_prefix_join.py, sf0.1
+    min-of-3 alternating reps: postings 3.08 s, prefix 3.63 s; the
+    same A/B shows both localCheckpoints earn their keep — dropping
+    them costs 1.65×, 5.99 s) because the reduction buys nothing on
+    uniform data; this operator is the right default only when
+    document-frequency skew exists — which at web scale it always does.
+    BENCH_r05 recorded 4.43 s vs 1.64 s for this pair under the full
+    bench session; the isolated A/B above could not reproduce that gap
+    (re-measured this round per the r5 verdict), so treat the bench
+    figure as session-context noise and the A/B as the controlled
+    number.
     """
     blocked = df.withColumn(
         "block", F.col(block_col) if block_col else F.lit(1)

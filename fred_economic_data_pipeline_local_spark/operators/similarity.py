@@ -596,6 +596,14 @@ def quantized_topk(
     When the query side grows past broadcast size, the candidate phase
     swaps to ``ivf_topk``'s exploded posexplode→groupBy-sum shape,
     which keeps every multiply-add in whole-stage codegen.
+
+    The candidate phase carries ONLY the int8 codes + precomputed code
+    norms (never the float vectors — that's the whole 4×-smaller-scan
+    point), and the per-pair rows narrow to (query_id, neighbor_id,
+    approx_cos) before the shortlist window. The float column is read
+    by a separate join that touches exactly the refine·k shortlist rows
+    per query (ADVICE r5: deferring the floats keeps the wide data off
+    the quadratic path entirely).
     """
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -605,16 +613,16 @@ def quantized_topk(
         )
 
     def with_codes(df_in: DataFrame, id_out: str, pfx: str) -> DataFrame:
-        """Project (id, vec, codes, code norm) — the norm computed ONCE
-        per row here, never per candidate pair (the same once-per-side
-        discipline ivf_topk applies to its float norms), and zero-norm
-        rows dropped before the join rather than filtered per pair."""
+        """Project (id, codes, code norm) — the norm computed ONCE per
+        row here, never per candidate pair (the same once-per-side
+        discipline ivf_topk applies to its float norms), zero-norm rows
+        dropped before the join rather than filtered per pair, and NO
+        float vector column."""
         v = _as_double(F.col(vec_col))
         _, codes = int8_codes(v)
         return (
             df_in.select(
                 F.col(id_col).alias(id_out),
-                v.alias(f"{pfx}v"),
                 codes.alias(f"{pfx}c"),
             )
             .withColumn(f"{pfx}n", F.sqrt(idot(F.col(f"{pfx}c"), F.col(f"{pfx}c"))))
@@ -623,18 +631,13 @@ def quantized_topk(
 
     # checkpoint both sides so CollapseProject can't inline the
     # (interpreted) code-transform into the post-join projection and
-    # recompute codes per pair. Measured honestly: 3.7 s -> 3.4 s at
-    # sf0.1 — the remaining cost is the per-pair idot fold itself plus
-    # the wide (vec + codes) join rows, i.e. the documented fold-path
-    # tradeoff, not recompute; the exploded ivf shape is the swap-in
-    # when the query side grows
+    # recompute codes per pair
     c = with_codes(corpus, "neighbor_id", "__c").localCheckpoint()
     q = with_codes(queries, "query_id", "__q").localCheckpoint()
     qc, cc = F.col("__qc"), F.col("__cc")
     approx = idot(qc, cc) / (F.col("__qn") * F.col("__cn"))
-    cand = (
-        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("approx_cos", approx)
+    cand = c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", approx.alias("approx_cos")
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cos"), F.asc("neighbor_id")
@@ -642,11 +645,24 @@ def quantized_topk(
     shortlist = (
         cand.withColumn("__rn", F.row_number().over(w1))
         .where(F.col("__rn") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore: the float column enters here, joined onto the
+    # refine·k shortlist rows only
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(broadcast(qv), "query_id")
         .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        shortlist.select("query_id", "neighbor_id", "cos_sim")
+        rescored.select("query_id", "neighbor_id", "cos_sim")
         .withColumn("__rn", F.row_number().over(w2))
         .where(F.col("__rn") <= k)
         .drop("__rn")

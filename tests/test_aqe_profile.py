@@ -30,6 +30,14 @@ AQE_SLICE = [
     "text_tfidf_top_terms",
     "snapshot_diff_counts",
     "embedding_kmeans_assign",
+    # round-6 physical shapes: exported-index round trip (write parquet
+    # mid-query, bucket self-join on the read-back), versioned-lake
+    # MERGE commit + read, code-narrowed shortlist + deferred-float
+    # rescore, ML LSH hash-collision join
+    "dedup_minhash_lsh",
+    "fred_merge_into_lake",
+    "similarity_quantized_topk",
+    "similarity_ml_brp_neighbors",
 ]
 
 

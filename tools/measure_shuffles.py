@@ -41,6 +41,8 @@ DEFAULT_QUERIES = [
     "quality_monitor_windows",
     "similarity_cosine_topk",
     "embedding_kmeans_assign",
+    "similarity_quantized_topk",
+    "text_bpe_merges",
 ]
 
 
