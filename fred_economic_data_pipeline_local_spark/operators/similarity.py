@@ -603,7 +603,10 @@ def quantized_topk(
     approx_cos) before the shortlist window. The float column is read
     by a separate join that touches exactly the refine·k shortlist rows
     per query (ADVICE r5: deferring the floats keeps the wide data off
-    the quadratic path entirely).
+    the quadratic path entirely). Measured (tools/measure_shuffles.py,
+    sf0.1): total shuffle 2,394 bytes / 150 records / 16 B per record —
+    the quadratic phase is broadcast-side and shuffles only the
+    narrowed shortlist-window rows, never codes or vectors.
     """
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
