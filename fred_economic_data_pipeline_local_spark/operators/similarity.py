@@ -590,57 +590,61 @@ def quantized_topk(
     neighbor's quantized rank falls past refine·k; tests pin recall@k
     against ``brute_force_topk``.
 
-    Like ``brute_force_topk``, per-pair scoring folds over the code
-    arrays — acceptable while the broadcast query set is bounded (the
-    fold count is |queries|·|corpus|, same as the exact baseline).
-    When the query side grows past broadcast size, the candidate phase
-    swaps to ``ivf_topk``'s exploded posexplode→groupBy-sum shape,
-    which keeps every multiply-add in whole-stage codegen.
-
-    The candidate phase carries ONLY the int8 codes + precomputed code
-    norms (never the float vectors — that's the whole 4×-smaller-scan
-    point), and the per-pair rows narrow to (query_id, neighbor_id,
-    approx_cos) before the shortlist window. The float column is read
-    by a separate join that touches exactly the refine·k shortlist rows
-    per query (ADVICE r5: deferring the floats keeps the wide data off
-    the quadratic path entirely). Measured (tools/measure_shuffles.py,
-    sf0.1): total shuffle 2,394 bytes / 150 records / 16 B per record —
-    the quadratic phase is broadcast-side and shuffles only the
-    narrowed shortlist-window rows, never codes or vectors.
+    The candidate phase is the exploded posexplode→groupBy-sum shape
+    (the same one ivf_topk uses): every multiply-add runs inside
+    whole-stage codegen — no per-pair interpreted fold — and because
+    the operands are int8 codes, every partial dot product is EXACT
+    integer arithmetic (|code| ≤ 127 ⇒ 64-dim dots ≪ 2^53), so the
+    summation order genuinely cannot matter: the exploded sums are
+    bit-identical to a sequential fold and to DuckDB's
+    list_dot_product, with none of the float-reassociation caveats the
+    exploded shape carries elsewhere. Rows carry ONLY codes + norms —
+    never the float vectors (the whole 4×-smaller-scan point) — and
+    narrow to (query_id, neighbor_id, approx_cos) before the shortlist
+    window; the float column joins the refine·k shortlist rows only
+    (ADVICE r5). Measured (tools/measure_shuffles.py, sf0.1): the fold
+    form shuffled 2.4 KB; this form shuffles the exploded code rows
+    once into the per-pair aggregate and nothing wide.
     """
-    def idot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def with_codes(df_in: DataFrame, id_out: str, pfx: str) -> DataFrame:
-        """Project (id, codes, code norm) — the norm computed ONCE per
-        row here, never per candidate pair (the same once-per-side
-        discipline ivf_topk applies to its float norms), zero-norm rows
-        dropped before the join rather than filtered per pair, and NO
-        float vector column."""
+    def codes_ex(df_in: DataFrame, id_out: str, code_out: str) -> DataFrame:
+        """(id, __i, code): the exploded int8 code table. Checkpointed
+        by callers so the (interpreted, per-element) quantization
+        transform runs once per vector, not once per consumer."""
         v = _as_double(F.col(vec_col))
         _, codes = int8_codes(v)
-        return (
-            df_in.select(
-                F.col(id_col).alias(id_out),
-                codes.alias(f"{pfx}c"),
-            )
-            .withColumn(f"{pfx}n", F.sqrt(idot(F.col(f"{pfx}c"), F.col(f"{pfx}c"))))
-            .where(F.col(f"{pfx}n") > 0)
-        )
+        return df_in.select(
+            F.col(id_col).alias(id_out), codes.alias("__cd")
+        ).select(id_out, F.posexplode("__cd").alias("__i", code_out))
 
-    # checkpoint both sides so CollapseProject can't inline the
-    # (interpreted) code-transform into the post-join projection and
-    # recompute codes per pair
-    c = with_codes(corpus, "neighbor_id", "__c").localCheckpoint()
-    q = with_codes(queries, "query_id", "__q").localCheckpoint()
-    qc, cc = F.col("__qc"), F.col("__cc")
-    approx = idot(qc, cc) / (F.col("__qn") * F.col("__cn"))
-    cand = c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", approx.alias("approx_cos")
+    c_ex = codes_ex(corpus, "neighbor_id", "__cc").localCheckpoint()
+    q_ex = codes_ex(queries, "query_id", "__qc").localCheckpoint()
+    # per-side code norms, computed once per vector (never per pair);
+    # pure integer sums under the sqrt. Zero-norm vectors (all-zero
+    # codes) drop here, mirroring the oracle's nonzero-code filters.
+    c_norm = (
+        c_ex.groupBy("neighbor_id")
+        .agg(F.sqrt(F.sum(F.col("__cc") * F.col("__cc"))).alias("__cn"))
+        .where(F.col("__cn") > 0)
+    )
+    q_norm = (
+        q_ex.groupBy("query_id")
+        .agg(F.sqrt(F.sum(F.col("__qc") * F.col("__qc"))).alias("__qn"))
+        .where(F.col("__qn") > 0)
+    )
+    dp = (
+        c_ex.join(broadcast(q_ex), "__i")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("__cc") * F.col("__qc")).alias("__dp"))
+    )
+    cand = (
+        dp.join(c_norm, "neighbor_id")
+        .join(broadcast(q_norm), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("__dp") / (F.col("__qn") * F.col("__cn"))).alias("approx_cos"),
+        )
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cos"), F.asc("neighbor_id")

@@ -776,27 +776,73 @@ def curation_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_assignment(docs, n_buckets=16, seed="s0")
 
 
+_PROF_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
 @query(
     "profile_incremental_documents",
-    oracle=None,  # the HLL sketch binary has no SQL mirror; the merge's
-    # defining property (union of per-snapshot sketches tracks the
-    # direct sketch of the union within 1%, estimates within 2% of
-    # exact distincts) is pinned in tests/test_profile.py
+    # the HLL sketch registers have no SQL mirror, so like
+    # approx_aggregates_lineitem this is self-certifying: the merged
+    # profile's COUNTS (exact sums by construction) hash-check against
+    # DuckDB's direct aggregation, and the merged distinct ESTIMATE is
+    # emitted as a bound certificate (within 2% of exact, the envelope
+    # tests/test_profile.py pins) that the oracle requires TRUE —
+    # a sketch-merge bug now fails the external hash, not just a test
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct_exact,
+       TRUE AS est_within_bounds
+FROM documents"""
+        for c in _PROF_COLS
+    ),
     description="O(delta) profile maintenance: per-snapshot mergeable "
     "column profiles (counts + Datasketches HLL per column) unioned "
     "into the corpus profile without re-scanning the accumulated "
     "corpus — the statistics-side counterpart of the incremental "
-    "dedup indexes; merge input is #snapshots x #columns tiny rows",
+    "dedup indexes; merge input is #snapshots x #columns tiny rows. "
+    "Self-certifying: merged counts hash-check exactly, the HLL "
+    "estimate certifies against an exact-distinct pass (the "
+    "certification pass exists for the gate only — production runs "
+    "sketches precisely to avoid it)",
 )
 def profile_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import merge_sketch_profiles, sketch_profile
 
     docs = load_table(spark, "documents", sf_dir)
-    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    cols = list(_PROF_COLS)
     old = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
-    return merge_sketch_profiles(
+    merged = merge_sketch_profiles(
         sketch_profile(old, cols), sketch_profile(new, cols)
+    )
+    # exact-distinct certification pass (one scan, one aggregate row,
+    # unpivoted to long form to join the merged profile on col_name)
+    wide = docs.agg(
+        *[F.count_distinct(c).alias(f"__nd_{c}") for c in cols]
+    )
+    exact = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"__nd_{c}").alias("n_distinct_exact"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    ok = F.abs(
+        F.col("n_distinct_est") - F.col("n_distinct_exact")
+    ) <= F.greatest(F.lit(0.02) * F.col("n_distinct_exact"), F.lit(1.0))
+    return merged.join(F.broadcast(exact), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct_exact",
+        ok.alias("est_within_bounds"),
     )
 
 
