@@ -627,6 +627,141 @@ def ngram_jaccard_pairs_prefix(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+# --- edit-distance similarity join (PassJoin-style) --------------------------
+
+def _even_partition(L, i, k: int):
+    """(1-based start, length) of segment ``i`` in the even k-way
+    partition of a string of length ``L`` (first L mod k segments carry
+    the extra character). Pure Column arithmetic (``i`` may be a python
+    int or a Column); both the index and the probe side derive
+    boundaries from the same formula, so they agree for every length."""
+    i = F.lit(i) if isinstance(i, int) else i
+    base = F.floor(L / k).cast("int")
+    rem = (L % F.lit(k)).cast("int")
+    ln = (base + F.when(i < rem, 1).otherwise(0)).cast("int")
+    start = (i * base + F.least(i, rem) + 1).cast("int")
+    return start, ln
+
+
+def edit_distance_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Edit-distance similarity self-join: pairs with levenshtein <=
+    ``max_dist``, via segment-pigeonhole blocking (PassJoin family —
+    Li/Deng/Feng, PVLDB 2011; public algorithm).
+
+    The missing member of the dedup family: exact (hash), Jaccard
+    (token sets), SimHash (bit drift), embedding (semantic) all miss
+    TYPO-level near-dups — OCR noise, re-crawl suffixes, mojibake —
+    where the string differs by a handful of character edits.
+
+    Never all-pairs: each string of length L is partitioned into
+    ``max_dist + 1`` segments. If ed(s, t) <= d, the edits touch at
+    most d segments, so by pigeonhole some segment of s survives
+    UNEDITED, and its image in t starts within +-d of its position in
+    s (the net indel shift before it is bounded by the total edits).
+    So the candidate join is: index every string's d+1 segments keyed
+    by (string length, segment index, segment text); probe every
+    string with the substrings at the +-d position window for each
+    segment of each candidate length in [len - d, len + d]. LOSSLESS
+    by the pigeonhole argument — no true pair can be missed — so the
+    verified result EQUALS brute-force levenshtein filtering, which is
+    exactly what the DuckDB oracle recomputes. Candidates then verify
+    with one levenshtein per distinct pair.
+
+    Scale shape: index is n*(d+1) narrow rows, probe is
+    n*(d+1)*(2d+1)^2 rows, both shuffled on (L, i, segment) — short
+    keys, no text payload beyond the segment itself; the quadratic
+    blowup of a naive cross join never materializes. Skew note: a
+    segment shared by m strings of one length yields m*probes
+    candidates — degenerate shared segments are exact-dup territory
+    (their cohort is the same cohort exact dedup collapses), bounded
+    by cohort size, not corpus size.
+
+    Returns (id_a, id_b, edit_dist), id_a < id_b.
+    """
+    k = max_dist + 1
+    d = max_dist
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    L = F.length("v")
+
+    segs = []
+    for i in range(k):
+        start, ln = _even_partition(L, i, k)
+        segs.append(
+            F.struct(
+                F.lit(i).alias("i"), F.col("v").substr(start, ln).alias("seg")
+            )
+        )
+    index = base.select(
+        F.col("id").alias("index_id"),
+        L.alias("L"),
+        F.explode(F.array(*segs)).alias("g"),
+    ).select("index_id", "L", "g.i", "g.seg")
+
+    # probe combos as a CONSTANT (i, length-delta, position-shift) array
+    # exploded first, with the position arithmetic in one post-explode
+    # projection — inlining it per combo builds a (d+1)(2d+1)^2-wide
+    # expression tree that blows the 64 KB codegen limit and drops the
+    # whole stage to interpreted mode
+    combos = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(delta).alias("dl"),
+                F.lit(shift).alias("sh"),
+            )
+            for delta in range(-d, d + 1)
+            for i in range(k)
+            for shift in range(-d, d + 1)
+        ]
+    )
+    g = F.col("g")
+    tl = (L + g["dl"]).cast("int")  # candidate index-string length
+    start, ln = _even_partition(tl, g["i"].cast("int"), k)
+    p = (start + g["sh"]).cast("int")
+    ok = (tl >= 0) & (ln >= 0) & (p >= 1) & (p <= L - ln + 1)
+    probe = (
+        base.select(
+            F.col("id").alias("probe_id"),
+            F.col("v"),
+            F.explode(combos).alias("g"),
+        )
+        .where(ok)
+        .select(
+            "probe_id",
+            g["i"].cast("int").alias("i"),
+            tl.alias("L"),
+            F.col("v").substr(p, ln).alias("seg"),
+        )
+    )
+
+    pairs = (
+        probe.join(index, ["L", "i", "seg"])
+        .where(F.col("probe_id") != F.col("index_id"))
+        .select(
+            F.least("probe_id", "index_id").alias("id_a"),
+            F.greatest("probe_id", "index_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("__va", "__vb"))
+        .where(F.col("edit_dist") <= d)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_table(

@@ -256,6 +256,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_edit_distance",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id, substr(text, 1, 40) AS v
+  FROM documents WHERE text IS NOT NULL
+),
+ed AS (
+  SELECT id + 1000000 AS id, substr(v, 1, 38) || 'zq' AS v
+  FROM base WHERE id % 7 = 0
+),
+s AS (SELECT * FROM base UNION ALL SELECT * FROM ed)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.v, b.v) AS INTEGER) AS edit_dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE abs(len(a.v) - len(b.v)) <= 3 AND levenshtein(a.v, b.v) <= 3
+""",
+    description="typo-level near-dup: PassJoin segment-pigeonhole "
+    "edit-distance self-join (levenshtein <= 3) over 40-char document "
+    "prefixes of the corpus plus a simulated re-crawl (every 7th doc "
+    "re-ingested with its prefix tail edited — the OCR-noise/suffix-"
+    "edit scenario char-level dedup exists for). Candidates come from "
+    "the lossless (length, segment, text) index join, never all pairs; "
+    "the oracle IS the all-pairs brute force, so blocking losslessness "
+    "is externally hash-checked",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import edit_distance_neardup
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, 40).alias("v")
+    )
+    edited = base.where(F.col("id") % 7 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.concat(F.substring("v", 1, 38), F.lit("zq")).alias("v"),
+    )
+    corpus = base.unionByName(edited)
+    return edit_distance_neardup(corpus, text_col="v", id_col="id", max_dist=3)
+
+
+@query(
     "dedup_simhash",
     # the 64-bit signatures are exported; pigeonhole banding at
     # max_hamming=3 < 4 chunks has FULL recall, so the Spark pair set

@@ -102,6 +102,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_incremental_minhash",
     # --- 2. new this round + first-ever hash rows for the upgraded set ---
     "fred_merge_into_lake",
+    "dedup_edit_distance",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_neardup_lsh",
@@ -132,7 +133,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "scalar_subquery_above_avg",
     "correlated_subquery_max_per_cust",
     "date_functions_orders",
-    "cast_coercion_values",
+    # (cast_coercion_values was slotted here; it yielded its window seat
+    # to the new dedup_edit_distance and moved to the relational block)
     # ===== below the window: hash-green r5/r6, mirrored locally =====
     # --- FRED parity pipeline (the flagship; r5 green) ---
     "fred_silver_monthly",
@@ -236,6 +238,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "null_functions_events",
     "distinct_parts_per_flag",
     "case_when_price_bands",
+    "cast_coercion_values",
     "string_functions_parts",
     "profile_table_lineitem",
     "window_frame_first_last",
