@@ -71,3 +71,47 @@ def decontaminate(
         id_col,
         "left_anti",
     )
+
+
+def embedding_contamination_hits(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: per-corpus-vector count of benchmark
+    vectors above a cosine threshold, plus the worst (max) similarity.
+
+    The embedding-space counterpart of ``contamination_hits``: n-gram
+    overlap misses paraphrased test-set leakage (same content, rewritten
+    surface), which is precisely what embedding similarity catches — the
+    screen modern eval-hygiene pipelines run alongside the GPT-3-style
+    n-gram check. Returns (id, n_bench_hits, max_cos) for contaminated
+    vectors only; the caller anti-joins to drop them.
+
+    Scale shape: the benchmark side is small by construction (an eval
+    set), so it broadcasts and the corpus streams through one scan —
+    no shuffle of corpus vectors; the output aggregate shuffles one
+    narrow row per CONTAMINATED vector only. When the benchmark
+    outgrows broadcast, the bucketed candidate generator
+    (``similarity.cosine_neardup_lsh``'s multi-table signatures) swaps
+    in as the pair source, same as every other ANN consumer.
+    """
+    from .similarity import cosine, _as_double
+
+    c = corpus_emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    b = bench_emb.select(
+        F.col(id_col).alias("__bid"), _as_double(F.col(vec_col)).alias("__bv")
+    )
+    cos = cosine(F.col("__cv"), F.col("__bv"))
+    return (
+        c.join(F.broadcast(b), cos >= F.lit(threshold))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.round(F.max(cos), 6).alias("max_cos"),
+        )
+    )

@@ -94,6 +94,43 @@ def decontam_clean_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
 
 
+_COS_DECON = (
+    "list_dot_product(c.e, b.e) / "
+    "(sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+@query(
+    "decontam_embedding_hits",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT * FROM v WHERE vec_id % 17 = 0),
+c AS (SELECT * FROM v WHERE vec_id % 17 <> 0),
+hits AS (
+  SELECT c.vec_id AS id, {_COS_DECON} AS cs
+  FROM c JOIN b ON {_COS_DECON} >= 0.35
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       round(max(cs), 6) AS max_cos
+FROM hits GROUP BY id
+""",
+    description="semantic decontamination: per-corpus-vector count of "
+    "benchmark embeddings above cosine 0.35 plus the worst similarity "
+    "— the paraphrase-leakage screen n-gram decontam misses (every "
+    "17th vector stands in for the eval set; the threshold sits inside "
+    "the fixture's similarity range, production runs ~0.9). Benchmark "
+    "side broadcasts, corpus streams one scan, only contaminated rows "
+    "shuffle",
+)
+def decontam_embedding_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import embedding_contamination_hits
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    bench = emb.where(F.col("vec_id") % 17 == 0)
+    corpus = emb.where(F.col("vec_id") % 17 != 0)
+    return embedding_contamination_hits(corpus, bench, threshold=0.35)
+
+
 @query(
     "sample_hash_deterministic",
     oracle="""

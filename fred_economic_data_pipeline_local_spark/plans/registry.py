@@ -103,6 +103,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # --- 2. new this round + first-ever hash rows for the upgraded set ---
     "fred_merge_into_lake",
     "dedup_edit_distance",
+    "decontam_embedding_hits",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_neardup_lsh",
@@ -132,9 +133,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "explode_token_frequency",
     "scalar_subquery_above_avg",
     "correlated_subquery_max_per_cust",
-    "date_functions_orders",
-    # (cast_coercion_values was slotted here; it yielded its window seat
-    # to the new dedup_edit_distance and moved to the relational block)
+    # (date_functions_orders and cast_coercion_values were slotted here;
+    # they yielded their window seats to the new dedup_edit_distance and
+    # decontam_embedding_hits queries and moved to the relational block)
     # ===== below the window: hash-green r5/r6, mirrored locally =====
     # --- FRED parity pipeline (the flagship; r5 green) ---
     "fred_silver_monthly",
@@ -239,6 +240,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "distinct_parts_per_flag",
     "case_when_price_bands",
     "cast_coercion_values",
+    "date_functions_orders",
     "string_functions_parts",
     "profile_table_lineitem",
     "window_frame_first_last",

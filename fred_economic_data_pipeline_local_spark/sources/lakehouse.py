@@ -143,3 +143,83 @@ class LakeTable:
                 shutil.rmtree(self._vpath(v), ignore_errors=True)
                 removed.append(v)
         return removed
+
+
+class PartitionedLakeTable:
+    """Key-bucketed parquet lake table with O(delta-buckets) MERGE INTO —
+    the scale variant of ``LakeTable``.
+
+    ``LakeTable`` rewrites the whole table per version (copy-on-write),
+    which buys all-or-nothing commits but costs O(table) per merge. At
+    100 TB the table must instead be laid out so a merge rewrites only
+    the data it touches: rows are hash-bucketed on the merge key into
+    ``n_buckets`` Hive partitions (``__bucket = pmod(xxhash64(keys),
+    n)``), and MERGE:
+
+    1. computes the source's touched bucket set (<= n_buckets values,
+       driver-side by construction — this is the one intentional
+       collect, bounded by the bucket count, never the data);
+    2. reads ONLY those partitions of the target (Catalyst partition
+       pruning — the scan lists just the touched directories);
+    3. runs the same ``upsert_merge`` on that slice;
+    4. writes back with dynamic partition overwrite, replacing only the
+       touched partition directories.
+
+    Work per merge is O(|delta| + |touched buckets' data|), independent
+    of total table size. The tradeoff vs ``LakeTable`` is atomicity
+    granularity: dynamic overwrite commits per partition, not per
+    table (the same tradeoff Hive-style pipelines accept; a global
+    commit needs the version-pointer design, which is what ``LakeTable``
+    provides — at 100 TB real deployments layer file-level logs à la
+    Delta/Iceberg, whose commit protocol ``LakeTable._commit`` models).
+    """
+
+    def __init__(self, root: str, keys: list[str], n_buckets: int = 64):
+        self.root = root
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+
+    def _bucket(self) -> "F.Column":
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
+
+    def overwrite(self, df: DataFrame) -> None:
+        (
+            df.withColumn("__bucket", self._bucket())
+            .repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(self.root)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.root).drop("__bucket")
+
+    def merge_into(self, source: DataFrame) -> list[int]:
+        """MERGE with bucket-pruned rewrite; returns the touched bucket
+        ids (sorted). Read-back equals ``upsert_merge(full_target,
+        source)`` because a key's rows can only ever live in its own
+        bucket — untouched buckets cannot contain source keys."""
+        from pyspark.sql import functions as F
+
+        spark = source.sparkSession
+        src = source.withColumn("__bucket", self._bucket())
+        touched = sorted(
+            r[0] for r in src.select("__bucket").distinct().collect()
+        )
+        target_slice = (
+            spark.read.parquet(self.root)
+            .where(F.col("__bucket").isin(touched))
+            .drop("__bucket")
+        )
+        merged = upsert_merge(target_slice, src.drop("__bucket"), self.keys)
+        (
+            merged.withColumn("__bucket", self._bucket())
+            .repartition("__bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(self.root)
+        )
+        return touched

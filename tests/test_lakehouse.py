@@ -107,3 +107,96 @@ def test_null_keys_merge_null_safely(spark, tmp_path):
     assert got == _rows(upsert_merge(target, source, KEYS))
     assert (None, 2024, 1, 10.0, 9) in got
     assert len(got) == 2
+
+
+class TestPartitionedLakeTable:
+    def _table(self, spark, tmp_path, n_buckets=8):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            PartitionedLakeTable,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.select("doc_id", "source", "lang", "n_chars")
+        t = PartitionedLakeTable(
+            str(tmp_path / "pt"), keys=["doc_id"], n_buckets=n_buckets
+        )
+        t.overwrite(target)
+        return t, target
+
+    def test_merge_equals_engine_upsert(self, spark, tmp_path):
+        t, target = self._table(spark, tmp_path)
+        source = (
+            target.where(F.col("doc_id") % 10 == 0)
+            .withColumn("n_chars", F.col("n_chars") + 1)
+        )
+        touched = t.merge_into(source)
+        assert 0 < len(touched) <= t.n_buckets
+        got = _rows(t.read(spark))
+        assert got == _rows(upsert_merge(target, source, ["doc_id"]))
+
+    def test_untouched_partitions_not_rewritten(self, spark, tmp_path):
+        """The O(delta) claim, checked on disk: partition directories
+        outside the touched bucket set keep their exact files (names +
+        mtimes) across a merge — dynamic overwrite replaced only the
+        touched directories."""
+        import os
+
+        t, target = self._table(spark, tmp_path, n_buckets=16)
+
+        def snapshot():
+            out = {}
+            for d in os.listdir(t.root):
+                if d.startswith("__bucket="):
+                    p = os.path.join(t.root, d)
+                    out[d] = sorted(
+                        (f, os.path.getmtime(os.path.join(p, f)))
+                        for f in os.listdir(p)
+                        if not f.startswith(".")
+                    )
+            return out
+
+        before = snapshot()
+        source = target.where(F.col("doc_id") == 7).withColumn(
+            "lang", F.lit("xx")
+        )
+        touched = t.merge_into(source)
+        after = snapshot()
+        touched_dirs = {f"__bucket={b}" for b in touched}
+        assert touched_dirs  # something was merged
+        for d, files in before.items():
+            if d not in touched_dirs:
+                assert after[d] == files, f"untouched {d} was rewritten"
+        for d in touched_dirs:
+            assert after[d] != before.get(d), f"touched {d} unchanged"
+
+    def test_merge_scan_prunes_partitions(self, spark, tmp_path):
+        """The target read under a merge must carry a __bucket partition
+        filter so the scan lists only touched directories."""
+        from pyspark.sql import functions as F2
+
+        t, target = self._table(spark, tmp_path, n_buckets=16)
+        src = target.where(F.col("doc_id") == 7)
+        bucket = src.select(
+            F2.pmod(F2.xxhash64("doc_id"), F2.lit(16)).cast("int")
+        ).first()[0]
+        pruned = spark.read.parquet(t.root).where(
+            F.col("__bucket").isin([bucket])
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "__bucket" in plan
+
+    def test_null_key_rows_bucket_consistently(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            PartitionedLakeTable,
+        )
+
+        target = spark.createDataFrame(
+            [(None, "a"), (1, "b")], "k long, v string"
+        )
+        t = PartitionedLakeTable(str(tmp_path / "nk"), keys=["k"], n_buckets=4)
+        t.overwrite(target)
+        source = spark.createDataFrame([(None, "A2")], "k long, v string")
+        t.merge_into(source)
+        got = _rows(t.read(spark))
+        assert got == _rows(upsert_merge(target, source, ["k"]))
+        assert (None, "A2") in got and len(got) == 2
