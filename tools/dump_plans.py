@@ -71,6 +71,29 @@ SHOWCASE = {
         "`BroadcastHashJoin` against the full embedding scan — the corpus "
         "side has zero exchanges."
     ),
+    "dedup_edit_distance": (
+        "PassJoin edit-distance self-join. Look for: the probe side one "
+        "Generate (explode of the constant combo array) + codegen'd "
+        "projection (NOT a 196-wide expression tree — that blew the 64 KB "
+        "codegen limit), the candidate join a shuffled equi-join on the "
+        "narrow (L, i, seg) key, levenshtein only after the distinct pair "
+        "set, never per probe row."
+    ),
+    "similarity_quantized_topk": (
+        "Compressed-index ANN. Look for: candidate scoring as "
+        "posexplode -> broadcast join on the dimension index -> "
+        "partial+final HashAggregate (whole-stage codegen'd integer "
+        "multiply-adds), per-pair rows narrowed to 3 columns before the "
+        "shortlist Window, the float vector column appearing ONLY in the "
+        "post-shortlist rescore joins."
+    ),
+    "decontam_embedding_hits": (
+        "Semantic decontamination screen. Look for: the benchmark side a "
+        "BroadcastNestedLoopJoin build (eval sets are small by "
+        "construction), the corpus side a single un-shuffled scan, the "
+        "only Exchange carrying one narrow row per CONTAMINATED vector "
+        "into the final aggregate."
+    ),
     "pack_sequences_greedy": (
         "Sequence packing. Look for: exactly one "
         "`Exchange hashpartitioning(source...)` feeding one Window with the "
