@@ -50,6 +50,7 @@ HEADLINE = [
     "asof_clicks_to_purchases",
     "interval_join_shipments",
     "dedup_exact_keep_min",
+    "dedup_edit_distance",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_prefix",
@@ -66,6 +67,7 @@ HEADLINE = [
     "snapshot_diff_counts",
     "multimodal_decode_meta",
     "decontam_ngram_hits",
+    "decontam_embedding_hits",
     "embedding_centroid_prune",
     "curation_pipeline_end_to_end",
 ]

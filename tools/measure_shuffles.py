@@ -43,6 +43,8 @@ DEFAULT_QUERIES = [
     "embedding_kmeans_assign",
     "similarity_quantized_topk",
     "text_bpe_merges",
+    "dedup_edit_distance",
+    "decontam_embedding_hits",
 ]
 
 
