@@ -648,6 +648,7 @@ def edit_distance_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_dist: int = 2,
+    seg_cap: int | None = None,
 ) -> DataFrame:
     """Edit-distance similarity self-join: pairs with levenshtein <=
     ``max_dist``, via segment-pigeonhole blocking (PassJoin family —
@@ -679,7 +680,14 @@ def edit_distance_neardup(
     segment shared by m strings of one length yields m*probes
     candidates — degenerate shared segments are exact-dup territory
     (their cohort is the same cohort exact dedup collapses), bounded
-    by cohort size, not corpus size.
+    by cohort size, not corpus size. ``seg_cap`` (opt-in, same posture
+    as minhash's ``bucket_cap`` / ngram's ``df_cap``) drops index keys
+    shared by more than ``seg_cap`` strings via a partial-agg +
+    broadcast anti-join: boilerplate cohorts stop exploding, at the
+    price of possible false NEGATIVES among strings matching ONLY
+    through capped segments. The default None keeps the operator exact
+    (the oracle's semantics); 100 TB callers opt in explicitly after
+    exact dedup has collapsed the literal-duplicate cohorts.
 
     Returns (id_a, id_b, edit_dist), id_a < id_b.
     """
@@ -741,6 +749,16 @@ def edit_distance_neardup(
             F.col("v").substr(p, ln).alias("seg"),
         )
     )
+
+    if seg_cap is not None:
+        hot = (
+            index.groupBy("L", "i", "seg")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > seg_cap)
+            .select("L", "i", "seg")
+        )
+        index = index.join(F.broadcast(hot), ["L", "i", "seg"], "left_anti")
+        probe = probe.join(F.broadcast(hot), ["L", "i", "seg"], "left_anti")
 
     pairs = (
         probe.join(index, ["L", "i", "seg"])

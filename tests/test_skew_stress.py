@@ -178,3 +178,54 @@ def test_fp_cap_drops_boilerplate_span_fingerprints(spark):
     assert {(a, b) for (a, b, _) in capped if a >= 500} == planted
     # false negatives only: capped pairs are a subset at reduced counts
     assert {(a, b) for (a, b, _) in capped} <= {(a, b) for (a, b, _) in uncapped}
+
+
+class TestEditDistanceSegCap:
+    def _boiler_strings(self, spark):
+        """120 equal-length strings sharing an identical first half
+        (the boilerplate segment) with distinct second halves, plus 3
+        planted typo pairs differing only in their unique tails."""
+        rows = []
+        for i in range(120):
+            rows.append((i, f"BOILERPLATEHEAD-{i:06d}suffix"))
+        for p in range(3):
+            rows.append((2000 + 2 * p, f"unique{p}headxx-{p:06d}suffix"))
+            rows.append((2001 + 2 * p, f"unique{p}headxy-{p:06d}suffix"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_uncapped_is_exact_and_capped_drops_only_boiler_pairs(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.dedup import (
+            edit_distance_neardup,
+        )
+
+        docs = self._boiler_strings(spark)
+        # ground truth: brute force
+        a, b = docs.alias("a"), docs.alias("b")
+        exact = sorted(
+            tuple(r)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.levenshtein("a.text", "b.text").alias("edit_dist"),
+            )
+            .where(F.col("edit_dist") <= 2)
+            .collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_neardup(docs, max_dist=2).collect()
+        )
+        assert got == exact  # default (no cap) stays exact under skew
+
+        capped = sorted(
+            tuple(r)
+            for r in edit_distance_neardup(docs, max_dist=2, seg_cap=50).collect()
+        )
+        # the planted typo pairs match through their UNIQUE segments and
+        # must survive the cap; only pairs whose every shared segment is
+        # boilerplate may disappear
+        planted = {(2000 + 2 * p, 2001 + 2 * p) for p in range(3)}
+        got_capped = {(x, y) for x, y, _ in capped}
+        assert planted <= got_capped
+        assert set(capped) <= set(exact)  # never false positives
