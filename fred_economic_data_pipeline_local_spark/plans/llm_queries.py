@@ -1077,19 +1077,66 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bpe_token_counts",
-    oracle=None,  # depends on the iteratively-learned merge list; the
-    # merge learning AND the greedy segmentation are pinned against the
-    # pure-Python reference in tests/test_text_ops.py::TestBpe
+    # The iteratively-LEARNED merge list is deterministic data, so it is
+    # exported (rank, l, r) and DuckDB independently re-applies it: a
+    # recursive CTE steps through the merges in rank order, and each
+    # step replays the greedy left-to-right non-overlapping pair merge
+    # as a list_reduce fold over the spaced-symbol form (merging
+    # acc-tail+next exactly when they equal the pair — provably
+    # equivalent to the Java-regex lookaround replace Spark runs, since
+    # a merged symbol can never re-match as the left element within the
+    # same pass: left || right == left is impossible). Everything
+    # downstream of the induction loop — segmentation, counting, per-doc
+    # aggregation — is therefore externally hash-checked; the induction
+    # loop itself stays pinned merge-for-merge against the pure-Python
+    # sequential BPE in tests/test_text_ops.py::TestBpe.
+    oracle=f"""
+WITH RECURSIVE
+m AS (SELECT rank, l, r FROM {export_sql('text_bpe_merge_table')}),
+t AS (SELECT doc_id AS id, {_LTOKS_SQL} AS tk FROM documents),
+tok AS (SELECT id, unnest(tk) AS w FROM t),
+dw AS (SELECT DISTINCT w FROM tok),
+sym0 AS (SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') AS sym FROM dw),
+app AS (
+  SELECT w, sym, 0 AS k FROM sym0
+  UNION ALL
+  SELECT a.w,
+         list_reduce(string_split(a.sym, ' '),
+           (acc, x) -> CASE
+             WHEN x = m.r AND acc = m.l THEN m.l || m.r
+             WHEN x = m.r AND ends_with(acc, ' ' || m.l)
+               THEN substr(acc, 1, length(acc) - length(m.l)) || m.l || m.r
+             ELSE acc || ' ' || x END),
+         a.k + 1
+  FROM app a JOIN m ON m.rank = a.k + 1
+),
+fin AS (SELECT w, sym FROM app WHERE k = (SELECT count(*) FROM m)),
+cnt AS (SELECT w, CAST(len(string_split(sym, ' ')) AS INTEGER) AS nb FROM fin),
+agg AS (SELECT tok.id, CAST(sum(cnt.nb) AS INTEGER) AS n_bpe_tokens
+        FROM tok JOIN cnt ON tok.w = cnt.w GROUP BY tok.id)
+SELECT t.id, CAST(len(t.tk) AS INTEGER) AS n_words, agg.n_bpe_tokens
+FROM t JOIN agg ON t.id = agg.id
+""",
     description="apply the corpus-learned BPE merges: per-doc whitespace "
     "vs subword token counts — the learned-tokenizer upgrade of "
     "text_token_counts' regex proxy; the merge list is baked into one "
-    "chained-regexp projection (no join, no Python)",
+    "chained-regexp projection (no join, no Python); hash-checked via "
+    "the exported merge table (DuckDB re-applies the merges with a "
+    "recursive CTE + greedy fold and recounts per doc)",
 )
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
     from ..operators.text import bpe_tokenize, bpe_train
 
     docs = load_table(spark, "documents", sf_dir)
     merges, _ = bpe_train(docs, n_merges=8, min_freq=2)
+    export_table(
+        spark.createDataFrame(
+            [(i + 1, a, b) for i, (a, b, _) in enumerate(merges)],
+            "rank int, l string, r string",
+        ),
+        "text_bpe_merge_table",
+    )
     return bpe_tokenize(docs, merges)
 
 
