@@ -73,12 +73,57 @@ def decontaminate(
     )
 
 
+def lsh_contamination_candidates(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    planes: int = 8,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = 1000,
+    corpus_sig: DataFrame | None = None,
+    bench_sig: DataFrame | None = None,
+) -> DataFrame:
+    """(id, bench_id) candidate pairs for the semantic screen when the
+    benchmark outgrows broadcast: multi-table hyperplane signatures on
+    BOTH sides (same data-independent xxhash64 planes, so signatures
+    computed in separate passes collide consistently), equi-joined on
+    (t, sig) — a narrow-key shuffle join instead of the broadcast
+    nested-loop the exact path uses. Approximate by construction: a
+    pair colliding in no table is missed, with the same recall curve as
+    ``similarity.cosine_neardup_lsh`` (-> 1 as similarity rises).
+
+    ``bucket_cap`` drops degenerate BENCH buckets (e.g. the all-zero
+    signature) by (t, sig) count — the bench index is eval-set-sized so
+    the hot-bucket list broadcasts. ``corpus_sig``/``bench_sig`` inject
+    precomputed/persisted (id, t, sig) tables (the oracle-export and
+    production persisted-index hook).
+    """
+    from .similarity import multitable_sig_table
+
+    if corpus_sig is None:
+        corpus_sig = multitable_sig_table(corpus_emb, planes, tables, id_col, vec_col)
+    if bench_sig is None:
+        bench_sig = multitable_sig_table(bench_emb, planes, tables, id_col, vec_col)
+    b = bench_sig.select(F.col("id").alias("bench_id"), "t", "sig")
+    if bucket_cap is not None:
+        hot = (
+            b.groupBy("t", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > bucket_cap)
+            .select("t", "sig")
+        )
+        b = b.join(F.broadcast(hot), ["t", "sig"], "left_anti")
+    return corpus_sig.join(b, ["t", "sig"]).select("id", "bench_id").distinct()
+
+
 def embedding_contamination_hits(
     corpus_emb: DataFrame,
     bench_emb: DataFrame,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic decontamination: per-corpus-vector count of benchmark
     vectors above a cosine threshold, plus the worst (max) similarity.
@@ -94,9 +139,12 @@ def embedding_contamination_hits(
     set), so it broadcasts and the corpus streams through one scan —
     no shuffle of corpus vectors; the output aggregate shuffles one
     narrow row per CONTAMINATED vector only. When the benchmark
-    outgrows broadcast, the bucketed candidate generator
-    (``similarity.cosine_neardup_lsh``'s multi-table signatures) swaps
-    in as the pair source, same as every other ANN consumer.
+    outgrows broadcast, pass ``candidates`` — an (id, bench_id) pair
+    frame from ``lsh_contamination_candidates`` (or any persisted
+    candidate index): the nested-loop join is then replaced by plain
+    equi-joins hydrating the candidate pairs with their vectors, and no
+    side needs to broadcast (hit sets are contained in the exact
+    screen's, pinned in tests/test_curation.py).
     """
     from .similarity import cosine, _as_double
 
@@ -107,11 +155,14 @@ def embedding_contamination_hits(
         F.col(id_col).alias("__bid"), _as_double(F.col(vec_col)).alias("__bv")
     )
     cos = cosine(F.col("__cv"), F.col("__bv"))
-    return (
-        c.join(F.broadcast(b), cos >= F.lit(threshold))
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bench_hits"),
-            F.round(F.max(cos), 6).alias("max_cos"),
+    if candidates is None:
+        pairs = c.join(F.broadcast(b), cos >= F.lit(threshold))
+    else:
+        cand = candidates.select("id", F.col("bench_id").alias("__bid"))
+        pairs = (
+            cand.join(c, "id").join(b, "__bid").where(cos >= F.lit(threshold))
         )
+    return pairs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.round(F.max(cos), 6).alias("max_cos"),
     )

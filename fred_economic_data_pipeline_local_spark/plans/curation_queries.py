@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..exports import export_sql
 from ..operators.curation import (
     cap_per_group,
     centroid_cosines,
@@ -129,6 +130,65 @@ def decontam_embedding_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = emb.where(F.col("vec_id") % 17 == 0)
     corpus = emb.where(F.col("vec_id") % 17 != 0)
     return embedding_contamination_hits(corpus, bench, threshold=0.35)
+
+
+@query(
+    "decontam_embedding_hits_lsh",
+    # both (id, t, sig) signature tables are exported; DuckDB re-runs
+    # the bench-side hot-bucket cap, the (t, sig) collision join, the
+    # exact cosine verify and the per-id aggregate — hash-checked
+    # EQUALITY downstream of the (data-independent) hash planes.
+    # Containment vs the exact broadcast screen is pinned separately in
+    # tests/test_curation.py.
+    oracle=f"""
+WITH cs AS (SELECT * FROM {export_sql('decontam_corpus_sig')}),
+bs AS (SELECT id AS bench_id, t, sig FROM {export_sql('decontam_bench_sig')}),
+hot AS (SELECT t, sig FROM bs GROUP BY t, sig HAVING count(*) > 1000),
+bsf AS (SELECT bs.* FROM bs ANTI JOIN hot USING (t, sig)),
+cand AS (SELECT DISTINCT cs.id, bsf.bench_id
+         FROM cs JOIN bsf ON cs.t = bsf.t AND cs.sig = bsf.sig),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+hits AS (
+  SELECT cand.id,
+         list_dot_product(c.e, b.e) /
+         (sqrt(list_dot_product(c.e, c.e)) *
+          sqrt(list_dot_product(b.e, b.e))) AS cs
+  FROM cand JOIN v c ON c.vec_id = cand.id
+            JOIN v b ON b.vec_id = cand.bench_id
+  WHERE list_dot_product(c.e, b.e) /
+        (sqrt(list_dot_product(c.e, c.e)) *
+         sqrt(list_dot_product(b.e, b.e))) >= 0.35
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       round(max(cs), 6) AS max_cos
+FROM hits GROUP BY id
+""",
+    description="semantic decontamination, LSH-bucketed: the scale path "
+    "for decontam_embedding_hits when the benchmark outgrows broadcast "
+    "— multi-table hyperplane signatures on both sides, (t, sig) "
+    "equi-join candidates, exact cosine verify; approximate (recall "
+    "-> 1 as similarity rises), hit sets contained in the exact "
+    "screen's; hash-checked via the exported signature index tables",
+)
+def decontam_embedding_hits_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.decontam import (
+        embedding_contamination_hits,
+        lsh_contamination_candidates,
+    )
+    from ..operators.similarity import multitable_sig_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    bench = emb.where(F.col("vec_id") % 17 == 0)
+    corpus = emb.where(F.col("vec_id") % 17 != 0)
+    csig = export_table(multitable_sig_table(corpus), "decontam_corpus_sig")
+    bsig = export_table(multitable_sig_table(bench), "decontam_bench_sig")
+    cand = lsh_contamination_candidates(
+        corpus, bench, corpus_sig=csig, bench_sig=bsig
+    )
+    return embedding_contamination_hits(
+        corpus, bench, threshold=0.35, candidates=cand
+    )
 
 
 @query(

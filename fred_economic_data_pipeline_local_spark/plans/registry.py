@@ -59,90 +59,102 @@ def get_query(name: str) -> QuerySpec:
 # registry match exactly, so adding a query without cataloguing it is a
 # test failure, not a silent reorder.
 #
-# Editorial reslot #3 (round 6, mandated by the round-5 verdict):
+# Editorial reslot #4 (round 7, mandated by the round-6 verdict):
 # external consumers verify a fixed-size prefix of this catalog, so the
 # prefix carries the queries whose verification is currently most
 # valuable, in rotation priority:
-#   1. the 19 round-5 additions that have never received an external
-#      verification row (text corpus statistics, BPE, monitors,
-#      snapshot/leakage audits, quantization, k-means);
-#   2. the queries upgraded this round from rows-only to hash-checked
-#      via exported intermediates (MinHash/SimHash/hyperplane/IVF/ML
-#      LSH, approx aggregates, multimodal ANN) — their first-ever hash
-#      rows — plus the new lakehouse MERGE INTO backend;
-#   3. a refresh block of queries whose last verification row dates to
-#      round 1 (multimodal decode family, semi/anti/outer joins,
-#      rollup/cube/grouping-sets, pivot/unpivot, subqueries).
-# Everything demoted below the window is hash-green as of round 5 and
-# remains covered by the identical local mirror
-# (tests/test_oracle_parity.py) every round. Still-unrotated round-1/2
-# rows (8 relational + 26 window/skew/multiset entries) are the head of
-# round 7's rotation.
+#   1. the 32 entries whose newest external row still dated to rounds
+#      1-2 (the catalog's entire remaining round-1/2 freshness debt:
+#      the window family, gap-fill/stream/temporal joins, set ops and
+#      multisets, scalar-function and relational blocks, skew-salted
+#      joins/aggs, stats/histogram/profile, embedding stats);
+#   2. text_bpe_token_counts' first-ever hash row (upgraded this round
+#      via the exported merge table) plus the new LSH-bucketed semantic
+#      decontamination path;
+#   3. the head of the round-4 refresh block (the oldest rows left
+#      after #1): the curation/similarity r4 entries and TPC-H q2-q13.
+# Everything demoted below the window is hash-green as of rounds 4-6
+# and remains covered by the identical local mirror
+# (tests/test_oracle_parity.py) every round. After this rotation no
+# entry's newest external row is older than round 4; the remaining
+# round-4 rows (TPC-H q14-q22 tail) head round 8's rotation.
 CATALOG_ORDER: tuple[str, ...] = (
     # ===== verified window (first 50) =====
-    # --- 1. never-externally-checked round-5 additions ---
-    "text_tfidf_top_terms",
-    "text_topk_ngrams",
-    "text_vocab_coverage",
-    "text_compression_ratio",
-    "text_bigram_logprob",
-    "text_langid_confusion",
-    "text_bpe_merges",
+    # --- 1. round-1/2 freshness-debt block (all 32) ---
+    "window_lag_month_over_month",
+    "window_rolling_mean",
+    "window_cumulative_user_value",
+    "window_frame_first_last",
+    "window_rank_customers",
+    "gap_fill_forward_monthly",
+    "stream_click_attribution",
+    "range_join_price_bands",
+    "interval_join_shipments",
+    "union_nations_of_parties",
+    "except_orders_without_items",
+    "intersect_shared_nations",
+    "except_all_nation_multiset",
+    "intersect_all_nation_multiset",
+    "distinct_parts_per_flag",
+    "case_when_price_bands",
+    "cast_coercion_values",
+    "date_functions_orders",
+    "string_functions_parts",
+    "null_functions_events",
+    "cross_join_region_pairs",
+    "null_safe_join_event_kinds",
+    "skew_salted_join_revenue",
+    "skew_salted_agg_quantities",
+    "histogram_order_prices",
+    "stats_aggregates_lineitem",
+    "string_agg_region_nations",
+    "array_functions_tokens",
+    "embedding_norms",
+    "embedding_label_stats",
+    "profile_table_lineitem",
+    "json_extract_props",
+    # --- 2. first hash row + new this round ---
     "text_bpe_token_counts",
-    "snapshot_diff_counts",
-    "curation_split_leakage",
-    "curation_shuffle_assignment",
-    "quality_monitor_windows",
-    "events_volume_anomaly",
-    "profile_incremental_documents",
-    "embedding_outlier_zscores",
-    "embedding_quantize_int8",
-    "embedding_kmeans_assign",
-    "similarity_quantized_topk",
-    "dedup_incremental_minhash",
-    # --- 2. new this round + first-ever hash rows for the upgraded set ---
-    "fred_merge_into_lake",
-    "dedup_edit_distance",
-    "decontam_embedding_hits",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_neardup_lsh",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "multimodal_feature_topk",
-    "similarity_ml_minhash_pairs",
-    "similarity_ml_brp_neighbors",
-    "approx_aggregates_lineitem",
-    # --- 3. round-1 refresh block (oldest external rows in the catalog) ---
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize_decode",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_no_recent_orders",
-    "outer_join_order_counts",
-    "union_all_lake_layers",
-    "topk_orders_by_price",
-    "rollup_region_nation_customers",
-    "cube_status_priority",
-    "from_json_typed_props",
-    "percentile_order_prices",
-    "pivot_priority_by_status",
-    "unpivot_lineitem_measures",
-    "grouping_sets_region_segment",
-    "window_ntile_percent_rank",
-    "explode_token_frequency",
-    "scalar_subquery_above_avg",
-    "correlated_subquery_max_per_cust",
-    # (date_functions_orders and cast_coercion_values were slotted here;
-    # they yielded their window seats to the new dedup_edit_distance and
-    # decontam_embedding_hits queries and moved to the relational block)
-    # ===== below the window: hash-green r5/r6, mirrored locally =====
-    # --- FRED parity pipeline (the flagship; r5 green) ---
+    "decontam_embedding_hits_lsh",
+    # --- 3. round-4 refresh head (oldest rows after block 1) ---
+    "sample_temperature_mix",
+    "curation_redact_pii",
+    "embedding_hard_negatives",
+    "curation_quality_report",
+    "embedding_neardup_cosine",
+    "embedding_neardup_resolve",
+    "similarity_cosine_topk",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipping_delay",
+    "q13_customer_distribution",
+    # ===== below the window: hash-green r4-r6, mirrored locally =====
+    # --- FRED parity pipeline (the flagship) ---
     "fred_silver_monthly",
     "fred_gold_yearly",
     "fred_dedup_append",
     "fred_upsert_merge",
-    # --- text analysis (r5 green) ---
+    "fred_merge_into_lake",
+    # --- TPC-H canaries + r4 tail (heads round 8's rotation) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q9_product_type_profit",
+    "q18_large_volume_customers",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    # --- text analysis ---
     "text_token_counts",
     "text_quality_metrics",
     "text_language_id",
@@ -154,39 +166,25 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_winnow_fingerprints",
     "dedup_span_overlap",
     "text_repetition_metrics",
-    # --- event-time operators (r5 green) ---
+    "text_tfidf_top_terms",
+    "text_topk_ngrams",
+    "text_vocab_coverage",
+    "text_compression_ratio",
+    "text_bigram_logprob",
+    "text_langid_confusion",
+    "text_bpe_merges",
+    # --- event-time operators ---
     "tumbling_window_events",
     "sessionize_users",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "asof_clicks_to_purchases",
     "window_range_trailing_30d",
-    # --- TPC-H canaries + suite ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q9_product_type_profit",
-    "q18_large_volume_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipping_delay",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
+    "window_ntile_percent_rank",
     # --- training-data curation ---
     "decontam_ngram_hits",
     "decontam_clean_count",
+    "decontam_embedding_hits",
     "sample_hash_deterministic",
     "sample_stratified_lang",
     "domain_cap_filter",
@@ -199,10 +197,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "curation_job_split_counts",
     "profile_documents",
     "profile_drift_documents",
-    "sample_temperature_mix",
-    "curation_redact_pii",
-    "embedding_hard_negatives",
-    "curation_quality_report",
+    "snapshot_diff_counts",
+    "curation_split_leakage",
+    "curation_shuffle_assignment",
+    "quality_monitor_windows",
+    "events_volume_anomaly",
+    "profile_incremental_documents",
     # --- deduplication ---
     "dedup_exact_keep_min",
     "dedup_groups",
@@ -212,48 +212,44 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_ngram_components",
     "dedup_neardup_resolve",
     "dedup_incremental_components",
-    # --- real-codec multimodal round trips ---
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "dedup_simhash",
+    "dedup_edit_distance",
+    # --- real-codec multimodal ---
     "multimodal_png_roundtrip",
     "multimodal_mixed_codec",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize_decode",
+    "multimodal_feature_topk",
     # --- similarity / embeddings ---
-    "embedding_neardup_cosine",
-    "embedding_neardup_resolve",
-    "similarity_cosine_topk",
-    "embedding_norms",
-    "embedding_label_stats",
-    # --- temporal joins ---
-    "range_join_price_bands",
-    "interval_join_shipments",
-    # --- time-series / windows / streaming ---
-    "window_rank_customers",
-    "window_lag_month_over_month",
-    "window_rolling_mean",
-    "window_cumulative_user_value",
-    "json_extract_props",
-    "stream_click_attribution",
-    "gap_fill_forward_monthly",
+    "embedding_neardup_lsh",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "similarity_quantized_topk",
+    "similarity_ml_minhash_pairs",
+    "similarity_ml_brp_neighbors",
+    "embedding_outlier_zscores",
+    "embedding_quantize_int8",
+    "embedding_kmeans_assign",
+    "approx_aggregates_lineitem",
     # --- relational operators beyond the TPC-H suite ---
-    "union_nations_of_parties",
-    "except_orders_without_items",
-    "intersect_shared_nations",
-    "null_functions_events",
-    "distinct_parts_per_flag",
-    "case_when_price_bands",
-    "cast_coercion_values",
-    "date_functions_orders",
-    "string_functions_parts",
-    "profile_table_lineitem",
-    "window_frame_first_last",
-    "cross_join_region_pairs",
-    "skew_salted_join_revenue",
-    "skew_salted_agg_quantities",
-    "histogram_order_prices",
-    "except_all_nation_multiset",
-    "intersect_all_nation_multiset",
-    "stats_aggregates_lineitem",
-    "string_agg_region_nations",
-    "array_functions_tokens",
-    "null_safe_join_event_kinds",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_no_recent_orders",
+    "outer_join_order_counts",
+    "union_all_lake_layers",
+    "topk_orders_by_price",
+    "rollup_region_nation_customers",
+    "cube_status_priority",
+    "from_json_typed_props",
+    "percentile_order_prices",
+    "pivot_priority_by_status",
+    "unpivot_lineitem_measures",
+    "grouping_sets_region_segment",
+    "explode_token_frequency",
+    "scalar_subquery_above_avg",
+    "correlated_subquery_max_per_cust",
 )
 
 

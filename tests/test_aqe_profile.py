@@ -38,6 +38,17 @@ AQE_SLICE = [
     "fred_merge_into_lake",
     "similarity_quantized_topk",
     "similarity_ml_brp_neighbors",
+    # round-7 window families (the promoted rotation block): running
+    # window frames (unbounded + rowsBetween), multiset EXCEPT ALL,
+    # salted skew agg, range join, sequence-explode gap fill, recursive
+    # merge-table BPE recount, LSH-bucketed cross-table decontam
+    "window_rolling_mean",
+    "except_all_nation_multiset",
+    "skew_salted_agg_quantities",
+    "range_join_price_bands",
+    "gap_fill_forward_monthly",
+    "text_bpe_token_counts",
+    "decontam_embedding_hits_lsh",
 ]
 
 

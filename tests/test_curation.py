@@ -275,3 +275,76 @@ class TestShuffleAssignment:
         a = {r["id"]: (r["bucket"], r["pos"]) for r in shuffle_assignment(docs, seed="s1").collect()}
         b = {r["id"]: (r["bucket"], r["pos"]) for r in shuffle_assignment(docs, seed="s2").collect()}
         assert a != b
+
+
+class TestSemanticDecontamLsh:
+    """The LSH candidate path for embedding_contamination_hits: its hit
+    set must be CONTAINED in the exact broadcast screen's (LSH can miss
+    a pair, never invent one), with per-id evidence never exceeding the
+    exact screen's."""
+
+    def _screens(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.decontam import (
+            embedding_contamination_hits,
+            lsh_contamination_candidates,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        bench = emb.where(F.col("vec_id") % 17 == 0)
+        corpus = emb.where(F.col("vec_id") % 17 != 0)
+        exact = embedding_contamination_hits(corpus, bench, threshold=0.35)
+        cand = lsh_contamination_candidates(corpus, bench)
+        lsh = embedding_contamination_hits(
+            corpus, bench, threshold=0.35, candidates=cand
+        )
+        return exact, lsh
+
+    def test_lsh_hits_contained_in_exact_with_bounded_evidence(self, spark):
+        exact, lsh = self._screens(spark)
+        e = {r["id"]: r for r in exact.collect()}
+        l = {r["id"]: r for r in lsh.collect()}
+        assert l, "fixture threshold should yield LSH hits"
+        assert set(l) <= set(e)
+        for vid, row in l.items():
+            assert row["n_bench_hits"] <= e[vid]["n_bench_hits"]
+            assert row["max_cos"] <= e[vid]["max_cos"] + 1e-9
+
+    def test_identical_vectors_always_collide(self, spark):
+        # the recall -> 1 claim at its limit: an exact duplicate has the
+        # same sign pattern under every hyperplane, so it collides in
+        # ALL tables and can never be missed, whatever the seed
+        from fred_economic_data_pipeline_local_spark.operators.decontam import (
+            embedding_contamination_hits,
+            lsh_contamination_candidates,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        bench = emb.where(F.col("vec_id") % 17 == 0).limit(20)
+        planted = bench.select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+        )
+        corpus = emb.where(F.col("vec_id") % 17 != 0).select(
+            "vec_id", "embedding"
+        ).unionByName(planted)
+        cand = lsh_contamination_candidates(corpus, bench)
+        lsh = embedding_contamination_hits(
+            corpus, bench, threshold=0.99, candidates=cand
+        )
+        found = {r["id"]: r["max_cos"] for r in lsh.collect()}
+        want = {r["vec_id"] + 10_000_000 for r in bench.collect()}
+        assert want <= set(found)
+        for vid in want:
+            assert found[vid] == pytest.approx(1.0)
+
+    def test_bench_bucket_cap_drops_hot_buckets(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.decontam import (
+            lsh_contamination_candidates,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        bench = emb.where(F.col("vec_id") % 17 == 0)
+        corpus = emb.where(F.col("vec_id") % 17 != 0)
+        # cap 0 drops every bench bucket -> zero candidates
+        assert (
+            lsh_contamination_candidates(corpus, bench, bucket_cap=0).count() == 0
+        )
