@@ -378,7 +378,16 @@ QUALIFY row_number() OVER (
     "recall@10 on the fixture is identical with and without one Lloyd "
     "pass (0.78 at nprobe=2, 1.0 at nprobe=4), so the refinement's extra "
     "assign+means round is not worth its bench cost here; callers whose "
-    "corpora have real cluster structure opt in via lloyd_iters",
+    "corpora have real cluster structure opt in via lloyd_iters. "
+    "BENCH-NUMBER PROVENANCE (the r6 2.41->3.08 s 'regression', settled "
+    "by tools/ab_similarity.py the way ab_prefix_join settled the "
+    "prefix-join number): the r6 exports are NOT the cost — isolated "
+    "min-of-5 measured 2.85 s WITH exports vs 3.02 s without (the "
+    "parquet round trip is repaid by its lineage truncation); the delta "
+    "is bench-session context (+0.65 s when the grown r6 HEADLINE "
+    "prefix runs first — broadcast/shuffle residue and GC pressure that "
+    "clearCache+System.gc between queries does not fully return) plus "
+    "cross-session host variance (~±20% between same-code sessions)",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..exports import export_table
@@ -567,7 +576,14 @@ QUALIFY row_number() OVER (PARTITION BY query_id
     "int8 codes (scales cancel, so the scan reads 4x-smaller integer codes "
     "and ranking is bit-exact across engines), top refine*k rescored with "
     "exact double cosine — the scan-dominated 100 TB path where the float "
-    "column is only read for the shortlist",
+    "column is only read for the shortlist. BENCH-NUMBER PROVENANCE "
+    "(commit b522268's '2.6 s' vs BENCH_r06's 3.34 s, measured by "
+    "tools/ab_similarity.py): both numbers are real — the controlled "
+    "comparison is ISOLATED min-of-reps in one session (the commit's "
+    "method; 3.86 s in the A/B session), and running inside the bench "
+    "HEADLINE sequence adds ~+0.25-0.7 s of session residue on top; "
+    "cross-session host variance between same-code sessions is ~±20%, "
+    "larger than either effect, so only same-session A/Bs are compared",
 )
 def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantized_topk
