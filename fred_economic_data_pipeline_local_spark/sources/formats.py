@@ -24,6 +24,25 @@ reads them once and lands parquet. ``read_table`` still pushes
 partition-column filters for all four (directory pruning is
 format-independent); only parquet/orc additionally push data filters
 into the file scan.
+
+String fidelity contract: adversarial text (embedded newlines, quotes,
+delimiters, backslashes, tabs) round-trips in all four formats. CSV
+achieves it by pinning RFC 4180 quoting (quote='"', escape='"' —
+doubled quotes, the dialect DuckDB/Excel/Postgres COPY agree on,
+instead of Spark's default backslash escapes) and multiLine reads.
+multiLine makes a CSV file non-splittable — acceptable because csv is
+an edge format read once at ingest, never the 100 TB storage layout.
+The one documented CSV loss: empty string and NULL collapse (both
+write as nothing); don't use csv when that distinction matters.
+
+Timestamp precision contract: Catalyst TimestampType is MICROSECOND
+everywhere, and all four formats round-trip full micros — parquet and
+orc natively (TIMESTAMP_MICROS / orc nanos truncated to Catalyst's
+micros), csv and json via the pinned micros ``timestampFormat``
+(Spark's default format truncates to millis on WRITE — the pin is the
+contract). Session-timezone-stable: values are written with explicit
+UTC offsets (XXX), so a reader in any session timezone reconstructs
+the same instant.
 """
 
 from __future__ import annotations
@@ -34,6 +53,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 FORMATS = ("parquet", "json", "csv", "orc")
+
+# micros + explicit offset: see "Timestamp precision contract" above
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
 def _check_format(fmt: str) -> None:
@@ -73,7 +95,18 @@ def write_table(
         .format(fmt)
     )
     if fmt == "csv":
-        writer = writer.option("header", True)
+        writer = (
+            writer.option("header", True)
+            .option("quote", '"')
+            .option("escape", '"')  # RFC 4180 doubled quotes
+            # Spark's CSV WRITER trims value-edge whitespace by default
+            # (read defaults are already false) — fidelity pins both off
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .option("timestampFormat", _TS_FMT)
+        )
+    elif fmt == "json":
+        writer = writer.option("timestampFormat", _TS_FMT)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.save(path)
@@ -95,7 +128,15 @@ def read_table(
     data_cols = StructType([f for f in schema.fields if f.name not in part])
     reader = spark.read.schema(data_cols).format(fmt)
     if fmt == "csv":
-        reader = reader.option("header", True)
+        reader = (
+            reader.option("header", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("multiLine", True)  # embedded newlines in quoted fields
+            .option("timestampFormat", _TS_FMT)
+        )
+    elif fmt == "json":
+        reader = reader.option("timestampFormat", _TS_FMT)
     return reader.load(path)
 
 
