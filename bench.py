@@ -59,6 +59,7 @@ HEADLINE = [
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "similarity_quantized_topk",
+    "similarity_pq_topk",
     "text_bpe_merges",
     "fred_merge_into_lake",
     "text_token_counts",

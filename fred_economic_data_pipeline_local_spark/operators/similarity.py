@@ -724,3 +724,239 @@ def kmeans_assign_report(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("sqdist"), 6).alias("avg_sqdist"),
     )
+
+
+# --- product quantization (PQ) ANN -------------------------------------------
+#
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011) — the compressed-index family's next step past
+# int8 scalar quantization: split each D-dim vector into m_sub
+# subvectors, learn a k_codes-centroid codebook PER SUBSPACE, and store
+# each vector as m_sub small codes (here 8 codes over 16 centroids =
+# 8×4 bits, a 64× compression of a 64-dim float64 vector). Queries
+# never decompress the corpus: a per-query lookup table of
+# subspace-centroid dot products turns scoring into m_sub table
+# lookups + adds per corpus vector (asymmetric distance computation).
+
+
+def _pq_subspace_ex(
+    df: DataFrame, id_col: str, vec_col: str, sub_dims: int, id_out: str
+) -> DataFrame:
+    """(id, m, j, x): vectors exploded into (subspace, within-dim) form."""
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__i", "__x"),
+    ).select(
+        id_out,
+        (F.col("__i") / sub_dims).cast("int").alias("m"),
+        F.pmod(F.col("__i"), F.lit(sub_dims)).alias("j"),
+        "__x",
+    )
+
+
+def _pq_seed_codebook(spark, m_sub: int, k_codes: int, sub_dims: int) -> DataFrame:
+    """(m, c, j, w) seed codebooks, hash-derived in [-1, 1] — same
+    deterministic no-stored-model convention as _seed_centroids."""
+    ms = spark.range(m_sub).select(F.col("id").cast("int").alias("m"))
+    cs = spark.range(k_codes).select(F.col("id").cast("int").alias("c"))
+    js = spark.range(sub_dims).select(F.col("id").cast("int").alias("j"))
+    h = F.xxhash64(F.lit("pq"), F.col("m"), F.col("c"), F.col("j"))
+    w = (F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0) - 1.0
+    return ms.crossJoin(cs).crossJoin(js).select("m", "c", "j", w.alias("w"))
+
+
+def _pq_assign(sub_ex: DataFrame, codebook: DataFrame, id_out: str) -> DataFrame:
+    """(id, m, code): nearest centroid per (vector, subspace).
+
+    Same argmin-as-argmax trick as _assign_cells, per subspace:
+    argmin_c |v_m - c|² == argmax_c (v_m·c - |c|²/2); one broadcast
+    join on (m, j) + two hash aggregates, ties broken by smallest c
+    (min_by on (-score, c)) so the assignment is deterministic and
+    oracle-mirrorable. Only (id, m, code) rows shuffle."""
+    half_norm = codebook.groupBy("m", "c").agg(
+        (F.sum(F.col("w") * F.col("w")) / 2.0).alias("half_cn")
+    )
+    return (
+        sub_ex.join(broadcast(codebook), ["m", "j"])
+        .groupBy(id_out, "m", "c")
+        .agg(F.sum(F.col("__x") * F.col("w")).alias("dp"))
+        .join(broadcast(half_norm), ["m", "c"])
+        .select(
+            id_out,
+            "m",
+            "c",
+            (F.col("dp") - F.col("half_cn")).alias("score"),
+        )
+        .groupBy(id_out, "m")
+        .agg(
+            F.min_by(
+                "c", F.struct((-F.col("score")).alias("s"), F.col("c"))
+            ).alias("code")
+        )
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    iters: int = 1,
+) -> DataFrame:
+    """Learn the per-subspace codebooks: (m, c, j, w).
+
+    Hash-seeded centroids refined by ``iters`` distributed Lloyd
+    rounds run across ALL subspaces in one job pipeline per round
+    (assign → per-(m, c, j) means); empty codes keep their seed so the
+    codebook shape is stable. The model state is m_sub·k_codes·sub_dims
+    rows — broadcast-sized by construction, localCheckpointed per round
+    like ivf_assign's centroids."""
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])  # one-row probe
+    if dims % m_sub != 0:
+        raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
+    sub_dims = dims // m_sub
+    spark = corpus.sparkSession
+    sub_ex = _pq_subspace_ex(corpus, id_col, vec_col, sub_dims, "id")
+    cb = _pq_seed_codebook(spark, m_sub, k_codes, sub_dims)
+    for _ in range(iters):
+        assign = _pq_assign(sub_ex, cb, "id")
+        means = (
+            sub_ex.join(assign, ["id", "m"])
+            .groupBy("m", F.col("code").alias("c"), "j")
+            .agg(F.avg("__x").alias("w_new"))
+        )
+        cb = (
+            cb.join(means, ["m", "c", "j"], "left")
+            .select("m", "c", "j", F.coalesce("w_new", "w").alias("w"))
+            .localCheckpoint()
+        )
+    return cb
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """(id, m, code): the compressed index — m_sub·ceil(log2 k) bits per
+    vector. This is the table a production deployment persists
+    (bucketable on id; append-maintained like the minhash band index);
+    the float column is read only to build it."""
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
+    sub_dims = dims // m_sub
+    sub_ex = _pq_subspace_ex(corpus, id_col, vec_col, sub_dims, "id")
+    return _pq_assign(sub_ex, codebook, "id")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    iters: int = 1,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Cosine top-k via PQ/ADC with exact rescoring:
+    (query_id, neighbor_id, cos_sim).
+
+    Scoring never touches corpus floats: per query the LUT of
+    (m, c) → ⟨q_m, centroid⟩ dot products (m_sub·k_codes rows,
+    broadcast) joins the code table on (m, code) and sums —
+    whole-stage-codegen lookups + adds over the 64×-compressed index,
+    the scan shape that survives 100 TB. Approximate cosine divides by
+    the RECONSTRUCTION norm √Σ_m |c_(m,code)|² (the concatenated
+    centroids' norm — exact for the reconstructed vector). The top
+    refine·k candidates per query (ranked on 6-dp-rounded ADC cosine,
+    id tiebreak — mirrored by the oracle, same float discipline as
+    embedding_kmeans_assign) are rescored with exact double cosine.
+    ``codebook``/``codes`` inject persisted/exported index tables.
+    Recall@k vs brute force is pinned in tests/test_similarity_pq.py.
+    """
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
+    sub_dims = dims // m_sub
+    if codebook is None:
+        codebook = pq_codebook(
+            corpus, m_sub, k_codes, id_col, vec_col, dims=dims, iters=iters
+        )
+    if codes is None:
+        codes = pq_codes(corpus, codebook, m_sub, id_col, vec_col, dims=dims)
+
+    q_sub = _pq_subspace_ex(queries, id_col, vec_col, sub_dims, "query_id")
+    lut = (
+        q_sub.join(broadcast(codebook), ["m", "j"])
+        .groupBy("query_id", "m", "c")
+        .agg(F.sum(F.col("__x") * F.col("w")).alias("dot"))
+    )
+    nrm = codebook.groupBy("m", "c").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    recon2 = (
+        codes.withColumnRenamed("code", "c")
+        .join(broadcast(nrm), ["m", "c"])
+        .groupBy("id")
+        .agg(F.sum("n2").alias("recon2"))
+        .where(F.col("recon2") > 0)
+    )
+    q_l2 = (
+        q_sub.groupBy("query_id")
+        .agg(F.sqrt(F.sum(F.col("__x") * F.col("__x"))).alias("ql2"))
+        .where(F.col("ql2") > 0)
+    )
+    adc = (
+        codes.withColumnRenamed("code", "c")
+        .join(broadcast(lut), ["m", "c"])
+        .where(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("dot").alias("adot"))
+    )
+    cand = (
+        adc.join(recon2, "id")
+        .join(broadcast(q_l2), "query_id")
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(
+                F.col("adot") / (F.col("ql2") * F.sqrt(F.col("recon2"))), 6
+            ).alias("cos_adc"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.select("query_id", "neighbor_id", "cos_sim")
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -624,3 +624,91 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return kmeans_assign_report(emb, k=_KMEANS_K)
+
+
+_PQ_M, _PQ_K, _PQ_REFINE = 16, 16, 8
+_PQ_SD = 4  # 64 dims / 16 subspaces
+
+
+@query(
+    "similarity_pq_topk",
+    # the learned per-subspace codebooks and the code table are
+    # exported; everything downstream of codebook learning — the
+    # per-query LUT, reconstruction norms, ADC scores, 6-dp-rounded
+    # shortlist ranking, exact rescore, final cut — is recomputed by
+    # DuckDB and must hash-match (same float discipline as
+    # embedding_kmeans_assign: small sums, rounded before ranking).
+    # Recall vs brute force pinned in tests/test_similarity_pq.py.
+    oracle=f"""
+WITH cb AS (SELECT * FROM {export_sql('similarity_pq_codebook')}),
+cd AS (SELECT * FROM {export_sql('similarity_pq_codes')}),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < {_NQUERY}),
+lut AS (
+  SELECT q.qid, cb.m, cb.c, sum(q.e[cb.m * {_PQ_SD} + cb.j + 1] * cb.w) AS dot
+  FROM q CROSS JOIN cb
+  GROUP BY q.qid, cb.m, cb.c
+),
+nrm AS (SELECT m, c, sum(w * w) AS n2 FROM cb GROUP BY m, c),
+recon AS (SELECT cd.id, sum(nrm.n2) AS recon2
+          FROM cd JOIN nrm ON nrm.m = cd.m AND nrm.c = cd.code
+          GROUP BY cd.id HAVING sum(nrm.n2) > 0),
+ql AS (SELECT qid, sqrt(list_dot_product(e, e)) AS ql2
+       FROM q WHERE list_dot_product(e, e) > 0),
+adc AS (SELECT lut.qid, cd.id, sum(lut.dot) AS adot
+        FROM cd JOIN lut ON lut.m = cd.m AND lut.c = cd.code
+        WHERE lut.qid <> cd.id
+        GROUP BY lut.qid, cd.id),
+cand AS (SELECT adc.qid AS query_id, adc.id AS neighbor_id,
+                round(adot / (ql.ql2 * sqrt(recon.recon2)), 6) AS cos_adc
+         FROM adc JOIN recon ON recon.id = adc.id
+                  JOIN ql ON ql.qid = adc.qid),
+short AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_adc DESC, neighbor_id
+  ) <= {_PQ_REFINE * _K}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT s.query_id, s.neighbor_id,
+       round(list_dot_product(qv.e, cv.e) /
+             (sqrt(list_dot_product(qv.e, qv.e)) *
+              sqrt(list_dot_product(cv.e, cv.e))), 6) AS cos_sim
+FROM short s JOIN v qv ON qv.vec_id = s.query_id
+             JOIN v cv ON cv.vec_id = s.neighbor_id
+QUALIFY row_number() OVER (
+  PARTITION BY s.query_id ORDER BY cos_sim DESC, s.neighbor_id
+) <= {_K}
+""",
+    description="product-quantization ANN (Jégou et al., TPAMI 2011): "
+    "16 per-subspace 16-centroid codebooks compress each 64-dim vector "
+    "to 16 codes; queries score the corpus via a broadcast lookup table "
+    "joined on (subspace, code) — table lookups + adds over the "
+    "compressed index, never the float column — then exact-rescore the "
+    "refine*k shortlist. The compressed-scan path past int8 scalar "
+    "quantization; hash-checked via the exported codebook + code table",
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.similarity import pq_codebook, pq_codes, pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < _NQUERY)
+    cb = export_table(
+        pq_codebook(emb, m_sub=_PQ_M, k_codes=_PQ_K, dims=64),
+        "similarity_pq_codebook",
+    )
+    codes = export_table(
+        pq_codes(emb, cb, m_sub=_PQ_M, dims=64), "similarity_pq_codes"
+    )
+    return pq_topk(
+        emb,
+        queries,
+        k=_K,
+        m_sub=_PQ_M,
+        k_codes=_PQ_K,
+        refine=_PQ_REFINE,
+        dims=64,
+        codebook=cb,
+        codes=codes,
+    )

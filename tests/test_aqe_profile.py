@@ -49,6 +49,8 @@ AQE_SLICE = [
     "gap_fill_forward_monthly",
     "text_bpe_token_counts",
     "decontam_embedding_hits_lsh",
+    # PQ/ADC: broadcast LUT equi-join over the compressed code table
+    "similarity_pq_topk",
 ]
 
 
