@@ -60,6 +60,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "similarity_quantized_topk",
     "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     "text_bpe_merges",
     "fred_merge_into_lake",
     "text_token_counts",

@@ -896,11 +896,42 @@ def pq_topk(
         codes = pq_codes(corpus, codebook, m_sub, id_col, vec_col, dims=dims)
 
     q_sub = _pq_subspace_ex(queries, id_col, vec_col, sub_dims, "query_id")
-    lut = (
+    adc = (
+        codes.withColumnRenamed("code", "c")
+        .join(broadcast(_pq_lut(q_sub, codebook)), ["m", "c"])
+        .where(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("dot").alias("adot"))
+    )
+    return _pq_rank_rescore(
+        adc, codes, codebook, q_sub, corpus, queries, k, refine, id_col, vec_col
+    )
+
+
+def _pq_lut(q_sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(query_id, m, c, dot): the per-query ADC lookup table —
+    m_sub·k_codes rows per query, broadcast-sized by construction."""
+    return (
         q_sub.join(broadcast(codebook), ["m", "j"])
         .groupBy("query_id", "m", "c")
         .agg(F.sum(F.col("__x") * F.col("w")).alias("dot"))
     )
+
+
+def _pq_rank_rescore(
+    adc: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    q_sub: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    refine: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared PQ tail: ADC-cosine ranking (6-dp rounded, id tiebreak) →
+    refine·k shortlist → exact double-cosine rescore → final top-k."""
     nrm = codebook.groupBy("m", "c").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     recon2 = (
         codes.withColumnRenamed("code", "c")
@@ -913,13 +944,6 @@ def pq_topk(
         q_sub.groupBy("query_id")
         .agg(F.sqrt(F.sum(F.col("__x") * F.col("__x"))).alias("ql2"))
         .where(F.col("ql2") > 0)
-    )
-    adc = (
-        codes.withColumnRenamed("code", "c")
-        .join(broadcast(lut), ["m", "c"])
-        .where(F.col("query_id") != F.col("id"))
-        .groupBy("query_id", "id")
-        .agg(F.sum("dot").alias("adot"))
     )
     cand = (
         adc.join(recon2, "id")
@@ -959,4 +983,74 @@ def pq_topk(
         .withColumn("__rn", F.row_number().over(w2))
         .where(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 16,
+    k_codes: int = 16,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    iters: int = 1,
+    assign: DataFrame | None = None,
+    probes: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: coarse cell pruning composed with PQ/ADC scoring — the
+    FAISS IVFADC architecture (Jégou et al. §V) and the full 100 TB ANN
+    shape: a query touches only its ``nprobe`` cells' inverted lists
+    (~nprobe/n_cells of the corpus), and what it reads there are the
+    m_sub-byte PQ codes, never float vectors. Candidate volume is cut
+    by the coarse quantizer AND each candidate costs table lookups +
+    adds; the float column is read once, for the exact-rescored
+    refine·k shortlist. All four index tables ((id, cell) assignment,
+    (query_id, cell) probes, codebook, codes) are injectable —
+    persisted/exported index hooks; at scale the code table is
+    bucketed BY CELL so a probe's inverted list is one partition scan.
+    Recall compounds the two approximations (cell miss × shortlist
+    miss); tests pin the floor and the planted-duplicate limit.
+    """
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
+    sub_dims = dims // m_sub
+    if assign is None or probes is None:
+        a, cents = ivf_assign(corpus, n_cells, id_col, vec_col, 0, dims)
+        assign = a if assign is None else assign
+        probes = (
+            ivf_probes(queries, cents, nprobe, id_col, vec_col)
+            if probes is None
+            else probes
+        )
+    if codebook is None:
+        codebook = pq_codebook(
+            corpus, m_sub, k_codes, id_col, vec_col, dims=dims, iters=iters
+        )
+    if codes is None:
+        codes = pq_codes(corpus, codebook, m_sub, id_col, vec_col, dims=dims)
+
+    # inverted-list candidates: (query_id, id) via the probed cells;
+    # assignment is one cell per id, so no duplicate pairs arise
+    cand_ids = (
+        probes.join(assign, "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select("query_id", "id")
+    )
+    q_sub = _pq_subspace_ex(queries, id_col, vec_col, sub_dims, "query_id")
+    adc = (
+        cand_ids.join(codes, "id")
+        .withColumnRenamed("code", "c")
+        .join(broadcast(_pq_lut(q_sub, codebook)), ["query_id", "m", "c"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("dot").alias("adot"))
+    )
+    return _pq_rank_rescore(
+        adc, codes, codebook, q_sub, corpus, queries, k, refine, id_col, vec_col
     )

@@ -712,3 +712,101 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook=cb,
         codes=codes,
     )
+
+
+@query(
+    "similarity_ivfpq_topk",
+    # all four index tables are exported — (id, cell) assignment,
+    # (query_id, cell) probes, PQ codebook, PQ codes — so DuckDB
+    # re-derives the inverted-list candidates, the candidate-restricted
+    # ADC scores, the 6-dp-rounded shortlist ranking and the exact
+    # rescore; hash-checked downstream of the hash-seeded models.
+    oracle=f"""
+WITH asg AS (SELECT * FROM {export_sql('ivfpq_assign')}),
+pr AS (SELECT * FROM {export_sql('ivfpq_probes')}),
+cb AS (SELECT * FROM {export_sql('ivfpq_codebook')}),
+cd AS (SELECT * FROM {export_sql('ivfpq_codes')}),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < {_NQUERY}),
+candi AS (
+  SELECT pr.query_id AS qid, asg.id
+  FROM pr JOIN asg USING (cell)
+  WHERE pr.query_id <> asg.id
+),
+lut AS (
+  SELECT q.qid, cb.m, cb.c, sum(q.e[cb.m * {_PQ_SD} + cb.j + 1] * cb.w) AS dot
+  FROM q CROSS JOIN cb
+  GROUP BY q.qid, cb.m, cb.c
+),
+nrm AS (SELECT m, c, sum(w * w) AS n2 FROM cb GROUP BY m, c),
+recon AS (SELECT cd.id, sum(nrm.n2) AS recon2
+          FROM cd JOIN nrm ON nrm.m = cd.m AND nrm.c = cd.code
+          GROUP BY cd.id HAVING sum(nrm.n2) > 0),
+ql AS (SELECT qid, sqrt(list_dot_product(e, e)) AS ql2
+       FROM q WHERE list_dot_product(e, e) > 0),
+adc AS (SELECT candi.qid, candi.id, sum(lut.dot) AS adot
+        FROM candi JOIN cd ON cd.id = candi.id
+                   JOIN lut ON lut.qid = candi.qid
+                          AND lut.m = cd.m AND lut.c = cd.code
+        GROUP BY candi.qid, candi.id),
+cand AS (SELECT adc.qid AS query_id, adc.id AS neighbor_id,
+                round(adot / (ql.ql2 * sqrt(recon.recon2)), 6) AS cos_adc
+         FROM adc JOIN recon ON recon.id = adc.id
+                  JOIN ql ON ql.qid = adc.qid),
+short AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_adc DESC, neighbor_id
+  ) <= {_PQ_REFINE * _K}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT s.query_id, s.neighbor_id,
+       round(list_dot_product(qv.e, cv.e) /
+             (sqrt(list_dot_product(qv.e, qv.e)) *
+              sqrt(list_dot_product(cv.e, cv.e))), 6) AS cos_sim
+FROM short s JOIN v qv ON qv.vec_id = s.query_id
+             JOIN v cv ON cv.vec_id = s.neighbor_id
+QUALIFY row_number() OVER (
+  PARTITION BY s.query_id ORDER BY cos_sim DESC, s.neighbor_id
+) <= {_K}
+""",
+    description="IVF-PQ composition (FAISS IVFADC; Jégou et al. §V): "
+    "coarse cells prune candidates to the probed inverted lists, PQ/ADC "
+    "scores them via broadcast LUT lookups over 16-byte codes, exact "
+    "rescore on the shortlist — the full 100 TB ANN shape (cell-pruned "
+    "compressed scan, float column only for refine*k rows); "
+    "hash-checked via the four exported index tables",
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_probes,
+        ivfpq_topk,
+        pq_codebook,
+        pq_codes,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < _NQUERY)
+    a, cents = ivf_assign(emb, n_cells=8, dims=64, lloyd_iters=0)
+    assign = export_table(a, "ivfpq_assign")
+    probes = export_table(ivf_probes(queries, cents, nprobe=2), "ivfpq_probes")
+    cb = export_table(
+        pq_codebook(emb, m_sub=_PQ_M, k_codes=_PQ_K, dims=64), "ivfpq_codebook"
+    )
+    codes = export_table(pq_codes(emb, cb, m_sub=_PQ_M, dims=64), "ivfpq_codes")
+    return ivfpq_topk(
+        emb,
+        queries,
+        k=_K,
+        nprobe=2,
+        m_sub=_PQ_M,
+        k_codes=_PQ_K,
+        refine=_PQ_REFINE,
+        dims=64,
+        assign=assign,
+        probes=probes,
+        codebook=cb,
+        codes=codes,
+    )

@@ -49,8 +49,10 @@ AQE_SLICE = [
     "gap_fill_forward_monthly",
     "text_bpe_token_counts",
     "decontam_embedding_hits_lsh",
-    # PQ/ADC: broadcast LUT equi-join over the compressed code table
+    # PQ/ADC: broadcast LUT equi-join over the compressed code table;
+    # IVF-PQ adds the inverted-list candidate restriction join
     "similarity_pq_topk",
+    "similarity_ivfpq_topk",
 ]
 
 

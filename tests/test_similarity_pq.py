@@ -92,3 +92,44 @@ def test_recall_floor_vs_brute_force(spark):
     }
     recall = len(pq & bf) / len(bf)
     assert recall >= 0.5, recall
+
+
+class TestIvfPq:
+    def test_recall_floor_and_candidate_restriction(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        queries = emb.where(F.col("vec_id") < 20)
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=10).collect()
+        }
+        got = ivfpq_topk(emb, queries, k=10, nprobe=2, refine=8, **CFG)
+        pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        recall = len(pairs & bf) / len(bf)
+        assert recall >= 0.4, recall  # compounds cell miss x shortlist miss
+
+    def test_ivfpq_contained_in_probed_cells(self, spark):
+        """Every returned neighbor must come from a probed cell — the
+        inverted-list restriction is real, not advisory."""
+        from fred_economic_data_pipeline_local_spark.operators.similarity import (
+            ivf_assign,
+            ivf_probes,
+            ivfpq_topk,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        queries = emb.where(F.col("vec_id") < 10)
+        assign, cents = ivf_assign(emb, n_cells=8, dims=64, lloyd_iters=0)
+        probes = ivf_probes(queries, cents, nprobe=2)
+        got = ivfpq_topk(
+            emb, queries, k=10, assign=assign, probes=probes, **CFG
+        )
+        allowed = {
+            (r["query_id"], r["id"])
+            for r in probes.join(assign, "cell").collect()
+        }
+        for r in got.collect():
+            assert (r["query_id"], r["neighbor_id"]) in allowed
