@@ -810,3 +810,52 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook=cb,
         codes=codes,
     )
+
+
+@query(
+    "similarity_incremental_pq",
+    # Stronger than the batch PQ oracle: the exported table here is only
+    # the FROZEN codebook — DuckDB re-derives the delta's code
+    # ASSIGNMENT itself (argmin-as-argmax with the same score and
+    # smallest-c tiebreak _pq_assign uses; float-argmin parity
+    # precedent: embedding_kmeans_assign) and must hash-match the
+    # engine's encoder output row for row.
+    oracle=f"""
+WITH cb AS (SELECT * FROM {export_sql('incr_pq_codebook')}),
+d AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 13 = 0),
+hn AS (SELECT m, c, sum(w * w) / 2.0 AS half_cn FROM cb GROUP BY m, c),
+sc AS (
+  SELECT d.id, cb.m, cb.c,
+         sum(d.e[cb.m * {_PQ_SD} + cb.j + 1] * cb.w) AS dp
+  FROM d CROSS JOIN cb
+  GROUP BY d.id, cb.m, cb.c
+)
+SELECT sc.id, sc.m, sc.c AS code
+FROM sc JOIN hn ON hn.m = sc.m AND hn.c = sc.c
+QUALIFY row_number() OVER (
+  PARTITION BY sc.id, sc.m ORDER BY sc.dp - hn.half_cn DESC, sc.c
+) = 1
+""",
+    description="O(delta) PQ index maintenance: new vectors (every 13th "
+    "stands in for an ingest batch) are encoded against the FROZEN "
+    "codebook learned on the existing corpus — one pass over the delta, "
+    "append to the persisted code table, no re-encode of the corpus "
+    "(equivalence to full re-encode pinned in tests). The oracle "
+    "re-derives the encoder's argmin assignment from the exported "
+    "codebook alone",
+)
+def similarity_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.similarity import pq_codebook, pq_codes
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.where(F.col("vec_id") % 13 != 0)
+    delta = emb.where(F.col("vec_id") % 13 == 0)
+    # the codebook is a model artifact of the EXISTING corpus: learned
+    # once on base, persisted, reused verbatim for every ingest batch
+    cb = export_table(
+        pq_codebook(base, m_sub=_PQ_M, k_codes=_PQ_K, dims=64),
+        "incr_pq_codebook",
+    )
+    return pq_codes(delta, cb, m_sub=_PQ_M, dims=64)

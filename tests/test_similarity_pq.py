@@ -133,3 +133,20 @@ class TestIvfPq:
         }
         for r in got.collect():
             assert (r["query_id"], r["neighbor_id"]) in allowed
+
+
+def test_incremental_encode_equals_full_reencode(spark):
+    """Appending delta codes to the persisted base index reproduces a
+    full re-encode under the same frozen codebook — encoding is
+    row-local, so index maintenance is O(delta) by construction."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    base = emb.where(F.col("vec_id") % 13 != 0)
+    delta = emb.where(F.col("vec_id") % 13 == 0)
+    cb = pq_codebook(base, **CFG)
+    incremental = pq_codes(base, cb, m_sub=16, dims=64).unionByName(
+        pq_codes(delta, cb, m_sub=16, dims=64)
+    )
+    full = pq_codes(emb, cb, m_sub=16, dims=64)
+    assert sorted(map(tuple, incremental.collect())) == sorted(
+        map(tuple, full.collect())
+    )
