@@ -63,6 +63,7 @@ HEADLINE = [
     "similarity_ivfpq_topk",
     "text_bpe_merges",
     "fred_merge_into_lake",
+    "fred_merge_into_manifest",
     "text_token_counts",
     "text_tfidf_top_terms",
     "text_bigram_logprob",

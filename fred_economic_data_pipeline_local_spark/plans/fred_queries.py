@@ -179,3 +179,61 @@ def fred_merge_into_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.overwrite(target)
     table.merge_into(source)
     return table.read(spark)
+
+
+@query(
+    "fred_merge_into_manifest",
+    # identical oracle to fred_merge_into_lake: whatever the storage
+    # backend, MERGE INTO must produce byte-identical content through
+    # its full write-commit-read round trip — here the file-level
+    # commit-log variant (immutable bucket dirs + manifest + atomic
+    # pointer flip), exercising manifest-pruned target reads and
+    # untouched-dir re-referencing on the way
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+t AS (SELECT indicator, observation_year, observation_month, value,
+             observation_count FROM silver WHERE observation_month <= 8),
+s AS (SELECT indicator, observation_year, observation_month,
+             round(value * 2, 6) AS value, observation_count
+      FROM silver WHERE observation_month >= 5)
+SELECT COALESCE(s.indicator, t.indicator) AS indicator,
+       COALESCE(s.observation_year, t.observation_year) AS observation_year,
+       COALESCE(s.observation_month, t.observation_month) AS observation_month,
+       CASE WHEN s.indicator IS NOT NULL THEN s.value ELSE t.value END AS value,
+       CASE WHEN s.indicator IS NOT NULL THEN s.observation_count
+            ELSE t.observation_count END AS observation_count
+FROM t FULL OUTER JOIN s
+  ON t.indicator = s.indicator
+ AND t.observation_year = s.observation_year
+ AND t.observation_month = s.observation_month
+""",
+    description="SURVEY §2.2 K3, file-level-commit-log backend: the same "
+    "ON CONFLICT merge against a manifest lake table — immutable bucket "
+    "dirs, manifest naming the live file set, one atomic pointer flip "
+    "(global atomicity AND O(delta) rewrite at once; "
+    "sources/lakehouse.py ManifestLakeTable), read back via the "
+    "manifest, never directory discovery",
+)
+def fred_merge_into_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..exports import export_path
+    from ..sources.lakehouse import ManifestLakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value",
+        "observation_count",
+    )
+    target = silver.where(F.col("observation_month") <= 8)
+    source = silver.where(F.col("observation_month") >= 5).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    root = export_path("fred_merge_manifest")
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    table = ManifestLakeTable(
+        root, keys=["indicator", "observation_year", "observation_month"],
+        n_buckets=16,
+    )
+    table.overwrite(target)
+    table.merge_into(source)
+    return table.read(spark)

@@ -366,3 +366,232 @@ class PartitionedLakeTable:
         finally:
             self._lock.release()
         return touched
+
+
+class ManifestLakeTable:
+    """Key-bucketed lake table with a FILE-LEVEL commit log: global
+    atomic commits AND O(delta-buckets) merges — the combination the
+    other two variants trade against each other, and the reduced core
+    of the Delta/Iceberg design (immutable data files + a manifest
+    naming the current file set + an atomic pointer flip).
+
+    Layout:
+
+    - ``data/b{bucket}_v{N}/``  immutable parquet directories, one per
+      (bucket, version-that-rewrote-it); never mutated, never deleted
+      until ``vacuum``;
+    - ``_manifests/m={N}.json`` the commit log: version N's complete
+      {bucket: data dir} mapping. A merge's manifest REFERENCES the
+      untouched buckets' existing directories — untouched data is not
+      rewritten, not even re-listed by Spark (reads list files from
+      the manifest, not from directory discovery);
+    - ``_LATEST`` the committed manifest number, flipped by
+      same-directory os.replace — the one atomic transition. A reader
+      resolves it once and sees exactly one manifest's file set; a
+      crash ANYWHERE before the flip leaves the table at the prior
+      version with unreachable orphan dirs (global all-or-nothing, the
+      property ``PartitionedLakeTable``'s per-partition commits give
+      up), plus the stale ``_LOCK`` that makes the failure explicit.
+
+    Reads prune through the manifest: ``read_buckets`` selects the
+    touched buckets' directories driver-side (O(n_buckets) metadata —
+    the manifest is the pruning index, the same job Delta's file
+    statistics do), so a merge's target scan lists only touched
+    directories without relying on Hive partition discovery.
+
+    Crash matrix: identical to ``LakeTable`` (commit = pointer flip)
+    with ``vacuum`` extended to drop data dirs no retained manifest
+    references. Single-writer enforced by ``_WriterLock``.
+    """
+
+    def __init__(self, root: str, keys: list[str], n_buckets: int = 64):
+        self.root = root
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+        self._lock = _WriterLock(root)
+
+    def break_lock(self) -> None:
+        """Remove a stale ``_LOCK`` left by a crashed writer. Caller
+        asserts the holder (pid in the file) is dead."""
+        self._lock.release()
+
+    # --- commit log ----------------------------------------------------------
+
+    def _latest_path(self) -> str:
+        return os.path.join(self.root, "_LATEST")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "_manifests", f"m={version}.json")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._latest_path()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def manifest(self, version: int | None = None) -> dict[int, str]:
+        """{bucket: data-dir relative path} for a committed version."""
+        import json
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(
+                f"manifest lake table {self.root} has no committed version"
+            )
+        with open(self._manifest_path(v)) as fh:
+            return {int(b): p for b, p in json.load(fh).items()}
+
+    def _commit(self, version: int, mapping: dict[int, str]) -> None:
+        """Write manifest N, fsync it, then atomically flip _LATEST."""
+        import json
+
+        os.makedirs(os.path.dirname(self._manifest_path(version)), exist_ok=True)
+        mpath = self._manifest_path(version)
+        with open(mpath, "w") as fh:
+            json.dump({str(b): p for b, p in mapping.items()}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = self._latest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._latest_path())
+
+    # --- I/O -----------------------------------------------------------------
+
+    def _bucket(self) -> "F.Column":
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
+
+    def _write_buckets(self, df: DataFrame, version: int) -> dict[int, str]:
+        """Write each present bucket's rows to its own immutable dir;
+        returns {bucket: relative dir}. One distributed write job —
+        Hive-partitioned by __bucket under a version-scoped staging
+        root, then the per-bucket dirs are renamed into ``data/`` (same
+        filesystem, so renames are metadata-only)."""
+        stage = os.path.join(self.root, f"_stage_v{version}")
+        (
+            df.withColumn("__bucket", self._bucket())
+            .repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(stage)
+        )
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        out: dict[int, str] = {}
+        for name in os.listdir(stage):
+            if not name.startswith("__bucket="):
+                continue
+            b = int(name.split("=")[1])
+            rel = os.path.join("data", f"b{b}_v{version}")
+            dst = os.path.join(self.root, rel)
+            # an existing b{b}_v{version} dir can only be debris from a
+            # CRASHED attempt at this same version (a committed version
+            # is never re-written: merges only ever target cur+1) —
+            # replace it, completing the interrupted write
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.replace(os.path.join(stage, name), dst)
+            out[b] = rel
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        return self.read_buckets(spark, sorted(m), version)
+
+    def read_buckets(
+        self, spark: SparkSession, buckets, version: int | None = None
+    ) -> DataFrame:
+        """Manifest-pruned scan: only the named buckets' directories are
+        listed — the file set comes from the commit log, never from
+        directory discovery (orphans are invisible by construction)."""
+        m = self.manifest(version)
+        paths = [
+            os.path.join(self.root, m[b]) for b in buckets if b in m
+        ]
+        if not paths:
+            return self.read(spark, version).limit(0)
+        return spark.read.parquet(*paths)
+
+    def overwrite(self, df: DataFrame) -> int:
+        os.makedirs(self.root, exist_ok=True)
+        self._lock.acquire()
+        try:
+            mapping = self._write_buckets(df, 0)
+            self._commit(0, mapping)
+        finally:
+            self._lock.release()
+        return 0
+
+    def merge_into(self, source: DataFrame) -> list[int]:
+        """MERGE with manifest-pruned O(delta) rewrite under a GLOBAL
+        atomic commit: new dirs for touched buckets, the new manifest
+        re-references untouched buckets' existing dirs, one pointer
+        flip publishes all of it. Returns touched bucket ids."""
+        from pyspark.sql import functions as F
+
+        spark = source.sparkSession
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(
+                f"manifest lake table {self.root} is uninitialized; "
+                "call overwrite() first"
+            )
+        self._lock.acquire()
+        try:
+            src = source.withColumn("__bucket", self._bucket())
+            touched = sorted(
+                r[0] for r in src.select("__bucket").distinct().collect()
+            )
+            target_slice = self.read_buckets(spark, touched, cur)
+            merged = upsert_merge(target_slice, src.drop("__bucket"), self.keys)
+            nxt = cur + 1
+            new_dirs = self._write_buckets(merged, nxt)
+            mapping = dict(self.manifest(cur))
+            mapping.update(new_dirs)
+            # a touched bucket can vanish entirely only if merge emptied
+            # it — impossible under upsert semantics (rows are never
+            # deleted), so touched buckets absent from new_dirs had no
+            # target rows AND no source rows, which contradicts touched
+            self._commit(nxt, mapping)
+        finally:
+            self._lock.release()
+        return touched
+
+    def vacuum(self, keep: int = 1) -> list[str]:
+        """Drop data dirs referenced by NO retained manifest (the newest
+        ``keep`` plus the current one) and the dropped manifests.
+        Returns removed relative paths."""
+        import re as _re
+
+        cur = self.current_version()
+        mdir = os.path.join(self.root, "_manifests")
+        versions = sorted(
+            int(m.group(1))
+            for m in (
+                _re.match(r"^m=(\d+)\.json$", n) for n in os.listdir(mdir)
+            )
+            if m
+        )
+        protect_v = set(versions[-keep:]) if keep > 0 else set()
+        if cur is not None:
+            protect_v.add(cur)
+        live = set()
+        for v in protect_v:
+            live.update(self.manifest(v).values())
+        removed = []
+        data = os.path.join(self.root, "data")
+        for name in os.listdir(data):
+            rel = os.path.join("data", name)
+            if rel not in live:
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+                removed.append(rel)
+        for v in versions:
+            if v not in protect_v:
+                os.remove(self._manifest_path(v))
+                removed.append(os.path.join("_manifests", f"m={v}.json"))
+        return removed

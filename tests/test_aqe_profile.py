@@ -53,6 +53,8 @@ AQE_SLICE = [
     # IVF-PQ adds the inverted-list candidate restriction join
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
+    # manifest commit log: staged bucket write + manifest-pruned read
+    "fred_merge_into_manifest",
 ]
 
 

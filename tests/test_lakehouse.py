@@ -319,3 +319,126 @@ class TestWriterLockAndCrashRecovery:
         t.break_lock()
         assert t.merge_into(source) == touched
         assert _rows(t.read(spark)) == _rows(merged_expect)
+
+
+class TestManifestLakeTable:
+    """The file-level commit-log variant: global atomic commits AND
+    O(delta) merges at once (the tradeoff the other two variants split
+    between them)."""
+
+    def _table(self, spark, tmp_path, n_buckets=16):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.select("doc_id", "source", "lang", "n_chars")
+        t = ManifestLakeTable(
+            str(tmp_path / "mt"), keys=["doc_id"], n_buckets=n_buckets
+        )
+        t.overwrite(target)
+        return t, target
+
+    def test_merge_equals_engine_upsert_and_is_idempotent(self, spark, tmp_path):
+        t, target = self._table(spark, tmp_path)
+        source = target.where(F.col("doc_id") % 10 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 1
+        )
+        touched = t.merge_into(source)
+        assert 0 < len(touched) <= t.n_buckets
+        expected = _rows(upsert_merge(target, source, ["doc_id"]))
+        assert _rows(t.read(spark)) == expected
+        t.merge_into(source)  # idempotent by value, new version
+        assert t.current_version() == 2
+        assert _rows(t.read(spark)) == expected
+
+    def test_untouched_bucket_dirs_are_reused_not_rewritten(self, spark, tmp_path):
+        """O(delta) at the commit-log level: the new manifest REFERENCES
+        untouched buckets' existing directories — same relative path,
+        same files, same bytes."""
+        t, target = self._table(spark, tmp_path)
+        before = t.manifest()
+        source = target.where(F.col("doc_id") == 7).withColumn(
+            "lang", F.lit("xx")
+        )
+        touched = t.merge_into(source)
+        after = t.manifest()
+        for b, rel in before.items():
+            if b in touched:
+                assert after[b] != rel, f"touched bucket {b} dir not replaced"
+            else:
+                assert after[b] == rel, f"untouched bucket {b} was rewritten"
+
+    def test_crash_before_flip_is_invisible_then_heals(self, spark, tmp_path):
+        """Global atomicity: data dirs + manifest written but _LATEST
+        not flipped == nothing happened; replaying the merge converges
+        and vacuum reclaims the orphan dirs."""
+        import json
+        import os as _os
+
+        t, target = self._table(spark, tmp_path)
+        v0 = _rows(t.read(spark))
+        source = target.where(F.col("doc_id") % 10 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 5
+        )
+        # simulate the crashed merge: run a real one, then roll the
+        # pointer back and leave everything else (dirs, manifest, lock)
+        t.merge_into(source)
+        with open(_os.path.join(t.root, "_LATEST"), "w") as fh:
+            fh.write("0")
+        open(_os.path.join(t.root, "_LOCK"), "w").write("pid=0 at=crashed")
+        assert t.current_version() == 0
+        assert _rows(t.read(spark)) == v0  # reader sees the old version
+        t.break_lock()
+        # heals by REWRITING version 1: the replay targets cur+1 = 1,
+        # clobbers the crashed attempt's debris dirs, and commits
+        t.merge_into(source)
+        assert t.current_version() == 1
+        assert _rows(t.read(spark)) == _rows(
+            upsert_merge(target, source, ["doc_id"])
+        )
+        # vacuum now reclaims version 0's superseded bucket dirs while
+        # the live version keeps reading identically
+        removed = t.vacuum(keep=1)
+        assert any("_v0" in r for r in removed)
+        assert _rows(t.read(spark)) == _rows(
+            upsert_merge(target, source, ["doc_id"])
+        )
+
+    def test_time_travel_and_vacuum_protection(self, spark, tmp_path):
+        t, target = self._table(spark, tmp_path)
+        source = target.where(F.col("doc_id") % 7 == 0).withColumn(
+            "n_chars", F.lit(0)
+        )
+        t.merge_into(source)
+        assert _rows(t.read(spark, version=0)) == _rows(target)
+        assert _rows(t.read(spark, version=1)) == _rows(
+            upsert_merge(target, source, ["doc_id"])
+        )
+        t.vacuum(keep=2)  # both versions retained -> both readable
+        assert _rows(t.read(spark, version=0)) == _rows(target)
+
+    def test_manifest_pruned_read_lists_only_named_buckets(self, spark, tmp_path):
+        t, target = self._table(spark, tmp_path)
+        m = t.manifest()
+        some = sorted(m)[:3]
+        got = t.read_buckets(spark, some)
+        bexpr = F.pmod(F.xxhash64("doc_id"), F.lit(t.n_buckets)).cast("int")
+        assert _rows(got) == _rows(target.where(bexpr.isin(some)))
+        # the scan's file list comes from the manifest: exactly 3 dirs
+        files = got.inputFiles()
+        dirs = {f.rsplit("/", 2)[-2] for f in files}
+        assert dirs == {m[b].split("/")[-1] for b in some}
+
+    def test_second_writer_rejected(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ConcurrentWriteError,
+        )
+        import pytest
+
+        t, target = self._table(spark, tmp_path)
+        t._lock.acquire()
+        with pytest.raises(ConcurrentWriteError, match="locked by"):
+            t.merge_into(target.limit(1))
+        assert t.current_version() == 0
+        t.break_lock()
