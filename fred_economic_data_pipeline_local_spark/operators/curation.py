@@ -573,3 +573,49 @@ def shuffle_assignment(
         .withColumn("pos", F.row_number().over(w))
         .select("id", "bucket", "pos")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis'
+    A-ES (reservoir sampling with exponential jumps, IPL 2006): each
+    row draws key u^(1/w) and the n largest keys win, which realizes
+    exact weighted-without-replacement inclusion probabilities in one
+    pass. The mixture-balancing upgrade of ``hash_sample``'s uniform
+    rates: quality scores, dedup-cluster sizes, or domain priorities
+    become per-ROW weights rather than per-source quotas.
+
+    Determinism contract (the property every sampler in this module
+    carries): u is md5(id)-derived, not rand(), so the sample is a pure
+    function of content — stable under re-runs, retries, partitioning,
+    and engine migrations, and exactly reproducible by the DuckDB
+    oracle. Ranking uses ln(u)/w (monotone in u^(1/w), numerically
+    safer), id tiebreak.
+
+    Plan shape: one projection + one window top-n per stratum (or
+    global with ``strata_col=None`` — then prefer a stratum column at
+    scale: a single global top-n funnels through one partition, the
+    same caveat stratified_take documents). Non-positive weights drop
+    (a zero weight means "never sample me").
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967297.0)  # strictly in (0, 1)
+    w = F.col(weight_col).cast("double")
+    part = [strata_col] if strata_col else []
+    win = Window.partitionBy(*part).orderBy(F.desc("__key"), F.asc(id_col))
+    return (
+        df.where(w > 0)
+        .withColumn("__key", F.log(u) / w)
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= n)
+        .drop("__key", "__rn")
+    )

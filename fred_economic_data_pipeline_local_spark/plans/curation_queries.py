@@ -988,3 +988,38 @@ def embedding_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
+
+
+_AES_KEY_SQL = (
+    "ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) + 1.0) / 4294967297.0) / n_chars"
+)
+
+
+@query(
+    "sample_weighted_aes",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE n_chars > 0
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY {_AES_KEY_SQL} DESC, doc_id
+) <= 20
+""",
+    description="weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): 20 docs per language with inclusion probability "
+    "proportional to n_chars — key ln(u)/w over md5-derived u, so the "
+    "sample is a pure function of content (reproducible across engines, "
+    "which the oracle proves); the per-row-weight upgrade of the "
+    "uniform/stratified/temperature samplers",
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        n=20,
+        weight_col="n_chars",
+        strata_col="lang",
+    )

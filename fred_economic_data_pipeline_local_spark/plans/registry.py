@@ -77,7 +77,7 @@ def get_query(name: str) -> QuerySpec:
 # and remains covered by the identical local mirror
 # (tests/test_oracle_parity.py) every round. After this rotation no
 # entry's newest external row is older than round 4; the remaining
-# round-4 rows (TPC-H q10-q22 tail) head round 8's rotation.
+# round-4 rows (TPC-H q8-q22 tail) head round 8's rotation.
 CATALOG_ORDER: tuple[str, ...] = (
     # ===== verified window (first 50) =====
     # --- 1. round-1/2 freshness-debt block (all 32) ---
@@ -120,6 +120,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_ivfpq_topk",
     "similarity_incremental_pq",
     "fred_merge_into_manifest",
+    "sample_weighted_aes",
     # --- 3. round-4 refresh head (oldest rows after block 1) ---
     "sample_temperature_mix",
     "curation_redact_pii",
@@ -132,7 +133,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
-    "q8_market_share",
     # ===== below the window: hash-green r4-r6, mirrored locally =====
     # --- FRED parity pipeline (the flagship) ---
     "fred_silver_monthly",
@@ -146,6 +146,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q5_nation_revenue",
     "q9_product_type_profit",
     "q18_large_volume_customers",
+    "q8_market_share",
     "q10_returned_items",
     "q11_important_stock",
     "q12_shipping_delay",

@@ -348,3 +348,69 @@ class TestSemanticDecontamLsh:
         assert (
             lsh_contamination_candidates(corpus, bench, bucket_cap=0).count() == 0
         )
+
+
+class TestWeightedSample:
+    def test_deterministic_and_capped(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            weighted_sample,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR)
+        s1 = weighted_sample(docs, 15, "n_chars", strata_col="lang")
+        s2 = weighted_sample(docs, 15, "n_chars", strata_col="lang")
+        r1 = sorted(r["doc_id"] for r in s1.collect())
+        assert r1 == sorted(r["doc_id"] for r in s2.collect())
+        per = s1.groupBy("lang").count().collect()
+        assert per and all(r["count"] <= 15 for r in per)
+
+    def test_uniform_weights_reduce_to_md5_order(self, spark):
+        """With constant weights, ln(u)/w ranks exactly by u descending
+        — A-ES degenerates to the deterministic uniform shuffle, which
+        pins the key arithmetic independently of the weights."""
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            weighted_sample,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).withColumn(
+            "w", F.lit(1.0)
+        )
+        got = {
+            r["doc_id"]
+            for r in weighted_sample(docs, 25, "w").collect()
+        }
+        h = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        want = {
+            r["doc_id"]
+            for r in docs.orderBy(F.desc(h), F.asc("doc_id"))
+            .limit(25)
+            .collect()
+        }
+        assert got == want
+
+    def test_heavy_rows_dominate(self, spark):
+        """A row whose weight dwarfs the rest is (essentially) always
+        included: u^(1/w) -> 1 as w -> inf. Deterministic here, so
+        assert outright."""
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            weighted_sample,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).withColumn(
+            "w",
+            F.when(F.col("doc_id") < 5, F.lit(1e12)).otherwise(F.lit(1e-6)),
+        )
+        got = {r["doc_id"] for r in weighted_sample(docs, 10, "w").collect()}
+        assert set(range(5)) <= got
+
+    def test_nonpositive_weights_dropped(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            weighted_sample,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).withColumn(
+            "w", F.when(F.col("doc_id") % 2 == 0, F.lit(-1.0)).otherwise(F.lit(0.0))
+        )
+        assert weighted_sample(docs, 10, "w").count() == 0
