@@ -501,6 +501,13 @@ class ManifestLakeTable:
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
+        if not m:
+            # an empty-input overwrite commits an empty manifest; with no
+            # data file there is no schema to produce an empty frame from
+            raise FileNotFoundError(
+                f"manifest lake table {self.root} version has no data files "
+                "(initialized from an empty frame?)"
+            )
         return self.read_buckets(spark, sorted(m), version)
 
     def read_buckets(

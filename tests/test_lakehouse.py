@@ -442,3 +442,16 @@ class TestManifestLakeTable:
             t.merge_into(target.limit(1))
         assert t.current_version() == 0
         t.break_lock()
+
+    def test_empty_overwrite_reads_raise_not_recurse(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+        import pytest
+
+        t = ManifestLakeTable(str(tmp_path / "e"), keys=["k"], n_buckets=4)
+        t.overwrite(
+            spark.createDataFrame([], "k long, v string")
+        )
+        with pytest.raises(FileNotFoundError, match="no data files"):
+            t.read(spark)

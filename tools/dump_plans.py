@@ -100,6 +100,38 @@ SHOWCASE = {
         "running-sum frame — per-shard packing, no global sort, no range "
         "exchange."
     ),
+    "similarity_pq_topk": (
+        "Product-quantization ANN (round 7). Look for: the code-table "
+        "scan reading the EXPORTED parquet index (16 small codes per "
+        "vector, never the float column), the per-query LUT entering as "
+        "a `BroadcastHashJoin` on (m, c), HashAggregate pairs around "
+        "narrow (query_id, id) exchanges for the ADC sums, and the "
+        "float `embeddings` scan appearing only downstream of the "
+        "refine*k WindowGroupLimit shortlist."
+    ),
+    "similarity_ivfpq_topk": (
+        "IVF-PQ composition (round 7). Look for: the candidate build a "
+        "hash equi-join of probes x assignment on `cell` (no "
+        "nested-loop anywhere), the ADC join keyed (query_id, m, c) "
+        "against the broadcast LUT, and the same shortlist-only float "
+        "access as similarity_pq_topk — the full cell-pruned "
+        "compressed-scan shape."
+    ),
+    "decontam_embedding_hits_lsh": (
+        "LSH-bucketed semantic decontamination (round 7). Look for: NO "
+        "BroadcastNestedLoopJoin (the broadcast-screen shape this "
+        "replaces) — candidates come from a hash equi-join of the two "
+        "exported signature tables on (t, sig), the bench hot-bucket "
+        "cap as a broadcast anti-join, and exact cosine verification "
+        "joining vectors onto candidate pairs only."
+    ),
+    "sample_weighted_aes": (
+        "Weighted sampling without replacement (round 7). Look for: a "
+        "single scan + projection computing the md5-derived key, one "
+        "`Exchange hashpartitioning(lang...)` into the per-stratum "
+        "top-n — `WindowGroupLimit` cutting to n before the full sort, "
+        "no global ordering."
+    ),
 }
 
 
