@@ -270,3 +270,42 @@ def test_span_overlap_joins_on_fingerprint_key(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_decontam_has_no_nested_loop(spark):
+    """The LSH candidate path exists to REPLACE the broadcast
+    nested-loop screen: candidates must come from hash equi-joins on
+    (t, sig), never a BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, "decontam_embedding_hits_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pq_scoring_reads_exported_code_index(spark):
+    """The ADC scan consumes the persisted code table (parquet export),
+    joins the broadcast LUT by hash, and never plans a nested loop —
+    the compressed-scan shape the operator exists for."""
+    plan = plan_of(spark, "similarity_pq_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ".oracle_exports/similarity_pq_codes" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_candidates_join_probes_by_cell(spark):
+    df = all_queries()["similarity_ivfpq_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the scan set includes all four exported index tables (the plan
+    # string truncates Location entries, so check the file index)
+    files = "\n".join(df.inputFiles())
+    for idx in ("ivfpq_probes", "ivfpq_assign", "ivfpq_codes", "ivfpq_codebook"):
+        assert f".oracle_exports/{idx}" in files, idx
+
+
+def test_weighted_sample_is_group_limited_per_stratum(spark):
+    """Per-stratum top-n must cut with WindowGroupLimit before any full
+    sort; one hash exchange on the stratum, no global ordering."""
+    plan = plan_of(spark, "sample_weighted_aes")
+    assert "WindowGroupLimit" in plan
+    assert "Exchange hashpartitioning(lang" in plan
+    assert "rangepartitioning" not in plan
