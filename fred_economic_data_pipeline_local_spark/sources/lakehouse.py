@@ -404,10 +404,23 @@ class ManifestLakeTable:
     references. Single-writer enforced by ``_WriterLock``.
     """
 
-    def __init__(self, root: str, keys: list[str], n_buckets: int = 64):
+    def __init__(
+        self,
+        root: str,
+        keys: list[str],
+        n_buckets: int = 64,
+        stats_cols: list[str] | None = None,
+    ):
         self.root = root
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        # zone maps: per-bucket [min, max] for these columns ride in the
+        # manifest (Delta/Iceberg file statistics reduced to its core),
+        # so range predicates on NON-key columns prune buckets
+        # driver-side before any file is listed. Numeric/string columns
+        # only (values must round-trip JSON); stats ignore nulls, which
+        # is safe because range predicates exclude nulls anyway.
+        self.stats_cols = list(stats_cols or [])
         self._lock = _WriterLock(root)
 
     def break_lock(self) -> None:
@@ -430,8 +443,7 @@ class ManifestLakeTable:
         except (FileNotFoundError, ValueError):
             return None
 
-    def manifest(self, version: int | None = None) -> dict[int, str]:
-        """{bucket: data-dir relative path} for a committed version."""
+    def _manifest_doc(self, version: int | None = None) -> dict:
         import json
 
         v = self.current_version() if version is None else version
@@ -440,16 +452,41 @@ class ManifestLakeTable:
                 f"manifest lake table {self.root} has no committed version"
             )
         with open(self._manifest_path(v)) as fh:
-            return {int(b): p for b, p in json.load(fh).items()}
+            doc = json.load(fh)
+        if "buckets" not in doc:  # pre-stats manifest format
+            doc = {"buckets": doc, "stats": {}}
+        return doc
 
-    def _commit(self, version: int, mapping: dict[int, str]) -> None:
+    def manifest(self, version: int | None = None) -> dict[int, str]:
+        """{bucket: data-dir relative path} for a committed version."""
+        return {int(b): p for b, p in self._manifest_doc(version)["buckets"].items()}
+
+    def stats(self, version: int | None = None) -> dict[int, dict[str, list]]:
+        """{bucket: {col: [min, max]}} zone maps for a committed version
+        (empty where stats_cols wasn't set when the bucket was written)."""
+        return {
+            int(b): s for b, s in self._manifest_doc(version)["stats"].items()
+        }
+
+    def _commit(
+        self,
+        version: int,
+        mapping: dict[int, str],
+        stats: dict[int, dict[str, list]] | None = None,
+    ) -> None:
         """Write manifest N, fsync it, then atomically flip _LATEST."""
         import json
 
         os.makedirs(os.path.dirname(self._manifest_path(version)), exist_ok=True)
         mpath = self._manifest_path(version)
         with open(mpath, "w") as fh:
-            json.dump({str(b): p for b, p in mapping.items()}, fh)
+            json.dump(
+                {
+                    "buckets": {str(b): p for b, p in mapping.items()},
+                    "stats": {str(b): s for b, s in (stats or {}).items()},
+                },
+                fh,
+            )
             fh.flush()
             os.fsync(fh.fileno())
         tmp = self._latest_path() + ".tmp"
@@ -458,6 +495,30 @@ class ManifestLakeTable:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._latest_path())
+
+    def _bucket_stats(self, df: DataFrame) -> dict[int, dict[str, list]]:
+        """Per-bucket [min, max] of stats_cols — one aggregate over the
+        rows being written, <= n_buckets result rows (bounded driver
+        state, like the touched-bucket collect)."""
+        from pyspark.sql import functions as F
+
+        if not self.stats_cols:
+            return {}
+        aggs = []
+        for c in self.stats_cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        rows = (
+            df.withColumn("__bucket", self._bucket())
+            .groupBy("__bucket")
+            .agg(*aggs)
+            .collect()
+        )
+        return {
+            int(r["__bucket"]): {
+                c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in self.stats_cols
+            }
+            for r in rows
+        }
 
     # --- I/O -----------------------------------------------------------------
 
@@ -529,10 +590,38 @@ class ManifestLakeTable:
         self._lock.acquire()
         try:
             mapping = self._write_buckets(df, 0)
-            self._commit(0, mapping)
+            self._commit(0, mapping, self._bucket_stats(df))
         finally:
             self._lock.release()
         return 0
+
+    def read_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Zone-map-pruned range scan: rows with ``lo <= col <= hi``,
+        listing only buckets whose recorded [min, max] for ``col``
+        intersects the range (buckets without stats are read —
+        conservative). The residual predicate still applies exactly, so
+        pruning is purely an I/O optimization, never a semantics one."""
+        from pyspark.sql import functions as F
+
+        st = self.stats(version)
+        m = self.manifest(version)
+        keep = []
+        for b in sorted(m):
+            s = st.get(b, {}).get(col)
+            if s is None or s[0] is None or s[1] is None:
+                keep.append(b)  # no stats -> cannot prune
+            elif not (s[1] < lo or s[0] > hi):
+                keep.append(b)
+        return self.read_buckets(spark, keep, version).where(
+            F.col(col).between(lo, hi)
+        )
 
     def merge_into(self, source: DataFrame) -> list[int]:
         """MERGE with manifest-pruned O(delta) rewrite under a GLOBAL
@@ -560,11 +649,16 @@ class ManifestLakeTable:
             new_dirs = self._write_buckets(merged, nxt)
             mapping = dict(self.manifest(cur))
             mapping.update(new_dirs)
+            # untouched buckets carry their zone maps forward unchanged
+            # (their files are byte-identical); touched buckets get
+            # fresh stats from the merged rows
+            stats = dict(self.stats(cur))
+            stats.update(self._bucket_stats(merged))
             # a touched bucket can vanish entirely only if merge emptied
             # it — impossible under upsert semantics (rows are never
             # deleted), so touched buckets absent from new_dirs had no
             # target rows AND no source rows, which contradicts touched
-            self._commit(nxt, mapping)
+            self._commit(nxt, mapping, stats)
         finally:
             self._lock.release()
         return touched

@@ -455,3 +455,97 @@ class TestManifestLakeTable:
         )
         with pytest.raises(FileNotFoundError, match="no data files"):
             t.read(spark)
+
+
+class TestZoneMaps:
+    """Per-bucket [min, max] statistics in the manifest: range
+    predicates on NON-key columns prune buckets driver-side (the
+    Delta/Iceberg file-statistics idea reduced to its core)."""
+
+    def _table(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        # key the buckets by a RANGE-correlated id so zone maps have
+        # something to prune on (hash-bucketing a uniform column gives
+        # every bucket the full range); sorted doc_id blocks of 100
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.select(
+            (F.col("doc_id") / 100).cast("long").alias("blk"),
+            "doc_id",
+            "n_chars",
+        )
+        t = ManifestLakeTable(
+            str(tmp_path / "zm"),
+            keys=["blk"],
+            n_buckets=8,
+            stats_cols=["doc_id", "n_chars"],
+        )
+        t.overwrite(target)
+        return t, target
+
+    def test_range_read_prunes_and_matches_full_filter(self, spark, tmp_path):
+        t, target = self._table(spark, tmp_path)
+        got = t.read_range(spark, "doc_id", 120, 180)
+        assert _rows(got) == _rows(
+            target.where(F.col("doc_id").between(120, 180))
+        )
+        # pruning is real: the scan lists a strict subset of the dirs
+        m = t.manifest()
+        read_dirs = {f.rsplit("/", 2)[-2] for f in got.inputFiles()}
+        all_dirs = {p.split("/")[-1] for p in m.values()}
+        assert read_dirs < all_dirs
+        # and exactly the stats-intersecting buckets
+        st = t.stats()
+        expect = {
+            m[b].split("/")[-1]
+            for b in m
+            if not (st[b]["doc_id"][1] < 120 or st[b]["doc_id"][0] > 180)
+        }
+        assert read_dirs == expect
+
+    def test_stats_survive_merge_and_update_for_touched(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.select("doc_id", "n_chars")
+        t = ManifestLakeTable(
+            str(tmp_path / "zm2"),
+            keys=["doc_id"],
+            n_buckets=8,
+            stats_cols=["n_chars"],
+        )
+        t.overwrite(target)
+        before = t.stats()
+        # push one doc's n_chars above every recorded max
+        source = target.where(F.col("doc_id") == 150).withColumn(
+            "n_chars", F.lit(10_000_000)
+        )
+        touched = t.merge_into(source)
+        after = t.stats()
+        for b in before:
+            if b in touched:
+                assert after[b]["n_chars"][1] == 10_000_000
+            else:
+                assert after[b] == before[b]
+        # range read over the new extreme finds exactly the updated row
+        got = t.read_range(spark, "n_chars", 9_999_999, 10_000_001)
+        assert got.count() == 1
+
+    def test_preexisting_stats_free_manifest_still_reads(self, spark, tmp_path):
+        """Backward compat: a bucket (or whole manifest) without stats
+        is read, never pruned."""
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        t = ManifestLakeTable(
+            str(tmp_path / "ns"), keys=["doc_id"], n_buckets=4
+        )  # no stats_cols
+        t.overwrite(docs.select("doc_id", "n_chars"))
+        got = t.read_range(spark, "n_chars", 0, 10**9)
+        assert got.count() == docs.count()
