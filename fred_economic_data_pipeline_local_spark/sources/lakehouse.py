@@ -583,7 +583,9 @@ class ManifestLakeTable:
         ]
         if not paths:
             return self.read(spark, version).limit(0)
-        return spark.read.parquet(*paths)
+        # mergeSchema: after a schema-evolving merge, untouched dirs
+        # predate the new columns — the union schema reads them as null
+        return spark.read.option("mergeSchema", True).parquet(*paths)
 
     def overwrite(self, df: DataFrame) -> int:
         os.makedirs(self.root, exist_ok=True)
@@ -623,11 +625,22 @@ class ManifestLakeTable:
             F.col(col).between(lo, hi)
         )
 
-    def merge_into(self, source: DataFrame) -> list[int]:
+    def merge_into(
+        self, source: DataFrame, evolve_schema: bool = False
+    ) -> list[int]:
         """MERGE with manifest-pruned O(delta) rewrite under a GLOBAL
         atomic commit: new dirs for touched buckets, the new manifest
         re-references untouched buckets' existing dirs, one pointer
-        flip publishes all of it. Returns touched bucket ids."""
+        flip publishes all of it. Returns touched bucket ids.
+
+        ``evolve_schema`` enables Delta-mergeSchema semantics: columns
+        new in ``source`` are added (null for rows the merge doesn't
+        touch — untouched buckets' files stay as-is, the union-schema
+        read supplies the nulls); columns ``source`` lacks KEEP their
+        current target values on key match (never nulled) and are null
+        for inserted keys. Off by default: silent schema drift in an
+        ingest is usually a bug, so it stays an explicit opt-in and the
+        mismatch otherwise raises."""
         from pyspark.sql import functions as F
 
         spark = source.sparkSession
@@ -644,7 +657,38 @@ class ManifestLakeTable:
                 r[0] for r in src.select("__bucket").distinct().collect()
             )
             target_slice = self.read_buckets(spark, touched, cur)
-            merged = upsert_merge(target_slice, src.drop("__bucket"), self.keys)
+            source_aligned = source
+            if evolve_schema:
+                t_names = set(target_slice.columns)
+                s_names = set(source.columns)
+                for f in source.schema.fields:
+                    if f.name not in t_names:
+                        target_slice = target_slice.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                missing = [
+                    f.name
+                    for f in target_slice.schema.fields
+                    if f.name not in s_names
+                ]
+                if missing:
+                    # absent source columns keep their current values:
+                    # pull them onto the source rows via a null-safe key
+                    # join against the (already pruned) target slice
+                    cur_vals = target_slice.select(
+                        *[F.col(k).alias(f"__t_{k}") for k in self.keys],
+                        *missing,
+                    )
+                    cond = [
+                        F.col(k).eqNullSafe(F.col(f"__t_{k}"))
+                        for k in self.keys
+                    ]
+                    source_aligned = (
+                        source.join(cur_vals, on=cond, how="left").drop(
+                            *[f"__t_{k}" for k in self.keys]
+                        )
+                    )
+            merged = upsert_merge(target_slice, source_aligned, self.keys)
             nxt = cur + 1
             new_dirs = self._write_buckets(merged, nxt)
             mapping = dict(self.manifest(cur))

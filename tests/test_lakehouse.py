@@ -549,3 +549,42 @@ class TestZoneMaps:
         t.overwrite(docs.select("doc_id", "n_chars"))
         got = t.read_range(spark, "n_chars", 0, 10**9)
         assert got.count() == docs.count()
+
+
+class TestSchemaEvolution:
+    def _t(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        target = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, n long"
+        )
+        t = ManifestLakeTable(str(tmp_path / "se"), keys=["k"], n_buckets=4)
+        t.overwrite(target)
+        return t
+
+    def test_drift_raises_without_opt_in(self, spark, tmp_path):
+        import pytest
+
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame([(2, 21, "en")], "k long, n long, lang string")
+        with pytest.raises(ValueError, match="identical target/source"):
+            t.merge_into(src)
+
+    def test_new_source_column_backfills_null(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(2, 21, "en"), (9, 90, "de")], "k long, n long, lang string"
+        )
+        t.merge_into(src, evolve_schema=True)
+        got = {r["k"]: (r["n"], r["lang"]) for r in t.read(spark).collect()}
+        assert got == {1: (10, None), 2: (21, "en"), 3: (30, None), 9: (90, "de")}
+
+    def test_missing_source_column_keeps_current_values(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        # source without n: matched key keeps its n, inserted key gets null
+        src = spark.createDataFrame([(2,), (9,)], "k long")
+        t.merge_into(src, evolve_schema=True)
+        got = {r["k"]: r["n"] for r in t.read(spark).collect()}
+        assert got == {1: 10, 2: 20, 3: 30, 9: None}
