@@ -813,7 +813,11 @@ def _pq_cb_arrays(codebook: DataFrame, sub_dims: int) -> DataFrame:
 
 
 def _pq_assign(
-    sub_ex: DataFrame, codebook: DataFrame, id_out: str, sub_dims: int
+    sub_ex: DataFrame,
+    codebook: DataFrame,
+    id_out: str,
+    sub_dims: int,
+    keep_sv: bool = False,
 ) -> DataFrame:
     """(id, m, code): nearest centroid per (vector, subspace).
 
@@ -825,7 +829,12 @@ def _pq_assign(
     and the argmax is one min_by aggregate with partial map-side
     combine — the only exchange carries N·m_sub (id, m, code) rows.
     Ties break to the smallest c so the assignment is deterministic
-    and oracle-mirrorable."""
+    and oracle-mirrorable.
+
+    ``keep_sv`` additionally carries the sub-vector through the
+    aggregate (it is constant within an (id, m) group, so ``first`` is
+    deterministic) — the Lloyd means consumer uses it to avoid
+    re-joining the assignment back to the sub-vector table."""
     from functools import reduce
 
     cb_arr = _pq_cb_arrays(codebook, sub_dims)
@@ -837,13 +846,16 @@ def _pq_assign(
         ],
     )
     scored = sub_ex.join(broadcast(cb_arr), "m").select(
-        id_out, "m", "c", (dp - F.col("half_cn")).alias("score")
+        id_out, "m", "c", "sv", (dp - F.col("half_cn")).alias("score")
     )
-    return scored.groupBy(id_out, "m").agg(
+    aggs = [
         F.min_by("c", F.struct((-F.col("score")).alias("s"), F.col("c"))).alias(
             "code"
         )
-    )
+    ]
+    if keep_sv:
+        aggs.append(F.first("sv").alias("sv"))
+    return scored.groupBy(id_out, "m").agg(*aggs)
 
 
 def pq_codebook(
@@ -864,13 +876,17 @@ def pq_codebook(
     rows — broadcast-sized by construction, localCheckpointed per round
     like ivf_assign's centroids.
 
-    Cost shape (measured, tools-free A/B during round 7): one Lloyd
-    round is ONE pass over the N·m_sub sub-vector rows for scoring
-    (broadcast centroid join, fixed-order codegen dots, min_by argmax
-    — the per-dimension explode-join form cost 1.5-2x more end to end)
-    plus one narrow (id, m) join for the means; at fixture scale the
-    wall clock is dominated by fixed per-stage overhead, at corpus
-    scale by the single linear scan — both the right 100 TB posture.
+    Cost shape (measured, tools/ab_pq.py): one Lloyd round is ONE pass
+    over the N·m_sub sub-vector rows — broadcast centroid join,
+    fixed-order codegen dots, min_by argmax that carries the sub-vector
+    through (keep_sv), element-wise avg means over the same frame, and
+    a broadcast coalesce back into the seed. No (id, m) re-join, no
+    per-element explode, no mid-round materialization (the
+    per-dimension explode-join form cost 1.5-2x more end to end; the
+    earlier assign-checkpoint + re-join form cost ~1.7x at fixture
+    scale). At fixture scale wall clock is fixed per-stage overhead, at
+    corpus scale the single linear scan — both the right 100 TB
+    posture.
     Production PQ typically trains the codebook on a bounded sample
     (FAISS-style); pass a sampled frame as ``corpus`` for that."""
     if dims is None:
@@ -882,23 +898,32 @@ def pq_codebook(
     sub_ex = _pq_subvec_ex(corpus, id_col, vec_col, m_sub, sub_dims, "id")
     cb = _pq_seed_codebook(spark, m_sub, k_codes, sub_dims)
     for _ in range(iters):
-        # materialize the round's assignment (N·m_sub narrow rows):
-        # both consumers below — the means aggregation and the coalesce
-        # that the round-ending checkpoint executes — would otherwise
-        # replay the scoring join
-        assign = _pq_assign(sub_ex, cb, "id", sub_dims).localCheckpoint()
-        means = (
-            sub_ex.join(assign, ["id", "m"])
-            .select(
-                "m",
-                F.col("code").alias("c"),
-                F.posexplode("sv").alias("j", "__x"),
-            )
-            .groupBy("m", "c", "j")
-            .agg(F.avg("__x").alias("w_new"))
+        # one fused pipeline per round: the argmin aggregate carries the
+        # sub-vector through (keep_sv), so the means are element-wise
+        # avgs over the SAME frame — no (id, m) re-join against the
+        # sub-vector table and no per-element posexplode shuffle. The
+        # round's only exchanges are the N·m_sub argmin combine and the
+        # m_sub·k_codes means combine; the tiny means table broadcasts
+        # into the coalesce, and the single round-ending checkpoint
+        # executes the whole chain exactly once (the old per-round
+        # assign checkpoint paid an extra eager job for a frame with
+        # one consumer).
+        assign = _pq_assign(sub_ex, cb, "id", sub_dims, keep_sv=True)
+        avgs = assign.groupBy("m", F.col("code").alias("c")).agg(
+            *[
+                F.avg(F.element_at("sv", j + 1)).alias(f"__w{j}")
+                for j in range(sub_dims)
+            ]
+        )
+        means = avgs.select(
+            "m",
+            "c",
+            F.posexplode(
+                F.array(*[F.col(f"__w{j}") for j in range(sub_dims)])
+            ).alias("j", "w_new"),
         )
         cb = (
-            cb.join(means, ["m", "c", "j"], "left")
+            cb.join(broadcast(means), ["m", "c", "j"], "left")
             .select("m", "c", "j", F.coalesce("w_new", "w").alias("w"))
             .localCheckpoint()
         )
@@ -962,64 +987,70 @@ def pq_topk(
             corpus, m_sub, k_codes, id_col, vec_col, dims=dims, iters=iters
         )
     if codes is None:
-        # materialize: recon-norm and ADC both consume the code table;
-        # injected codes (persisted/exported index) are already on disk
-        codes = pq_codes(
-            corpus, codebook, m_sub, id_col, vec_col, dims=dims
-        ).localCheckpoint()
+        # single consumer (the fused ADC+recon aggregate) — no
+        # materialization needed; injected codes (persisted/exported
+        # index) are already on disk
+        codes = pq_codes(corpus, codebook, m_sub, id_col, vec_col, dims=dims)
 
     q_sub = _pq_subspace_ex(queries, id_col, vec_col, sub_dims, "query_id")
     adc = (
         codes.withColumnRenamed("code", "c")
-        .join(broadcast(_pq_lut(q_sub, codebook)), ["m", "c"])
+        .join(broadcast(_pq_lut_n2(q_sub, codebook)), ["m", "c"])
         .where(F.col("query_id") != F.col("id"))
         .groupBy("query_id", "id")
-        .agg(F.sum("dot").alias("adot"))
+        .agg(F.sum("dot").alias("adot"), F.sum("n2").alias("recon2"))
     )
-    return _pq_rank_rescore(
-        adc, codes, codebook, q_sub, corpus, queries, k, refine, id_col, vec_col
-    )
+    return _pq_rank_rescore(adc, queries, corpus, k, refine, id_col, vec_col)
 
 
-def _pq_lut(q_sub: DataFrame, codebook: DataFrame) -> DataFrame:
-    """(query_id, m, c, dot): the per-query ADC lookup table —
-    m_sub·k_codes rows per query, broadcast-sized by construction."""
+def _pq_lut_n2(q_sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(query_id, m, c, dot, n2): the per-query ADC lookup table —
+    m_sub·k_codes rows per query, broadcast-sized by construction —
+    carrying the centroid's squared norm so the single (m, c) join
+    against the code table yields BOTH the ADC dot-sum and the
+    reconstruction norm Σ_m |c_(m,code)|² in one aggregate (the
+    separate recon2 pass cost a second code-table scan + shuffle)."""
     return (
         q_sub.join(broadcast(codebook), ["m", "j"])
         .groupBy("query_id", "m", "c")
-        .agg(F.sum(F.col("__x") * F.col("w")).alias("dot"))
+        .agg(
+            F.sum(F.col("__x") * F.col("w")).alias("dot"),
+            F.sum(F.col("w") * F.col("w")).alias("n2"),
+        )
     )
 
 
 def _pq_rank_rescore(
     adc: DataFrame,
-    codes: DataFrame,
-    codebook: DataFrame,
-    q_sub: DataFrame,
-    corpus: DataFrame,
     queries: DataFrame,
+    corpus: DataFrame,
     k: int,
     refine: int,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
     """Shared PQ tail: ADC-cosine ranking (6-dp rounded, id tiebreak) →
-    refine·k shortlist → exact double-cosine rescore → final top-k."""
-    nrm = codebook.groupBy("m", "c").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    recon2 = (
-        codes.withColumnRenamed("code", "c")
-        .join(broadcast(nrm), ["m", "c"])
-        .groupBy("id")
-        .agg(F.sum("n2").alias("recon2"))
-        .where(F.col("recon2") > 0)
-    )
-    q_l2 = (
-        q_sub.groupBy("query_id")
-        .agg(F.sqrt(F.sum(F.col("__x") * F.col("__x"))).alias("ql2"))
-        .where(F.col("ql2") > 0)
-    )
+    refine·k shortlist → exact double-cosine rescore → final top-k.
+
+    ``adc`` already carries the reconstruction norm (``recon2``) from
+    the fused LUT join, so no second code-table pass happens here; the
+    query norm is a narrow sequential fold over the query vectors (no
+    exchange — the groupBy form shuffled N·m_sub exploded rows for a
+    handful of queries); the refine·k shortlist (bounded by the query
+    count) broadcasts into the corpus-vector join — at 100 TB the
+    corpus side streams and only shortlisted rows survive the scan."""
+    q_l2 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.sqrt(
+            F.aggregate(
+                _as_double(F.col(vec_col)),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        ).alias("ql2"),
+    ).where(F.col("ql2") > 0)
     cand = (
-        adc.join(recon2, "id")
+        adc.where(F.col("recon2") > 0)
         .join(broadcast(q_l2), "query_id")
         .select(
             "query_id",
@@ -1044,7 +1075,7 @@ def _pq_rank_rescore(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
     rescored = (
-        shortlist.join(cv, "neighbor_id")
+        cv.join(broadcast(shortlist), "neighbor_id")
         .join(broadcast(qv), "query_id")
         .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
     )
@@ -1107,9 +1138,9 @@ def ivfpq_topk(
             corpus, m_sub, k_codes, id_col, vec_col, dims=dims, iters=iters
         )
     if codes is None:
-        codes = pq_codes(
-            corpus, codebook, m_sub, id_col, vec_col, dims=dims
-        ).localCheckpoint()
+        # single consumer (the candidate-restricted fused ADC+recon
+        # aggregate) — no materialization needed
+        codes = pq_codes(corpus, codebook, m_sub, id_col, vec_col, dims=dims)
 
     # inverted-list candidates: (query_id, id) via the probed cells;
     # assignment is one cell per id, so no duplicate pairs arise
@@ -1122,10 +1153,8 @@ def ivfpq_topk(
     adc = (
         cand_ids.join(codes, "id")
         .withColumnRenamed("code", "c")
-        .join(broadcast(_pq_lut(q_sub, codebook)), ["query_id", "m", "c"])
+        .join(broadcast(_pq_lut_n2(q_sub, codebook)), ["query_id", "m", "c"])
         .groupBy("query_id", "id")
-        .agg(F.sum("dot").alias("adot"))
+        .agg(F.sum("dot").alias("adot"), F.sum("n2").alias("recon2"))
     )
-    return _pq_rank_rescore(
-        adc, codes, codebook, q_sub, corpus, queries, k, refine, id_col, vec_col
-    )
+    return _pq_rank_rescore(adc, queries, corpus, k, refine, id_col, vec_col)
