@@ -1125,14 +1125,20 @@ def ivfpq_topk(
     if dims is None:
         dims = len(corpus.select(vec_col).first()[0])
     sub_dims = dims // m_sub
-    if assign is None or probes is None:
-        a, cents = ivf_assign(corpus, n_cells, id_col, vec_col, 0, dims)
-        assign = a if assign is None else assign
-        probes = (
-            ivf_probes(queries, cents, nprobe, id_col, vec_col)
-            if probes is None
-            else probes
+    if (assign is None) != (probes is None):
+        # probes derived from freshly re-seeded centroids would index a
+        # DIFFERENT partition of space than an injected assignment
+        # (e.g. one built with Lloyd refinement), silently collapsing
+        # recall — the two tables share centroid geometry, so inject
+        # them together or not at all
+        raise ValueError(
+            "ivfpq_topk: inject `assign` and `probes` together — both "
+            "derive from the same coarse centroids"
         )
+    if assign is None:
+        a, cents = ivf_assign(corpus, n_cells, id_col, vec_col, 0, dims)
+        assign = a
+        probes = ivf_probes(queries, cents, nprobe, id_col, vec_col)
     if codebook is None:
         codebook = pq_codebook(
             corpus, m_sub, k_codes, id_col, vec_col, dims=dims, iters=iters

@@ -630,21 +630,19 @@ _PQ_M, _PQ_K, _PQ_REFINE = 16, 16, 8
 _PQ_SD = 4  # 64 dims / 16 subspaces
 
 
-@query(
-    "similarity_pq_topk",
-    # the learned per-subspace codebooks and the code table are
-    # exported; everything downstream of codebook learning — the
-    # per-query LUT, reconstruction norms, ADC scores, 6-dp-rounded
-    # shortlist ranking, exact rescore, final cut — is recomputed by
-    # DuckDB and must hash-match (same float discipline as
-    # embedding_kmeans_assign: small sums, rounded before ranking).
-    # Recall vs brute force pinned in tests/test_similarity_pq.py.
-    oracle=f"""
-WITH cb AS (SELECT * FROM {export_sql('similarity_pq_codebook')}),
-cd AS (SELECT * FROM {export_sql('similarity_pq_codes')}),
+def _pq_oracle_tail(cb_export: str, cd_export: str, extra_ctes: str, adc_cte: str) -> str:
+    """Shared ADC-oracle SQL for the PQ family (same float discipline
+    everywhere: 6-dp rounding before ranking, id tiebreaks). The two
+    batch entries differ only in their export-table names and the
+    candidate restriction, so the LUT/recon/shortlist/rescore tail
+    lives in exactly one string — a change to the discipline or the
+    ``_PQ_SD`` indexing cannot drift between them."""
+    return f"""
+WITH cb AS (SELECT * FROM {export_sql(cb_export)}),
+cd AS (SELECT * FROM {export_sql(cd_export)}),
 q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings WHERE vec_id < {_NQUERY}),
-lut AS (
+{extra_ctes}lut AS (
   SELECT q.qid, cb.m, cb.c, sum(q.e[cb.m * {_PQ_SD} + cb.j + 1] * cb.w) AS dot
   FROM q CROSS JOIN cb
   GROUP BY q.qid, cb.m, cb.c
@@ -655,10 +653,7 @@ recon AS (SELECT cd.id, sum(nrm.n2) AS recon2
           GROUP BY cd.id HAVING sum(nrm.n2) > 0),
 ql AS (SELECT qid, sqrt(list_dot_product(e, e)) AS ql2
        FROM q WHERE list_dot_product(e, e) > 0),
-adc AS (SELECT lut.qid, cd.id, sum(lut.dot) AS adot
-        FROM cd JOIN lut ON lut.m = cd.m AND lut.c = cd.code
-        WHERE lut.qid <> cd.id
-        GROUP BY lut.qid, cd.id),
+adc AS ({adc_cte}),
 cand AS (SELECT adc.qid AS query_id, adc.id AS neighbor_id,
                 round(adot / (ql.ql2 * sqrt(recon.recon2)), 6) AS cos_adc
          FROM adc JOIN recon ON recon.id = adc.id
@@ -679,7 +674,27 @@ FROM short s JOIN v qv ON qv.vec_id = s.query_id
 QUALIFY row_number() OVER (
   PARTITION BY s.query_id ORDER BY cos_sim DESC, s.neighbor_id
 ) <= {_K}
-""",
+"""
+
+
+@query(
+    "similarity_pq_topk",
+    # the learned per-subspace codebooks and the code table are
+    # exported; everything downstream of codebook learning — the
+    # per-query LUT, reconstruction norms, ADC scores, 6-dp-rounded
+    # shortlist ranking, exact rescore, final cut — is recomputed by
+    # DuckDB and must hash-match (same float discipline as
+    # embedding_kmeans_assign: small sums, rounded before ranking).
+    # Recall vs brute force pinned in tests/test_similarity_pq.py.
+    oracle=_pq_oracle_tail(
+        "similarity_pq_codebook",
+        "similarity_pq_codes",
+        extra_ctes="",
+        adc_cte="""SELECT lut.qid, cd.id, sum(lut.dot) AS adot
+        FROM cd JOIN lut ON lut.m = cd.m AND lut.c = cd.code
+        WHERE lut.qid <> cd.id
+        GROUP BY lut.qid, cd.id""",
+    ),
     description="product-quantization ANN (Jégou et al., TPAMI 2011): "
     "16 per-subspace 16-centroid codebooks compress each 64-dim vector "
     "to 16 codes; queries score the corpus via a broadcast lookup table "
@@ -721,55 +736,23 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derives the inverted-list candidates, the candidate-restricted
     # ADC scores, the 6-dp-rounded shortlist ranking and the exact
     # rescore; hash-checked downstream of the hash-seeded models.
-    oracle=f"""
-WITH asg AS (SELECT * FROM {export_sql('ivfpq_assign')}),
+    oracle=_pq_oracle_tail(
+        "ivfpq_codebook",
+        "ivfpq_codes",
+        extra_ctes=f"""asg AS (SELECT * FROM {export_sql('ivfpq_assign')}),
 pr AS (SELECT * FROM {export_sql('ivfpq_probes')}),
-cb AS (SELECT * FROM {export_sql('ivfpq_codebook')}),
-cd AS (SELECT * FROM {export_sql('ivfpq_codes')}),
-q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings WHERE vec_id < {_NQUERY}),
 candi AS (
   SELECT pr.query_id AS qid, asg.id
   FROM pr JOIN asg USING (cell)
   WHERE pr.query_id <> asg.id
 ),
-lut AS (
-  SELECT q.qid, cb.m, cb.c, sum(q.e[cb.m * {_PQ_SD} + cb.j + 1] * cb.w) AS dot
-  FROM q CROSS JOIN cb
-  GROUP BY q.qid, cb.m, cb.c
-),
-nrm AS (SELECT m, c, sum(w * w) AS n2 FROM cb GROUP BY m, c),
-recon AS (SELECT cd.id, sum(nrm.n2) AS recon2
-          FROM cd JOIN nrm ON nrm.m = cd.m AND nrm.c = cd.code
-          GROUP BY cd.id HAVING sum(nrm.n2) > 0),
-ql AS (SELECT qid, sqrt(list_dot_product(e, e)) AS ql2
-       FROM q WHERE list_dot_product(e, e) > 0),
-adc AS (SELECT candi.qid, candi.id, sum(lut.dot) AS adot
+""",
+        adc_cte="""SELECT candi.qid, candi.id, sum(lut.dot) AS adot
         FROM candi JOIN cd ON cd.id = candi.id
                    JOIN lut ON lut.qid = candi.qid
                           AND lut.m = cd.m AND lut.c = cd.code
-        GROUP BY candi.qid, candi.id),
-cand AS (SELECT adc.qid AS query_id, adc.id AS neighbor_id,
-                round(adot / (ql.ql2 * sqrt(recon.recon2)), 6) AS cos_adc
-         FROM adc JOIN recon ON recon.id = adc.id
-                  JOIN ql ON ql.qid = adc.qid),
-short AS (
-  SELECT query_id, neighbor_id FROM cand
-  QUALIFY row_number() OVER (
-    PARTITION BY query_id ORDER BY cos_adc DESC, neighbor_id
-  ) <= {_PQ_REFINE * _K}
-),
-v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-SELECT s.query_id, s.neighbor_id,
-       round(list_dot_product(qv.e, cv.e) /
-             (sqrt(list_dot_product(qv.e, qv.e)) *
-              sqrt(list_dot_product(cv.e, cv.e))), 6) AS cos_sim
-FROM short s JOIN v qv ON qv.vec_id = s.query_id
-             JOIN v cv ON cv.vec_id = s.neighbor_id
-QUALIFY row_number() OVER (
-  PARTITION BY s.query_id ORDER BY cos_sim DESC, s.neighbor_id
-) <= {_K}
-""",
+        GROUP BY candi.qid, candi.id""",
+    ),
     description="IVF-PQ composition (FAISS IVFADC; Jégou et al. §V): "
     "coarse cells prune candidates to the probed inverted lists, PQ/ADC "
     "scores them via broadcast LUT lookups over 16-byte codes, exact "

@@ -103,18 +103,37 @@ class _WriterLock:
             pass
 
 
-class LakeTable:
+class _LockedTable:
+    """Shared single-writer surface for every lake variant: the
+    ``_WriterLock`` plus its explicit crash-recovery escape hatch
+    (one implementation — a behavior change here applies to all three
+    variants in lockstep)."""
+
+    def break_lock(self) -> None:
+        """Remove a stale ``_LOCK`` left by a crashed writer. Caller
+        asserts the holder (pid in the file) is dead."""
+        self._lock.release()
+
+
+class _KeyBucketedTable(_LockedTable):
+    """Adds the shared key→bucket expression. Both bucketed variants
+    MUST agree on it byte-for-byte — a divergence would silently break
+    cross-variant migrations and every oracle that re-derives bucket
+    ids — so it lives in exactly one place."""
+
+    def _bucket(self) -> "F.Column":
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
+
+
+class LakeTable(_LockedTable):
     """A versioned parquet table at ``root`` supporting transactional
     keyed MERGE INTO."""
 
     def __init__(self, root: str):
         self.root = root
         self._lock = _WriterLock(root)
-
-    def break_lock(self) -> None:
-        """Remove a stale ``_LOCK`` left by a crashed writer. Caller
-        asserts the holder (pid in the file) is dead."""
-        self._lock.release()
 
     # --- version log ---------------------------------------------------------
 
@@ -218,7 +237,7 @@ class LakeTable:
         return removed
 
 
-class PartitionedLakeTable:
+class PartitionedLakeTable(_KeyBucketedTable):
     """Key-bucketed parquet lake table with O(delta-buckets) MERGE INTO —
     the scale variant of ``LakeTable``.
 
@@ -281,11 +300,6 @@ class PartitionedLakeTable:
         self.n_buckets = n_buckets
         self._lock = _WriterLock(root)
 
-    def break_lock(self) -> None:
-        """Remove a stale ``_LOCK`` left by a crashed writer. Caller
-        asserts the holder (pid in the file) is dead."""
-        self._lock.release()
-
     def clean_orphans(self) -> list[str]:
         """Remove writer-staging debris (underscore/dot-prefixed entries
         other than the data partitions and the lock) left by a crashed
@@ -312,11 +326,6 @@ class PartitionedLakeTable:
                 ) else os.remove(p)
                 removed.append(name)
         return removed
-
-    def _bucket(self) -> "F.Column":
-        from pyspark.sql import functions as F
-
-        return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
 
     def overwrite(self, df: DataFrame) -> None:
         self._lock.acquire()
@@ -368,7 +377,7 @@ class PartitionedLakeTable:
         return touched
 
 
-class ManifestLakeTable:
+class ManifestLakeTable(_KeyBucketedTable):
     """Key-bucketed lake table with a FILE-LEVEL commit log: global
     atomic commits AND O(delta-buckets) merges — the combination the
     other two variants trade against each other, and the reduced core
@@ -422,11 +431,6 @@ class ManifestLakeTable:
         # is safe because range predicates exclude nulls anyway.
         self.stats_cols = list(stats_cols or [])
         self._lock = _WriterLock(root)
-
-    def break_lock(self) -> None:
-        """Remove a stale ``_LOCK`` left by a crashed writer. Caller
-        asserts the holder (pid in the file) is dead."""
-        self._lock.release()
 
     # --- commit log ----------------------------------------------------------
 
@@ -496,19 +500,32 @@ class ManifestLakeTable:
             os.fsync(fh.fileno())
         os.replace(tmp, self._latest_path())
 
-    def _bucket_stats(self, df: DataFrame) -> dict[int, dict[str, list]]:
-        """Per-bucket [min, max] of stats_cols — one aggregate over the
-        rows being written, <= n_buckets result rows (bounded driver
+    def _stats_from_dirs(
+        self, spark: SparkSession, dirs: dict[int, str]
+    ) -> dict[int, dict[str, list]]:
+        """Per-bucket [min, max] of stats_cols aggregated from the
+        JUST-WRITTEN parquet dirs (the Delta convention: statistics
+        describe the bytes on disk). Reading back the delta-sized dirs
+        costs one scan of what was just written — aggregating the
+        pre-write frame instead would re-execute the whole merge
+        lineage a second time. <= n_buckets result rows (bounded driver
         state, like the touched-bucket collect)."""
         from pyspark.sql import functions as F
 
-        if not self.stats_cols:
+        if not self.stats_cols or not dirs:
             return {}
         aggs = []
         for c in self.stats_cols:
             aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        paths = [os.path.join(self.root, rel) for rel in dirs.values()]
         rows = (
-            df.withColumn("__bucket", self._bucket())
+            spark.read.parquet(*paths)
+            .withColumn(
+                "__bucket",
+                F.regexp_extract(
+                    F.input_file_name(), r"/b([0-9]+)_v[0-9]+/[^/]*$", 1
+                ).cast("int"),
+            )
             .groupBy("__bucket")
             .agg(*aggs)
             .collect()
@@ -521,11 +538,6 @@ class ManifestLakeTable:
         }
 
     # --- I/O -----------------------------------------------------------------
-
-    def _bucket(self) -> "F.Column":
-        from pyspark.sql import functions as F
-
-        return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
 
     def _write_buckets(self, df: DataFrame, version: int) -> dict[int, str]:
         """Write each present bucket's rows to its own immutable dir;
@@ -592,7 +604,7 @@ class ManifestLakeTable:
         self._lock.acquire()
         try:
             mapping = self._write_buckets(df, 0)
-            self._commit(0, mapping, self._bucket_stats(df))
+            self._commit(0, mapping, self._stats_from_dirs(df.sparkSession, mapping))
         finally:
             self._lock.release()
         return 0
@@ -656,7 +668,14 @@ class ManifestLakeTable:
             touched = sorted(
                 r[0] for r in src.select("__bucket").distinct().collect()
             )
-            target_slice = self.read_buckets(spark, touched, cur)
+            if self.manifest(cur):
+                target_slice = self.read_buckets(spark, touched, cur)
+            else:
+                # bootstrap-by-merge: an empty-input overwrite committed
+                # an empty manifest, so there is no target schema on
+                # disk — the merge is insert-only against an empty
+                # slice shaped like the source
+                target_slice = spark.createDataFrame([], source.schema)
             source_aligned = source
             if evolve_schema:
                 t_names = set(target_slice.columns)
@@ -694,10 +713,16 @@ class ManifestLakeTable:
             mapping = dict(self.manifest(cur))
             mapping.update(new_dirs)
             # untouched buckets carry their zone maps forward unchanged
-            # (their files are byte-identical); touched buckets get
-            # fresh stats from the merged rows
+            # (their files are byte-identical); every TOUCHED bucket's
+            # old entry is dropped first — if this writer's stats_cols
+            # doesn't cover what a previous writer recorded, carrying
+            # the old [min, max] over rewritten data would let
+            # read_range prune rows that now exist (missing stats are
+            # merely unprunable, stale stats are wrong answers)
             stats = dict(self.stats(cur))
-            stats.update(self._bucket_stats(merged))
+            for b in touched:
+                stats.pop(b, None)
+            stats.update(self._stats_from_dirs(spark, new_dirs))
             # a touched bucket can vanish entirely only if merge emptied
             # it — impossible under upsert semantics (rows are never
             # deleted), so touched buckets absent from new_dirs had no
@@ -710,7 +735,21 @@ class ManifestLakeTable:
     def vacuum(self, keep: int = 1) -> list[str]:
         """Drop data dirs referenced by NO retained manifest (the newest
         ``keep`` plus the current one) and the dropped manifests.
-        Returns removed relative paths."""
+        Returns removed relative paths.
+
+        Takes the writer lock: vacuum is a mutation, and an unlocked
+        vacuum racing a mid-merge writer could delete the b*_v{N+1}
+        dirs the writer has staged but not yet committed (they are
+        referenced by no retained manifest until the pointer flips)."""
+        import re as _re
+
+        self._lock.acquire()
+        try:
+            return self._vacuum_locked(keep)
+        finally:
+            self._lock.release()
+
+    def _vacuum_locked(self, keep: int) -> list[str]:
         import re as _re
 
         cur = self.current_version()

@@ -456,6 +456,39 @@ class TestManifestLakeTable:
         with pytest.raises(FileNotFoundError, match="no data files"):
             t.read(spark)
 
+    def test_bootstrap_by_merge_after_empty_overwrite(self, spark, tmp_path):
+        """An empty-input overwrite commits an empty manifest; a
+        subsequent merge is insert-only against an empty slice shaped
+        like the source, not a FileNotFoundError."""
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        t = ManifestLakeTable(str(tmp_path / "bs"), keys=["k"], n_buckets=4)
+        t.overwrite(spark.createDataFrame([], "k long, v string"))
+        source = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        t.merge_into(source)
+        assert _rows(t.read(spark)) == _rows(source)
+
+    def test_vacuum_requires_writer_lock(self, spark, tmp_path):
+        """vacuum is a mutation: racing a mid-merge writer it could
+        delete staged-but-uncommitted dirs, so it takes the lock."""
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ConcurrentWriteError,
+            ManifestLakeTable,
+        )
+        import pytest
+
+        t = ManifestLakeTable(str(tmp_path / "vl"), keys=["k"], n_buckets=4)
+        t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+        t._lock.acquire()
+        with pytest.raises(ConcurrentWriteError, match="locked by"):
+            t.vacuum()
+        t.break_lock()
+        t.vacuum()  # lock released -> proceeds
+
 
 class TestZoneMaps:
     """Per-bucket [min, max] statistics in the manifest: range
@@ -533,6 +566,37 @@ class TestZoneMaps:
                 assert after[b] == before[b]
         # range read over the new extreme finds exactly the updated row
         got = t.read_range(spark, "n_chars", 9_999_999, 10_000_001)
+        assert got.count() == 1
+
+    def test_touched_bucket_stats_dropped_when_writer_lacks_stats_cols(
+        self, spark, tmp_path
+    ):
+        """A writer whose stats_cols doesn't cover a previously
+        recorded column must DROP the touched buckets' old zone maps,
+        not carry them forward over rewritten data — stale stats make
+        read_range silently prune rows that exist."""
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.select("doc_id", "n_chars")
+        root = str(tmp_path / "ss")
+        ManifestLakeTable(
+            root, keys=["doc_id"], n_buckets=8, stats_cols=["n_chars"]
+        ).overwrite(target)
+        # reopened WITHOUT stats_cols (constructor-only config drift)
+        t2 = ManifestLakeTable(root, keys=["doc_id"], n_buckets=8)
+        source = target.where(F.col("doc_id") == 150).withColumn(
+            "n_chars", F.lit(10_000_000)
+        )
+        touched = t2.merge_into(source)
+        after = t2.stats()
+        for b in touched:
+            assert b not in after  # stale entry dropped, not carried
+        # the extreme row is found: its bucket is unprunable, not
+        # wrongly pruned by the pre-merge max
+        got = t2.read_range(spark, "n_chars", 9_999_999, 10_000_001)
         assert got.count() == 1
 
     def test_preexisting_stats_free_manifest_still_reads(self, spark, tmp_path):

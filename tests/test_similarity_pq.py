@@ -134,6 +134,21 @@ class TestIvfPq:
         for r in got.collect():
             assert (r["query_id"], r["neighbor_id"]) in allowed
 
+    def test_one_sided_index_injection_rejected(self, spark):
+        """assign and probes share centroid geometry; injecting one
+        while re-deriving the other from fresh seed centroids would
+        silently collapse recall — it must raise instead."""
+        from fred_economic_data_pipeline_local_spark.operators.similarity import (
+            ivf_assign,
+            ivfpq_topk,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        queries = emb.where(F.col("vec_id") < 5)
+        assign, _ = ivf_assign(emb, n_cells=8, dims=64, lloyd_iters=0)
+        with pytest.raises(ValueError, match="together"):
+            ivfpq_topk(emb, queries, k=10, assign=assign, **CFG)
+
 
 def test_incremental_encode_equals_full_reencode(spark):
     """Appending delta codes to the persisted base index reproduces a
