@@ -1,0 +1,111 @@
+"""Margin-based parallel-pair mining over embedding columns — the
+standard recipe for mining aligned text pairs (translation pairs,
+paraphrases, caption/image matches) from two large unaligned corpora
+embedded in a shared space (Artetxe & Schwenk, "Margin-based Parallel
+Corpus Mining with Multilingual Sentence Embeddings", ACL 2019; the
+CCMatrix/LASER mining pipeline).
+
+Raw cosine is a poor mining score because some embeddings sit in dense
+neighborhoods where EVERYTHING scores high (hubness). The margin score
+divides each pair's cosine by the mean cosine of the two sides' own
+k-NN neighborhoods:
+
+    margin(x, y) = cos(x, y) / (avgNN_k(x)/2 + avgNN_k(y)/2)
+
+so a pair only mines well if it stands out ABOVE its neighborhoods'
+background similarity. Pairs are mined forward (best target per source
+by margin) and gated by a threshold; margin > 1 means "closer than the
+average of the k nearest neighbors".
+
+Scale shape: the pair table is the whole cost. The default builds it as
+scan(side_b) x broadcast(side_a) — exact, one pass over the bigger
+side, right while one side is broadcastable. For two 100 TB sides,
+inject ``pairs`` from an ANN candidate source (the IVF/PQ/LSH operators
+in ``operators.similarity`` produce exactly the (a_id, b_id, cos_sim)
+shape) — the margin math downstream is identical and touches only
+candidate pairs. Neighborhood averages are then computed over the SAME
+candidate set, which is the approximation every production miner makes
+(x's k-NN list comes from the same ANN index that proposed the pairs).
+
+All ranking follows the repo-wide float discipline: cosines rounded to
+6 dp before any top-k, neighborhood averages rounded before the margin,
+the margin rounded before the final ranking, id tiebreaks everywhere —
+the DuckDB oracle reproduces every row by value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .similarity import _as_double, cosine
+
+
+def margin_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k_nn: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Mine (a_id, b_id, cos_sim, margin) pairs, one best-by-margin
+    target per source, gated by ``margin >= threshold``.
+
+    ``pairs`` injects a candidate table (a_id, b_id, cos_sim) from an
+    ANN source for corpora too large to score exhaustively; by default
+    ``side_a`` is broadcast against one scan of ``side_b``.
+    """
+    if pairs is None:
+        a = side_a.select(
+            F.col(id_col).alias("a_id"), _as_double(F.col(vec_col)).alias("__av")
+        )
+        b = side_b.select(
+            F.col(id_col).alias("b_id"), _as_double(F.col(vec_col)).alias("__bv")
+        )
+        pairs = (
+            b.join(broadcast(a))
+            .withColumn(
+                "cos_sim", F.round(cosine(F.col("__av"), F.col("__bv")), 6)
+            )
+            .select("a_id", "b_id", "cos_sim")
+        )
+
+    # neighborhood background similarity per element, each side: the
+    # mean of its k best cosines (over the same pair/candidate set).
+    # Window-rank -> filter -> tiny per-element aggregate; the joins
+    # back onto the pair table are equi-joins on the pair's own keys.
+    w_a = Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), F.asc("b_id"))
+    w_b = Window.partitionBy("b_id").orderBy(F.desc("cos_sim"), F.asc("a_id"))
+    nn_a = (
+        pairs.withColumn("__rn", F.row_number().over(w_a))
+        .where(F.col("__rn") <= k_nn)
+        .groupBy("a_id")
+        .agg(F.round(F.avg("cos_sim"), 6).alias("__nn_a"))
+    )
+    nn_b = (
+        pairs.withColumn("__rn", F.row_number().over(w_b))
+        .where(F.col("__rn") <= k_nn)
+        .groupBy("b_id")
+        .agg(F.round(F.avg("cos_sim"), 6).alias("__nn_b"))
+    )
+    scored = (
+        pairs.join(nn_a, "a_id")
+        .join(nn_b, "b_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cos_sim")
+                / (F.col("__nn_a") / 2.0 + F.col("__nn_b") / 2.0),
+                6,
+            ),
+        )
+    )
+    w_fwd = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_fwd))
+        .where((F.col("__rn") == 1) & (F.col("margin") >= threshold))
+        .select("a_id", "b_id", "cos_sim", "margin")
+    )

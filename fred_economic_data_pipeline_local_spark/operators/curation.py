@@ -204,6 +204,72 @@ def centroid_cosines(
     )
 
 
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection
+    (Gonzalez 1985; the diverse-subset selection used for active
+    learning and training-data coverage pruning): start from the
+    smallest id, then k-1 times pick the point whose cosine distance to
+    its NEAREST already-selected center is LARGEST. The selected set
+    2-approximates the optimal k-center cover — a principled "most
+    diverse k examples" picker.
+
+    Output: (step, center_id, dist) — dist is the selection score, the
+    distance to the nearest prior center (null for the seed), rounded
+    to 6 dp BEFORE the argmax with smallest-id tiebreak so the greedy
+    trace is deterministic and oracle-reproducible step for step.
+
+    Scale shape: the algorithm is inherently k sequential passes — each
+    step is ONE corpus scan against the <=k selected centers (a few KB,
+    broadcast as literals into the comparison expression) ending in a
+    single max_by aggregate; the driver collects exactly one row per
+    step (the O(k) collect edge, same bounded-sequential contract as
+    BPE merge induction). Nothing shuffles but the aggregate combine.
+    """
+    from .similarity import cosine
+
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    seed = base.orderBy("__id").limit(1).collect()[0]
+    centers: list[tuple[int, list[float], float | None]] = [
+        (seed["__id"], list(seed["__v"]), None)
+    ]
+    for _ in range(k - 1):
+        dists = [
+            F.round(
+                1.0 - cosine(F.col("__v"), F.array(*[F.lit(float(x)) for x in cv])),
+                6,
+            )
+            for _, cv, _ in centers
+        ]
+        nearest = F.least(*dists) if len(dists) > 1 else dists[0]
+        chosen = [cid for cid, _, _ in centers]
+        row = (
+            base.where(~F.col("__id").isin(chosen))
+            .select("__id", nearest.alias("__d"))
+            .agg(
+                F.max_by(
+                    F.struct("__id", "__d"),
+                    F.struct(F.col("__d"), (-F.col("__id")).alias("__neg")),
+                ).alias("w")
+            )
+            .select(F.col("w.__id").alias("__id"), F.col("w.__d").alias("__d"))
+            .join(base, "__id")
+            .collect()[0]
+        )
+        centers.append((row["__id"], list(row["__v"]), row["__d"]))
+    return spark.createDataFrame(
+        [(i, cid, d) for i, (cid, _, d) in enumerate(centers)],
+        "step int, center_id long, dist double",
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str,

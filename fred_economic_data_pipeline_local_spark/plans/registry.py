@@ -255,6 +255,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "explode_token_frequency",
     "scalar_subquery_above_avg",
     "correlated_subquery_max_per_cust",
+    # --- round-7 post-rotation additions (head round 8's promotion
+    # window together with the TPC-H q8-q22 refresh tail) ---
+    "bitext_margin_pairs",
+    "embedding_kcenter_coreset",
 )
 
 

@@ -842,3 +842,117 @@ def similarity_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "incr_pq_codebook",
     )
     return pq_codes(delta, cb, m_sub=_PQ_M, dims=64)
+
+
+_BITEXT_KNN = 4
+
+
+@query(
+    "bitext_margin_pairs",
+    # fully SQL-expressible: DuckDB reproduces the whole pipeline —
+    # exact pair cosines, each side's top-k_nn neighborhood averages,
+    # the ratio margin, forward best-per-source mining, threshold gate —
+    # with the shared float discipline (6-dp rounding before every
+    # ranking, id tiebreaks).
+    oracle=f"""
+WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
+           FROM embeddings WHERE label = 0),
+b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv
+      FROM embeddings WHERE label = 1),
+p AS (SELECT a_id, b_id,
+             round(list_dot_product(av, bv) /
+                   (sqrt(list_dot_product(av, av)) *
+                    sqrt(list_dot_product(bv, bv))), 6) AS cos_sim
+      FROM b CROSS JOIN a),
+na AS (SELECT a_id, round(avg(cos_sim), 6) AS nn_a FROM (
+         SELECT a_id, cos_sim FROM p
+         QUALIFY row_number() OVER (
+           PARTITION BY a_id ORDER BY cos_sim DESC, b_id
+         ) <= {_BITEXT_KNN})
+       GROUP BY a_id),
+nb AS (SELECT b_id, round(avg(cos_sim), 6) AS nn_b FROM (
+         SELECT b_id, cos_sim FROM p
+         QUALIFY row_number() OVER (
+           PARTITION BY b_id ORDER BY cos_sim DESC, a_id
+         ) <= {_BITEXT_KNN})
+       GROUP BY b_id),
+s AS (SELECT p.a_id, p.b_id, p.cos_sim,
+             round(p.cos_sim / (na.nn_a / 2.0 + nb.nn_b / 2.0), 6) AS margin
+      FROM p JOIN na USING (a_id) JOIN nb USING (b_id))
+SELECT a_id, b_id, cos_sim, margin FROM (
+  SELECT * FROM s
+  QUALIFY row_number() OVER (
+    PARTITION BY a_id ORDER BY margin DESC, b_id
+  ) = 1
+) WHERE margin >= 1.0
+""",
+    description="margin-based parallel-pair mining (Artetxe & Schwenk, "
+    "ACL 2019; the CCMatrix/LASER recipe): label-0 vs label-1 vectors "
+    "stand in for two unaligned corpora in a shared embedding space; "
+    "each pair's cosine is normalized by the mean of both sides' "
+    "k-NN neighborhood similarities (hubness correction), mined forward "
+    "best-per-source above margin 1.0. Default kernel broadcasts one "
+    "side against one scan of the other; a `pairs` parameter injects "
+    "ANN candidates for two-large-sides mining",
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bitext import margin_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return margin_pairs(
+        emb.where(F.col("label") == 0),
+        emb.where(F.col("label") == 1),
+        k_nn=_BITEXT_KNN,
+        threshold=1.0,
+    )
+
+
+@query(
+    "embedding_kcenter_coreset",
+    # the greedy trace verifies inductively: the oracle re-derives the
+    # seed independently (min id) and recomputes every later step's
+    # argmax-of-min-distance from the exported PREFIX of centers — a
+    # wrong row i would fail its own recomputation, so hash equality
+    # proves the whole selection satisfies the greedy invariant.
+    oracle=f"""
+WITH ctr AS (SELECT * FROM {export_sql('kcenter_centers')}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+steps AS (SELECT step FROM ctr WHERE step > 0),
+mind AS (
+  SELECT s.step, x.vec_id,
+         min(round(1.0 - list_dot_product(x.v, c.v) /
+                   (sqrt(list_dot_product(x.v, x.v)) *
+                    sqrt(list_dot_product(c.v, c.v))), 6)) AS d
+  FROM steps s
+  JOIN ctr p ON p.step < s.step
+  JOIN e c ON c.vec_id = p.center_id
+  CROSS JOIN e x
+  WHERE x.vec_id NOT IN (
+    SELECT p2.center_id FROM ctr p2 WHERE p2.step < s.step
+  )
+  GROUP BY s.step, x.vec_id
+)
+SELECT CAST(0 AS INT) AS step,
+       (SELECT min(vec_id) FROM e) AS center_id,
+       CAST(NULL AS DOUBLE) AS dist
+UNION ALL
+SELECT CAST(step AS INT) AS step, vec_id AS center_id, d AS dist FROM (
+  SELECT step, vec_id, d FROM mind
+  QUALIFY row_number() OVER (PARTITION BY step ORDER BY d DESC, vec_id) = 1
+)
+""",
+    description="greedy k-center (farthest-point-first) coreset "
+    "selection (Gonzalez 1985): 8 maximally-diverse vectors by cosine "
+    "distance, the active-learning/coverage-pruning diverse-subset "
+    "picker with a 2-approximation guarantee. k sequential corpus "
+    "scans against broadcast centers, one max_by aggregate and one "
+    "single-row collect per step; the oracle recomputes every step's "
+    "argmax from the exported prefix, verifying the greedy invariant "
+    "row by row",
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.curation import kcenter_select
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return export_table(kcenter_select(emb, k=8), "kcenter_centers")
