@@ -193,12 +193,17 @@ def lsh_topk(
 
 def _seed_centroids(spark, n_cells: int, dims: int) -> DataFrame:
     """(cell, i, w) seed centroid weights, pseudo-random in [-1, 1] derived
-    from xxhash64(cell, dim) — deterministic, no stored model."""
-    cells = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
-    dim_ix = spark.range(dims).select(F.col("id").cast("int").alias("__i"))
+    from xxhash64(cell, dim) — deterministic, no stored model. One
+    spark.range with arithmetic index decode (a single narrow stage;
+    the crossJoin-of-ranges form paid two broadcast-nested-loop
+    stages for the same rows)."""
+    base = spark.range(n_cells * dims).select(
+        (F.col("id") / dims).cast("int").alias("cell"),
+        F.pmod(F.col("id"), F.lit(dims)).cast("int").alias("__i"),
+    )
     h = F.xxhash64(F.col("cell"), F.col("__i"))
     w = (F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0) - 1.0
-    return cells.crossJoin(dim_ix).select("cell", "__i", w.alias("w"))
+    return base.select("cell", "__i", w.alias("w"))
 
 
 def _assign_cells(ex: DataFrame, centroids: DataFrame, id_out: str) -> DataFrame:
@@ -756,13 +761,19 @@ def _pq_subspace_ex(
 
 def _pq_seed_codebook(spark, m_sub: int, k_codes: int, sub_dims: int) -> DataFrame:
     """(m, c, j, w) seed codebooks, hash-derived in [-1, 1] — same
-    deterministic no-stored-model convention as _seed_centroids."""
-    ms = spark.range(m_sub).select(F.col("id").cast("int").alias("m"))
-    cs = spark.range(k_codes).select(F.col("id").cast("int").alias("c"))
-    js = spark.range(sub_dims).select(F.col("id").cast("int").alias("j"))
+    deterministic no-stored-model convention as _seed_centroids, and
+    the same single-range index decode (the three chained crossJoins
+    cost two extra broadcast-nested-loop stages for identical rows)."""
+    base = spark.range(m_sub * k_codes * sub_dims).select(
+        (F.col("id") / (k_codes * sub_dims)).cast("int").alias("m"),
+        F.pmod((F.col("id") / sub_dims).cast("long"), F.lit(k_codes))
+        .cast("int")
+        .alias("c"),
+        F.pmod(F.col("id"), F.lit(sub_dims)).cast("int").alias("j"),
+    )
     h = F.xxhash64(F.lit("pq"), F.col("m"), F.col("c"), F.col("j"))
     w = (F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0) - 1.0
-    return ms.crossJoin(cs).crossJoin(js).select("m", "c", "j", w.alias("w"))
+    return base.select("m", "c", "j", w.alias("w"))
 
 
 def _pq_subvec_ex(
