@@ -45,6 +45,10 @@ DEFAULT_QUERIES = [
     "text_bpe_merges",
     "dedup_edit_distance",
     "decontam_embedding_hits",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "bitext_margin_pairs",
+    "embedding_kcenter_coreset",
 ]
 
 
