@@ -862,3 +862,73 @@ def bigram_logprob(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
         F.round(F.avg("__lp"), 6).alias("logprob"),
     )
+
+
+def unigram_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    top_n: int = 25,
+) -> DataFrame:
+    """Token-distribution drift between corpus snapshots: per-token
+    contributions to KL(new ‖ old) over add-alpha-smoothed unigram
+    distributions, top ``top_n`` tokens by |contribution|.
+
+    ``profile_drift`` alerts on column-level shape (null rates,
+    cardinalities); this is the CONTENT-level monitor — a quiet change
+    in corpus composition (a new boilerplate phrase, a source switching
+    language, a scraper echoing markup) moves probability mass between
+    tokens and surfaces here long before aggregate counts move.
+    Smoothing puts both distributions on the union vocabulary so
+    appearing/vanishing tokens contribute finite mass instead of
+    infinities.
+
+    Output: (token, p_new, p_old, contribution), ranked by
+    |contribution| desc with token tiebreak; contribution > 0 marks
+    tokens over-represented in the new snapshot. Values rounded to 6 dp
+    before ranking (the ln discipline ``bigram_logprob`` pinned).
+
+    Scale shape: two Zipf-bounded token-count aggregates, one
+    full-outer equi-join on token, three broadcast scalars (totals and
+    vocabulary size), a top-n. Nothing scales with document size but
+    the token explode; nothing is all-pairs.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+            )
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias(out))
+        )
+
+    c_old = counts(old, "cn_old")
+    c_new = counts(new, "cn_new")
+    vocab = c_old.join(c_new, "token", "full_outer").select(
+        "token",
+        F.coalesce("cn_old", F.lit(0)).alias("cn_old"),
+        F.coalesce("cn_new", F.lit(0)).alias("cn_new"),
+    )
+    totals = vocab.agg(
+        F.sum("cn_old").alias("n_old"),
+        F.sum("cn_new").alias("n_new"),
+        F.count("*").alias("v"),
+    )
+    p_new = (F.col("cn_new") + alpha) / (F.col("n_new") + alpha * F.col("v"))
+    p_old = (F.col("cn_old") + alpha) / (F.col("n_old") + alpha * F.col("v"))
+    scored = vocab.crossJoin(broadcast(totals)).select(
+        "token",
+        F.round(p_new, 6).alias("p_new"),
+        F.round(p_old, 6).alias("p_old"),
+        F.round(p_new * F.log(p_new / p_old), 6).alias("contribution"),
+    )
+    w = Window.orderBy(F.desc(F.abs(F.col("contribution"))), F.asc("token"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )

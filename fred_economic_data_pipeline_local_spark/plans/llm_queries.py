@@ -1177,3 +1177,58 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_actual", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "text_unigram_drift",
+    # fully SQL-expressible; the ln + round(6)-before-ranking float
+    # discipline is the one text_bigram_logprob pinned hash-green
+    oracle="""
+WITH o AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents WHERE doc_id % 7 <> 0),
+n AS (SELECT regexp_split_to_array(trim(lower(
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)), '\\s+') AS tk
+      FROM documents WHERE doc_id % 5 <> 0),
+co AS (SELECT u.tok AS token, count(*) AS cn_old
+       FROM o CROSS JOIN unnest(tk) AS u(tok) WHERE u.tok <> ''
+       GROUP BY u.tok),
+cn AS (SELECT u.tok AS token, count(*) AS cn_new
+       FROM n CROSS JOIN unnest(tk) AS u(tok) WHERE u.tok <> ''
+       GROUP BY u.tok),
+v AS (SELECT coalesce(co.token, cn.token) AS token,
+             coalesce(cn_old, 0) AS cn_old,
+             coalesce(cn_new, 0) AS cn_new
+      FROM co FULL OUTER JOIN cn ON co.token = cn.token),
+t AS (SELECT sum(cn_old) AS n_old, sum(cn_new) AS n_new, count(*) AS vv
+      FROM v),
+s AS (SELECT token,
+             round((cn_new + 0.5) / (n_new + 0.5 * vv), 6) AS p_new,
+             round((cn_old + 0.5) / (n_old + 0.5 * vv), 6) AS p_old,
+             round(((cn_new + 0.5) / (n_new + 0.5 * vv)) *
+                   ln(((cn_new + 0.5) / (n_new + 0.5 * vv)) /
+                      ((cn_old + 0.5) / (n_old + 0.5 * vv))), 6) AS contribution
+      FROM v CROSS JOIN t)
+SELECT token, p_new, p_old, contribution FROM s
+QUALIFY row_number() OVER (ORDER BY abs(contribution) DESC, token) <= 25
+""",
+    description="content-level snapshot drift: per-token contributions "
+    "to KL(new || old) over add-alpha-smoothed unigram distributions on "
+    "the union vocabulary (same synthetic snapshots as "
+    "snapshot_diff_counts: every 7th doc absent from old, every 5th "
+    "from new, every 3rd re-crawled with ' v2' appended — the injected "
+    "token surfaces at the top). Complements profile_drift's "
+    "column-shape alerts: composition changes move probability mass "
+    "long before row counts move. Two Zipf-bounded count aggregates, "
+    "one token equi-join, three broadcast scalars",
+)
+def text_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import unigram_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return unigram_drift(old, new, top_n=25)

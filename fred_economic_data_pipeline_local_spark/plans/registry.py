@@ -259,6 +259,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # window together with the TPC-H q8-q22 refresh tail) ---
     "bitext_margin_pairs",
     "embedding_kcenter_coreset",
+    "text_unigram_drift",
 )
 
 

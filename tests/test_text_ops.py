@@ -567,3 +567,34 @@ class TestBigramLogprob:
         out = {r["id"]: r for r in bigram_logprob(docs).collect()}
         assert out[2]["n_tokens"] == 1
         assert out[2]["logprob"] == pytest.approx(round(math.log(2 / 4), 6), abs=1e-9)
+
+
+class TestUnigramDrift:
+    def test_planted_token_tops_ranking_and_invariants(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            unigram_drift,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        old = docs.select("text")
+        new = docs.select(
+            F.concat(F.col("text"), F.lit(" zqdrift")).alias("text")
+        )
+        got = unigram_drift(old, new, top_n=10).collect()
+        # the token every new doc gained dominates the drift ranking,
+        # over-represented in the NEW snapshot (positive contribution)
+        assert got[0]["token"] == "zqdrift"
+        assert got[0]["contribution"] > 0
+        assert got[0]["p_new"] > got[0]["p_old"]
+        # ranking is by |contribution| desc with token tiebreak
+        mags = [abs(r["contribution"]) for r in got]
+        assert mags == sorted(mags, reverse=True)
+
+    def test_identical_snapshots_have_zero_drift(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.text import (
+            unigram_drift,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = unigram_drift(docs, docs, top_n=5).collect()
+        assert all(r["contribution"] == 0.0 for r in got)
