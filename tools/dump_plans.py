@@ -132,6 +132,21 @@ SHOWCASE = {
         "top-n — `WindowGroupLimit` cutting to n before the full sort, "
         "no global ordering."
     ),
+    "bitext_margin_pairs": (
+        "Margin-based bitext mining (round 7). Look for: the pair table "
+        "built as scan(side_b) x `BroadcastNestedLoopJoin` of the "
+        "broadcast side_a (the ANN-injectable candidate kernel), two "
+        "windowed top-k_nn neighborhood aggregates re-joined on the "
+        "pair's own keys, `WindowGroupLimit` for the forward "
+        "best-per-source cut — no corpus-side global sort."
+    ),
+    "embedding_kcenter_coreset": (
+        "Greedy k-center coreset (round 7). Look for: per-step plans "
+        "that are one scan + codegen'd `least()` of broadcast-literal "
+        "centroid distances + a single partial/final `max_by` "
+        "aggregate — 658 shuffle BYTES total at sf0.1 (the aggregate "
+        "combines), k single-row collects, no Window, no join."
+    ),
 }
 
 
