@@ -141,11 +141,13 @@ SHOWCASE = {
         "best-per-source cut — no corpus-side global sort."
     ),
     "embedding_kcenter_coreset": (
-        "Greedy k-center coreset (round 7). Look for: per-step plans "
-        "that are one scan + codegen'd `least()` of broadcast-literal "
-        "centroid distances + a single partial/final `max_by` "
-        "aggregate — 658 shuffle BYTES total at sf0.1 (the aggregate "
-        "combines), k single-row collects, no Window, no join."
+        "Greedy k-center coreset (round 7). The plan below is the "
+        "exported-trace readback (the catalog entry returns the oracle-"
+        "visible export); the selection itself runs k internal per-step "
+        "jobs whose plans are one scan + codegen'd `least()` of "
+        "broadcast-literal centroid distances + a single partial/final "
+        "`max_by` aggregate — 658 shuffle BYTES total at sf0.1, k "
+        "single-row collects, no Window, no join."
     ),
 }
 
