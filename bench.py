@@ -73,6 +73,9 @@ HEADLINE = [
     "decontam_embedding_hits",
     "embedding_centroid_prune",
     "curation_pipeline_end_to_end",
+    "bitext_margin_pairs",
+    "embedding_kcenter_coreset",
+    "text_unigram_drift",
 ]
 
 

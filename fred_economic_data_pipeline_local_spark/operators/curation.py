@@ -229,8 +229,22 @@ def kcenter_select(
     single max_by aggregate; the driver collects exactly one row per
     step (the O(k) collect edge, same bounded-sequential contract as
     BPE merge induction). Nothing shuffles but the aggregate combine.
+    The distance expressions are sequential-fold cosines (matching the
+    oracle's list_dot_product association); the working set is
+    persisted across the k jobs. (Measured dead end: static element_at
+    chains — the usual codegen win — LOSE here ~2x, because at k·dims
+    = 512 terms per distance Catalyst planning/compilation of the
+    expression trees dominates a 2,000-row scan. At corpus scale, where
+    row work amortizes planning, the exploded-codegen form from
+    `_pq_assign` is the swap-in.)
     """
     from .similarity import cosine
+
+    def dist_to(cv: list[float]):
+        return F.round(
+            1.0 - cosine(F.col("__v"), F.array(*[F.lit(float(x)) for x in cv])),
+            6,
+        )
 
     spark = emb.sparkSession
     base = emb.select(
@@ -240,30 +254,44 @@ def kcenter_select(
     centers: list[tuple[int, list[float], float | None]] = [
         (seed["__id"], list(seed["__v"]), None)
     ]
+    # classic incremental form: carry the running min-distance column
+    # and fold in ONE new cosine per row per step (min over
+    # per-distance-rounded values commutes, so the trace is identical
+    # to re-deriving all j distances each step — which would cost
+    # O(k^2) cosine evaluations instead of O(k)); each step's frame is
+    # persisted and read by the next step's single aggregate job
+    pinned = [base.withColumn("__d", dist_to(centers[0][1])).persist()]
     for _ in range(k - 1):
-        dists = [
-            F.round(
-                1.0 - cosine(F.col("__v"), F.array(*[F.lit(float(x)) for x in cv])),
-                6,
-            )
-            for _, cv, _ in centers
-        ]
-        nearest = F.least(*dists) if len(dists) > 1 else dists[0]
         chosen = [cid for cid, _, _ in centers]
+        # the winner's vector rides through the max_by struct — no
+        # join-back to re-fetch it
         row = (
-            base.where(~F.col("__id").isin(chosen))
-            .select("__id", nearest.alias("__d"))
+            pinned[-1]
+            .where(~F.col("__id").isin(chosen))
             .agg(
                 F.max_by(
-                    F.struct("__id", "__d"),
+                    F.struct("__id", "__d", "__v"),
                     F.struct(F.col("__d"), (-F.col("__id")).alias("__neg")),
                 ).alias("w")
             )
-            .select(F.col("w.__id").alias("__id"), F.col("w.__d").alias("__d"))
-            .join(base, "__id")
+            .select(
+                F.col("w.__id").alias("__id"),
+                F.col("w.__d").alias("__d"),
+                F.col("w.__v").alias("__v"),
+            )
             .collect()[0]
         )
         centers.append((row["__id"], list(row["__v"]), row["__d"]))
+        if len(centers) < k:
+            pinned.append(
+                pinned[-1]
+                .withColumn(
+                    "__d", F.least(F.col("__d"), dist_to(list(row["__v"])))
+                )
+                .persist()
+            )
+    for p in pinned:
+        p.unpersist()
     return spark.createDataFrame(
         [(i, cid, d) for i, (cid, _, d) in enumerate(centers)],
         "step int, center_id long, dist double",
