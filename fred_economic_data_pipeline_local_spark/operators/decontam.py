@@ -146,15 +146,23 @@ def embedding_contamination_hits(
     side needs to broadcast (hit sets are contained in the exact
     screen's, pinned in tests/test_curation.py).
     """
-    from .similarity import cosine, _as_double
+    from .similarity import dot, l2_norm, _as_double
 
+    # each side's norm is computed ONCE per row before the pair join
+    # (same association as the oracle's sqrt(list_dot_product(x, x)),
+    # so dot/(|a|·|b|) is value-identical to cosine()) — the NL-join
+    # condition then evaluates one dot per pair instead of three folds,
+    # a measured 2.5x on the exact screen. (Measured dead end: a static
+    # element_at chain for the pair dot is SLOWER here — the NL-join
+    # condition runs interpreted Expression.eval, where a 127-node tree
+    # costs more per pair than the fold.)
     c = corpus_emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__cv")
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     b = bench_emb.select(
         F.col(id_col).alias("__bid"), _as_double(F.col(vec_col)).alias("__bv")
-    )
-    cos = cosine(F.col("__cv"), F.col("__bv"))
+    ).withColumn("__bn", l2_norm(F.col("__bv")))
+    cos = dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn"))
     if candidates is None:
         pairs = c.join(F.broadcast(b), cos >= F.lit(threshold))
     else:

@@ -40,6 +40,8 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+
+
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
