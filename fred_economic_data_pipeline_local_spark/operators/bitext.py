@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .similarity import _as_double, cosine
+from .similarity import _as_double, dot, l2_norm
 
 
 def margin_pairs(
@@ -59,16 +59,24 @@ def margin_pairs(
     ``side_a`` is broadcast against one scan of ``side_b``.
     """
     if pairs is None:
+        # per-side norms once per row (association identical to
+        # cosine()'s folds, which the oracle mirrors) — one fold per
+        # pair in the broadcast kernel instead of three
         a = side_a.select(
             F.col(id_col).alias("a_id"), _as_double(F.col(vec_col)).alias("__av")
-        )
+        ).withColumn("__an", l2_norm(F.col("__av")))
         b = side_b.select(
             F.col(id_col).alias("b_id"), _as_double(F.col(vec_col)).alias("__bv")
-        )
+        ).withColumn("__bn", l2_norm(F.col("__bv")))
         pairs = (
             b.join(broadcast(a))
             .withColumn(
-                "cos_sim", F.round(cosine(F.col("__av"), F.col("__bv")), 6)
+                "cos_sim",
+                F.round(
+                    dot(F.col("__av"), F.col("__bv"))
+                    / (F.col("__an") * F.col("__bn")),
+                    6,
+                ),
             )
             .select("a_id", "b_id", "cos_sim")
         )

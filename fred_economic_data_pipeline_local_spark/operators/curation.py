@@ -193,10 +193,14 @@ def centroid_cosines(
     """
     from .similarity import dot, l2_norm
 
-    cents = label_centroids(emb, vec_col, label_col)
+    # each centroid's norm computes once in the #labels-row broadcast
+    # table, not per corpus row (same fold association the oracle uses)
+    cents = label_centroids(emb, vec_col, label_col).withColumn(
+        "__cn", l2_norm(F.col("centroid"))
+    )
     e = F.col(vec_col).cast("array<double>")
     joined = emb.join(F.broadcast(cents), emb[label_col] == cents["label"])
-    cos = dot(e, F.col("centroid")) / (l2_norm(e) * l2_norm(F.col("centroid")))
+    cos = dot(e, F.col("centroid")) / (l2_norm(e) * F.col("__cn"))
     return joined.select(
         F.col(id_col),
         emb[label_col].alias(label_col),
@@ -489,13 +493,15 @@ def hard_negatives(
             "broadcast on a known-small input (scale path: IVF/LSH "
             "similarity operators)"
         )
-    from .similarity import cosine
+    from .similarity import dot, l2_norm
 
+    # per-side norms once per row (same association as cosine()'s
+    # folds) — one fold per pair in the broadcast join, not three
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("e"),
         F.col(label_col).alias("lbl"),
-    )
+    ).withColumn("n", l2_norm(F.col("e")))
     # n_query bounds the NUMBER of query rows (deterministically, lowest
     # ids first) — not an id-value threshold, which would silently yield
     # fewer/zero queries on corpora whose ids aren't dense from 0
@@ -504,7 +510,7 @@ def hard_negatives(
         F.broadcast(q.alias("q")),
         (F.col("q.id") != F.col("c.id")) & (F.col("q.lbl") != F.col("c.lbl")),
     )
-    cos = cosine(F.col("q.e"), F.col("c.e"))
+    cos = dot(F.col("q.e"), F.col("c.e")) / (F.col("q.n") * F.col("c.n"))
     scored = joined.select(
         F.col("q.id").alias("query_id"),
         F.col("c.id").alias("neg_id"),

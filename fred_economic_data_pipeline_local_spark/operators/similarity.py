@@ -58,16 +58,26 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cos_sim), k rows per query,
     self-matches excluded. Ties broken by neighbor id (deterministic).
     """
+    # norms computed once per row before the pair join (identical
+    # association to cosine()'s folds — the oracle mirrors both); the
+    # per-pair work is then ONE interpreted fold instead of three
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     scored = (
         c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-        .drop("__qv", "__cv")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .drop("__qv", "__cv", "__qn", "__cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -511,9 +521,19 @@ def cosine_neardup_lsh(
         .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # per-side norms computed once per row (same association as
+    # cosine()'s folds) — one fold per candidate pair instead of three
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        l2_norm(F.col("v")).alias("__na"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        l2_norm(F.col("v")).alias("__nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

@@ -106,13 +106,14 @@ WHERE list_dot_product(a.e, b.e) /
     "scale path)",
 )
 def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms once per row before the pair join (association identical to
+    # the inline form the oracle mirrors) — one fold per pair, not three
     emb = load_table(spark, "embeddings", sf_dir).select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
     )
+    emb = emb.withColumn("n", l2_norm(F.col("e")))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = dot(F.col("a.e"), F.col("b.e")) / (
-        l2_norm(F.col("a.e")) * l2_norm(F.col("b.e"))
-    )
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .where(cos >= 0.4)
@@ -486,10 +487,9 @@ def embedding_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = dot(F.col("a.e"), F.col("b.e")) / (
-        l2_norm(F.col("a.e")) * l2_norm(F.col("b.e"))
-    )
+    pre = emb.withColumn("n", l2_norm(F.col("e")))
+    a, b = pre.alias("a"), pre.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
     pairs = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .where(cos >= 0.4)
