@@ -166,14 +166,16 @@ def lsh_topk(
     oracle-export hook; when given, the signature build is skipped and
     the vectors join the index on the id.
     """
+    # per-side norms once per row (same fold association the oracle
+    # mirrors) — one fold per bucket-candidate pair instead of three
     cbase = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     qbase = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     if corpus_sigs is None:
         c = hyperplane_signatures(cbase, "neighbor_id", "__cv", planes)
     else:
@@ -190,8 +192,15 @@ def lsh_topk(
     scored = (
         c.join(broadcast(q), on="sig")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-        .drop("__qv", "__cv", "sig")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .drop("__qv", "__cv", "__qn", "__cn", "sig")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
