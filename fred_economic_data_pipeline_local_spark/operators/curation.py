@@ -208,6 +208,37 @@ def centroid_cosines(
     )
 
 
+def adaptive_quality_gate(
+    df: DataFrame,
+    score_col: str = "score",
+    group_col: str = "source",
+    q: float = 0.3,
+) -> DataFrame:
+    """Per-group adaptive quality gating: keep rows whose score clears
+    their OWN group's q-quantile, instead of one global threshold.
+
+    A fixed cutoff over-prunes inherently low-scoring sources (e.g.
+    forums vs encyclopedias under the same classifier) and under-prunes
+    high-scoring ones; quantile gates drop the worst q of EVERY source,
+    preserving the corpus mix while still culling within-source tails —
+    standard practice when a quality classifier's calibration varies by
+    domain.
+
+    The cutoff table is one row per group (exact interpolated
+    percentile, 6-dp rounded — the cross-engine-stable discipline
+    ``percentile_order_prices`` pinned) and broadcasts back; rows keep
+    a boolean ``keep`` rather than being dropped so callers can audit
+    the gate before applying it. One aggregate + one broadcast join;
+    nothing shuffles but the per-group combine.
+    """
+    cuts = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({score_col}, {q!r})"), 6).alias("cutoff")
+    )
+    return df.join(F.broadcast(cuts), group_col).withColumn(
+        "keep", F.col(score_col) >= F.col("cutoff")
+    )
+
+
 def kcenter_select(
     emb: DataFrame,
     k: int = 8,

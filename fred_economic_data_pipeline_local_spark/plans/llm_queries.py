@@ -1232,3 +1232,45 @@ def text_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text")
     )
     return unigram_drift(old, new, top_n=25)
+
+
+@query(
+    "curation_adaptive_quality_gate",
+    # score CTE identical to text_quality_score's oracle; the per-source
+    # interpolated quantile is the percentile_order_prices parity
+    # pattern (Spark `percentile` == DuckDB quantile_cont); cutoffs and
+    # scores are 6-dp rounded before the >= comparison on both engines
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_LTOKS_SQL} AS tk FROM documents),
+m AS (
+  SELECT doc_id AS id, source,
+         CAST(list_sum(list_transform(tk, x -> {_weight_case_sql()})) AS DOUBLE)
+           / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS logit
+  FROM t
+),
+s AS (SELECT id, source,
+             round(1.0 / (1.0 + exp(-logit)), 6) AS score
+      FROM m),
+c AS (SELECT source, round(quantile_cont(score, 0.3), 6) AS cutoff
+      FROM s GROUP BY source)
+SELECT s.id, s.source, s.score, c.cutoff, s.score >= c.cutoff AS keep
+FROM s JOIN c USING (source)
+""",
+    description="per-source adaptive quality gating: each doc is kept "
+    "iff its linear-classifier score clears its OWN source's 30th "
+    "percentile — drops every source's worst tail without letting one "
+    "global threshold gut inherently low-scoring domains (classifier "
+    "calibration varies by domain). One per-source percentile "
+    "aggregate broadcast back onto the scored scan",
+)
+def curation_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import adaptive_quality_gate
+    from ..operators.text import score_linear
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = score_linear(docs, QUALITY_WEIGHTS).join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return adaptive_quality_gate(
+        scored.select("id", "source", "score"), q=0.3
+    ).select("id", "source", "score", "cutoff", "keep")

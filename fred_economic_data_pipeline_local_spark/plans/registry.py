@@ -260,6 +260,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "bitext_margin_pairs",
     "embedding_kcenter_coreset",
     "text_unigram_drift",
+    "curation_adaptive_quality_gate",
 )
 
 

@@ -414,3 +414,31 @@ class TestWeightedSample:
             "w", F.when(F.col("doc_id") % 2 == 0, F.lit(-1.0)).otherwise(F.lit(0.0))
         )
         assert weighted_sample(docs, 10, "w").count() == 0
+
+
+class TestAdaptiveQualityGate:
+    def test_per_group_quantile_gate(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            adaptive_quality_gate,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i / 10.0) for i in range(1, 11)]
+            + [("b", 0.9 + i / 100.0) for i in range(1, 11)],
+            "source string, score double",
+        )
+        got = adaptive_quality_gate(df, q=0.3).collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["source"], []).append(r)
+        # each source keeps its own top 70%: the gate adapts per group
+        # (a global 30th-percentile cutoff would keep ALL of source b)
+        for src, rows in by_src.items():
+            cut = rows[0]["cutoff"]
+            assert all(r["cutoff"] == cut for r in rows)
+            assert all((r["score"] >= cut) == r["keep"] for r in rows)
+        assert sum(r["keep"] for r in by_src["a"]) == 7
+        assert sum(r["keep"] for r in by_src["b"]) == 7
+        # the high-scoring source's cutoff is strictly higher — one
+        # global threshold could not produce both
+        assert by_src["b"][0]["cutoff"] > by_src["a"][0]["cutoff"]
