@@ -237,3 +237,61 @@ def fred_merge_into_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.overwrite(target)
     table.merge_into(source)
     return table.read(spark)
+
+
+@query(
+    "manifest_change_feed",
+    # the oracle re-derives the expected feed from the same source
+    # expressions: inserts are source keys beyond the target's range,
+    # updates are matched keys whose post-merge values differ (note
+    # value = 0 rows double to 0 -> byte-identical rewrite, correctly
+    # absent from both engines' feeds); upsert merges produce no deletes
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+t AS (SELECT indicator, observation_year, observation_month, value,
+             observation_count FROM silver WHERE observation_month <= 8),
+s AS (SELECT indicator, observation_year, observation_month,
+             round(value * 2, 6) AS value, observation_count
+      FROM silver WHERE observation_month >= 5)
+SELECT 'insert' AS _change_type, indicator, observation_year,
+       observation_month, value, observation_count
+FROM s WHERE observation_month > 8
+UNION ALL
+SELECT 'update' AS _change_type, s.indicator, s.observation_year,
+       s.observation_month, s.value, s.observation_count
+FROM s JOIN t ON s.indicator = t.indicator
+            AND s.observation_year = t.observation_year
+            AND s.observation_month = t.observation_month
+WHERE s.value IS DISTINCT FROM t.value
+   OR s.observation_count IS DISTINCT FROM t.observation_count
+""",
+    description="change feed over the file-level commit log (Delta CDC "
+    "reduced to its core): the manifest DIFF between two versions names "
+    "the changed buckets driver-side, only their two slices are read "
+    "and keyed-diffed — O(delta) incremental consumption; inserts carry "
+    "post-images, byte-identical rewrites inside touched buckets "
+    "correctly drop out",
+)
+def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..exports import export_path
+    from ..sources.lakehouse import ManifestLakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value",
+        "observation_count",
+    )
+    target = silver.where(F.col("observation_month") <= 8)
+    source = silver.where(F.col("observation_month") >= 5).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    root = export_path("fred_change_feed")
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    table = ManifestLakeTable(
+        root, keys=["indicator", "observation_year", "observation_month"],
+        n_buckets=16,
+    )
+    table.overwrite(target)
+    table.merge_into(source)
+    return table.changes(spark, 0, 1)

@@ -261,6 +261,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "embedding_kcenter_coreset",
     "text_unigram_drift",
     "curation_adaptive_quality_gate",
+    "manifest_change_feed",
 )
 
 

@@ -732,6 +732,85 @@ class ManifestLakeTable(_KeyBucketedTable):
             self._lock.release()
         return touched
 
+    def changes(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Change feed between two committed versions — Delta's CDC
+        ("table_changes") reduced to its core, and the incremental-
+        consumption read the commit log makes O(delta): the manifest
+        DIFF names the buckets whose data dir changed between the two
+        versions (driver-side, O(n_buckets) metadata), so only those
+        buckets' two slices are read and keyed-diffed; untouched
+        buckets are never listed, let alone scanned.
+
+        Output: ``_change_type`` ('insert' | 'update' | 'delete') plus
+        the table's columns — post-image values for insert/update,
+        pre-image for delete (deletes only arise from overwrite;
+        upsert merges never remove a key). Rows that were rewritten
+        byte-identically inside a changed bucket (an upsert that
+        touched the bucket but not that key) compare equal and drop
+        out. Key matching and value comparison are null-safe, matching
+        ``upsert_merge``'s key semantics.
+        """
+        from pyspark.sql import functions as F
+
+        v_to_r = self.current_version() if v_to is None else v_to
+        m_from = self.manifest(v_from)
+        m_to = self.manifest(v_to_r)
+        changed = sorted(
+            b
+            for b in set(m_from) | set(m_to)
+            if m_from.get(b) != m_to.get(b)
+        )
+        def _slice(m: dict, version: int) -> DataFrame | None:
+            present = [b for b in changed if b in m]
+            return (
+                self.read_buckets(spark, present, version) if present else None
+            )
+
+        new = _slice(m_to, v_to_r)
+        old = _slice(m_from, v_from)
+        if new is None and old is None:
+            # identical manifests (or both empty): no changes — an
+            # empty frame shaped like the current table
+            new = old = self.read(spark, v_to_r).limit(0)
+        elif new is None:
+            new = spark.createDataFrame([], old.schema)
+        elif old is None:
+            old = spark.createDataFrame([], new.schema)
+        keys = self.keys
+        nonkeys = [c for c in new.columns if c not in keys]
+        newf = new.select(
+            *keys, F.struct(*nonkeys).alias("__new"), F.lit(True).alias("__pn")
+        )
+        oldf = old.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            F.struct(*nonkeys).alias("__old"),
+            F.lit(True).alias("__po"),
+        )
+        cond = [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys]
+        j = newf.join(oldf, cond, "full_outer")
+        ctype = (
+            F.when(F.col("__po").isNull(), F.lit("insert"))
+            .when(F.col("__pn").isNull(), F.lit("delete"))
+            .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
+        )
+        img = F.when(F.col("__pn").isNull(), F.col("__old")).otherwise(
+            F.col("__new")
+        )
+        return (
+            j.withColumn("_change_type", ctype)
+            .where(F.col("_change_type").isNotNull())
+            .select(
+                "_change_type",
+                *[
+                    F.coalesce(F.col(k), F.col(f"__k_{k}")).alias(k)
+                    for k in keys
+                ],
+                *[img.getField(c).alias(c) for c in nonkeys],
+            )
+        )
+
     def vacuum(self, keep: int = 1) -> list[str]:
         """Drop data dirs referenced by NO retained manifest (the newest
         ``keep`` plus the current one) and the dropped manifests.
