@@ -76,6 +76,8 @@ HEADLINE = [
     "bitext_margin_pairs",
     "embedding_kcenter_coreset",
     "text_unigram_drift",
+    "curation_adaptive_quality_gate",
+    "manifest_change_feed",
 ]
 
 
