@@ -49,6 +49,9 @@ DEFAULT_QUERIES = [
     "similarity_ivfpq_topk",
     "bitext_margin_pairs",
     "embedding_kcenter_coreset",
+    "text_unigram_drift",
+    "curation_adaptive_quality_gate",
+    "manifest_change_feed",
 ]
 
 
