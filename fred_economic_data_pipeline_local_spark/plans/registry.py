@@ -262,6 +262,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_unigram_drift",
     "curation_adaptive_quality_gate",
     "manifest_change_feed",
+    "bloom_pruned_join_revenue",
 )
 
 

@@ -1992,3 +1992,42 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "bloom_pruned_join_revenue",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000
+GROUP BY l_returnflag
+""",
+    description="Bloom-join semi-join reduction: the selective dim's keys "
+    "fold distributedly into a 2^17-bit Bloom mask (bit_or partial+final, "
+    "O(mask) driver collect), the fact side is pruned map-side by a "
+    "codegen'd literal-array probe BEFORE the join exchange, and the join "
+    "removes the false positives — row-identical to the plain join, which "
+    "is exactly what the oracle checks (operators/bloom.py)",
+)
+def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_pruned_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        load_table(spark, "orders", sf_dir)
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") >= 150000)
+        )
+        .select("o_orderkey")
+    )
+    j = bloom_pruned_join(li, dim, "l_orderkey", "o_orderkey")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -52,6 +52,7 @@ DEFAULT_QUERIES = [
     "text_unigram_drift",
     "curation_adaptive_quality_gate",
     "manifest_change_feed",
+    "bloom_pruned_join_revenue",
 ]
 
 
