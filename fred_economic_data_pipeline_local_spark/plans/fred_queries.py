@@ -295,3 +295,71 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.overwrite(target)
     table.merge_into(source)
     return table.changes(spark, 0, 1)
+
+
+@query(
+    "manifest_apply_changes",
+    # the oracle computes the SOURCE table's final state independently
+    # (merge result restricted by the v2 overwrite's predicate); the
+    # Spark side never reads that state directly — the replica must
+    # RECONSTRUCT it purely by replaying the two change feeds (an
+    # upsert hop, then an overwrite hop with true deletes) into its own
+    # differently-bucketed layout
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+t AS (SELECT indicator, observation_year, observation_month, value,
+             observation_count FROM silver WHERE observation_month <= 8),
+s AS (SELECT indicator, observation_year, observation_month,
+             round(value * 2, 6) AS value, observation_count
+      FROM silver WHERE observation_month >= 5),
+merged AS (
+  SELECT COALESCE(s.indicator, t.indicator) AS indicator,
+         COALESCE(s.observation_year, t.observation_year) AS observation_year,
+         COALESCE(s.observation_month, t.observation_month) AS observation_month,
+         CASE WHEN s.indicator IS NOT NULL THEN s.value ELSE t.value END AS value,
+         CASE WHEN s.indicator IS NOT NULL THEN s.observation_count
+              ELSE t.observation_count END AS observation_count
+  FROM t FULL OUTER JOIN s
+    ON t.indicator = s.indicator
+   AND t.observation_year = s.observation_year
+   AND t.observation_month = s.observation_month)
+SELECT * FROM merged WHERE observation_month BETWEEN 3 AND 10
+""",
+    description="CDC replication loop over the file-level commit log: a "
+    "replica (different bucket count) bootstrapped from the source's v0 "
+    "replays changes(0,1) — an upsert merge — then changes(1,2) — an "
+    "overwrite with true deletes (overwrite is a versioned commit) — via "
+    "apply_changes, each hop one atomic O(delta) commit; the result is "
+    "the replica's own read, which must equal the source's final state "
+    "the oracle derives independently",
+)
+def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..exports import export_path
+    from ..sources.lakehouse import ManifestLakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value",
+        "observation_count",
+    )
+    target = silver.where(F.col("observation_month") <= 8)
+    source = silver.where(F.col("observation_month") >= 5).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    keys = ["indicator", "observation_year", "observation_month"]
+    src_root = export_path("fred_cdc_source")
+    rep_root = export_path("fred_cdc_replica")
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(rep_root, ignore_errors=True)
+    src = ManifestLakeTable(src_root, keys=keys, n_buckets=16)
+    src.overwrite(target)                      # v0
+    src.merge_into(source)                     # v1: upserts
+    src.overwrite(                             # v2: drops rows -> deletes
+        src.read(spark, 1).where(F.col("observation_month").between(3, 10))
+    )
+    rep = ManifestLakeTable(rep_root, keys=keys, n_buckets=8)
+    rep.overwrite(src.read(spark, 0))
+    rep.apply_changes(src.changes(spark, 0, 1))
+    rep.apply_changes(src.changes(spark, 1, 2))
+    return rep.read(spark)

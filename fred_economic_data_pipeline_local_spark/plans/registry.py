@@ -263,6 +263,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "curation_adaptive_quality_gate",
     "manifest_change_feed",
     "bloom_pruned_join_revenue",
+    "manifest_apply_changes",
 )
 
 

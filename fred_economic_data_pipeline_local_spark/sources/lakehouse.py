@@ -600,14 +600,24 @@ class ManifestLakeTable(_KeyBucketedTable):
         return spark.read.option("mergeSchema", True).parquet(*paths)
 
     def overwrite(self, df: DataFrame) -> int:
+        """Full replace as a VERSIONED commit (Delta's overwrite
+        semantics): the new manifest references only the new dirs, so
+        prior versions stay readable, diffable (``changes`` across an
+        overwrite surfaces true deletes), and vacuumable; on an
+        uninitialized table this is the bootstrap commit 0. Returns the
+        committed version."""
         os.makedirs(self.root, exist_ok=True)
         self._lock.acquire()
         try:
-            mapping = self._write_buckets(df, 0)
-            self._commit(0, mapping, self._stats_from_dirs(df.sparkSession, mapping))
+            cur = self.current_version()
+            nxt = 0 if cur is None else cur + 1
+            mapping = self._write_buckets(df, nxt)
+            self._commit(
+                nxt, mapping, self._stats_from_dirs(df.sparkSession, mapping)
+            )
         finally:
             self._lock.release()
-        return 0
+        return nxt
 
     def read_range(
         self,
@@ -810,6 +820,85 @@ class ManifestLakeTable(_KeyBucketedTable):
                 *[img.getField(c).alias(c) for c in nonkeys],
             )
         )
+
+    def apply_changes(self, feed: DataFrame) -> list[int]:
+        """Consume a ``changes()`` feed — CDC replication's other half:
+        insert/update post-images upsert, delete pre-images remove
+        their keys, all under ONE atomic commit, so a replica that
+        replays a source table's feeds hop by hop reconstructs exactly
+        the source's committed states (pinned by
+        ``tests/test_lakehouse.py`` replay tests).
+
+        O(delta) like ``merge_into``: only the feed's touched buckets
+        are read and rewritten; a bucket emptied by deletes drops out
+        of the new manifest. The replica's bucketing is its own
+        (``keys`` must match the feed's key columns, ``n_buckets`` need
+        not match the source's — buckets are per-table physical
+        layout, not part of the feed contract). Replays are
+        key-idempotent: an insert for a present key degrades to an
+        update, a delete for an absent key is a no-op.
+
+        Returns the touched bucket ids ([] for an empty feed — no
+        commit is written)."""
+        from pyspark.sql import functions as F
+
+        spark = feed.sparkSession
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(
+                f"manifest lake table {self.root} is uninitialized; "
+                "call overwrite() first"
+            )
+        data_cols = [c for c in feed.columns if c != "_change_type"]
+        missing = [k for k in self.keys if k not in data_cols]
+        if "_change_type" not in feed.columns or missing:
+            raise ValueError(
+                "apply_changes expects a changes() feed: _change_type "
+                f"plus the table columns including keys {self.keys}; "
+                f"got {feed.columns}"
+            )
+        self._lock.acquire()
+        try:
+            touched = sorted(
+                r[0]
+                for r in feed.withColumn("__bucket", self._bucket())
+                .select("__bucket")
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return []
+            upserts = feed.where(
+                F.col("_change_type").isin("insert", "update")
+            ).select(*data_cols)
+            deletes = feed.where(F.col("_change_type") == "delete").select(
+                *[F.col(k).alias(f"__d_{k}") for k in self.keys]
+            )
+            if self.manifest(cur):
+                target_slice = self.read_buckets(spark, touched, cur)
+            else:
+                target_slice = spark.createDataFrame([], upserts.schema)
+            merged = upsert_merge(target_slice, upserts, self.keys)
+            cond = [
+                F.col(k).eqNullSafe(F.col(f"__d_{k}")) for k in self.keys
+            ]
+            final = merged.join(deletes, cond, "left_anti")
+            nxt = cur + 1
+            new_dirs = self._write_buckets(final, nxt)
+            mapping = dict(self.manifest(cur))
+            stats = dict(self.stats(cur))
+            for b in touched:
+                # a touched bucket absent from new_dirs was emptied by
+                # deletes — it must leave the manifest, not keep
+                # referencing its pre-feed dir
+                mapping.pop(b, None)
+                stats.pop(b, None)
+            mapping.update(new_dirs)
+            stats.update(self._stats_from_dirs(spark, new_dirs))
+            self._commit(nxt, mapping, stats)
+        finally:
+            self._lock.release()
+        return touched
 
     def vacuum(self, keep: int = 1) -> list[str]:
         """Drop data dirs referenced by NO retained manifest (the newest

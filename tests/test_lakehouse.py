@@ -701,28 +701,154 @@ class TestChangeFeed:
         assert read_dirs < all_dirs
 
     def test_overwrite_surfaces_deletes_with_preimage(self, spark, tmp_path):
+        """Overwrite is a versioned commit, so the FORWARD feed across
+        it shows dropped keys as deletes carrying their pre-images."""
         t = self._t(spark, tmp_path)
-        t._lock.release()  # (overwrite acquires fresh)
-        t.overwrite(
+        v = t.overwrite(
             spark.createDataFrame(
                 [(1, "a", 10), (2, "b2", 22)], "k long, v string, n int"
             )
         )
-        # overwrite commits version 0 again; compare old v0 via... the
-        # overwrite replaced version 0, so build the delete case via a
-        # second table state instead: merge creates v1, then changes
-        # BACKWARDS (1 -> 0) shows the inserted key as a delete with
-        # its pre-image values
-        t2 = self._t(spark, tmp_path / "b")
-        t2.merge_into(
-            spark.createDataFrame([(9, "z", 90)], "k long, v string, n int")
-        )
+        assert v == 1  # overwrite did NOT clobber version 0
         got = {
             r["k"]: (r["_change_type"], r["v"], r["n"])
-            for r in t2.changes(spark, 1, 0).collect()
+            for r in t.changes(spark, 0, 1).collect()
         }
-        assert got == {9: ("delete", "z", 90)}
+        assert got == {
+            2: ("update", "b2", 22),
+            3: ("delete", "c", 30),
+            4: ("delete", "d", 40),
+        }
+        # both versions stay readable (time travel across the overwrite)
+        assert t.read(spark, 0).count() == 4
+        assert t.read(spark, 1).count() == 2
 
     def test_identical_versions_yield_empty_feed(self, spark, tmp_path):
         t = self._t(spark, tmp_path)
         assert t.changes(spark, 0, 0).count() == 0
+
+
+class TestApplyChanges:
+    """CDC consumer half: replaying a source table's feeds into a
+    replica reconstructs the source's committed states exactly."""
+
+    def _source(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        t = ManifestLakeTable(str(tmp_path / "src"), keys=["k"], n_buckets=8)
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+                "k long, v string, n int",
+            )
+        )
+        return t
+
+    def _replica_from_v0(self, spark, tmp_path, src, n_buckets=8):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        r = ManifestLakeTable(
+            str(tmp_path / "rep"), keys=["k"], n_buckets=n_buckets
+        )
+        r.overwrite(src.read(spark, 0))
+        return r
+
+    @staticmethod
+    def _state(spark, t, version=None):
+        return {
+            r["k"]: (r["v"], r["n"]) for r in t.read(spark, version).collect()
+        }
+
+    def test_replay_upserts_and_deletes_hop_by_hop(self, spark, tmp_path):
+        src = self._source(spark, tmp_path)
+        # v1: merge (update k=2, insert k=9); v2: overwrite dropping k=3,4
+        src.merge_into(
+            spark.createDataFrame(
+                [(2, "B", 21), (9, "z", 90)], "k long, v string, n int"
+            )
+        )
+        src.overwrite(
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "B", 21), (9, "z", 99)],
+                "k long, v string, n int",
+            )
+        )
+        rep = self._replica_from_v0(spark, tmp_path, src)
+        rep.apply_changes(src.changes(spark, 0, 1))
+        assert self._state(spark, rep) == self._state(spark, src, 1)
+        rep.apply_changes(src.changes(spark, 1, 2))
+        assert self._state(spark, rep) == self._state(spark, src, 2)
+
+    def test_replay_collapsed_feed_reaches_same_state(self, spark, tmp_path):
+        """One collapsed feed (0 -> head) lands on the same state as the
+        hop-by-hop replay: the diff semantics compose."""
+        src = self._source(spark, tmp_path)
+        src.merge_into(
+            spark.createDataFrame([(2, "B", 21)], "k long, v string, n int")
+        )
+        src.overwrite(
+            spark.createDataFrame(
+                [(2, "B", 21), (9, "z", 90)], "k long, v string, n int"
+            )
+        )
+        rep = self._replica_from_v0(spark, tmp_path, src)
+        rep.apply_changes(src.changes(spark, 0))
+        assert self._state(spark, rep) == self._state(spark, src)
+
+    def test_replica_bucket_count_is_independent(self, spark, tmp_path):
+        src = self._source(spark, tmp_path)
+        src.merge_into(
+            spark.createDataFrame([(9, "z", 90)], "k long, v string, n int")
+        )
+        rep = self._replica_from_v0(spark, tmp_path, src, n_buckets=3)
+        rep.apply_changes(src.changes(spark, 0, 1))
+        assert self._state(spark, rep) == self._state(spark, src, 1)
+
+    def test_empty_feed_is_a_no_op(self, spark, tmp_path):
+        src = self._source(spark, tmp_path)
+        rep = self._replica_from_v0(spark, tmp_path, src)
+        before = rep.current_version()
+        assert rep.apply_changes(src.changes(spark, 0, 0)) == []
+        assert rep.current_version() == before
+
+    def test_bucket_emptied_by_deletes_leaves_manifest(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+        from pyspark.sql import functions as F
+
+        src = self._source(spark, tmp_path)
+        src.overwrite(src.read(spark, 0).where(F.col("k") == 1))
+        rep = self._replica_from_v0(spark, tmp_path, src)
+        n_before = len(rep.manifest())
+        rep.apply_changes(src.changes(spark, 0, 1))
+        assert self._state(spark, rep) == self._state(spark, src, 1)
+        assert len(rep.manifest()) < n_before
+
+    def test_feed_shape_validated(self, spark, tmp_path):
+        src = self._source(spark, tmp_path)
+        rep = self._replica_from_v0(spark, tmp_path, src)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="changes\\(\\) feed"):
+            rep.apply_changes(src.read(spark, 0))  # no _change_type
+
+    def test_o_delta_touched_buckets_only(self, spark, tmp_path):
+        """apply_changes rewrites only the feed's buckets: untouched
+        replica dirs are carried by reference, byte-identical."""
+        import os
+
+        src = self._source(spark, tmp_path)
+        src.merge_into(
+            spark.createDataFrame([(1, "A", 11)], "k long, v string, n int")
+        )
+        rep = self._replica_from_v0(spark, tmp_path, src)
+        m_before = dict(rep.manifest())
+        touched = rep.apply_changes(src.changes(spark, 0, 1))
+        m_after = dict(rep.manifest())
+        untouched = [b for b in m_before if b not in touched]
+        assert untouched and all(m_after[b] == m_before[b] for b in untouched)
