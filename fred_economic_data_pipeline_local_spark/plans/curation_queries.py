@@ -1023,3 +1023,63 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_chars",
         strata_col="lang",
     )
+
+
+@query(
+    "profile_quantile_sketch",
+    # self-certifying like profile_incremental_documents: the sketch's
+    # bucket walk has no SQL mirror (the oracle would re-derive
+    # ln/pow bucket boundaries whose last-ulp placement is
+    # engine-specific), so the exact-checkable fields hash (q, exact
+    # value count) and the DDSketch relative-error guarantee ships as a
+    # bound certificate the oracle requires TRUE — computed against an
+    # exact-rank pass that exists for the gate only
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q,
+       count(n_chars) AS n_values, TRUE AS est_within_alpha
+FROM documents"""
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    ),
+    description="mergeable quantile profile (DDSketch reduced to its "
+    "deterministic core): per-snapshot log-bucket count sketches merge "
+    "EXACTLY (counts add — no KLL/t-digest order dependence), the "
+    "corpus quantile walk touches O(buckets) rows, never the data; "
+    "each estimate certifies |est - exact_q| <= alpha*|exact_q| "
+    "against an exact-rank pass (gate-only; production keeps sketches "
+    "precisely to avoid that pass)",
+)
+def profile_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.profile import dd_merge, dd_quantiles, dd_sketch
+
+    alpha = 0.01
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    docs = load_table(spark, "documents", sf_dir)
+    vals = docs.select(F.col("n_chars").cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    # two ingest snapshots, profiled independently, merged O(buckets)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    merged = dd_merge(
+        dd_sketch(old.select(F.col("n_chars").alias("v")), "v", alpha),
+        dd_sketch(new.select(F.col("n_chars").alias("v")), "v", alpha),
+    )
+    ests = dd_quantiles(merged, qs, alpha)
+    # exact-rank certification pass (gate only): value at the same
+    # rank rule the sketch answers, floor(q*(n-1)) + 1
+    ranked = vals.select(
+        "v", F.row_number().over(Window.orderBy("v")).alias("r")
+    )
+    cert = ests.withColumn(
+        "rank", F.floor(F.col("q") * (F.col("n_values") - 1)) + 1
+    ).join(
+        F.broadcast(ranked.withColumnRenamed("r", "rank")), "rank"
+    )
+    ok = F.abs(F.col("est") - F.col("v")) <= (
+        F.lit(alpha) * F.abs(F.col("v")) + F.lit(1e-9)
+    )
+    return cert.select(
+        "q", "n_values", ok.alias("est_within_alpha")
+    )

@@ -264,6 +264,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "manifest_change_feed",
     "bloom_pruned_join_revenue",
     "manifest_apply_changes",
+    "profile_quantile_sketch",
 )
 
 

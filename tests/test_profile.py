@@ -152,3 +152,103 @@ def test_merge_requires_at_least_one_profile():
 
     with pytest.raises(ValueError, match="at least one profile"):
         merge_sketch_profiles()
+
+
+class TestDDSketch:
+    """DDSketch quantile sketch: deterministic buckets, EXACT merge
+    (counts add bucket-for-bucket), relative-error quantile bound."""
+
+    def _vals(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = (
+            [(float(rng.lognormvariate(5, 2)),) for _ in range(2000)]
+            + [(-float(rng.lognormvariate(2, 1)),) for _ in range(300)]
+            + [(0.0,)] * 50
+        )
+        return spark.createDataFrame(rows, "v double")
+
+    def test_merge_equals_direct_exactly(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            dd_merge,
+            dd_sketch,
+        )
+
+        df = self._vals(spark).withColumn("g", F.monotonically_increasing_id() % 3)
+        parts = [df.where(F.col("g") == i).select("v") for i in range(3)]
+        merged = dd_merge(*[dd_sketch(p, "v") for p in parts])
+        direct = dd_sketch(df.select("v"), "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_quantile_relative_error_bound(self, spark):
+        from pyspark.sql import Window
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            dd_quantiles,
+            dd_sketch,
+        )
+
+        alpha = 0.02
+        df = self._vals(spark)
+        qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        ests = {
+            r["q"]: r["est"]
+            for r in dd_quantiles(dd_sketch(df, "v", alpha), qs, alpha).collect()
+        }
+        ranked = df.select(
+            "v", F.row_number().over(Window.orderBy("v")).alias("r")
+        )
+        n = df.count()
+        for q in qs:
+            rank = int(q * (n - 1)) + 1
+            exact = ranked.where(F.col("r") == rank).first()["v"]
+            tol = alpha * abs(exact) + 1e-9
+            assert abs(ests[q] - exact) <= tol, (q, ests[q], exact)
+
+    def test_zero_and_sign_stores(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            dd_quantiles,
+            dd_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [(-4.0,), (-2.0,), (0.0,), (0.0,), (3.0,), (9.0,)], "v double"
+        )
+        sk = dd_sketch(df, "v", 0.01)
+        signs = {r["sign"] for r in sk.collect()}
+        assert signs == {-1, 0, 1}
+        got = {r["q"]: r["est"] for r in dd_quantiles(sk, [0.0, 0.5, 1.0], 0.01).collect()}
+        assert got[0.0] < 0 and got[0.5] == 0.0 and got[1.0] > 0
+
+    def test_counts_and_nulls(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            dd_sketch,
+        )
+
+        df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+        sk = dd_sketch(df, "v")
+        assert sk.agg(F.sum("n")).first()[0] == 2  # null excluded
+
+    def test_alpha_validation(self, spark):
+        import pytest
+
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            dd_sketch,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="alpha"):
+            dd_sketch(df, "v", alpha=1.5)
+
+    def test_empty_input_yields_empty_quantiles(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            dd_quantiles,
+            dd_sketch,
+        )
+
+        df = spark.createDataFrame([], "v double")
+        sk = dd_sketch(df, "v")
+        assert sk.count() == 0
+        assert dd_quantiles(sk, [0.5]).count() == 0
