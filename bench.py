@@ -78,6 +78,9 @@ HEADLINE = [
     "text_unigram_drift",
     "curation_adaptive_quality_gate",
     "manifest_change_feed",
+    "bloom_pruned_join_revenue",
+    "manifest_apply_changes",
+    "profile_quantile_sketch",
 ]
 
 

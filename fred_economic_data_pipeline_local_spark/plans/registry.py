@@ -69,10 +69,16 @@ def get_query(name: str) -> QuerySpec:
 #      multisets, scalar-function and relational blocks, skew-salted
 #      joins/aggs, stats/histogram/profile, embedding stats);
 #   2. text_bpe_token_counts' first-ever hash row (upgraded this round
-#      via the exported merge table) plus the new LSH-bucketed semantic
-#      decontamination path;
+#      via the exported merge table), the new LSH-bucketed semantic
+#      decontamination path, and the round-7 continuation's first-row
+#      entries (PQ/IVF-PQ/incremental-PQ, manifest merge + change feed
+#      + CDC apply, weighted sampling, bitext mining, k-center
+#      coreset, unigram drift, adaptive quality gate, Bloom-pruned
+#      join, DDSketch quantile profile);
 #   3. the head of the round-4 refresh block (the oldest rows left
-#      after #1): the curation/similarity r4 entries and TPC-H q2-q13.
+#      after #1): sample/curation r4 entries; the rest of that block
+#      (neardup/similarity/TPC-H q2-q7) was displaced below the window
+#      by #2's first-row entries and heads round 8's rotation.
 # Everything demoted below the window is hash-green as of rounds 4-6
 # and remains covered by the identical local mirror
 # (tests/test_oracle_parity.py) every round. After this rotation no
@@ -121,10 +127,22 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_incremental_pq",
     "fred_merge_into_manifest",
     "sample_weighted_aes",
+    "bitext_margin_pairs",
+    "embedding_kcenter_coreset",
+    "text_unigram_drift",
+    "curation_adaptive_quality_gate",
+    "manifest_change_feed",
+    "bloom_pruned_join_revenue",
+    "manifest_apply_changes",
+    "profile_quantile_sketch",
     # --- 3. round-4 refresh head (oldest rows after block 1) ---
     "sample_temperature_mix",
     "curation_redact_pii",
     "embedding_hard_negatives",
+    # ===== below the window: hash-green r4-r6, mirrored locally =====
+    # (next 8: the rest of the round-4 refresh head, displaced by the
+    # round-7 continuation's first-row entries; heads round 8's
+    # rotation together with the TPC-H q8-q22 tail)
     "curation_quality_report",
     "embedding_neardup_cosine",
     "embedding_neardup_resolve",
@@ -133,7 +151,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
-    # ===== below the window: hash-green r4-r6, mirrored locally =====
     # --- FRED parity pipeline (the flagship) ---
     "fred_silver_monthly",
     "fred_gold_yearly",
@@ -255,16 +272,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "explode_token_frequency",
     "scalar_subquery_above_avg",
     "correlated_subquery_max_per_cust",
-    # --- round-7 post-rotation additions (head round 8's promotion
-    # window together with the TPC-H q8-q22 refresh tail) ---
-    "bitext_margin_pairs",
-    "embedding_kcenter_coreset",
-    "text_unigram_drift",
-    "curation_adaptive_quality_gate",
-    "manifest_change_feed",
-    "bloom_pruned_join_revenue",
-    "manifest_apply_changes",
-    "profile_quantile_sketch",
 )
 
 

@@ -55,6 +55,13 @@ AQE_SLICE = [
     "similarity_ivfpq_topk",
     # manifest commit log: staged bucket write + manifest-pruned read
     "fred_merge_into_manifest",
+    # round-7 continuation shapes: manifest-diff change feed consumed
+    # through a second table's atomic replay commits; literal-bitmask
+    # map-side Bloom prune ahead of the join exchange; O(buckets)
+    # sketch walk + broadcast rank certification
+    "manifest_apply_changes",
+    "bloom_pruned_join_revenue",
+    "profile_quantile_sketch",
 ]
 
 
