@@ -1083,3 +1083,49 @@ def profile_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cert.select(
         "q", "n_values", ok.alias("est_within_alpha")
     )
+
+
+@query(
+    "manifest_zorder_range_read",
+    # content is the whole contract: clustering is a pure LAYOUT
+    # rewrite, so the range read over the zorder-clustered table must
+    # equal the plain predicate over the raw fixture — the driver-side
+    # bucket pruning (zone maps tightened by clustering) is pinned in
+    # tests/test_lakehouse.py, invisible to (and unneeded by) the oracle
+    oracle="""
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+WHERE n_chars BETWEEN 200 AND 400
+GROUP BY source
+""",
+    description="OPTIMIZE ZORDER reduced to core: min-max bit-interleave "
+    "Z-value (codegen'd shift/or, no UDF), one range-partition sample-sort "
+    "into bucket dirs written without a second exchange, atomic manifest "
+    "commit with layout=zorder (merges refuse until overwrite restores "
+    "hash routing); zone maps turn from full-range to tight slices so "
+    "read_range prunes buckets driver-side before any file is listed",
+)
+def manifest_zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..exports import export_path
+    from ..sources.lakehouse import ManifestLakeTable
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    root = export_path("zorder_docs")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestLakeTable(
+        root, keys=["doc_id"], n_buckets=16, stats_cols=["n_chars"]
+    )
+    t.overwrite(docs)
+    t.optimize_zorder(spark, ["n_chars"])
+    return (
+        t.read_range(spark, "n_chars", 200, 400)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -465,6 +465,12 @@ class ManifestLakeTable(_KeyBucketedTable):
         """{bucket: data-dir relative path} for a committed version."""
         return {int(b): p for b, p in self._manifest_doc(version)["buckets"].items()}
 
+    def layout(self, version: int | None = None) -> str:
+        """'hash' (key-bucketed; merges allowed) or 'zorder' (cluster-
+        ordered by ``optimize_zorder``; read-optimized, merge-frozen
+        until the next overwrite re-establishes key bucketing)."""
+        return self._manifest_doc(version).get("layout", "hash")
+
     def stats(self, version: int | None = None) -> dict[int, dict[str, list]]:
         """{bucket: {col: [min, max]}} zone maps for a committed version
         (empty where stats_cols wasn't set when the bucket was written)."""
@@ -477,6 +483,7 @@ class ManifestLakeTable(_KeyBucketedTable):
         version: int,
         mapping: dict[int, str],
         stats: dict[int, dict[str, list]] | None = None,
+        layout: str = "hash",
     ) -> None:
         """Write manifest N, fsync it, then atomically flip _LATEST."""
         import json
@@ -488,6 +495,7 @@ class ManifestLakeTable(_KeyBucketedTable):
                 {
                     "buckets": {str(b): p for b, p in mapping.items()},
                     "stats": {str(b): s for b, s in (stats or {}).items()},
+                    "layout": layout,
                 },
                 fh,
             )
@@ -539,17 +547,28 @@ class ManifestLakeTable(_KeyBucketedTable):
 
     # --- I/O -----------------------------------------------------------------
 
-    def _write_buckets(self, df: DataFrame, version: int) -> dict[int, str]:
+    def _write_buckets(
+        self, df: DataFrame, version: int, prebucketed: bool = False
+    ) -> dict[int, str]:
         """Write each present bucket's rows to its own immutable dir;
         returns {bucket: relative dir}. One distributed write job —
         Hive-partitioned by __bucket under a version-scoped staging
         root, then the per-bucket dirs are renamed into ``data/`` (same
-        filesystem, so renames are metadata-only)."""
+        filesystem, so renames are metadata-only).
+
+        ``prebucketed``: df already carries ``__bucket`` AND is
+        partitioned so each task holds one bucket (the zorder path's
+        range partitioning) — write as-is, no extra exchange."""
         stage = os.path.join(self.root, f"_stage_v{version}")
+        staged = (
+            df
+            if prebucketed
+            else df.withColumn("__bucket", self._bucket()).repartition(
+                "__bucket"
+            )
+        )
         (
-            df.withColumn("__bucket", self._bucket())
-            .repartition("__bucket")
-            .write.mode("overwrite")
+            staged.write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(stage)
         )
@@ -647,6 +666,112 @@ class ManifestLakeTable(_KeyBucketedTable):
             F.col(col).between(lo, hi)
         )
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bits: int = 8,
+    ) -> int:
+        """OPTIMIZE ... ZORDER BY, reduced to its core: rewrite the
+        current version with rows CLUSTERED by the interleaved-bit
+        Z-value of ``cols``, so the per-bucket zone maps in the manifest
+        turn from full-range (key-hash scatters every value range into
+        every bucket) into tight slices — ``read_range`` on any zorder
+        column then prunes most buckets driver-side, the same I/O win
+        Delta/Iceberg get from clustering files before consulting file
+        statistics.
+
+        Mechanics: each column is min-max quantized to ``bits`` bits
+        (nulls → 0; constant columns → 0), the codes are bit-interleaved
+        into the Z-value (codegen'd shift/or arithmetic, no UDF), rows
+        are range-partitioned on Z into ``n_buckets`` tasks (one
+        distributed sample-sort — the only full-data exchange; Delta's
+        OPTIMIZE pays the same) and each task writes its bucket dir
+        directly (``prebucketed`` — no second exchange), sorted within
+        the bucket so parquet row-group statistics tighten too. The
+        rewrite commits under the standard atomic pointer flip; a crash
+        leaves the prior version current.
+
+        The committed manifest records ``layout: zorder``: Z-buckets no
+        longer agree with the key-hash routing, so ``merge_into`` /
+        ``apply_changes`` refuse (a key-routed rewrite against
+        value-clustered buckets would silently duplicate keys) until an
+        ``overwrite`` re-establishes hash layout. Range partitioning
+        samples, so the bucket BOUNDARIES are not bit-deterministic
+        across runs — contents and zone-map correctness are unaffected
+        (stats always describe the bytes actually written).
+
+        Returns the committed version.
+        """
+        from pyspark.sql import functions as F
+
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(
+                f"manifest lake table {self.root} is uninitialized; "
+                "call overwrite() first"
+            )
+        if not cols:
+            raise ValueError("optimize_zorder needs at least one column")
+        self._lock.acquire()
+        try:
+            df = self.read(spark, cur)
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"zorder columns not in table: {missing}")
+            # per-column min/max for the quantizer: one tiny aggregate
+            aggs = []
+            for c in cols:
+                x = F.col(c).cast("double")
+                aggs += [F.min(x).alias(f"__lo_{c}"), F.max(x).alias(f"__hi_{c}")]
+            rng = df.agg(*aggs).first()
+            levels = (1 << bits) - 1
+            codes = []
+            for c in cols:
+                lo, hi = rng[f"__lo_{c}"], rng[f"__hi_{c}"]
+                x = F.col(c).cast("double")
+                if lo is None or hi is None or hi == lo:
+                    codes.append(F.lit(0).cast("long"))
+                else:
+                    scaled = (x - F.lit(float(lo))) / F.lit(float(hi - lo))
+                    codes.append(
+                        F.when(x.isNull(), F.lit(0))
+                        .otherwise(F.floor(scaled * levels))
+                        .cast("long")
+                    )
+            z = F.lit(0).cast("long")
+            for b in range(bits):
+                for i in range(len(cols)):
+                    bit = F.shiftright(codes[i], b).bitwiseAND(F.lit(1))
+                    z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+            nxt = cur + 1
+            clustered = (
+                df.withColumn("__z", z)
+                .repartitionByRange(self.n_buckets, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .withColumn("__bucket", F.spark_partition_id())
+                .drop("__z")
+            )
+            new_dirs = self._write_buckets(clustered, nxt, prebucketed=True)
+            self._commit(
+                nxt,
+                new_dirs,
+                self._stats_from_dirs(spark, new_dirs),
+                layout="zorder",
+            )
+        finally:
+            self._lock.release()
+        return nxt
+
+    def _require_hash_layout(self, op: str) -> None:
+        if self.layout() != "hash":
+            raise RuntimeError(
+                f"{op} requires key-hash bucketing, but the current "
+                "version is zorder-clustered (key-routed rewrites "
+                "against value-clustered buckets would duplicate keys); "
+                "overwrite() to re-establish hash layout first"
+            )
+
     def merge_into(
         self, source: DataFrame, evolve_schema: bool = False
     ) -> list[int]:
@@ -672,6 +797,7 @@ class ManifestLakeTable(_KeyBucketedTable):
                 f"manifest lake table {self.root} is uninitialized; "
                 "call overwrite() first"
             )
+        self._require_hash_layout("merge_into")
         self._lock.acquire()
         try:
             src = source.withColumn("__bucket", self._bucket())
@@ -849,6 +975,7 @@ class ManifestLakeTable(_KeyBucketedTable):
                 f"manifest lake table {self.root} is uninitialized; "
                 "call overwrite() first"
             )
+        self._require_hash_layout("apply_changes")
         data_cols = [c for c in feed.columns if c != "_change_type"]
         missing = [k for k in self.keys if k not in data_cols]
         if "_change_type" not in feed.columns or missing:

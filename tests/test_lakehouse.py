@@ -852,3 +852,95 @@ class TestApplyChanges:
         m_after = dict(rep.manifest())
         untouched = [b for b in m_before if b not in touched]
         assert untouched and all(m_after[b] == m_before[b] for b in untouched)
+
+
+class TestOptimizeZorder:
+    def _t(self, spark, tmp_path, n_buckets=16):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "source", "lang", "n_chars")
+        t = ManifestLakeTable(
+            str(tmp_path / "zo"),
+            keys=["doc_id"],
+            n_buckets=n_buckets,
+            stats_cols=["n_chars", "doc_id"],
+        )
+        t.overwrite(docs)
+        return t, docs
+
+    @staticmethod
+    def _buckets_intersecting(t, col, lo, hi):
+        st, m = t.stats(), t.manifest()
+        keep = []
+        for b in sorted(m):
+            s = st.get(b, {}).get(col)
+            if s is None or s[0] is None or not (s[1] < lo or s[0] > hi):
+                keep.append(b)
+        return len(keep), len(m)
+
+    def test_content_identical_after_rewrite(self, spark, tmp_path):
+        t, docs = self._t(spark, tmp_path)
+        v = t.optimize_zorder(spark, ["n_chars"])
+        assert v == 1 and t.layout() == "zorder"
+        got = t.read(spark)
+        assert got.exceptAll(docs).count() == 0
+        assert docs.exceptAll(got).count() == 0
+
+    def test_single_column_cluster_prunes_ranges(self, spark, tmp_path):
+        t, docs = self._t(spark, tmp_path)
+        import pyspark.sql.functions as F2
+
+        lo, hi = 200, 300
+        before, n = self._buckets_intersecting(t, "n_chars", lo, hi)
+        assert before == n  # key-hash scatters every range everywhere
+        t.optimize_zorder(spark, ["n_chars"])
+        after, n2 = self._buckets_intersecting(t, "n_chars", lo, hi)
+        assert after < n2 / 2  # the clustered layout prunes driver-side
+        # read_range stays exact regardless of layout
+        want = docs.where(F2.col("n_chars").between(lo, hi)).count()
+        assert t.read_range(spark, "n_chars", lo, hi).count() == want
+
+    def test_two_column_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        t, _ = self._t(spark, tmp_path)
+        t.optimize_zorder(spark, ["n_chars", "doc_id"])
+        a, n = self._buckets_intersecting(t, "n_chars", 200, 280)
+        b, _ = self._buckets_intersecting(t, "doc_id", 0, 60)
+        # Z-order trades single-column locality for coverage of BOTH
+        # dimensions: each must beat the hash layout's read-everything
+        assert a < n and b < n
+
+    def test_merge_refused_until_overwrite_restores_hash(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t, docs = self._t(spark, tmp_path)
+        t.optimize_zorder(spark, ["n_chars"])
+        with _pytest.raises(RuntimeError, match="zorder-clustered"):
+            t.merge_into(docs.limit(1))
+        with _pytest.raises(RuntimeError, match="zorder-clustered"):
+            t.apply_changes(
+                docs.limit(0).selectExpr("'insert' as _change_type", "*")
+            )
+        t.overwrite(docs)
+        assert t.layout() == "hash"
+        assert t.merge_into(docs.limit(1))  # routes by key again
+
+    def test_prior_version_untouched_and_time_travel(self, spark, tmp_path):
+        t, docs = self._t(spark, tmp_path)
+        t.optimize_zorder(spark, ["n_chars"])
+        # v0 (hash layout) still reads exactly
+        v0 = t.read(spark, 0)
+        assert v0.count() == docs.count()
+        assert t.layout(0) == "hash"
+
+    def test_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t, _ = self._t(spark, tmp_path)
+        with _pytest.raises(ValueError, match="at least one column"):
+            t.optimize_zorder(spark, [])
+        with _pytest.raises(ValueError, match="not in table"):
+            t.optimize_zorder(spark, ["nope"])
