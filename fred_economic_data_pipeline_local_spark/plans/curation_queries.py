@@ -1129,3 +1129,53 @@ def manifest_zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "stream_lake_ingest",
+    # content is the contract: bootstrap slice + N streamed micro-batch
+    # merges must land EXACTLY the full corpus in the table (no row
+    # lost to a batch boundary, none duplicated by upsert replay) — so
+    # the oracle is the plain aggregate over the raw fixture; the
+    # exactly-once txn mechanics are pinned in tests/test_streaming.py
+    oracle="""
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+GROUP BY source, lang
+""",
+    description="streaming lakehouse ingest (Delta streaming-MERGE sink "
+    "reduced to core): file-source stream drained AvailableNow, one "
+    "transactional O(delta) MERGE per micro-batch via foreachBatch, "
+    "exactly-once by the txnAppId/txnVersion watermark riding inside "
+    "the manifest commit (a checkpoint-replayed batch is a no-op); "
+    "steady-state cost tracks arrival rate, not table size",
+)
+def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..exports import export_path
+    from ..sources.lakehouse import ManifestLakeTable
+    from ..streaming.lake_ingest import stream_merge_into
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    inbox = export_path("stream_ingest_inbox")
+    root = export_path("stream_ingest_lake")
+    shutil.rmtree(inbox, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    bootstrap = docs.where(F.col("doc_id") % 7 == 0)
+    arriving = docs.where(F.col("doc_id") % 7 != 0)
+    arriving.repartition(4).write.parquet(inbox)
+    t = ManifestLakeTable(root, keys=["doc_id"], n_buckets=8)
+    t.overwrite(bootstrap)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    stream_merge_into(stream, t, app_id="catalog-ingest")
+    return t.read(spark).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

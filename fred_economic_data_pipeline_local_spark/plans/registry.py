@@ -136,10 +136,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "manifest_apply_changes",
     "profile_quantile_sketch",
     "manifest_zorder_range_read",
+    "stream_lake_ingest",
     # --- 3. round-4 refresh head (oldest rows after block 1) ---
     "sample_temperature_mix",
-    "curation_redact_pii",
     # ===== below the window: hash-green r4-r6, mirrored locally =====
+    "curation_redact_pii",
     "embedding_hard_negatives",
     # (next 8: the rest of the round-4 refresh head, displaced by the
     # round-7 continuation's first-row entries; heads round 8's

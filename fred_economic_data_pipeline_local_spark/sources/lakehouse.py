@@ -471,6 +471,12 @@ class ManifestLakeTable(_KeyBucketedTable):
         until the next overwrite re-establishes key bucketing)."""
         return self._manifest_doc(version).get("layout", "hash")
 
+    def txn(self, version: int | None = None) -> dict[str, int]:
+        """{app_id: highest applied batch version} — the idempotent-
+        writer watermarks a committed version carries (empty when no
+        transactional writer has committed)."""
+        return dict(self._manifest_doc(version).get("txn", {}))
+
     def stats(self, version: int | None = None) -> dict[int, dict[str, list]]:
         """{bucket: {col: [min, max]}} zone maps for a committed version
         (empty where stats_cols wasn't set when the bucket was written)."""
@@ -484,10 +490,26 @@ class ManifestLakeTable(_KeyBucketedTable):
         mapping: dict[int, str],
         stats: dict[int, dict[str, list]] | None = None,
         layout: str = "hash",
+        txn_update: dict[str, int] | None = None,
     ) -> None:
-        """Write manifest N, fsync it, then atomically flip _LATEST."""
+        """Write manifest N, fsync it, then atomically flip _LATEST.
+
+        The per-application transaction watermarks (Delta's
+        txnAppId/txnVersion idempotent-writer protocol) ride INSIDE the
+        manifest so "data committed" and "batch recorded as applied"
+        are one atomic transition — a crash can never persist one
+        without the other."""
         import json
 
+        cur = self.current_version()
+        txn: dict[str, int] = {}
+        if cur is not None:
+            try:
+                txn = dict(self._manifest_doc(cur).get("txn", {}))
+            except FileNotFoundError:
+                pass
+        if txn_update:
+            txn.update(txn_update)
         os.makedirs(os.path.dirname(self._manifest_path(version)), exist_ok=True)
         mpath = self._manifest_path(version)
         with open(mpath, "w") as fh:
@@ -496,6 +518,7 @@ class ManifestLakeTable(_KeyBucketedTable):
                     "buckets": {str(b): p for b, p in mapping.items()},
                     "stats": {str(b): s for b, s in (stats or {}).items()},
                     "layout": layout,
+                    "txn": txn,
                 },
                 fh,
             )
@@ -773,12 +796,23 @@ class ManifestLakeTable(_KeyBucketedTable):
             )
 
     def merge_into(
-        self, source: DataFrame, evolve_schema: bool = False
+        self,
+        source: DataFrame,
+        evolve_schema: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> list[int]:
         """MERGE with manifest-pruned O(delta) rewrite under a GLOBAL
         atomic commit: new dirs for touched buckets, the new manifest
         re-references untouched buckets' existing dirs, one pointer
         flip publishes all of it. Returns touched bucket ids.
+
+        ``txn=(app_id, batch_version)`` engages Delta's idempotent-
+        writer protocol: if this table has already committed a merge
+        for ``app_id`` at a batch version >= ``batch_version``, the
+        call is a NO-OP returning [] — the exactly-once guarantee a
+        restarted streaming query needs when the checkpoint replays a
+        micro-batch whose commit already landed. The watermark is
+        recorded in the same manifest write as the data (atomic).
 
         ``evolve_schema`` enables Delta-mergeSchema semantics: columns
         new in ``source`` are added (null for rows the merge doesn't
@@ -800,6 +834,8 @@ class ManifestLakeTable(_KeyBucketedTable):
         self._require_hash_layout("merge_into")
         self._lock.acquire()
         try:
+            if txn is not None and self.txn(cur).get(txn[0], -1) >= txn[1]:
+                return []  # replayed batch: its commit already landed
             src = source.withColumn("__bucket", self._bucket())
             touched = sorted(
                 r[0] for r in src.select("__bucket").distinct().collect()
@@ -863,7 +899,12 @@ class ManifestLakeTable(_KeyBucketedTable):
             # it — impossible under upsert semantics (rows are never
             # deleted), so touched buckets absent from new_dirs had no
             # target rows AND no source rows, which contradicts touched
-            self._commit(nxt, mapping, stats)
+            self._commit(
+                nxt,
+                mapping,
+                stats,
+                txn_update={txn[0]: txn[1]} if txn is not None else None,
+            )
         finally:
             self._lock.release()
         return touched

@@ -246,3 +246,61 @@ def test_quality_monitor_stream_matches_batch(spark):
     cols = ["window_start", "source", "n_docs", "n_keep", "keep_rate"]
     assert _rows(streamed, cols) == _rows(batch, cols)
     assert streamed.count() > 1
+
+
+def test_stream_merge_into_lake_exactly_once(spark, tmp_path):
+    """foreachBatch lake ingest: N micro-batches of upserts land as N
+    transactional merges; a crash-replayed batch is a no-op (the txn
+    watermark rides in the manifest commit itself)."""
+    import pyspark.sql.functions as F
+
+    from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+        ManifestLakeTable,
+    )
+    from fred_economic_data_pipeline_local_spark.streaming.lake_ingest import (
+        stream_merge_into,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    inbox = str(tmp_path / "inbox")
+    docs.where(F.col("doc_id") >= 10).repartition(4).write.parquet(inbox)
+    t = ManifestLakeTable(str(tmp_path / "lake"), keys=["doc_id"], n_buckets=8)
+    t.overwrite(docs.where(F.col("doc_id") < 10))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    n = stream_merge_into(stream, t, app_id="ingest-test", checkpoint_dir=ckpt)
+    assert n >= 2  # maxFilesPerTrigger=1 over 4 files -> several batches
+    got = sorted(tuple(r) for r in t.read(spark).collect())
+    want = sorted(tuple(r) for r in docs.collect())
+    assert got == want
+    # the manifest carries the per-app watermark
+    wm = t.txn()["ingest-test"]
+    assert wm >= n - 1
+
+    # crash-replay simulation: re-merging an already-applied batch id
+    # is a no-op — no new version, content unchanged
+    v_before = t.current_version()
+    assert t.merge_into(docs.limit(3), txn=("ingest-test", wm)) == []
+    assert t.current_version() == v_before
+
+    # a NEW batch id still commits
+    assert t.merge_into(
+        docs.limit(1).withColumn("lang", F.lit("xx")),
+        txn=("ingest-test", wm + 1),
+    )
+    assert t.txn()["ingest-test"] == wm + 1
+
+    # rerunning the whole stream from the same checkpoint drains nothing
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    assert stream_merge_into(stream2, t, "ingest-test", ckpt) == 0
