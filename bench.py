@@ -81,6 +81,10 @@ HEADLINE = [
     "bloom_pruned_join_revenue",
     "manifest_apply_changes",
     "profile_quantile_sketch",
+    # (stream_lake_ingest is deliberately NOT benched: its wall-clock is
+    # micro-batch trigger latency, not plan cost — the bench measures
+    # plans; manifest_zorder_range_read covers the lake read path)
+    "manifest_zorder_range_read",
 ]
 
 

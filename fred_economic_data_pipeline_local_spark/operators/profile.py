@@ -322,3 +322,93 @@ def dd_quantiles(
     return matched.select(
         "q", F.col("total").alias("n_values"), est.alias("est")
     )
+
+
+def cms_sketch(
+    df: DataFrame, col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Count-min sketch over ``df[col]`` items: (row, pos, n) counts for
+    a d x w counter matrix (Cormode & Muthukrishnan 2005).
+
+    Each item increments one counter per hash row
+    (``pmod(xxhash64(item, row_seed), w)``). The construction is fully
+    DETERMINISTIC given (w, d) — no sampling — so two snapshots'
+    sketches merge EXACTLY by counter addition (``cms_merge``), the
+    incremental-maintenance property the exact top-k table lacks: a
+    100 TB corpus keeps d*w counters per snapshot and answers frequency
+    queries over the union without re-scanning anything.
+
+    Guarantees per query item (``cms_estimate``): est >= exact ALWAYS
+    (counters only ever over-count), and est <= exact + 2N/w with
+    probability 1 - (1/2)^d over the hash rows (N = total item count).
+
+    One scan; the shuffle carries at most d*w (row, pos) keys with
+    map-side partial counts, never items. Nulls are excluded.
+    """
+    if w < 2 or d < 1:
+        raise ValueError(f"need w >= 2 and d >= 1; got w={w}, d={d}")
+    x = F.col(col)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(F.xxhash64(x, F.lit(r)), F.lit(w)).alias("pos"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("c")
+    return (
+        df.where(x.isNotNull())
+        .select(cells)
+        .groupBy(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union N cms_sketch frames: counters ADD exactly (same (w, d)
+    required — the caller's contract, as with the HLL lg_k)."""
+    import functools
+
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    all_s = functools.reduce(lambda a, b: a.unionByName(b), sketches)
+    return all_s.groupBy("row", "pos").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Point-frequency estimates for ``items[col]``: min over the d
+    counters each item hashes to. The SKETCH is the broadcast side —
+    at most d*w counter rows by construction (a left join builds its
+    right side, so broadcasting the probe side would be unsupported
+    anyway); probe items stream map-side. An item hashing to a counter
+    no inserted item touched estimates 0 (left join, missing counter =
+    0) — correct, since est >= exact = 0.
+    """
+    x = F.col(col)
+    probes = items.select(
+        x.alias("__item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(F.xxhash64(x, F.lit(r)), F.lit(w)).alias(
+                            "pos"
+                        ),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("__item", "c.row", "c.pos")
+    joined = probes.join(F.broadcast(sketch), ["row", "pos"], "left")
+    return (
+        joined.groupBy("__item")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+        .select(F.col("__item").alias(col), "est")
+    )

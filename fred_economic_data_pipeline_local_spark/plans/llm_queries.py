@@ -1274,3 +1274,53 @@ def curation_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFram
     return adaptive_quality_gate(
         scored.select("id", "source", "score"), q=0.3
     ).select("id", "source", "score", "cutoff", "keep")
+
+
+@query(
+    "text_cms_heavy_hitters",
+    # self-certifying like profile_quantile_sketch: the counter matrix
+    # has no SQL mirror worth hashing (xxhash64 row-seeds are Spark's),
+    # so the exact-checkable fields hash (token, exact corpus count for
+    # the top-20 heavy hitters, the same tokenizer the text family
+    # oracles use) and the two CMS guarantees ship as certificates the
+    # oracle requires TRUE: est >= exact (deterministic — counters only
+    # over-count) and est <= exact + 2N/w (the Markov bound at d=4)
+    oracle=f"""
+WITH t AS (SELECT {_LTOKS_SQL} AS tk FROM documents),
+g AS (SELECT unnest(tk) AS tok FROM t),
+c AS (SELECT tok, count(*) AS freq FROM g GROUP BY tok)
+SELECT tok, freq, TRUE AS never_underestimates, TRUE AS within_bound
+FROM c ORDER BY freq DESC, tok LIMIT 20
+""",
+    description="mergeable heavy-hitter frequencies (count-min sketch, "
+    "Cormode & Muthukrishnan 2005): two snapshots' d x w counter "
+    "matrices merge EXACTLY by addition (deterministic xxhash64 rows, "
+    "no sampling), frequency queries answer from d*w counters without "
+    "re-scanning the corpus; certified per top-20 token against the "
+    "exact count — overestimate-only always, within 2N/w here",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import cms_estimate, cms_merge, cms_sketch
+    from ..operators.text import tokens
+
+    w, d = 2048, 4
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    merged = cms_merge(
+        cms_sketch(toks.where(F.col("doc_id") % 5 != 0), "tok", w=w, d=d),
+        cms_sketch(toks.where(F.col("doc_id") % 5 == 0), "tok", w=w, d=d),
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = exact.orderBy(F.desc("freq"), F.asc("tok")).limit(20)
+    n_total = toks.count()
+    est = cms_estimate(merged, top.select("tok"), "tok", w=w, d=d)
+    return top.join(est, "tok").select(
+        "tok",
+        "freq",
+        (F.col("est") >= F.col("freq")).alias("never_underestimates"),
+        (F.col("est") <= F.col("freq") + F.lit(2.0 * n_total / w)).alias(
+            "within_bound"
+        ),
+    )

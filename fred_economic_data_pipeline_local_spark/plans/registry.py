@@ -75,10 +75,10 @@ def get_query(name: str) -> QuerySpec:
 #      + CDC apply, weighted sampling, bitext mining, k-center
 #      coreset, unigram drift, adaptive quality gate, Bloom-pruned
 #      join, DDSketch quantile profile);
-#   3. the head of the round-4 refresh block (the oldest rows left
-#      after #1): sample/curation r4 entries; the rest of that block
-#      (neardup/similarity/TPC-H q2-q7) was displaced below the window
-#      by #2's first-row entries and heads round 8's rotation.
+#   3. (none this round) — the round-4 refresh head was displaced
+#      below the window entirely by #2's 18 first-row entries (new
+#      operators outrank refreshing rows that are already r4-green and
+#      locally re-verified every round); it heads round 8's rotation.
 # Everything demoted below the window is hash-green as of rounds 4-6
 # and remains covered by the identical local mirror
 # (tests/test_oracle_parity.py) every round. After this rotation no
@@ -137,14 +137,16 @@ CATALOG_ORDER: tuple[str, ...] = (
     "profile_quantile_sketch",
     "manifest_zorder_range_read",
     "stream_lake_ingest",
-    # --- 3. round-4 refresh head (oldest rows after block 1) ---
-    "sample_temperature_mix",
+    "text_cms_heavy_hitters",
     # ===== below the window: hash-green r4-r6, mirrored locally =====
+    # (next 10: the round-4 refresh head, displaced entirely by the
+    # round-7 continuation's first-row entries — 18 brand-new operators
+    # outrank refreshing rows that are already r4-green and locally
+    # re-verified every round; this block heads round 8's rotation
+    # together with the TPC-H q8-q22 tail)
+    "sample_temperature_mix",
     "curation_redact_pii",
     "embedding_hard_negatives",
-    # (next 8: the rest of the round-4 refresh head, displaced by the
-    # round-7 continuation's first-row entries; heads round 8's
-    # rotation together with the TPC-H q8-q22 tail)
     "curation_quality_report",
     "embedding_neardup_cosine",
     "embedding_neardup_resolve",

@@ -252,3 +252,87 @@ class TestDDSketch:
         sk = dd_sketch(df, "v")
         assert sk.count() == 0
         assert dd_quantiles(sk, [0.5]).count() == 0
+
+
+class TestCountMinSketch:
+    def _items(self, spark):
+        import random
+
+        rng = random.Random(11)
+        # Zipf-ish: token_0 dominates, long tail
+        rows = []
+        for i in range(60):
+            rows += [(f"token_{i}",)] * max(1, 600 // (i + 1))
+        rng.shuffle(rows)
+        return spark.createDataFrame(rows, "tok string")
+
+    def test_merge_equals_direct_exactly(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            cms_merge,
+            cms_sketch,
+        )
+
+        df = self._items(spark).withColumn(
+            "g", F.monotonically_increasing_id() % 2
+        )
+        a = cms_sketch(df.where(F.col("g") == 0).select("tok"), "tok")
+        b = cms_sketch(df.where(F.col("g") == 1).select("tok"), "tok")
+        merged = cms_merge(a, b)
+        direct = cms_sketch(df.select("tok"), "tok")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_never_underestimates_and_bound_holds(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        df = self._items(spark)
+        w, d = 256, 4
+        sk = cms_sketch(df, "tok", w=w, d=d)
+        exact = df.groupBy("tok").count()
+        ests = cms_estimate(sk, exact.select("tok"), "tok", w=w, d=d)
+        n_total = df.count()
+        rows = ests.join(exact, "tok").collect()
+        assert rows
+        for r in rows:
+            assert r["est"] >= r["count"], (r, "CMS underestimated")
+            assert r["est"] <= r["count"] + 2 * n_total / w + 1, r
+
+    def test_unseen_item_estimates_from_counters(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        df = self._items(spark)
+        sk = cms_sketch(df, "tok", w=1024, d=4)
+        probe = spark.createDataFrame([("never_seen_xyz",)], "tok string")
+        [r] = cms_estimate(sk, probe, "tok", w=1024, d=4).collect()
+        assert r["est"] >= 0  # overestimate-only; often exactly 0
+
+    def test_sketch_is_bounded_by_matrix_size(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            cms_sketch,
+        )
+
+        w, d = 64, 3
+        sk = cms_sketch(self._items(spark), "tok", w=w, d=d)
+        assert sk.count() <= w * d
+        assert sk.agg(F.sum("n")).first()[0] == self._items(spark).count() * d
+
+    def test_validation(self, spark):
+        import pytest
+
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            cms_merge,
+            cms_sketch,
+        )
+
+        df = spark.createDataFrame([("a",)], "tok string")
+        with pytest.raises(ValueError, match="w >= 2"):
+            cms_sketch(df, "tok", w=1)
+        with pytest.raises(ValueError, match="at least one"):
+            cms_merge()

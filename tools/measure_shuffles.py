@@ -53,6 +53,9 @@ DEFAULT_QUERIES = [
     "curation_adaptive_quality_gate",
     "manifest_change_feed",
     "bloom_pruned_join_revenue",
+    "manifest_apply_changes",
+    "profile_quantile_sketch",
+    "manifest_zorder_range_read",
 ]
 
 
