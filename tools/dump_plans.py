@@ -149,6 +149,27 @@ SHOWCASE = {
         "`max_by` aggregate — 658 shuffle BYTES total at sf0.1, k "
         "single-row collects, no Window, no join."
     ),
+    "profile_quantile_sketch": (
+        "DDSketch quantile profile (round 7). Look for: one scan per "
+        "snapshot folding into a partial/final count aggregate on "
+        "(sign, idx) log buckets, the union+re-sum merge, and the "
+        "O(buckets) cumulative-sum window whose input is the sketch — "
+        "never the data (the single-partition Window warning is "
+        "intentional: it orders at most a few hundred bucket rows); "
+        "the exact-rank certification join is the gate-only extra."
+    ),
+    "text_cms_heavy_hitters": (
+        "Count-min heavy hitters (round 7). Look for: token explode "
+        "feeding a partial/final count on (row, pos) — the shuffle "
+        "carries counter coordinates, never tokens — the merge as "
+        "union+re-sum, and the probe join with the <= d*w-row counter "
+        "matrix on the BROADCAST side (`BroadcastHashJoin`, LeftOuter)."
+    ),
+    # bloom_pruned_join_revenue is deliberately not showcased: its
+    # defining feature is a 2,048-element array LITERAL in the filter
+    # condition (16 KB of plan text that would swamp this file); the
+    # plan shape — codegen'd `*(1) Filter`, zero exchanges, no join
+    # node before the real join — is pinned in tests/test_bloom.py.
 }
 
 

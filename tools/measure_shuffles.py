@@ -56,6 +56,7 @@ DEFAULT_QUERIES = [
     "manifest_apply_changes",
     "profile_quantile_sketch",
     "manifest_zorder_range_read",
+    "text_cms_heavy_hitters",
 ]
 
 
