@@ -363,3 +363,89 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep.apply_changes(src.changes(spark, 0, 1))
     rep.apply_changes(src.changes(spark, 1, 2))
     return rep.read(spark)
+
+
+@query(
+    "manifest_incremental_agg",
+    # the oracle recomputes the FINAL aggregate directly from the
+    # source expressions (the v2 overwrite's state); the Spark side
+    # never aggregates that state — it maintains the v0 aggregate
+    # through two pre-image change-feed hops (Gupta-Mumick delta
+    # rules), so equality proves the incremental fold, not the
+    # aggregation
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+t AS (SELECT indicator, observation_year, observation_month, value,
+             observation_count FROM silver WHERE observation_month <= 8),
+s AS (SELECT indicator, observation_year, observation_month,
+             round(value * 2, 6) AS value, observation_count
+      FROM silver WHERE observation_month >= 5),
+merged AS (
+  SELECT COALESCE(s.indicator, t.indicator) AS indicator,
+         COALESCE(s.observation_year, t.observation_year) AS observation_year,
+         COALESCE(s.observation_month, t.observation_month) AS observation_month,
+         CASE WHEN s.indicator IS NOT NULL THEN s.value ELSE t.value END AS value,
+         CASE WHEN s.indicator IS NOT NULL THEN s.observation_count
+              ELSE t.observation_count END AS observation_count
+  FROM t FULL OUTER JOIN s
+    ON t.indicator = s.indicator
+   AND t.observation_year = s.observation_year
+   AND t.observation_month = s.observation_month),
+final AS (SELECT * FROM merged WHERE observation_month BETWEEN 3 AND 10)
+SELECT indicator, observation_year AS yr,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 2) AS sum_value
+FROM final GROUP BY indicator, observation_year
+""",
+    description="incremental view maintenance over the change feed "
+    "(Gupta-Mumick delta rules, SUM/COUNT case): a materialized "
+    "per-(indicator, year) aggregate maintained through an upsert hop "
+    "and an overwrite-with-deletes hop using ONLY the pre-image feeds "
+    "(insert/update_postimage add, delete/update_preimage subtract, "
+    "zero-count groups drop) — O(|delta| + touched groups) per ingest "
+    "where the direct recompute the oracle performs is O(corpus)",
+)
+def manifest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..exports import export_path
+    from ..operators.ivm import (
+        apply_agg_delta,
+        incremental_agg_delta,
+        materialize_agg,
+    )
+    from ..sources.lakehouse import ManifestLakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value",
+        "observation_count",
+    )
+    target = silver.where(F.col("observation_month") <= 8)
+    source = silver.where(F.col("observation_month") >= 5).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    keys = ["indicator", "observation_year", "observation_month"]
+    root = export_path("fred_ivm_source")
+    shutil.rmtree(root, ignore_errors=True)
+    src = ManifestLakeTable(root, keys=keys, n_buckets=16)
+    src.overwrite(target)                      # v0
+    src.merge_into(source)                     # v1
+    src.overwrite(                             # v2: deletes
+        src.read(spark, 1).where(F.col("observation_month").between(3, 10))
+    )
+    group_cols, sum_cols = ["indicator", "observation_year"], ["value"]
+    agg = materialize_agg(src.read(spark, 0), group_cols, sum_cols)
+    for hop in ((0, 1), (1, 2)):
+        feed = src.changes(spark, *hop, update_preimages=True)
+        agg = apply_agg_delta(
+            agg,
+            incremental_agg_delta(feed, group_cols, sum_cols),
+            group_cols,
+            sum_cols,
+        )
+    return agg.select(
+        "indicator",
+        F.col("observation_year").alias("yr"),
+        "n_rows",
+        F.round("sum_value", 2).alias("sum_value"),
+    )

@@ -72,9 +72,10 @@ def get_query(name: str) -> QuerySpec:
 #      via the exported merge table), the new LSH-bucketed semantic
 #      decontamination path, and the round-7 continuation's first-row
 #      entries (PQ/IVF-PQ/incremental-PQ, manifest merge + change feed
-#      + CDC apply, weighted sampling, bitext mining, k-center
-#      coreset, unigram drift, adaptive quality gate, Bloom-pruned
-#      join, DDSketch quantile profile);
+#      + CDC apply + zorder + streaming ingest + incremental agg,
+#      bitext mining, k-center coreset, unigram drift, adaptive
+#      quality gate, Bloom-pruned join, DDSketch quantile profile,
+#      CMS heavy hitters; sample_weighted_aes deferred — see below);
 #   3. (none this round) — the round-4 refresh head was displaced
 #      below the window entirely by #2's 18 first-row entries (new
 #      operators outrank refreshing rows that are already r4-green and
@@ -126,7 +127,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_ivfpq_topk",
     "similarity_incremental_pq",
     "fred_merge_into_manifest",
-    "sample_weighted_aes",
     "bitext_margin_pairs",
     "embedding_kcenter_coreset",
     "text_unigram_drift",
@@ -138,7 +138,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "manifest_zorder_range_read",
     "stream_lake_ingest",
     "text_cms_heavy_hitters",
+    "manifest_incremental_agg",
     # ===== below the window: hash-green r4-r6, mirrored locally =====
+    # (sample_weighted_aes deferred to round 8: the one continuation
+    # entry the 50-slot window could not hold — lowest-risk of the 17,
+    # a pure deterministic projection with a row-for-row oracle)
+    "sample_weighted_aes",
     # (next 10: the round-4 refresh head, displaced entirely by the
     # round-7 continuation's first-row entries — 18 brand-new operators
     # outrank refreshing rows that are already r4-green and locally

@@ -910,7 +910,11 @@ class ManifestLakeTable(_KeyBucketedTable):
         return touched
 
     def changes(
-        self, spark: SparkSession, v_from: int, v_to: int | None = None
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+        update_preimages: bool = False,
     ) -> DataFrame:
         """Change feed between two committed versions — Delta's CDC
         ("table_changes") reduced to its core, and the incremental-
@@ -928,6 +932,13 @@ class ManifestLakeTable(_KeyBucketedTable):
         touched the bucket but not that key) compare equal and drop
         out. Key matching and value comparison are null-safe, matching
         ``upsert_merge``'s key semantics.
+
+        ``update_preimages=True`` splits each update into TWO rows —
+        ``update_preimage`` (old values) then ``update_postimage`` (new
+        values), Delta CDF's exact row contract — which downstream
+        incremental view maintenance needs: subtracting an updated
+        row's old contribution requires the old values, not just the
+        new ones (``operators/ivm.py``).
         """
         from pyspark.sql import functions as F
 
@@ -967,25 +978,41 @@ class ManifestLakeTable(_KeyBucketedTable):
         )
         cond = [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys]
         j = newf.join(oldf, cond, "full_outer")
-        ctype = (
-            F.when(F.col("__po").isNull(), F.lit("insert"))
-            .when(F.col("__pn").isNull(), F.lit("delete"))
-            .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
-        )
-        img = F.when(F.col("__pn").isNull(), F.col("__old")).otherwise(
-            F.col("__new")
-        )
-        return (
-            j.withColumn("_change_type", ctype)
-            .where(F.col("_change_type").isNotNull())
-            .select(
-                "_change_type",
-                *[
-                    F.coalesce(F.col(k), F.col(f"__k_{k}")).alias(k)
-                    for k in keys
-                ],
-                *[img.getField(c).alias(c) for c in nonkeys],
+
+        def _ev(t: str, img: "F.Column") -> "F.Column":
+            return F.struct(F.lit(t).alias("t"), img.alias("img"))
+
+        if update_preimages:
+            upd = F.array(
+                _ev("update_preimage", F.col("__old")),
+                _ev("update_postimage", F.col("__new")),
             )
+        else:
+            upd = F.array(_ev("update", F.col("__new")))
+        # unchanged rows produce a typed EMPTY array (slice of a typed
+        # one — F.array() alone cannot infer the struct type)
+        events = (
+            F.when(
+                F.col("__po").isNull(),
+                F.array(_ev("insert", F.col("__new"))),
+            )
+            .when(
+                F.col("__pn").isNull(),
+                F.array(_ev("delete", F.col("__old"))),
+            )
+            .when(~F.col("__old").eqNullSafe(F.col("__new")), upd)
+            .otherwise(F.slice(upd, 1, 0))
+        )
+        return j.select(
+            F.explode(events).alias("__e"),
+            *[
+                F.coalesce(F.col(k), F.col(f"__k_{k}")).alias(k)
+                for k in keys
+            ],
+        ).select(
+            F.col("__e.t").alias("_change_type"),
+            *keys,
+            *[F.col("__e.img").getField(c).alias(c) for c in nonkeys],
         )
 
     def apply_changes(self, feed: DataFrame) -> list[int]:
@@ -1036,8 +1063,14 @@ class ManifestLakeTable(_KeyBucketedTable):
             )
             if not touched:
                 return []
+            # both feed forms apply: plain updates carry post-images as
+            # 'update'; a preimage feed carries them as
+            # 'update_postimage' ('update_preimage' rows are for view
+            # maintenance, not state replay — skipped here)
             upserts = feed.where(
-                F.col("_change_type").isin("insert", "update")
+                F.col("_change_type").isin(
+                    "insert", "update", "update_postimage"
+                )
             ).select(*data_cols)
             deletes = feed.where(F.col("_change_type") == "delete").select(
                 *[F.col(k).alias(f"__d_{k}") for k in self.keys]

@@ -944,3 +944,102 @@ class TestOptimizeZorder:
             t.optimize_zorder(spark, [])
         with _pytest.raises(ValueError, match="not in table"):
             t.optimize_zorder(spark, ["nope"])
+
+
+class TestIncrementalViewMaintenance:
+    def _src(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        t = ManifestLakeTable(str(tmp_path / "ivm"), keys=["k"], n_buckets=8)
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+                "k long, g string, v double",
+            )
+        )
+        return t
+
+    def test_preimage_feed_carries_both_update_images(self, spark, tmp_path):
+        t = self._src(spark, tmp_path)
+        t.merge_into(
+            spark.createDataFrame([(2, "a", 25.0)], "k long, g string, v double")
+        )
+        rows = {
+            (r["_change_type"], r["k"], r["v"])
+            for r in t.changes(spark, 0, 1, update_preimages=True).collect()
+        }
+        assert rows == {
+            ("update_preimage", 2, 20.0),
+            ("update_postimage", 2, 25.0),
+        }
+        # default form unchanged: one 'update' post-image row
+        plain = {
+            (r["_change_type"], r["k"], r["v"])
+            for r in t.changes(spark, 0, 1).collect()
+        }
+        assert plain == {("update", 2, 25.0)}
+
+    def test_maintained_agg_equals_direct_recompute(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.operators.ivm import (
+            apply_agg_delta,
+            incremental_agg_delta,
+            materialize_agg,
+        )
+
+        t = self._src(spark, tmp_path)
+        # hop 1: update k=2, insert k=9 (new group c)
+        t.merge_into(
+            spark.createDataFrame(
+                [(2, "a", 25.0), (9, "c", 90.0)], "k long, g string, v double"
+            )
+        )
+        # hop 2: overwrite dropping group b entirely and k=9
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, "a", 10.0), (2, "a", 26.0)], "k long, g string, v double"
+            )
+        )
+        agg = materialize_agg(t.read(spark, 0), ["g"], ["v"])
+        for hop in ((0, 1), (1, 2)):
+            feed = t.changes(spark, *hop, update_preimages=True)
+            agg = apply_agg_delta(
+                agg, incremental_agg_delta(feed, ["g"], ["v"]), ["g"], ["v"]
+            )
+        direct = materialize_agg(t.read(spark, 2), ["g"], ["v"])
+        got = sorted(map(tuple, agg.collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want  # group b and c dropped, sums match
+        assert [g for g, *_ in got] == ["a"]
+
+    def test_post_image_only_feed_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fred_economic_data_pipeline_local_spark.operators.ivm import (
+            incremental_agg_delta,
+        )
+
+        t = self._src(spark, tmp_path)
+        t.merge_into(
+            spark.createDataFrame([(2, "a", 25.0)], "k long, g string, v double")
+        )
+        feed = t.changes(spark, 0, 1)  # no preimages
+        with _pytest.raises(ValueError, match="update_preimages=True"):
+            incremental_agg_delta(feed, ["g"], ["v"])
+
+    def test_apply_changes_accepts_preimage_feed(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        t = self._src(spark, tmp_path)
+        t.merge_into(
+            spark.createDataFrame([(2, "a", 25.0)], "k long, g string, v double")
+        )
+        rep = ManifestLakeTable(str(tmp_path / "rep"), keys=["k"], n_buckets=4)
+        rep.overwrite(t.read(spark, 0))
+        rep.apply_changes(t.changes(spark, 0, 1, update_preimages=True))
+        got = sorted(map(tuple, rep.read(spark).collect()))
+        want = sorted(map(tuple, t.read(spark, 1).collect()))
+        assert got == want

@@ -479,3 +479,90 @@ def test_tfidf_matches_pure_python(spark, texts):
     for i in want:
         got_sorted = sorted(got.get(i, []), key=lambda x: (-x[2], x[0]))
         assert got_sorted == want[i], (i, got_sorted, want[i])
+
+
+# --- round-7 sketch/filter operators ------------------------------------
+
+
+@given(
+    keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=30),
+    extra=st.lists(st.integers(-1000, 1000), max_size=30),
+)
+@settings(**_SETTINGS)
+def test_bloom_never_false_negative(spark, keys, extra):
+    """Any key inserted into the mask must survive the prune, whatever
+    the key distribution — the property the join-equality oracle rests
+    on."""
+    from fred_economic_data_pipeline_local_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+    fact = spark.createDataFrame(
+        [(k,) for k in keys + extra], "k long"
+    )
+    mask = bloom_build(dim, "k", m_bits=1 << 10)
+    kept = {
+        r["k"] for r in bloom_prune(fact, "k", mask).collect()
+    }
+    assert set(keys) <= kept
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    ),
+    cut=st.integers(0, 40),
+)
+@settings(**_SETTINGS)
+def test_dd_sketch_merge_equals_direct(spark, vals, cut):
+    """Snapshot split point never changes the merged sketch: bucket
+    counts are a function of the multiset, not the partitioning."""
+    from fred_economic_data_pipeline_local_spark.operators.profile import (
+        dd_merge,
+        dd_sketch,
+    )
+
+    a = spark.createDataFrame([(v,) for v in vals[:cut]] or [(None,)], "v double")
+    b = spark.createDataFrame([(v,) for v in vals[cut:]] or [(None,)], "v double")
+    direct = dd_sketch(
+        spark.createDataFrame([(v,) for v in vals], "v double"), "v"
+    )
+    merged = dd_merge(dd_sketch(a, "v"), dd_sketch(b, "v"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+@given(
+    items=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "f g", ""]),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_cms_estimates_dominate_exact_counts(spark, items):
+    """est >= exact for every item, on any multiset — the deterministic
+    half of the CMS guarantee (the 2N/w half is distribution-dependent
+    and pinned separately at a fixed w)."""
+    import collections
+
+    from fred_economic_data_pipeline_local_spark.operators.profile import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([(x,) for x in items], "tok string")
+    sk = cms_sketch(df, "tok", w=16, d=3)  # tiny w forces collisions
+    exact = collections.Counter(items)
+    probe = spark.createDataFrame([(t,) for t in exact], "tok string")
+    ests = {
+        r["tok"]: r["est"]
+        for r in cms_estimate(sk, probe, "tok", w=16, d=3).collect()
+    }
+    for t, n in exact.items():
+        assert ests[t] >= n, (t, n, ests[t])
