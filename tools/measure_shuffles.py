@@ -57,6 +57,7 @@ DEFAULT_QUERIES = [
     "profile_quantile_sketch",
     "manifest_zorder_range_read",
     "text_cms_heavy_hitters",
+    "manifest_incremental_agg",
 ]
 
 
