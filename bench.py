@@ -85,6 +85,8 @@ HEADLINE = [
     # micro-batch trigger latency, not plan cost — the bench measures
     # plans; manifest_zorder_range_read covers the lake read path)
     "manifest_zorder_range_read",
+    "text_cms_heavy_hitters",
+    "manifest_incremental_agg",
 ]
 
 

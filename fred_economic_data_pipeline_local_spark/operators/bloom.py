@@ -67,6 +67,24 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
+def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Classic Bloom sizing for an expected key count and target false-
+    positive rate: ``m = -n ln(p) / (ln 2)^2`` rounded up to a word
+    multiple, ``k = (m/n) ln 2`` clamped to [1, 8]. Use at plan time
+    when the dim's cardinality estimate is known (e.g. from the
+    manifest zone maps or table statistics)."""
+    import math
+
+    if n_keys < 1:
+        raise ValueError(f"n_keys must be >= 1; got {n_keys}")
+    if not (0 < fpp < 1):
+        raise ValueError(f"fpp must be in (0, 1); got {fpp}")
+    m = int(-n_keys * math.log(fpp) / (math.log(2) ** 2))
+    m = max(_WORD, ((m + _WORD - 1) // _WORD) * _WORD)
+    k = max(1, min(8, round(m / n_keys * math.log(2))))
+    return m, k
+
+
 def bloom_build(
     keys: DataFrame, key_col: str, m_bits: int = 1 << 17, k: int = 3
 ) -> BloomMask:

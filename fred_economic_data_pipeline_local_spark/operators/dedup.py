@@ -1064,3 +1064,102 @@ def resolve_neardups(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def dup_span_removal(
+    df: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-substring REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every token n-gram that
+    occurs more than once in the corpus is cut out of every document
+    except its canonical first occurrence, and overlapping cut regions
+    are merged into maximal spans. Where ``dedup_span_overlap`` only
+    FLAGS pasted-span pairs, this produces the cleaned corpus summary —
+    the form the C4/RefinedWeb-style pipelines actually materialize.
+
+    Policy (deterministic, engine-independent): an n-gram occurrence is
+    removed iff the gram appears >= 2 times corpus-wide AND the
+    occurrence is not the corpus-wide minimum ``(doc_id, start)`` — "keep
+    one copy", exactly the Lee et al. retention rule. Overlapping flagged
+    occurrences merge via gaps-and-islands (running max of span ends), so
+    a duplicated run of any length collapses to one span.
+
+    Scale shape: one map-combined shuffle keyed on the gram (swap the
+    equality key for a 128-bit fingerprint at petabyte scale — the paper
+    uses suffix arrays; the blocked-hash form is the distributed
+    equivalent), one narrow (id, start) shuffle back to documents, and a
+    per-document window for the island merge whose partition is one doc's
+    flagged occurrences. Nothing all-pairs, no text in the second
+    shuffle. Token positions are assumed < 1e6 per document (the packed
+    ``id*1e6+start`` keeper key; true for any pre-chunked corpus).
+
+    Output: one row per input document — ``id, n_tok, n_spans,
+    n_removed, removed_frac, clean_md5`` where ``clean_md5`` fingerprints
+    the space-joined surviving tokens (rows stay narrow even when the
+    cleaned text is large).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = df.select(F.col(id_col).alias("id"), toks.alias("tk"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - n),
+        lambda i: F.struct(
+            i.alias("start"),
+            F.concat_ws(" ", F.slice("tk", i + 1, n)).alias("gram"),
+        ),
+    )
+    occ = (
+        t.where(F.size("tk") >= n)
+        .select("id", F.explode(grams).alias("g"))
+        .select("id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    )
+    key = F.col("id") * 1_000_000 + F.col("start")
+    stats = occ.groupBy("gram").agg(
+        F.count("*").alias("cnt"), F.min(key).alias("keep_key")
+    )
+    flagged = (
+        occ.join(stats.where(F.col("cnt") >= 2), "gram")
+        .where(key != F.col("keep_key"))
+        .select("id", "start", (F.col("start") + n).alias("end"))
+    )
+    w = Window.partitionBy("id").orderBy("start")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = flagged.withColumn(
+        "brk",
+        F.when(F.col("start") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("id", "island").agg(
+        F.min("start").alias("s0"), F.max("end").alias("e0")
+    )
+    doc_spans = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s0", "e0"))).alias("sp"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e0") - F.col("s0")).alias("n_removed"),
+    )
+    no_spans = F.array().cast("array<struct<s0:int,e0:int>>")
+    sp = F.coalesce(F.col("sp"), no_spans)
+    kept = F.filter(
+        "tk",
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i >= s["s0"]) & (i < s["e0"])
+        ),
+    )
+    return (
+        t.join(doc_spans, "id", "left")
+        .select(
+            "id",
+            F.size("tk").alias("n_tok"),
+            F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).cast("int").alias("n_removed"),
+            F.round(
+                F.coalesce("n_removed", F.lit(0)).cast("double")
+                / F.greatest(F.size("tk"), F.lit(1)).cast("double"),
+                6,
+            ).alias("removed_frac"),
+            F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+        )
+    )

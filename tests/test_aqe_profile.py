@@ -62,6 +62,13 @@ AQE_SLICE = [
     "manifest_apply_changes",
     "bloom_pruned_join_revenue",
     "profile_quantile_sketch",
+    # zorder rewrite (range-partition sample-sort + manifest-pruned
+    # range read), streaming foreachBatch MERGE loop, CMS broadcast
+    # probe join, delta-rule aggregate maintenance
+    "manifest_zorder_range_read",
+    "stream_lake_ingest",
+    "text_cms_heavy_hitters",
+    "manifest_incremental_agg",
 ]
 
 

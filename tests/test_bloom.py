@@ -124,3 +124,39 @@ def test_null_keys_never_survive_the_join(spark, tables):
 def test_mask_dataclass_roundtrip():
     m = BloomMask(words=(0, 5, -1), m_bits=192, k=2)
     assert m.set_bits == 2 + 64
+
+
+def test_bloom_params_classic_sizing():
+    from fred_economic_data_pipeline_local_spark.operators.bloom import (
+        bloom_params,
+    )
+    import pytest as _pytest
+
+    m, k = bloom_params(100_000, fpp=0.01)
+    assert m % 64 == 0
+    assert 9 * 100_000 < m < 10 * 100_000  # ~9.59 bits/key at 1%
+    assert k == 7  # ~0.69 * m/n
+    m2, k2 = bloom_params(10, fpp=0.5)
+    assert m2 >= 64 and 1 <= k2 <= 8
+    with _pytest.raises(ValueError, match="n_keys"):
+        bloom_params(0)
+    with _pytest.raises(ValueError, match="fpp"):
+        bloom_params(10, fpp=1.0)
+
+
+def test_bloom_params_drive_build(spark, tables):
+    """The sizing helper's output plugs straight into build/prune."""
+    from fred_economic_data_pipeline_local_spark.operators.bloom import (
+        bloom_build,
+        bloom_params,
+        bloom_prune,
+    )
+
+    li, dim = tables
+    n = dim.count()
+    m, k = bloom_params(n, fpp=0.05)
+    mask = bloom_build(dim, "o_orderkey", m_bits=m, k=k)
+    pruned = bloom_prune(li, "l_orderkey", mask)
+    n_match = li.join(dim, li.l_orderkey == dim.o_orderkey, "left_semi").count()
+    # prune keeps all matches and, at 5% fpp, a bounded overshoot
+    assert n_match <= pruned.count() <= n_match + int(0.15 * li.count()) + 10
