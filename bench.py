@@ -2,8 +2,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints the full JSON artifact (also written to BENCH_FULL.json), then a
+compact FINAL line sized to fit the driver's 2,000-char tail capture:
+  {"metric": "...", "value": N, "unit": "sec", "sf": ..., "queries": {...}}
 
 Each query is forced to full execution with a count-collapsing action
 (``df.foreach`` would serialize rows to Python; a ``count()`` over the
@@ -153,7 +154,26 @@ def main() -> None:
             for q, t in timings.items()
             if q in prev and prev[q] > 0
         }
+    # Full artifact (3-dp timings + delta_vs_prev) goes to a file and an
+    # earlier stdout line; the FINAL line is a compact subset kept well
+    # under the driver's 2,000-char tail capture (BENCH_r07 went
+    # machine-unreadable when the one-line-everything form outgrew it).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": {q: round(t, 2) for q, t in timings.items()},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # belt-and-braces as the headline set grows
+        compact["queries"] = {q: round(t, 1) for q, t in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -1106,16 +1106,20 @@ GROUP BY source
     "read_range prunes buckets driver-side before any file is listed",
 )
 def manifest_zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    # Scratch is run-unique (mkdtemp), NOT the shared .oracle_exports
+    # root: this oracle never reads the export, and a fixed path lets
+    # any concurrent process (bench.py re-runs this very query) rewrite
+    # the files a lazily-returned frame would re-read — the r7 driver
+    # hash-red. localCheckpoint pins the 20-row result to memory so the
+    # returned frame has no lineage into the scratch dir at all.
+    import tempfile
 
-    from ..exports import export_path
     from ..sources.lakehouse import ManifestLakeTable
 
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", "lang", "n_chars"
     )
-    root = export_path("zorder_docs")
-    shutil.rmtree(root, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="zorder_docs_")
     t = ManifestLakeTable(
         root, keys=["doc_id"], n_buckets=16, stats_cols=["n_chars"]
     )
@@ -1128,6 +1132,7 @@ def manifest_zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
         )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -1151,19 +1156,22 @@ GROUP BY source, lang
     "steady-state cost tracks arrival rate, not table size",
 )
 def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    # Run-unique scratch + localCheckpoint'd result, same rationale as
+    # manifest_zorder_range_read: the oracle reads only the raw
+    # fixture, so nothing may tie the returned frame to shared scratch
+    # state a concurrent JVM could mutate (the r7 driver hash-red).
+    import os
+    import tempfile
 
-    from ..exports import export_path
     from ..sources.lakehouse import ManifestLakeTable
     from ..streaming.lake_ingest import stream_merge_into
 
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", "lang", "n_chars"
     )
-    inbox = export_path("stream_ingest_inbox")
-    root = export_path("stream_ingest_lake")
-    shutil.rmtree(inbox, ignore_errors=True)
-    shutil.rmtree(root, ignore_errors=True)
+    scratch = tempfile.mkdtemp(prefix="stream_ingest_")
+    inbox = os.path.join(scratch, "inbox")
+    root = os.path.join(scratch, "lake")
     bootstrap = docs.where(F.col("doc_id") % 7 == 0)
     arriving = docs.where(F.col("doc_id") % 7 != 0)
     arriving.repartition(4).write.parquet(inbox)
@@ -1175,7 +1183,12 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(inbox)
     )
     stream_merge_into(stream, t, app_id="catalog-ingest")
-    return t.read(spark).groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
+    return (
+        t.read(spark)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .localCheckpoint(eager=True)
     )
