@@ -1093,8 +1093,10 @@ def dup_span_removal(
     equivalent), one narrow (id, start) shuffle back to documents, and a
     per-document window for the island merge whose partition is one doc's
     flagged occurrences. Nothing all-pairs, no text in the second
-    shuffle. Token positions are assumed < 1e6 per document (the packed
-    ``id*1e6+start`` keeper key; true for any pre-chunked corpus).
+    shuffle. The keeper key is the struct-min ``(doc_id, start)`` —
+    correct for numeric AND string doc ids (string ids order
+    lexicographically; the r7-era packed ``id*1e6+start`` key silently
+    nulled out on string ids and removed nothing).
 
     Output: one row per input document — ``id, n_tok, n_spans,
     n_removed, removed_frac, clean_md5`` where ``clean_md5`` fingerprints
@@ -1115,13 +1117,13 @@ def dup_span_removal(
         .select("id", F.explode(grams).alias("g"))
         .select("id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
     )
-    key = F.col("id") * 1_000_000 + F.col("start")
+    okey = F.struct(F.col("id").alias("id"), F.col("start").alias("start"))
     stats = occ.groupBy("gram").agg(
-        F.count("*").alias("cnt"), F.min(key).alias("keep_key")
+        F.count("*").alias("cnt"), F.min(okey).alias("keep_key")
     )
     flagged = (
         occ.join(stats.where(F.col("cnt") >= 2), "gram")
-        .where(key != F.col("keep_key"))
+        .where(okey != F.col("keep_key"))
         .select("id", "start", (F.col("start") + n).alias("end"))
     )
     w = Window.partitionBy("id").orderBy("start")

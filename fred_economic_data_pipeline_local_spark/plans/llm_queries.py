@@ -696,6 +696,88 @@ def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_removal",
+    # fully SQL-expressible: the oracle independently re-derives the
+    # entire pipeline — n-gram occurrences, the corpus-wide keep-one
+    # rule (row_number over (gram) ordered by (doc_id, start)),
+    # gaps-and-islands span merge, and the cleaned-token md5 via an
+    # indexed list_filter (DuckDB lambda index is 1-based; Spark's is
+    # 0-based, hence i - 1). coalesce'd array_to_string: DuckDB returns
+    # NULL for an empty list where Spark's concat_ws returns ''.
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i.s AS start,
+         array_to_string(tk[i.s + 1 : i.s + 8], ' ') AS gram
+  FROM t, LATERAL (
+    SELECT unnest(range(0, greatest(len(tk) - 7, 0))) AS s
+  ) i
+),
+marked AS (
+  SELECT doc_id, start,
+         count(*) OVER (PARTITION BY gram) AS cnt,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+  FROM occ
+),
+flagged AS (
+  SELECT doc_id, start, start + 8 AS e
+  FROM marked WHERE cnt >= 2 AND rn > 1
+),
+isl AS (
+  SELECT doc_id, start, e,
+         sum(CASE WHEN start > coalesce(prev_max, -1) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, start, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM flagged
+  )
+),
+spans AS (
+  SELECT doc_id, island, min(start) AS s0, max(e) AS e0
+  FROM isl GROUP BY 1, 2
+),
+doc_spans AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_spans,
+         CAST(sum(e0 - s0) AS INT) AS n_removed,
+         flatten(list(range(s0, e0))) AS rm
+  FROM spans GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(tk) AS INT) AS n_tok,
+       coalesce(d.n_spans, 0) AS n_spans,
+       coalesce(d.n_removed, 0) AS n_removed,
+       round(CAST(coalesce(d.n_removed, 0) AS DOUBLE)
+             / greatest(len(tk), 1), 6) AS removed_frac,
+       md5(coalesce(array_to_string(
+         list_filter(tk, (x, i) -> NOT list_contains(
+           coalesce(d.rm, CAST([] AS BIGINT[])), i - 1)), ' '), ''))
+         AS clean_md5
+FROM t LEFT JOIN doc_spans d USING (doc_id)
+""",
+    description="Lee et al. 2022 exact duplicate-substring removal: "
+    "every 8-token gram occurring >= 2x corpus-wide is cut everywhere "
+    "but its minimum-(doc_id, start) occurrence; overlapping cuts merge "
+    "via gaps-and-islands; output is the per-doc cleaned-corpus summary "
+    "(span count, removed tokens, removed fraction, md5 of surviving "
+    "tokens). One gram-keyed map-combined shuffle + one narrow "
+    "(id, start) shuffle — nothing all-pairs, no text in shuffle two",
+)
+def dedup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_span_removal
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dup_span_removal(docs, n=8).withColumnRenamed("id", "doc_id")
+
+
+@query(
     "dedup_incremental_ingest",
     oracle=f"""
 WITH fp AS (SELECT *, {_FP_SQL} AS f FROM documents),

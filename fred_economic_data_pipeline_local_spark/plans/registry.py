@@ -196,6 +196,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_quality_score",
     "text_winnow_fingerprints",
     "dedup_span_overlap",
+    "dedup_span_removal",
     "text_repetition_metrics",
     "text_tfidf_top_terms",
     "text_topk_ngrams",
