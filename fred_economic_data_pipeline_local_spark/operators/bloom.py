@@ -49,11 +49,19 @@ def _shl1(bit: Column) -> Column:
 @dataclass(frozen=True)
 class BloomMask:
     """An immutable Bloom bitmask: ``m_bits`` bits as ``m_bits/64``
-    signed 64-bit words, probed with ``k`` xxhash64-derived positions."""
+    signed 64-bit words, probed with ``k`` xxhash64-derived positions.
+
+    ``key_type`` records the build side's key type (Spark DDL string):
+    ``bloom_prune`` casts the probe key to it before hashing, because
+    xxhash64 is TYPE-sensitive — an int-vs-bigint mismatch the join
+    would happily match via implicit cast would otherwise hash to
+    different positions and produce a FALSE NEGATIVE (dropped matching
+    rows — the one thing a Bloom filter must never do)."""
 
     words: tuple[int, ...]
     m_bits: int
     k: int
+    key_type: str = "string"
 
     @property
     def set_bits(self) -> int:
@@ -100,6 +108,7 @@ def bloom_build(
         raise ValueError(f"m_bits must be a multiple of {_WORD}; got {m_bits}")
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
+    key_type = keys.schema[key_col].dataType.simpleString()
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias(
         "__pos"
     )
@@ -115,7 +124,9 @@ def bloom_build(
     words = [0] * (m_bits // _WORD)
     for row in words_df.collect():
         words[row["__word"]] = row["__or"]
-    return BloomMask(words=tuple(words), m_bits=m_bits, k=k)
+    return BloomMask(
+        words=tuple(words), m_bits=m_bits, k=k, key_type=key_type
+    )
 
 
 def bloom_prune(
@@ -137,7 +148,13 @@ def bloom_prune(
     """
     mask_lit = F.lit(list(mask.words))
     probes = []
-    for p in _positions(F.col(key_col), mask.m_bits, mask.k):
+    # cast the probe key to the BUILD side's recorded type: xxhash64 is
+    # type-sensitive, and a width mismatch (int fact vs bigint dim) the
+    # downstream join matches via implicit cast must not become a false
+    # negative here. Values the cast cannot represent could not match
+    # any build-side key anyway (the dim's type cannot hold them).
+    probe_key = F.col(key_col).cast(mask.key_type)
+    for p in _positions(probe_key, mask.m_bits, mask.k):
         word = F.element_at(mask_lit, (p / _WORD).cast("int") + F.lit(1))
         bit = _shl1((p % _WORD).cast("int"))
         probes.append(word.bitwiseAND(bit) != F.lit(0).cast("long"))
@@ -154,11 +171,23 @@ def bloom_pruned_join(
     dim_key: str,
     m_bits: int = 1 << 17,
     k: int = 3,
+    expected_keys: int | None = None,
+    fpp: float = 0.01,
 ) -> DataFrame:
     """Inner equi-join with the fact side Bloom-pruned before the
     exchange: row-identical to ``fact.join(dim, fact[fk] == dim[dk])``
     because pruning admits no false negatives and the join removes the
-    false positives. Only surviving fact rows shuffle."""
+    false positives. Only surviving fact rows shuffle.
+
+    When the dim side's distinct-key cardinality is known (manifest
+    zone maps, table statistics, a prior count), pass
+    ``expected_keys`` (+ target ``fpp``) and the mask is sized by the
+    classic ``bloom_params`` math instead of the fixed 1 << 17 default
+    — at 100 TB an under-sized mask saturates (every probe passes, the
+    prune does nothing) and an over-sized one wastes task-binary bytes
+    on every executor."""
+    if expected_keys is not None:
+        m_bits, k = bloom_params(expected_keys, fpp=fpp)
     mask = bloom_build(dim, dim_key, m_bits=m_bits, k=k)
     pruned = bloom_prune(fact, fact_key, mask)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -2004,11 +2004,13 @@ WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000
 GROUP BY l_returnflag
 """,
     description="Bloom-join semi-join reduction: the selective dim's keys "
-    "fold distributedly into a 2^17-bit Bloom mask (bit_or partial+final, "
-    "O(mask) driver collect), the fact side is pruned map-side by a "
-    "codegen'd literal-array probe BEFORE the join exchange, and the join "
-    "removes the false positives — row-identical to the plain join, which "
-    "is exactly what the oracle checks (operators/bloom.py)",
+    "fold distributedly into a Bloom mask SIZED BY MATH (bloom_params "
+    "from the dim's measured key count at fpp=0.01, not a fixed "
+    "default; bit_or partial+final, O(mask) driver collect), the fact "
+    "side is pruned map-side by a codegen'd literal-array probe BEFORE "
+    "the join exchange, and the join removes the false positives — "
+    "row-identical to the plain join, which is exactly what the oracle "
+    "checks (operators/bloom.py)",
 )
 def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bloom import bloom_pruned_join
@@ -2024,7 +2026,12 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey")
     )
-    j = bloom_pruned_join(li, dim, "l_orderkey", "o_orderkey")
+    # the tiny dim count plays the role table statistics / manifest zone
+    # maps play in production: fpp-driven mask sizing instead of 1<<17
+    j = bloom_pruned_join(
+        li, dim, "l_orderkey", "o_orderkey",
+        expected_keys=max(int(dim.count()), 1), fpp=0.01,
+    )
     return j.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(

@@ -200,15 +200,20 @@ class LakeTable(_LockedTable):
         commits a new version with identical content (idempotent by
         value)."""
         spark = source.sparkSession
-        cur = self.current_version()
-        if cur is None:
-            raise FileNotFoundError(
-                f"lake table {self.root} is uninitialized; call overwrite() first"
-            )
         # single-writer enforced: two concurrent merges would both read
-        # version N and race to write v=N+1 / flip _LATEST — lost update
+        # version N and race to write v=N+1 / flip _LATEST — lost
+        # update. current_version() is read INSIDE the locked region:
+        # the lock is non-blocking, so a pre-lock read lets writer B
+        # observe N while A commits N+1, then acquire after A releases
+        # and rewrite A's committed version (ADVICE r7 TOCTOU).
         self._lock.acquire()
         try:
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"lake table {self.root} is uninitialized; "
+                    "call overwrite() first"
+                )
             target = self.read(spark, cur)
             merged = upsert_merge(target, source, keys)
             nxt = cur + 1
@@ -221,20 +226,26 @@ class LakeTable(_LockedTable):
     def vacuum(self, keep: int = 1) -> list[int]:
         """Drop all version directories except the newest ``keep``
         committed-or-newer ones. Never drops the current version.
-        Returns the removed version numbers."""
+        Returns the removed version numbers. Takes the writer lock:
+        an unlocked vacuum racing a mid-merge writer could delete the
+        staged-but-uncommitted next version dir."""
         import shutil
 
-        cur = self.current_version()
-        vs = self.versions()
-        protect = set(vs[-keep:]) if keep > 0 else set()
-        if cur is not None:
-            protect.add(cur)
-        removed = []
-        for v in vs:
-            if v not in protect:
-                shutil.rmtree(self._vpath(v), ignore_errors=True)
-                removed.append(v)
-        return removed
+        self._lock.acquire()
+        try:
+            cur = self.current_version()
+            vs = self.versions()
+            protect = set(vs[-keep:]) if keep > 0 else set()
+            if cur is not None:
+                protect.add(cur)
+            removed = []
+            for v in vs:
+                if v not in protect:
+                    shutil.rmtree(self._vpath(v), ignore_errors=True)
+                    removed.append(v)
+            return removed
+        finally:
+            self._lock.release()
 
 
 class PartitionedLakeTable(_KeyBucketedTable):
@@ -728,16 +739,18 @@ class ManifestLakeTable(_KeyBucketedTable):
         """
         from pyspark.sql import functions as F
 
-        cur = self.current_version()
-        if cur is None:
-            raise FileNotFoundError(
-                f"manifest lake table {self.root} is uninitialized; "
-                "call overwrite() first"
-            )
         if not cols:
             raise ValueError("optimize_zorder needs at least one column")
+        # current_version() read inside the lock — see merge_into for
+        # the TOCTOU rationale (ADVICE r7)
         self._lock.acquire()
         try:
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"manifest lake table {self.root} is uninitialized; "
+                    "call overwrite() first"
+                )
             df = self.read(spark, cur)
             missing = [c for c in cols if c not in df.columns]
             if missing:
@@ -825,15 +838,20 @@ class ManifestLakeTable(_KeyBucketedTable):
         from pyspark.sql import functions as F
 
         spark = source.sparkSession
-        cur = self.current_version()
-        if cur is None:
-            raise FileNotFoundError(
-                f"manifest lake table {self.root} is uninitialized; "
-                "call overwrite() first"
-            )
-        self._require_hash_layout("merge_into")
+        # version/layout/txn state is all read INSIDE the locked region
+        # (non-blocking lock => a pre-lock read races a concurrent
+        # writer's commit: B reads N while A holds the lock, acquires
+        # after A commits N+1, rewrites N+1 from N's mapping — lost
+        # update; ADVICE r7 TOCTOU)
         self._lock.acquire()
         try:
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"manifest lake table {self.root} is uninitialized; "
+                    "call overwrite() first"
+                )
+            self._require_hash_layout("merge_into")
             if txn is not None and self.txn(cur).get(txn[0], -1) >= txn[1]:
                 return []  # replayed batch: its commit already landed
             src = source.withColumn("__bucket", self._bucket())
@@ -966,6 +984,19 @@ class ManifestLakeTable(_KeyBucketedTable):
             new = spark.createDataFrame([], old.schema)
         elif old is None:
             old = spark.createDataFrame([], new.schema)
+        # align both slices to the UNION schema (typed null literals for
+        # absent columns, as the evolve_schema merge path does): across
+        # an evolve_schema commit the old slice lacks the new columns,
+        # and across a column-dropping overwrite the new slice lacks
+        # old ones — either way the struct build below must resolve
+        # every name on both sides (ADVICE r7: CDC/IVM consumers broke
+        # on the first schema-evolving commit)
+        for f in new.schema.fields:
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for f in old.schema.fields:
+            if f.name not in new.columns:
+                new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
         keys = self.keys
         nonkeys = [c for c in new.columns if c not in keys]
         newf = new.select(
@@ -1037,13 +1068,6 @@ class ManifestLakeTable(_KeyBucketedTable):
         from pyspark.sql import functions as F
 
         spark = feed.sparkSession
-        cur = self.current_version()
-        if cur is None:
-            raise FileNotFoundError(
-                f"manifest lake table {self.root} is uninitialized; "
-                "call overwrite() first"
-            )
-        self._require_hash_layout("apply_changes")
         data_cols = [c for c in feed.columns if c != "_change_type"]
         missing = [k for k in self.keys if k not in data_cols]
         if "_change_type" not in feed.columns or missing:
@@ -1052,8 +1076,17 @@ class ManifestLakeTable(_KeyBucketedTable):
                 f"plus the table columns including keys {self.keys}; "
                 f"got {feed.columns}"
             )
+        # table state (version, layout) read inside the lock — see
+        # merge_into for the TOCTOU rationale (ADVICE r7)
         self._lock.acquire()
         try:
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"manifest lake table {self.root} is uninitialized; "
+                    "call overwrite() first"
+                )
+            self._require_hash_layout("apply_changes")
             touched = sorted(
                 r[0]
                 for r in feed.withColumn("__bucket", self._bucket())
