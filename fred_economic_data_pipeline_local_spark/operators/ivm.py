@@ -14,9 +14,15 @@ update_preimages=True)`` (Delta CDF's row contract): subtracting an
 updated row's OLD contribution needs the old values.
 
 Only distributive aggregates maintain this way (COUNT, SUM — and
-AVG = SUM/COUNT at read time); MIN/MAX are not incrementally
-maintainable under deletes without auxiliary state, and are refused
-rather than silently wrong.
+AVG = SUM/COUNT at read time) from the feed ALONE. MIN/MAX need more:
+an insert folds into the extreme monotonically, but deleting the
+current extreme invalidates it. ``apply_minmax_delta`` implements the
+standard recompute-on-invalidation form — groups whose feed deletes
+never touch the current extreme maintain in O(|delta|); only the
+groups where a delete hits the recorded min/max re-aggregate, and only
+their rows of the (post-change) base are read. The reference's silver
+layer keeps exactly such a maintained extreme
+(``max(ingested_at)`` per series — transform_fred_data.py:124-128).
 """
 
 from __future__ import annotations
@@ -39,12 +45,6 @@ def incremental_agg_delta(
     (plain 'update' rows) and refused: applying post-images without
     subtracting pre-images silently double-counts.
     """
-    ct = F.col("_change_type")
-    sign = (
-        F.when(ct.isin(*_POS), F.lit(1))
-        .when(ct.isin(*_NEG), F.lit(-1))
-        .otherwise(F.lit(None))
-    )
     aggs = [F.sum(F.col("__sign")).alias("d_count")]
     for c in sum_cols:
         aggs.append(
@@ -52,22 +52,7 @@ def incremental_agg_delta(
                 f"d_sum_{c}"
             )
         )
-    signed = feed.withColumn("__sign", sign)
-    # fail loudly on a post-image-only feed (cheap driver check on the
-    # distinct types — a handful of rows)
-    bad = [
-        r[0]
-        for r in signed.where(F.col("__sign").isNull())
-        .select("_change_type")
-        .distinct()
-        .collect()
-    ]
-    if bad:
-        raise ValueError(
-            f"feed carries non-maintainable change types {sorted(bad)}; "
-            "produce it with changes(..., update_preimages=True)"
-        )
-    return signed.groupBy(*group_cols).agg(*aggs)
+    return _signed(feed).groupBy(*group_cols).agg(*aggs)
 
 
 def apply_agg_delta(
@@ -110,3 +95,120 @@ def materialize_agg(
     for c in sum_cols:
         aggs.append(F.sum(F.coalesce(F.col(c), F.lit(0.0))).alias(f"sum_{c}"))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def materialize_minmax(
+    df: DataFrame, group_cols: list[str], col: str
+) -> DataFrame:
+    """Bootstrap extreme aggregate in the shape ``apply_minmax_delta``
+    maintains: (group_cols..., n_rows, min_<col>, max_<col>). min/max
+    skip nulls (SQL semantics); n_rows counts every row."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(col).alias(f"min_{col}"),
+        F.max(col).alias(f"max_{col}"),
+    )
+
+
+def _signed(feed: DataFrame) -> DataFrame:
+    """Attach +1/-1 signs; refuse post-image-only feeds (shared by the
+    SUM/COUNT and MIN/MAX paths)."""
+    ct = F.col("_change_type")
+    sign = (
+        F.when(ct.isin(*_POS), F.lit(1))
+        .when(ct.isin(*_NEG), F.lit(-1))
+        .otherwise(F.lit(None))
+    )
+    signed = feed.withColumn("__sign", sign)
+    bad = [
+        r[0]
+        for r in signed.where(F.col("__sign").isNull())
+        .select("_change_type")
+        .distinct()
+        .collect()
+    ]
+    if bad:
+        raise ValueError(
+            f"feed carries non-maintainable change types {sorted(bad)}; "
+            "produce it with changes(..., update_preimages=True)"
+        )
+    return signed
+
+
+def apply_minmax_delta(
+    agg: DataFrame,
+    feed: DataFrame,
+    base: DataFrame,
+    group_cols: list[str],
+    col: str,
+) -> DataFrame:
+    """Maintain (group_cols..., n_rows, min_<col>, max_<col>) through a
+    pre-image change feed, the recompute-on-invalidation form:
+
+    - inserts/update-postimages fold monotonically —
+      ``least(cur_min, ins_min)`` / ``greatest(cur_max, ins_max)``;
+    - a delete/update-preimage whose value ties the group's CURRENT
+      recorded extreme invalidates it: those groups (and only those)
+      re-aggregate from ``base``, the post-change table state. The
+      affected-group keys are a tiny frame joined against base — at
+      scale a broadcast semi-join, so the recompute reads the touched
+      groups' rows, never the corpus. Feed groups unknown to ``agg``
+      that carry deletes also recompute (defensive: such a feed is
+      out-of-sync with the materialized state).
+
+    O(|delta| + touched groups) when no extreme is hit;
+    O(rows of invalidated groups) when one is — the auxiliary-state
+    alternative (count-per-value sketch) trades that recompute for
+    per-group state proportional to value cardinality; at lake scale
+    the recompute path is the standard choice (extremes are deleted
+    rarely; the sketch is paid always).
+    """
+    g = group_cols
+    signed = _signed(feed)
+    v = F.col(col)
+    fd = signed.groupBy(*g).agg(
+        F.sum("__sign").alias("d_count"),
+        F.min(F.when(F.col("__sign") == 1, v)).alias("__ins_min"),
+        F.max(F.when(F.col("__sign") == 1, v)).alias("__ins_max"),
+        F.min(F.when(F.col("__sign") == -1, v)).alias("__del_min"),
+        F.max(F.when(F.col("__sign") == -1, v)).alias("__del_max"),
+        F.max(F.when(F.col("__sign") == -1, F.lit(1))).alias("__has_neg"),
+    )
+    d = fd.select(
+        *[F.col(k).alias(f"__g_{k}") for k in g],
+        "d_count", "__ins_min", "__ins_max",
+        "__del_min", "__del_max", "__has_neg",
+    )
+    cond = [F.col(k).eqNullSafe(F.col(f"__g_{k}")) for k in g]
+    j = agg.join(d, cond, "full_outer")
+    mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
+    invalidated = (F.col("__has_neg") == 1) & (
+        F.col("n_rows").isNull()  # delete for a group agg doesn't know
+        | F.col("__del_min").eqNullSafe(mn)
+        | F.col("__del_max").eqNullSafe(mx)
+    )
+    keys_out = [
+        F.coalesce(F.col(k), F.col(f"__g_{k}")).alias(k) for k in g
+    ]
+    recompute_keys = j.where(invalidated).select(*keys_out)
+    n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
+        F.col("d_count"), F.lit(0)
+    )
+    fast = (
+        j.where(~F.coalesce(invalidated, F.lit(False)))
+        .select(
+            *keys_out,
+            n.alias("n_rows"),
+            F.least(mn, F.col("__ins_min")).alias(f"min_{col}"),
+            F.greatest(mx, F.col("__ins_max")).alias(f"max_{col}"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+    rcond = [F.col(k).eqNullSafe(F.col(f"__r_{k}")) for k in g]
+    rkeys = recompute_keys.select(
+        *[F.col(k).alias(f"__r_{k}") for k in g]
+    )
+    recomputed = materialize_minmax(
+        base.join(F.broadcast(rkeys), rcond, "left_semi"), g, col
+    )
+    return fast.unionByName(recomputed)

@@ -165,7 +165,12 @@ FROM t FULL OUTER JOIN s
     "committed version",
 )
 def fred_merge_into_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..exports import export_path
+    # run-unique scratch + localCheckpoint'd result: no oracle reads
+    # this table's files, and a fixed shared root let any concurrent
+    # process (bench reps, a parallel pytest) rewrite the bytes a
+    # lazily-returned frame re-reads (the r7 driver hash-red mechanism)
+    import tempfile
+
     from ..sources.lakehouse import LakeTable
 
     silver = _silver(spark, sf_dir).select(
@@ -175,10 +180,10 @@ def fred_merge_into_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
     )
-    table = LakeTable(export_path("fred_merge_lake"))
+    table = LakeTable(tempfile.mkdtemp(prefix="fred_merge_lake_"))
     table.overwrite(target)
     table.merge_into(source)
-    return table.read(spark)
+    return table.read(spark).localCheckpoint(eager=True)
 
 
 @query(
@@ -215,9 +220,9 @@ FROM t FULL OUTER JOIN s
     "manifest, never directory discovery",
 )
 def fred_merge_into_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    # run-unique scratch + localCheckpoint: see fred_merge_into_lake
+    import tempfile
 
-    from ..exports import export_path
     from ..sources.lakehouse import ManifestLakeTable
 
     silver = _silver(spark, sf_dir).select(
@@ -228,15 +233,14 @@ def fred_merge_into_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
     )
-    root = export_path("fred_merge_manifest")
-    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
     table = ManifestLakeTable(
-        root, keys=["indicator", "observation_year", "observation_month"],
+        tempfile.mkdtemp(prefix="fred_merge_manifest_"),
+        keys=["indicator", "observation_year", "observation_month"],
         n_buckets=16,
     )
     table.overwrite(target)
     table.merge_into(source)
-    return table.read(spark)
+    return table.read(spark).localCheckpoint(eager=True)
 
 
 @query(
@@ -273,9 +277,9 @@ WHERE s.value IS DISTINCT FROM t.value
     "correctly drop out",
 )
 def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    # run-unique scratch + localCheckpoint: see fred_merge_into_lake
+    import tempfile
 
-    from ..exports import export_path
     from ..sources.lakehouse import ManifestLakeTable
 
     silver = _silver(spark, sf_dir).select(
@@ -286,15 +290,14 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
     )
-    root = export_path("fred_change_feed")
-    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
     table = ManifestLakeTable(
-        root, keys=["indicator", "observation_year", "observation_month"],
+        tempfile.mkdtemp(prefix="fred_change_feed_"),
+        keys=["indicator", "observation_year", "observation_month"],
         n_buckets=16,
     )
     table.overwrite(target)
     table.merge_into(source)
-    return table.changes(spark, 0, 1)
+    return table.changes(spark, 0, 1).localCheckpoint(eager=True)
 
 
 @query(
@@ -334,9 +337,10 @@ SELECT * FROM merged WHERE observation_month BETWEEN 3 AND 10
     "the oracle derives independently",
 )
 def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    # run-unique scratch + localCheckpoint: see fred_merge_into_lake
+    import os
+    import tempfile
 
-    from ..exports import export_path
     from ..sources.lakehouse import ManifestLakeTable
 
     silver = _silver(spark, sf_dir).select(
@@ -348,10 +352,9 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.round(F.col("value") * 2, 6)
     )
     keys = ["indicator", "observation_year", "observation_month"]
-    src_root = export_path("fred_cdc_source")
-    rep_root = export_path("fred_cdc_replica")
-    shutil.rmtree(src_root, ignore_errors=True)
-    shutil.rmtree(rep_root, ignore_errors=True)
+    scratch = tempfile.mkdtemp(prefix="fred_cdc_")
+    src_root = os.path.join(scratch, "source")
+    rep_root = os.path.join(scratch, "replica")
     src = ManifestLakeTable(src_root, keys=keys, n_buckets=16)
     src.overwrite(target)                      # v0
     src.merge_into(source)                     # v1: upserts
@@ -362,7 +365,7 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep.overwrite(src.read(spark, 0))
     rep.apply_changes(src.changes(spark, 0, 1))
     rep.apply_changes(src.changes(spark, 1, 2))
-    return rep.read(spark)
+    return rep.read(spark).localCheckpoint(eager=True)
 
 
 @query(
@@ -406,9 +409,9 @@ FROM final GROUP BY indicator, observation_year
     "where the direct recompute the oracle performs is O(corpus)",
 )
 def manifest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    # run-unique scratch + localCheckpoint: see fred_merge_into_lake
+    import tempfile
 
-    from ..exports import export_path
     from ..operators.ivm import (
         apply_agg_delta,
         incremental_agg_delta,
@@ -425,8 +428,7 @@ def manifest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.round(F.col("value") * 2, 6)
     )
     keys = ["indicator", "observation_year", "observation_month"]
-    root = export_path("fred_ivm_source")
-    shutil.rmtree(root, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="fred_ivm_source_")
     src = ManifestLakeTable(root, keys=keys, n_buckets=16)
     src.overwrite(target)                      # v0
     src.merge_into(source)                     # v1
@@ -448,4 +450,85 @@ def manifest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("observation_year").alias("yr"),
         "n_rows",
         F.round("sum_value", 2).alias("sum_value"),
+    ).localCheckpoint(eager=True)
+
+
+@query(
+    "manifest_incremental_minmax",
+    # the oracle recomputes the final extremes directly from the v2
+    # state; the Spark side maintains the v0 extremes through the two
+    # pre-image feed hops — inserts fold monotonically, deletes that
+    # hit a group's recorded extreme trigger the affected-groups-only
+    # recompute (the v2 overwrite deletes month<3 / month>10 rows,
+    # which removes several groups' recorded min/max, so the
+    # invalidation path is genuinely exercised, not just compiled)
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+t AS (SELECT indicator, observation_year, observation_month, value,
+             observation_count FROM silver WHERE observation_month <= 8),
+s AS (SELECT indicator, observation_year, observation_month,
+             round(value * 2, 6) AS value, observation_count
+      FROM silver WHERE observation_month >= 5),
+merged AS (
+  SELECT COALESCE(s.indicator, t.indicator) AS indicator,
+         COALESCE(s.observation_year, t.observation_year) AS observation_year,
+         COALESCE(s.observation_month, t.observation_month) AS observation_month,
+         CASE WHEN s.indicator IS NOT NULL THEN s.value ELSE t.value END AS value
+  FROM t FULL OUTER JOIN s
+    ON t.indicator = s.indicator
+   AND t.observation_year = s.observation_year
+   AND t.observation_month = s.observation_month),
+final AS (SELECT * FROM merged WHERE observation_month BETWEEN 3 AND 10)
+SELECT indicator, observation_year AS yr,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM final GROUP BY indicator, observation_year
+""",
+    description="MIN/MAX incremental view maintenance (the aggregate "
+    "class Gupta-Mumick delta rules alone cannot maintain under "
+    "deletes): inserts fold into the extremes monotonically; a delete "
+    "that ties a group's recorded extreme invalidates it and ONLY those "
+    "groups re-aggregate from the post-change base (broadcast semi-join "
+    "on the affected keys) — the reference's silver layer maintains "
+    "exactly such an extreme (max(ingested_at) per series, "
+    "transform_fred_data.py:124-128), here taken to lake scale",
+)
+def manifest_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint: see fred_merge_into_lake
+    import tempfile
+
+    from ..operators.ivm import apply_minmax_delta, materialize_minmax
+    from ..sources.lakehouse import ManifestLakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value",
+        "observation_count",
     )
+    target = silver.where(F.col("observation_month") <= 8)
+    source = silver.where(F.col("observation_month") >= 5).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    keys = ["indicator", "observation_year", "observation_month"]
+    src = ManifestLakeTable(
+        tempfile.mkdtemp(prefix="fred_ivm_minmax_"), keys=keys, n_buckets=16
+    )
+    src.overwrite(target)                      # v0
+    src.merge_into(source)                     # v1: upserts
+    src.overwrite(                             # v2: true deletes
+        src.read(spark, 1).where(F.col("observation_month").between(3, 10))
+    )
+    group_cols = ["indicator", "observation_year"]
+    agg = materialize_minmax(src.read(spark, 0), group_cols, "value")
+    for hop in ((0, 1), (1, 2)):
+        feed = src.changes(spark, *hop, update_preimages=True)
+        agg = apply_minmax_delta(
+            agg, feed, src.read(spark, hop[1]), group_cols, "value"
+        )
+    return agg.select(
+        "indicator",
+        F.col("observation_year").alias("yr"),
+        "n_rows",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).localCheckpoint(eager=True)

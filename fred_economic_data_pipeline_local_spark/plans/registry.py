@@ -139,6 +139,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "stream_lake_ingest",
     "text_cms_heavy_hitters",
     "manifest_incremental_agg",
+    "manifest_incremental_minmax",
     # ===== below the window: hash-green r4-r6, mirrored locally =====
     # (sample_weighted_aes deferred to round 8: the one continuation
     # entry the 50-slot window could not hold — lowest-risk of the 17,

@@ -1043,3 +1043,135 @@ class TestIncrementalViewMaintenance:
         got = sorted(map(tuple, rep.read(spark).collect()))
         want = sorted(map(tuple, t.read(spark, 1).collect()))
         assert got == want
+
+
+class TestMinMaxIVM:
+    """apply_minmax_delta: extremes maintained through pre-image feeds —
+    inserts fold monotonically; deletes that hit a recorded extreme
+    trigger the affected-groups-only recompute from the post-change
+    base; deletes that don't, never touch base."""
+
+    def _src(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        t = ManifestLakeTable(str(tmp_path / "mm"), keys=["k"], n_buckets=8)
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+                "k long, g string, v double",
+            )
+        )
+        return t
+
+    def _maintain(self, spark, t, hops):
+        from fred_economic_data_pipeline_local_spark.operators.ivm import (
+            apply_minmax_delta,
+            materialize_minmax,
+        )
+
+        agg = materialize_minmax(t.read(spark, 0), ["g"], "v")
+        for v_from, v_to in hops:
+            feed = t.changes(spark, v_from, v_to, update_preimages=True)
+            agg = apply_minmax_delta(
+                agg, feed, t.read(spark, v_to), ["g"], "v"
+            )
+        return agg
+
+    def _assert_matches_direct(self, spark, t, agg, version):
+        from fred_economic_data_pipeline_local_spark.operators.ivm import (
+            materialize_minmax,
+        )
+
+        got = sorted(map(tuple, agg.collect()))
+        want = sorted(
+            map(tuple, materialize_minmax(t.read(spark, version), ["g"], "v").collect())
+        )
+        assert got == want
+
+    def test_insert_extends_extremes_fast_path(self, spark, tmp_path):
+        t = self._src(spark, tmp_path)
+        t.merge_into(
+            spark.createDataFrame(
+                [(5, "a", 99.0), (6, "a", 1.0)], "k long, g string, v double"
+            )
+        )
+        agg = self._maintain(spark, t, [(0, 1)])
+        self._assert_matches_direct(spark, t, agg, 1)
+
+    def test_delete_of_non_extreme_keeps_extremes(self, spark, tmp_path):
+        t = self._src(spark, tmp_path)
+        # delete k=2 (v=20, strictly inside group a's [10, 20]... no —
+        # 20 IS the max; delete k=3 instead: 30 is group b's min) — use
+        # a mid value: add one first so the delete is truly interior
+        t.merge_into(
+            spark.createDataFrame([(5, "b", 35.0)], "k long, g string, v double")
+        )
+        t.overwrite(t.read(spark, 1).where("k <> 5"))  # delete interior 35
+        agg = self._maintain(spark, t, [(0, 1), (1, 2)])
+        self._assert_matches_direct(spark, t, agg, 2)
+
+    def test_delete_of_max_triggers_recompute(self, spark, tmp_path):
+        t = self._src(spark, tmp_path)
+        t.overwrite(t.read(spark, 0).where("k <> 4"))  # 40 was b's max
+        agg = self._maintain(spark, t, [(0, 1)])
+        self._assert_matches_direct(spark, t, agg, 1)
+        row = {r["g"]: r for r in agg.collect()}
+        assert row["b"]["max_v"] == 30.0 and row["b"]["n_rows"] == 1
+
+    def test_update_moving_extreme_down(self, spark, tmp_path):
+        t = self._src(spark, tmp_path)
+        # k=4 held b's max 40 -> now 5.0: preimage delete hits max AND
+        # postimage insert sets the new min — both paths in one hop
+        t.merge_into(
+            spark.createDataFrame([(4, "b", 5.0)], "k long, g string, v double")
+        )
+        agg = self._maintain(spark, t, [(0, 1)])
+        self._assert_matches_direct(spark, t, agg, 1)
+        row = {r["g"]: r for r in agg.collect()}
+        assert (row["b"]["min_v"], row["b"]["max_v"]) == (5.0, 30.0)
+
+    def test_group_vanishes_when_all_rows_deleted(self, spark, tmp_path):
+        t = self._src(spark, tmp_path)
+        t.overwrite(t.read(spark, 0).where("g <> 'b'"))
+        agg = self._maintain(spark, t, [(0, 1)])
+        assert [r["g"] for r in agg.collect()] == ["a"]
+
+    def test_non_invalidated_groups_never_read_base(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.operators.ivm import (
+            apply_minmax_delta,
+            materialize_minmax,
+        )
+
+        t = self._src(spark, tmp_path)
+        t.merge_into(
+            spark.createDataFrame([(7, "a", 15.0)], "k long, g string, v double")
+        )
+        agg0 = materialize_minmax(t.read(spark, 0), ["g"], "v")
+        feed = t.changes(spark, 0, 1, update_preimages=True)
+        # insert-only feed: maintained WITHOUT recomputing any group —
+        # pass a base that raises if any of its v values is evaluated
+        poisoned = t.read(spark, 1).withColumn(
+            "v", F.raise_error(F.lit("base must not be aggregated"))
+        )
+        agg = apply_minmax_delta(agg0, feed, poisoned, ["g"], "v")
+        self._assert_matches_direct(spark, t, agg, 1)
+
+    def test_post_image_only_feed_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fred_economic_data_pipeline_local_spark.operators.ivm import (
+            apply_minmax_delta,
+            materialize_minmax,
+        )
+
+        t = self._src(spark, tmp_path)
+        t.merge_into(
+            spark.createDataFrame([(2, "a", 25.0)], "k long, g string, v double")
+        )
+        agg0 = materialize_minmax(t.read(spark, 0), ["g"], "v")
+        with _pytest.raises(ValueError, match="update_preimages=True"):
+            apply_minmax_delta(
+                agg0, t.changes(spark, 0, 1), t.read(spark, 1), ["g"], "v"
+            )
