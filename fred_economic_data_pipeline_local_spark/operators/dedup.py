@@ -689,6 +689,13 @@ def edit_distance_neardup(
     (the oracle's semantics); 100 TB callers opt in explicitly after
     exact dedup has collapsed the literal-duplicate cohorts.
 
+    Perf note (r8 isolated A/B, tools/ab_edit_distance.py, sf0.1
+    min-of-5): 2.80 s isolated, 2.40 s after the full bench prefix —
+    matching BENCH_r06's 2.38 s. The r7 bench row's 3.71 s (flagged
+    1.56x) did not reproduce under either condition: driver-host
+    measurement noise, not a code or session-context regression (no
+    commit between r6 and r7 touched this operator).
+
     Returns (id_a, id_b, edit_dist), id_a < id_b.
     """
     k = max_dist + 1
