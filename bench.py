@@ -88,6 +88,8 @@ HEADLINE = [
     "manifest_zorder_range_read",
     "text_cms_heavy_hitters",
     "manifest_incremental_agg",
+    "manifest_incremental_minmax",
+    "dedup_span_removal",
 ]
 
 

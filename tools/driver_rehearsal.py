@@ -10,12 +10,19 @@ silently depends on, a dtype the driver's canonicalization hashes
 differently, a query that only breaks at the driver's scale — breaks
 here first, on the same session shape the driver uses.
 
-    python tools/driver_rehearsal.py [n_window] [sf_dir]
+``--contend`` additionally runs bench.py in a SECOND JVM for the whole
+sweep (sf0.001 so it loops continuously) — the concurrent-process shape
+the r7 driver host may have had when the two shared-scratch lakehouse
+rows went hash-red: any query whose result lazily depends on files
+another process rewrites fails here first. (VERDICT r7 item 6.)
+
+    python tools/driver_rehearsal.py [n_window] [sf_dir] [--contend]
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 import time
 
@@ -23,8 +30,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n_window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--contend"]
+    contend = "--contend" in sys.argv[1:]
+    n_window = int(args[0]) if len(args) > 0 else 50
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+
+    bench_proc = None
+    if contend:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+            SPARK_GRAFT_CPUS="8",
+            SPARK_GRAFT_BENCH_REPS="3",
+        )
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        bench_proc = subprocess.Popen(
+            [sys.executable, os.path.join(here, "bench.py")],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        print("contention: bench.py running in a second JVM "
+              f"(pid {bench_proc.pid})", file=sys.stderr)
 
     from pyspark.sql import SparkSession
 
@@ -56,7 +83,11 @@ def main() -> None:
         print(f"[{i:2d}/{n_window}] {name}: {status} "
               f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
     print(f"rehearsed {n_window} window entries at {sf_dir} on a vanilla "
-          f"session: {len(failures)} failures {failures or ''}")
+          f"session{' UNDER CONTENTION' if contend else ''}: "
+          f"{len(failures)} failures {failures or ''}")
+    if bench_proc is not None:
+        bench_proc.terminate()
+        bench_proc.wait(timeout=60)
     spark.stop()
     sys.exit(1 if failures else 0)
 
