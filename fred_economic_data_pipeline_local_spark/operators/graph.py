@@ -1,0 +1,96 @@
+"""Iterative graph algorithms as DataFrame plans.
+
+PageRank is the canonical iterative-join workload (the shape behind
+link-analysis corpus weighting and citation-graph quality signals in
+training-data curation). The reference has no graph operator (its 20
+files are linear pandas ETL); this is a scale extension alongside the
+dedup connected-components family in ``operators/dedup.py``.
+
+Determinism contract: floating-point summation order is not
+associative, so every iteration's rank is rounded to ``round_dp``
+(default 8) decimal places in BOTH this implementation and any SQL
+oracle — accumulated double error (~1e-13 relative) sits far below the
+rounding granularity, so cross-engine and cross-partitioning runs agree
+bit-for-bit on the rounded values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list ``(src, dst)``.
+
+    r_0(v) = 1/N;  r_i(v) = (1-d)/N + d * sum over in-edges (u, v) of
+    r_{i-1}(u) / outdeg(u), each iteration rounded to ``round_dp`` dp.
+    Callers wanting the undirected form pass both edge directions (that
+    also removes dangling-node rank leakage: every node has outdeg>=1).
+
+    Plan shape: ``links`` (edges joined to out-degrees) is shuffled ONCE
+    onto the src key and cached; each iteration joins the current rank
+    vector (also keyed by node id) into that partitioning, aggregates
+    contributions on dst with map-side combine, and left-joins back onto
+    the node set so zero-in-degree nodes keep the (1-d)/N floor. Per
+    iteration the shuffle carries (node, rank) pairs — never the edge
+    list again. ``localCheckpoint`` truncates the growing lineage so
+    iteration i's plan does not re-derive iterations 0..i-1. At cluster
+    scale the cached links table is the bucketed adjacency you'd persist;
+    iteration cost is |edges| map work + one (node, double) exchange.
+
+    Returns (node, rank) with rank rounded to ``round_dp``.
+    """
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    links = e.join(outdeg, "src").repartition("src").cache()
+    rank = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), round_dp).alias("r")
+    )
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contribs = (
+            links.join(
+                rank.withColumnRenamed("node", "src"), "src"
+            )
+            .select("dst", (F.col("r") / F.col("od")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = nodes.join(
+            contribs.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                round_dp,
+            ).alias("r"),
+        ).localCheckpoint(eager=False)
+    links.unpersist()
+    return rank.select("node", F.col("r").alias("rank"))
+
+
+def pagerank_topk(edges: DataFrame, k: int = 20, **kw) -> DataFrame:
+    """Top-k nodes by PageRank, ties broken by node id ascending."""
+    r = pagerank(edges, **kw)
+    return (
+        r.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(k)
+    )

@@ -932,3 +932,80 @@ def unigram_drift(
         .where(F.col("__rn") <= top_n)
         .drop("__rn")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a term query under BM25 (Lucene's variant).
+
+    The retrieval primitive behind corpus search and RAG candidate
+    generation: score(d) = sum over query terms t of
+    idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)),
+    with the Robertson idf ln(1 + (N - df + 0.5) / (df + 0.5)) that is
+    always positive (Lucene's BM25Similarity). Parity with the
+    reference's retrieval semantics is N/A (the reference has no search
+    operator); this is a training-data-pipeline extension.
+
+    Plan shape (the inverted-index shape, so it scales with the POSTING
+    LISTS of the query terms, not with the corpus):
+    - explode tokens, keep only query terms (an 8-entry broadcast array
+      filter applied before any shuffle — at 100 TB this is the posting
+      scan: only rows for queried terms survive the projection);
+    - tf per (doc, term) via one map-combined shuffle on (doc, term);
+    - df per term from the tf rows (|terms| rows — broadcast);
+    - dl (doc token count) is a narrow projection joined on the doc id;
+      avgdl is an exact integer-sum aggregate broadcast as one row;
+    - per-doc score sum reuses the doc-id shuffle; TakeOrdered top-k.
+
+    Per-term contributions are rounded to 10 dp before the per-doc sum
+    and the summed score to 6 dp, so partial-aggregation order cannot
+    leak into the hash; ties break by doc id ascending.
+    """
+    qset = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__tk"),
+    ).select("id", F.filter("__tk", lambda t: t != "").alias("__tk"))
+    # posting scan: only query-term occurrences survive the projection
+    ex = toks.select(
+        "id",
+        F.size("__tk").alias("dl"),
+        F.explode(F.filter("__tk", lambda t: F.array_contains(qset, t))).alias(
+            "term"
+        ),
+    )
+    tf = ex.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # exact integer sums -> avgdl identical across engines
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__tk")).alias("sum_dl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(corpus))
+        .select("id", F.round(contrib, 10).alias("__c"))
+        .groupBy("id")
+        .agg(F.round(F.sum("__c"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)

@@ -1406,3 +1406,53 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+_BM25_TERMS = ["vector", "stream", "merge", "scan", "spark", "quantile"]
+_BM25_K = 10
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter({_LTOKS_SQL}, t -> t <> '') AS tk
+  FROM documents
+),
+corpus AS (SELECT count(*) AS n_docs, sum(len(tk)) AS sum_dl FROM toks),
+ex AS (
+  SELECT id, len(tk) AS dl,
+         unnest(list_filter(tk, t -> list_contains({_BM25_TERMS_SQL}, t)))
+           AS term
+  FROM toks
+),
+tf AS (SELECT id, term, count(*) AS tf, max(dl) AS dl
+       FROM ex GROUP BY id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+c AS (
+  SELECT tf.id,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+               / (tf + 1.2 * (0.25
+                  + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))),
+               10) AS c
+  FROM tf JOIN dfq USING (term) CROSS JOIN corpus
+)
+SELECT id, round(sum(c), 6) AS score
+FROM c GROUP BY id
+ORDER BY score DESC, id
+LIMIT {_BM25_K}
+""",
+    description="BM25 top-k retrieval (Lucene BM25Similarity semantics, "
+    "k1=1.2 b=0.75, always-positive Robertson idf): the inverted-index "
+    "plan shape — the broadcast term filter runs before any shuffle, so "
+    "cost tracks the queried terms' posting lists, not the corpus; tf "
+    "and the per-doc score sum are map-combined on the same doc key; df "
+    "and corpus stats broadcast as |terms|+1 rows; TakeOrdered top-k",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)

@@ -89,10 +89,13 @@ CATALOG_ORDER: tuple[str, ...] = (
     #     scratch + localCheckpoint) — kept at the head ---
     "manifest_zorder_range_read",
     "stream_lake_ingest",
-    # --- 2. first-ever driver rows (never checked before r8) ---
+    # --- 2. first-ever driver rows (never checked before r8; includes
+    #     the operators ADDED this round mid-session) ---
     "sample_weighted_aes",
     "dedup_span_removal",
     "manifest_incremental_minmax",
+    "text_bm25_topk",
+    "graph_pagerank_topk",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",
@@ -142,10 +145,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_quality_metrics",
     "text_language_id",
     "text_fingerprints",
-    "text_gopher_flags",
-    "text_unigram_logprob",
     # ===== below the window: hash-green r5-r7, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "text_gopher_flags",
+    "text_unigram_logprob",
     "window_lag_month_over_month",
     "window_rolling_mean",
     "window_cumulative_user_value",

@@ -2038,3 +2038,76 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT n.node,
+         round(0.15 / nn.n + 0.85 * coalesce(s.s, 0), 8) AS r
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / od.od) AS s
+    FROM edges e
+    JOIN {prev} p ON e.src = p.node
+    JOIN od ON e.src = od.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+
+
+_PR_ITERS = 5
+_PR_SQL = (
+    """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT node, round(1.0 / nn.n, 8) AS r FROM nodes CROSS JOIN nn),
+"""
+    + ",\n".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))
+    + f"""
+SELECT node, round(r, 6) AS rank FROM r{_PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+)
+
+
+@query(
+    "graph_pagerank_topk",
+    oracle=_PR_SQL,
+    description="fixed-iteration PageRank over the undirected "
+    "customer-supplier trade graph (edges = distinct (cust, supp) pairs "
+    "via orders x lineitem, both directions so no dangling leakage): "
+    "the canonical iterative-join workload — the adjacency is shuffled "
+    "ONCE onto src and cached, each of the 5 iterations exchanges only "
+    "(node, double) rank pairs with map-side combine, lineage truncated "
+    "per iteration; per-iteration 8-dp rounding makes the FP sum "
+    "deterministic across engines and partitionings",
+)
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_topk
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank_topk(edges, k=20, iterations=_PR_ITERS)
