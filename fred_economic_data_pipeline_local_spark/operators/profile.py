@@ -12,7 +12,7 @@ joinable against a previous snapshot's profile for drift alerts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -411,4 +411,108 @@ def cms_estimate(
         joined.groupBy("__item")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
         .select(F.col("__item").alias(col), "est")
+    )
+
+
+# KMV normalization: map xxhash64's signed-long output onto [0, 1).
+# Oracle-reproducible — DuckDB computes h / 2^64 + 0.5 identically
+# (one IEEE division + add), so every estimate derived from an
+# exported sketch hash-checks.
+_KMV_SCALE = float(1 << 64)
+
+
+def _kmv_u(h: Column) -> Column:
+    return h / F.lit(_KMV_SCALE) + F.lit(0.5)
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, k: int = 128, by: str | None = None
+) -> DataFrame:
+    """K-minimum-values distinct sketch (the theta-sketch family's
+    deterministic core): the k smallest DISTINCT xxhash64 values of
+    ``col``, optionally per ``by`` group.
+
+    Unlike HLL (whose register state Spark's hll_* functions own), the
+    KMV state is plain rows — persistable, exportable, and every
+    downstream estimate (distinct count, union, intersection) is
+    re-derivable by any SQL engine from the rows alone, which is what
+    makes the catalog entry fully hash-checkable. Sketches with the
+    same k compose: union = k smallest of the concatenated rows;
+    intersection estimates via the shared-theta rule (Beyer et al.
+    2007; Dasgupta et al., the DataSketches theta framework).
+
+    Plan: distinct (group, hash) — one map-combined shuffle — then a
+    per-group row_number cap at k. State is O(k) rows per group
+    regardless of corpus size; at 100 TB the sketch table is broadcast
+    territory. Returns (grp?, h, u) rows, u = hash normalized to [0,1).
+    """
+    grp = [F.col(by).alias("grp")] if by else []
+    h = F.xxhash64(F.col(col))
+    d = df.where(F.col(col).isNotNull()).select(*grp, h.alias("h")).distinct()
+    w = Window.partitionBy(*(["grp"] if by else [])).orderBy("h")
+    capped = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    return capped.select(*(["grp"] if by else []), "h", _kmv_u(F.col("h")).alias("u"))
+
+
+def kmv_estimate(sketch: DataFrame, k: int, by: bool = False) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: exact row count while
+    the sketch is unsaturated (< k rows means every distinct value is
+    present), else (k-1) / u_k with u_k the largest retained normalized
+    hash. Returns (grp?, n_distinct_est)."""
+    keys = ["grp"] if by else []
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("u").alias("__uk")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("__uk")
+    )
+    return agg.select(*keys, F.round(est, 6).alias("n_distinct_est"))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Union sketch: k smallest distinct hashes of both sketches —
+    lossless (identical to sketching the concatenated inputs), the
+    property that lets per-snapshot sketches maintain a corpus sketch
+    by O(k) merges instead of rescans."""
+    u = a.select("h", "u").union(b.select("h", "u")).distinct()
+    w = Window.orderBy("h")
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Intersection estimate under the shared-theta rule: theta = the
+    smaller of the two sketches' inclusion thresholds (1.0 while
+    unsaturated), matched = hashes in BOTH sketches below theta,
+    estimate = matched / theta. One row (n_matched, theta,
+    n_intersect_est)."""
+
+    def _theta(s: DataFrame, name: str) -> DataFrame:
+        return s.agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(1.0))
+            .otherwise(F.max("u"))
+            .alias(name)
+        )
+
+    thetas = _theta(a, "__ta").crossJoin(_theta(b, "__tb"))
+    matched = (
+        a.select("h", "u")
+        .join(b.select("h"), "h")
+        .crossJoin(F.broadcast(thetas))
+        .where(F.col("u") < F.least("__ta", "__tb"))
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return matched.crossJoin(F.broadcast(thetas)).select(
+        "n_matched",
+        F.round(F.least("__ta", "__tb"), 6).alias("theta"),
+        F.round(
+            F.col("n_matched") / F.least("__ta", "__tb"), 6
+        ).alias("n_intersect_est"),
     )

@@ -1192,3 +1192,190 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "manifest_rebucket_read",
+    # content is the whole contract: rebucketing is a pure LAYOUT
+    # rewrite (new key-hash routing, same rows), so bootstrap + merge +
+    # rebucket + zone-map-pruned range read must equal the plain
+    # predicate over the raw fixture; the spec validation and
+    # bucket-count mechanics are pinned in tests/test_rebucket.py
+    oracle="""
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+WHERE n_chars BETWEEN 150 AND 450
+GROUP BY source
+""",
+    description="bucket-count evolution (ALTER TABLE ... CLUSTERED BY "
+    "reduced to core): the committed manifest records the bucketing "
+    "spec (keys + n_buckets) so mis-configured writers are refused "
+    "instead of silently mis-routing merges; rebucket() rewrites the "
+    "current version through the new key-hash routing in ONE exchange, "
+    "recomputes zone maps from the new buckets' bytes, and commits "
+    "atomically — the layout operation a table growing 100x needs, with "
+    "prior versions still readable under their own manifests",
+)
+def manifest_rebucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint'd result, same driver-
+    # robustness rationale as manifest_zorder_range_read
+    import tempfile
+
+    from ..sources.lakehouse import ManifestLakeTable
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="rebucket_docs_")
+    t = ManifestLakeTable(
+        root, keys=["doc_id"], n_buckets=4, stats_cols=["n_chars"]
+    )
+    t.overwrite(docs.where(F.col("doc_id") % 3 != 0))
+    t.merge_into(docs.where(F.col("doc_id") % 3 == 0))
+    t.rebucket(spark, 16)
+    return (
+        t.read_range(spark, "n_chars", 150, 450)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+_KMV_K = 128
+_KMV_U = "h / 18446744073709551616.0 + 0.5"
+
+
+@query(
+    "sketch_theta_set_ops",
+    # the two per-half sketches are exported; the oracle INDEPENDENTLY
+    # re-normalizes the hashes, re-derives every estimate (distinct,
+    # lossless union, shared-theta intersection), recomputes the exact
+    # distinct counts from the raw fixture, and re-checks the error
+    # certificates — everything after the xxhash64 edge is hash-gated
+    oracle=f"""
+WITH ska AS (SELECT h, {_KMV_U} AS u FROM {export_sql('kmv_a')}),
+skb AS (SELECT h, {_KMV_U} AS u FROM {export_sql('kmv_b')}),
+sku AS (
+  SELECT h, {_KMV_U} AS u
+  FROM (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb))
+  QUALIFY row_number() OVER (ORDER BY h) <= {_KMV_K}
+),
+na AS (SELECT count(*) AS n, max(u) AS uk FROM ska),
+nb AS (SELECT count(*) AS n, max(u) AS uk FROM skb),
+nu AS (SELECT count(*) AS n, max(u) AS uk FROM sku),
+th AS (
+  SELECT least(
+           CASE WHEN na.n < {_KMV_K} THEN 1.0 ELSE na.uk END,
+           CASE WHEN nb.n < {_KMV_K} THEN 1.0 ELSE nb.uk END
+         ) AS theta
+  FROM na, nb
+),
+mt AS (
+  SELECT count(*) AS m
+  FROM ska JOIN skb USING (h) CROSS JOIN th
+  WHERE ska.u < th.theta
+),
+ea AS (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) AS x
+       FROM documents WHERE doc_id % 2 = 0),
+eb AS (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) AS x
+       FROM documents WHERE doc_id % 2 = 1),
+eu AS (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) AS x FROM documents),
+ei AS (SELECT CAST(count(*) AS BIGINT) AS x FROM (
+         SELECT DISTINCT n_chars FROM documents WHERE doc_id % 2 = 0
+         INTERSECT
+         SELECT DISTINCT n_chars FROM documents WHERE doc_id % 2 = 1)),
+est AS (
+  SELECT 'a' AS set_op,
+         round(CASE WHEN na.n < {_KMV_K} THEN CAST(na.n AS DOUBLE)
+                    ELSE {_KMV_K - 1}.0 / na.uk END, 6) AS est,
+         ea.x AS exact
+  FROM na, ea
+  UNION ALL
+  SELECT 'b',
+         round(CASE WHEN nb.n < {_KMV_K} THEN CAST(nb.n AS DOUBLE)
+                    ELSE {_KMV_K - 1}.0 / nb.uk END, 6), eb.x
+  FROM nb, eb
+  UNION ALL
+  SELECT 'union',
+         round(CASE WHEN nu.n < {_KMV_K} THEN CAST(nu.n AS DOUBLE)
+                    ELSE {_KMV_K - 1}.0 / nu.uk END, 6), eu.x
+  FROM nu, eu
+  UNION ALL
+  SELECT 'intersect', round(mt.m / th.theta, 6), ei.x FROM mt, th, ei
+)
+SELECT set_op, est, exact,
+       abs(est - exact) <= 0.3 * eu.x AS within_bound
+FROM est CROSS JOIN eu
+""",
+    description="theta/KMV distinct sketches with set operations (Beyer "
+    "et al. 2007 / DataSketches theta family, deterministic core): "
+    "per-half k-minimum-values sketches over documents.n_chars — O(k) "
+    "rows of plain persistable state per sketch, one map-combined "
+    "distinct shuffle to build; union merges losslessly (k smallest of "
+    "the concatenation), intersection estimates via the shared-theta "
+    "rule; every estimate certified within 0.3x the exact union "
+    "cardinality against an exact pass (gate-only at scale)",
+)
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.profile import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+        kmv_union,
+    )
+
+    k = _KMV_K
+    docs = load_table(spark, "documents", sf_dir)
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    ska = export_table(kmv_sketch(a, "n_chars", k), "kmv_a")
+    skb = export_table(kmv_sketch(b, "n_chars", k), "kmv_b")
+
+    def _est(sk: DataFrame, name: str) -> DataFrame:
+        return kmv_estimate(sk, k).select(
+            F.lit(name).alias("set_op"), F.col("n_distinct_est").alias("est")
+        )
+
+    ests = (
+        _est(ska, "a")
+        .union(_est(skb, "b"))
+        .union(_est(kmv_union(ska, skb, k), "union"))
+        .union(
+            kmv_intersect_estimate(ska, skb, k).select(
+                F.lit("intersect").alias("set_op"),
+                F.col("n_intersect_est").alias("est"),
+            )
+        )
+    )
+    av = a.select("n_chars").distinct()
+    bv = b.select("n_chars").distinct()
+
+    def _one(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("exact")).select(
+            F.lit(name).alias("set_op"), "exact"
+        )
+
+    exacts = (
+        _one(av, "a")
+        .union(_one(bv, "b"))
+        .union(_one(docs.select("n_chars").distinct(), "union"))
+        .union(_one(av.join(bv, "n_chars"), "intersect"))
+    )
+    eu = docs.agg(F.count_distinct("n_chars").alias("__eu"))
+    return (
+        ests.join(exacts, "set_op")
+        .join(F.broadcast(eu))
+        .select(
+            "set_op",
+            "est",
+            "exact",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                <= 0.3 * F.col("__eu")
+            ).alias("within_bound"),
+        )
+    )

@@ -96,6 +96,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "manifest_incremental_minmax",
     "text_bm25_topk",
     "graph_pagerank_topk",
+    "manifest_rebucket_read",
+    "sketch_theta_set_ops",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",
@@ -143,10 +145,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q18_large_volume_customers",
     "text_token_counts",
     "text_quality_metrics",
-    "text_language_id",
-    "text_fingerprints",
     # ===== below the window: hash-green r5-r7, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "text_language_id",
+    "text_fingerprints",
     "text_gopher_flags",
     "text_unigram_logprob",
     "window_lag_month_over_month",

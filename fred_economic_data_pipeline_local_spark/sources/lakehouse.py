@@ -530,6 +530,11 @@ class ManifestLakeTable(_KeyBucketedTable):
                     "stats": {str(b): s for b, s in (stats or {}).items()},
                     "layout": layout,
                     "txn": txn,
+                    # bucketing spec rides in the commit so every later
+                    # writer/reader instance can validate its routing
+                    # against what is actually on disk (see _check_spec)
+                    "keys": list(self.keys),
+                    "n_buckets": self.n_buckets,
                 },
                 fh,
             )
@@ -751,6 +756,7 @@ class ManifestLakeTable(_KeyBucketedTable):
                     f"manifest lake table {self.root} is uninitialized; "
                     "call overwrite() first"
                 )
+            self._check_spec("optimize_zorder", cur)
             df = self.read(spark, cur)
             missing = [c for c in cols if c not in df.columns]
             if missing:
@@ -795,6 +801,72 @@ class ManifestLakeTable(_KeyBucketedTable):
                 self._stats_from_dirs(spark, new_dirs),
                 layout="zorder",
             )
+        finally:
+            self._lock.release()
+        return nxt
+
+    def _check_spec(self, op: str, version: int | None = None) -> None:
+        """Refuse to operate with a bucketing spec that disagrees with
+        the committed one. The bucket expression is pmod(xxhash64(keys),
+        n_buckets): an instance constructed with a different key list or
+        bucket count computes DIFFERENT routing, so a merge through it
+        would land keys in buckets no future (correctly-configured)
+        merge or pruned read would look in — silent duplicates and
+        silently incomplete reads, not an error. Manifests written
+        before the spec was recorded (no "keys" entry) are accepted
+        as-is. Changing the bucket count is a data rewrite by nature —
+        that is what ``rebucket`` (one exchange) and ``overwrite`` are
+        for."""
+        try:
+            doc = self._manifest_doc(version)
+        except FileNotFoundError:
+            return  # uninitialized: the first commit defines the spec
+        if "keys" not in doc:
+            return  # pre-spec manifest format
+        disk_keys, disk_n = list(doc["keys"]), int(doc["n_buckets"])
+        if disk_keys != list(self.keys) or disk_n != self.n_buckets:
+            raise RuntimeError(
+                f"{op}: this instance's bucketing spec (keys="
+                f"{list(self.keys)}, n_buckets={self.n_buckets}) does "
+                f"not match the committed table (keys={disk_keys}, "
+                f"n_buckets={disk_n}); open the table with the "
+                "committed spec, or rebucket()/overwrite() to change it"
+            )
+
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> int:
+        """Change the bucket count — the layout-evolution operation a
+        growing table needs (64 buckets sized for 1 TB are a shuffle
+        bottleneck and a zone-map blur at 100 TB). Rewrites the current
+        version's rows through the new key-hash routing in ONE exchange
+        (the same cost OPTIMIZE pays), commits atomically with
+        layout=hash and the new spec recorded, and leaves prior
+        versions readable under their own manifests. Also the sanctioned
+        way back to hash layout from a zorder-clustered table. The
+        instance adopts the new bucket count on success. Returns the
+        committed version."""
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        self._lock.acquire()
+        try:
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"manifest lake table {self.root} is uninitialized; "
+                    "call overwrite() first"
+                )
+            self._check_spec("rebucket", cur)
+            df = self.read(spark, cur)
+            old_n = self.n_buckets
+            self.n_buckets = n_buckets
+            try:
+                nxt = cur + 1
+                mapping = self._write_buckets(df, nxt)
+                self._commit(
+                    nxt, mapping, self._stats_from_dirs(spark, mapping)
+                )
+            except BaseException:
+                self.n_buckets = old_n  # commit didn't land; keep spec
+                raise
         finally:
             self._lock.release()
         return nxt
@@ -851,6 +923,7 @@ class ManifestLakeTable(_KeyBucketedTable):
                     f"manifest lake table {self.root} is uninitialized; "
                     "call overwrite() first"
                 )
+            self._check_spec("merge_into", cur)
             self._require_hash_layout("merge_into")
             if txn is not None and self.txn(cur).get(txn[0], -1) >= txn[1]:
                 return []  # replayed batch: its commit already landed
@@ -1086,6 +1159,7 @@ class ManifestLakeTable(_KeyBucketedTable):
                     f"manifest lake table {self.root} is uninitialized; "
                     "call overwrite() first"
                 )
+            self._check_spec("apply_changes", cur)
             self._require_hash_layout("apply_changes")
             touched = sorted(
                 r[0]
