@@ -90,6 +90,11 @@ HEADLINE = [
     "manifest_incremental_agg",
     "manifest_incremental_minmax",
     "dedup_span_removal",
+    "text_bm25_topk",
+    "graph_pagerank_topk",
+    "manifest_rebucket_read",
+    "sketch_theta_set_ops",
+    "session_window_events",
 ]
 
 

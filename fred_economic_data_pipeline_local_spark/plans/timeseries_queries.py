@@ -435,3 +435,44 @@ def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round((F.col("n_events") - F.col("__mu")) / F.col("__sd"), 6).alias("z"),
     )
+
+
+@query(
+    "session_window_events",
+    # Spark's session_window extends a session while the next event's
+    # ts is STRICTLY before prev_ts + gap ([start, end) windows), so the
+    # island break is diff >= gap — one boundary tighter than the lag
+    # formulation in sessionize_users (diff > gap); session_end is
+    # last_ts + gap, the window's eviction horizon
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    description="native session windows (F.session_window, gap 30 min): "
+    "the streaming-native gap-merge operator run on the batch frame — "
+    "the SAME function streams with a watermark and bounded state "
+    "(tests/test_streaming.py); one shuffle on user_id, windows merged "
+    "by the session-window exec, no self-join and no window-function "
+    "double scan",
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import session_windows
+
+    ev = load_table(spark, "events", sf_dir)
+    return session_windows(ev)
