@@ -95,6 +95,7 @@ HEADLINE = [
     "manifest_rebucket_read",
     "sketch_theta_set_ops",
     "session_window_events",
+    "semdedup_cluster_prune",
 ]
 
 

@@ -1206,3 +1206,81 @@ def ivfpq_topk(
         .agg(F.sum("dot").alias("adot"), F.sum("n2").alias("recon2"))
     )
     return _pq_rank_rescore(adc, queries, corpus, k, refine, id_col, vec_col)
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) reduced to its deterministic core:
+    cluster the embedding space, then prune within-cluster semantic
+    near-duplicates — pairs whose exact cosine clears ``threshold`` keep
+    only the lowest id.
+
+    The paper's insight is the scale story: clustering first means the
+    quadratic pair join runs WITHIN clusters only (expected size N/k),
+    never across the corpus — with k grown proportionally to N (so
+    cluster size stays bounded), total pair work stays linear-ish while
+    a corpus-wide pair join would be O(N^2). Here the assignment is the
+    same deterministic nearest-seed rule as ``kmeans_assign_report``
+    (k lowest-id seeds, min_by argmin with seed-id tiebreak — no RNG,
+    so the whole operator is oracle-checkable end to end); production
+    swaps in trained centroids without touching the prune.
+
+    Plan shape: broadcast seed table -> map-side argmin (one narrow
+    (vid, cluster) row per vector shuffled) -> self-join on cluster_id
+    (the ONLY pair-generating join, equi-keyed on the cluster) with
+    per-side norms precomputed before the join (never recomputed per
+    pair) -> distinct pruned-id set -> left join back onto the
+    assignment. Returns (id_col, cluster_id, pruned).
+    """
+    c = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
+    )
+    seeds = (
+        c.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("seed_id"), F.col("e").alias("se"))
+    )
+    a, s = F.col("e"), F.col("se")
+    sqdist = dot(a, a) - F.lit(2.0) * dot(a, s) + dot(s, s)
+    assigned = (
+        c.crossJoin(broadcast(seeds))
+        .withColumn("sqdist", sqdist)
+        .groupBy("vid")
+        .agg(
+            F.min_by(
+                "seed_id", F.struct(F.col("sqdist"), F.col("seed_id"))
+            ).alias("cluster_id")
+        )
+    )
+    side = c.join(assigned, "vid").withColumn("__n", l2_norm(F.col("e")))
+    left = side.select(
+        F.col("vid").alias("id_a"),
+        "cluster_id",
+        F.col("e").alias("ea"),
+        F.col("__n").alias("na"),
+    )
+    right = side.select(
+        F.col("vid").alias("id_b"),
+        "cluster_id",
+        F.col("e").alias("eb"),
+        F.col("__n").alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    dup_b = (
+        left.join(right, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("__p", F.lit(True))
+    )
+    return assigned.join(dup_b, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "cluster_id",
+        F.coalesce("__p", F.lit(False)).alias("pruned"),
+    )

@@ -956,3 +956,45 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return export_table(kcenter_select(emb, k=8), "kcenter_centers")
+
+
+_SEMDEDUP_K, _SEMDEDUP_T = 16, 0.4
+
+
+@query(
+    "semdedup_cluster_prune",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id AS seed_id, e AS se FROM c ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+d AS (SELECT c.vec_id AS vid, s.seed_id,
+             list_dot_product(c.e, c.e)
+               - 2.0 * list_dot_product(c.e, s.se)
+               + list_dot_product(s.se, s.se) AS sqdist
+      FROM c CROSS JOIN s),
+a AS (SELECT vid, seed_id AS cluster_id FROM d
+      QUALIFY row_number() OVER (PARTITION BY vid
+                                 ORDER BY sqdist, seed_id) = 1),
+sides AS (SELECT a.vid, a.cluster_id, c.e,
+                 sqrt(list_dot_product(c.e, c.e)) AS n
+          FROM a JOIN c ON c.vec_id = a.vid),
+dups AS (SELECT DISTINCT rb.vid
+         FROM sides ra JOIN sides rb
+           ON ra.cluster_id = rb.cluster_id AND ra.vid < rb.vid
+         WHERE list_dot_product(ra.e, rb.e) / (ra.n * rb.n)
+               >= {_SEMDEDUP_T})
+SELECT a.vid AS vec_id, a.cluster_id,
+       (dups.vid IS NOT NULL) AS pruned
+FROM a LEFT JOIN dups ON dups.vid = a.vid
+""",
+    description="SemDeDup semantic dedup (Abbas et al. 2023): "
+    "deterministic nearest-seed clustering, then within-cluster exact "
+    "cosine pruning at 0.4 keeping the lowest id — the pair join is "
+    "equi-keyed on the cluster so pair work is bounded by cluster size "
+    "(k grows with N in production), never corpus-quadratic; per-side "
+    "norms precomputed before the join",
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semdedup_prune
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semdedup_prune(emb, k=_SEMDEDUP_K, threshold=_SEMDEDUP_T)
