@@ -532,3 +532,67 @@ def manifest_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     ).localCheckpoint(eager=True)
+
+
+@query(
+    "manifest_scd2_history",
+    # the oracle re-derives the full effective-dated history from the
+    # same source expressions, epoch by epoch: v0 = months <= 8
+    # (original values), v1 = merge of months 5-10 with value doubled,
+    # v2 = overwrite to months 3-12 at original values (true deletes of
+    # months 1-2, updates back for 5-10). Months 3-4 survive all three
+    # commits byte-identical, so their single epoch spans from 0 —
+    # byte-identical rewrites must NOT fragment epochs
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+b AS (SELECT indicator, observation_year, observation_month AS m,
+             value, observation_count FROM silver)
+SELECT indicator, observation_year, m AS observation_month,
+       value, observation_count,
+       0 AS valid_from, 1 AS valid_to
+FROM b WHERE m <= 2
+UNION ALL
+SELECT indicator, observation_year, m, value, observation_count,
+       0, NULL FROM b WHERE m IN (3, 4)
+UNION ALL
+SELECT indicator, observation_year, m, value, observation_count,
+       0, 0 FROM b WHERE m BETWEEN 5 AND 8
+UNION ALL
+SELECT indicator, observation_year, m, round(value * 2, 6),
+       observation_count, 1, 1 FROM b WHERE m BETWEEN 5 AND 10
+UNION ALL
+SELECT indicator, observation_year, m, value, observation_count,
+       2, NULL FROM b WHERE m BETWEEN 5 AND 12
+""",
+    description="SCD Type-2 history reconstructed from the commit log: "
+    "each version hop's O(delta) change feed is an event stream, one "
+    "per-key window bounds the epochs (valid_from/valid_to versions, "
+    "null = current) — the warehouse history contract derived AFTER THE "
+    "FACT from the same commits the serving upsert already writes, no "
+    "second write path; byte-identical rewrites never fragment epochs",
+)
+def manifest_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint: see fred_merge_into_lake
+    import tempfile
+
+    from ..operators.scd import scd2_history
+    from ..sources.lakehouse import ManifestLakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value",
+        "observation_count",
+    )
+    m = F.col("observation_month")
+    table = ManifestLakeTable(
+        tempfile.mkdtemp(prefix="fred_scd2_"),
+        keys=["indicator", "observation_year", "observation_month"],
+        n_buckets=16,
+    )
+    table.overwrite(silver.where(m <= 8))
+    table.merge_into(
+        silver.where(m.between(5, 10)).withColumn(
+            "value", F.round(F.col("value") * 2, 6)
+        )
+    )
+    table.overwrite(silver.where(m.between(3, 12)))
+    return scd2_history(spark, table).localCheckpoint(eager=True)

@@ -58,6 +58,12 @@ DEFAULT_QUERIES = [
     "manifest_zorder_range_read",
     "text_cms_heavy_hitters",
     "manifest_incremental_agg",
+    "text_bm25_topk",
+    "graph_pagerank_topk",
+    "manifest_rebucket_read",
+    "sketch_theta_set_ops",
+    "session_window_events",
+    "semdedup_cluster_prune",
 ]
 
 
