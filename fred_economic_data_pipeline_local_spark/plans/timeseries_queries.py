@@ -476,3 +476,35 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return session_windows(ev)
+
+
+@query(
+    "stream_event_dedup",
+    # the input is the fixture replayed TWICE (an at-least-once source);
+    # dedup must restore exactly-once semantics, so the oracle is the
+    # plain per-type aggregate over the fixture read ONCE
+    oracle="""
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    description="at-least-once replay dedup (SURVEY §2.10 extension): "
+    "dropDuplicatesWithinWatermark on the event id with watermark-bound "
+    "state on streaming input (tests/test_streaming.py pins the "
+    "streaming path over a doubled file source); the batch frame takes "
+    "the same call site as plain keyed dropDuplicates — state tracks "
+    "arrival rate within the watermark, never stream history",
+)
+def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import dedup_replayed_events
+
+    ev = load_table(spark, "events", sf_dir)
+    replayed = ev.union(ev)  # at-least-once delivery: every row twice
+    return (
+        dedup_replayed_events(replayed)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -342,3 +342,25 @@ def stream_upsert_sink(
             .start()
         )
         q.awaitTermination()
+
+
+def dedup_replayed_events(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once view of an at-least-once event stream: drop replayed
+    event ids.
+
+    File sources redeliver on checkpoint replay and queue sources
+    redeliver on ack timeout — the standard fix is keyed dedup state
+    bounded by a watermark (``dropDuplicatesWithinWatermark``: a
+    duplicate arriving within the watermark window is dropped; state
+    older than the watermark is evicted, so memory tracks arrival rate,
+    not stream history). On a batch frame the same call site degrades to
+    plain ``dropDuplicates`` — duplicates are byte-identical replays, so
+    any representative is THE row.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])

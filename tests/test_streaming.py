@@ -304,3 +304,50 @@ def test_stream_merge_into_lake_exactly_once(spark, tmp_path):
         .parquet(inbox)
     )
     assert stream_merge_into(stream2, t, "ingest-test", ckpt) == 0
+
+
+def test_replay_dedup_stream_restores_exactly_once(spark, tmp_path):
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.streaming.windows import (
+        dedup_replayed_events,
+    )
+
+    # an at-least-once source: the same events file delivered twice
+    src = os.path.join(SF_DIR, "events.parquet")
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    shutil.copy(src, os.path.join(inbox, "events_a.parquet"))
+    shutil.copy(src, os.path.join(inbox, "events_b.parquet"))
+
+    from fred_economic_data_pipeline_local_spark.catalog import (
+        _events_ts_is_nanos,
+    )
+    from fred_economic_data_pipeline_local_spark.streaming.windows import (
+        _EVENTS_MICROS,
+        _EVENTS_RAW_NANOS,
+    )
+
+    nanos = _events_ts_is_nanos(src)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            _EVENTS_RAW_NANOS if nanos else _EVENTS_MICROS
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    if nanos:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    streamed = run_available_now(
+        dedup_replayed_events(raw), "t_replay_dedup", "append"
+    )
+    n_exact = load_table(spark, "events", SF_DIR).count()
+    assert streamed.count() == n_exact
+    assert streamed.select("event_id").distinct().count() == n_exact
