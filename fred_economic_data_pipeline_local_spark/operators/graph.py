@@ -39,17 +39,23 @@ def pagerank(
     contributions on dst with map-side combine, and left-joins back onto
     the node set so zero-in-degree nodes keep the (1-d)/N floor. Per
     iteration the shuffle carries (node, rank) pairs — never the edge
-    list again. ``localCheckpoint`` truncates the growing lineage so
-    iteration i's plan does not re-derive iterations 0..i-1. At cluster
-    scale the cached links table is the bucketed adjacency you'd persist;
-    iteration cost is |edges| map work + one (node, double) exchange.
+    list again. ``localCheckpoint``
+    truncates the growing lineage so iteration i's plan does not
+    re-derive iterations 0..i-1. At cluster scale the cached links table
+    is the bucketed adjacency you'd persist; iteration cost is |edges|
+    map work + one (node, double) exchange.
 
     Returns (node, rank) with rank rounded to ``round_dp``.
     """
+    # materialize the edge list once: every downstream consumer (node
+    # set, out-degrees, the cached adjacency) re-derives it otherwise —
+    # for a derived edge table (join + distinct) that re-derivation
+    # dominated the measured cost (tools/ab_pagerank.py: 6.35s -> 4.74s
+    # at sf0.1). At cluster scale this is the persisted adjacency table.
     e = edges.select(
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -65,13 +71,16 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
         contribs = (
-            links.join(
-                rank.withColumnRenamed("node", "src"), "src"
-            )
+            links.join(rank.withColumnRenamed("node", "src"), "src")
             .select("dst", (F.col("r") / F.col("od")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # the node-set left join keeps zero-in-degree nodes at the
+        # (1-d)/N floor; measured FASTER than precomputing that static
+        # set and unioning constant rows (tools/ab_pagerank.py: 3.65s vs
+        # 4.75s at sf0.1 — the union's extra checkpoint branch costs
+        # more than the small-broadcast join saves)
         rank = nodes.join(
             contribs.withColumnRenamed("dst", "node"), "node", "left"
         ).select(
