@@ -63,6 +63,8 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge set (no nodes)")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     links = e.join(outdeg, "src").repartition("src").cache()
     rank = nodes.select(

@@ -441,20 +441,26 @@ def kmv_sketch(
     intersection estimates via the shared-theta rule (Beyer et al.
     2007; Dasgupta et al., the DataSketches theta framework).
 
-    Plan: distinct (group, hash) — one map-combined shuffle — then a
-    per-group row_number cap at k. State is O(k) rows per group
-    regardless of corpus size; at 100 TB the sketch table is broadcast
-    territory. Returns (grp?, h, u) rows, u = hash normalized to [0,1).
+    Plan: distinct (group, hash) — one map-combined shuffle — then the
+    k-smallest cap: a per-group row_number window when grouped, a
+    TakeOrdered (per-partition top-k merged at the driver, never a
+    global sort or single-task window) when ungrouped. State is O(k)
+    rows per group regardless of corpus size; at 100 TB the sketch
+    table is broadcast territory. Returns (grp?, h, u) rows, u = hash
+    normalized to [0,1).
     """
     grp = [F.col(by).alias("grp")] if by else []
     h = F.xxhash64(F.col(col))
     d = df.where(F.col(col).isNotNull()).select(*grp, h.alias("h")).distinct()
-    w = Window.partitionBy(*(["grp"] if by else [])).orderBy("h")
-    capped = (
-        d.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    if by:
+        w = Window.partitionBy("grp").orderBy("h")
+        capped = (
+            d.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    else:
+        capped = d.orderBy("h").limit(k)
     return capped.select(*(["grp"] if by else []), "h", _kmv_u(F.col("h")).alias("u"))
 
 
@@ -479,12 +485,8 @@ def kmv_union(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     property that lets per-snapshot sketches maintain a corpus sketch
     by O(k) merges instead of rescans."""
     u = a.select("h", "u").union(b.select("h", "u")).distinct()
-    w = Window.orderBy("h")
-    return (
-        u.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    # TakeOrdered over <= 2k rows — never a global-order window
+    return u.orderBy("h").limit(k)
 
 
 def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
