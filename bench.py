@@ -96,6 +96,9 @@ HEADLINE = [
     "sketch_theta_set_ops",
     "session_window_events",
     "semdedup_cluster_prune",
+    "manifest_scd2_history",
+    "stream_event_dedup",
+    "embedding_power_iteration",
 ]
 
 

@@ -998,3 +998,82 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return semdedup_prune(emb, k=_SEMDEDUP_K, threshold=_SEMDEDUP_T)
+
+
+_PI_DIMS, _PI_ITERS = 64, 8
+
+
+def _pi_iter_sql(prev: str, k: int) -> str:
+    # AS MATERIALIZED: without it DuckDB inlines each iteration's CTEs
+    # into their consumers and the 8-step chain re-expands exponentially
+    return f"""s{k} AS MATERIALIZED (
+  SELECT vec_id, list_dot_product(ec, (SELECT vl FROM {prev})) AS s
+  FROM cc
+),
+w{k} AS MATERIALIZED (
+  SELECT t.i AS i, sum(cc.ec[t.i] * s{k}.s) AS w
+  FROM cc JOIN s{k} USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {_PI_DIMS})) AS i) t
+  GROUP BY t.i
+),
+n{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),
+v{k} AS MATERIALIZED (SELECT list(round(w / nrm, 8) ORDER BY i) AS vl
+         FROM w{k} CROSS JOIN n{k})"""
+
+
+_PI_SQL = (
+    f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+mean AS (
+  SELECT t.i AS i, round(sum(c.e[t.i]) / count(*), 8) AS m
+  FROM c CROSS JOIN (SELECT unnest(generate_series(1, {_PI_DIMS})) AS i) t
+  GROUP BY t.i
+),
+ml AS (SELECT list(m ORDER BY i) AS ml FROM mean),
+cc AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(generate_series(1, {_PI_DIMS}),
+                        i -> e[i] - ml.ml[i]) AS ec
+  FROM c CROSS JOIN ml
+),
+v0 AS (SELECT list_transform(generate_series(1, {_PI_DIMS}),
+                             i -> 0.125) AS vl),
+"""
+    + ",\n".join(_pi_iter_sql(f"v{k - 1}", k) for k in range(1, _PI_ITERS + 1))
+    + f""",
+fin AS (
+  SELECT t.i AS i,
+         (SELECT vl FROM v{_PI_ITERS})[t.i] AS loading,
+         round((SELECT nrm FROM n{_PI_ITERS}), 4) AS eigenvalue
+  FROM (SELECT unnest(generate_series(1, {_PI_DIMS})) AS i) t
+),
+sgn AS (
+  SELECT CASE WHEN loading < 0 THEN -1.0 ELSE 1.0 END AS sg
+  FROM fin ORDER BY abs(loading) DESC, i LIMIT 1
+)
+SELECT CAST(i AS INTEGER) AS dim, loading * sg AS loading, eigenvalue
+FROM fin CROSS JOIN sgn
+"""
+)
+
+
+@query(
+    "embedding_power_iteration",
+    oracle=_PI_SQL,
+    description="top principal component by distributed power iteration "
+    "(the numeric core of all-but-the-top embedding debias, Mu & "
+    "Viswanath ICLR 2018): per-iteration matvec = broadcast 1-row "
+    "component x corpus fold (no shuffle) + posexplode per-dimension "
+    "sums (dims groups, map-combined — the exchange carries "
+    "O(dims x partitions) partials, never vectors); component stays a "
+    "1-row frame, no driver collect in the loop; per-iteration 8-dp "
+    "rounding makes the FP sums engine/partitioning-deterministic, "
+    "sign canonicalized to the largest-|loading| dimension",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import power_iteration_top_component
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return power_iteration_top_component(
+        emb, dims=_PI_DIMS, iterations=_PI_ITERS
+    )

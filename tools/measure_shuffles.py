@@ -64,6 +64,8 @@ DEFAULT_QUERIES = [
     "sketch_theta_set_ops",
     "session_window_events",
     "semdedup_cluster_prune",
+    "manifest_scd2_history",
+    "embedding_power_iteration",
 ]
 
 
