@@ -309,3 +309,54 @@ def test_weighted_sample_is_group_limited_per_stratum(spark):
     assert "WindowGroupLimit" in plan
     assert "Exchange hashpartitioning(lang" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_bm25_broadcast_stats_and_pruned_scan(spark):
+    plan = plan_of(spark, "text_bm25_topk")
+    # df and corpus stats join broadcast — never a shuffled join for
+    # |terms|+1 rows
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only id + text reach the scan, never lang/source/n_chars
+    assert "lang" not in read and "source" not in read
+
+
+def test_semdedup_single_pair_join_on_cluster(spark):
+    plan = plan_of(spark, "semdedup_cluster_prune")
+    # the pair join is equi-keyed on cluster_id — no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "cluster_id" in plan
+
+
+def test_session_window_no_self_join(spark):
+    plan = plan_of(spark, "session_window_events")
+    # the native session-window exec, not a window-function double scan
+    assert "UpdatingSessionsIterator" in plan or "session_window" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_kmv_sketch_takeordered_not_global_window(spark):
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.profile import (
+        kmv_sketch,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        kmv_sketch(docs, "n_chars", k=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # ungrouped cap never plans a window
+
+
+def test_power_iteration_corpus_never_shuffles_vectors(spark):
+    plan = plan_of(spark, "embedding_power_iteration")
+    # per-dimension partial sums exchange (i, partial) pairs; the
+    # exchanges must never carry the embedding array column
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "ec#" not in line and "embedding#" not in line, line
