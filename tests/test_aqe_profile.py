@@ -69,6 +69,20 @@ AQE_SLICE = [
     "stream_lake_ingest",
     "text_cms_heavy_hitters",
     "manifest_incremental_agg",
+    # round-8 continuation shapes: inverted-index scoring with broadcast
+    # stats, 5-round iterative rank exchange with checkpointed lineage,
+    # one-exchange bucket-count rewrite + zone-map range read, KMV
+    # TakeOrdered caps + shared-theta intersect join, native
+    # session-window exec, cluster-bounded pair prune, change-feed
+    # event-stream window, iterative broadcast matvec
+    "text_bm25_topk",
+    "graph_pagerank_topk",
+    "manifest_rebucket_read",
+    "sketch_theta_set_ops",
+    "session_window_events",
+    "semdedup_cluster_prune",
+    "manifest_scd2_history",
+    "embedding_power_iteration",
 ]
 
 
