@@ -99,6 +99,7 @@ HEADLINE = [
     "manifest_scd2_history",
     "stream_event_dedup",
     "embedding_power_iteration",
+    "curation_perplexity_buckets",
 ]
 
 

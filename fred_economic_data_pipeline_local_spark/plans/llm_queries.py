@@ -1456,3 +1456,63 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+@query(
+    "curation_perplexity_buckets",
+    # per-doc logprob is rounded to 6 dp in BOTH engines before the
+    # ntile, and the ordering carries the doc-id tiebreak, so bucket
+    # assignment is cross-engine deterministic
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id AS id, unnest({_LTOKS_SQL}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS n FROM ex GROUP BY tok),
+total AS (SELECT sum(n) AS N FROM vocab),
+lp AS (
+  SELECT ex.id, round(avg(ln(CAST(vocab.n AS DOUBLE) / total.N)), 6) AS logprob
+  FROM ex JOIN vocab USING (tok) CROSS JOIN total
+  GROUP BY ex.id
+),
+b AS (
+  SELECT d.lang, lp.logprob,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY lp.logprob DESC, lp.id) AS t
+  FROM lp JOIN documents d ON d.doc_id = lp.id
+)
+SELECT lang,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       count(*) AS n_docs,
+       round(avg(logprob), 6) AS avg_logprob,
+       min(logprob) AS min_logprob,
+       max(logprob) AS max_logprob
+FROM b
+GROUP BY 1, 2
+""",
+    description="CCNet-style perplexity bucketing (Wenzek et al. 2020): "
+    "per-doc corpus-unigram logprob (the cheap LM screen) ntile'd into "
+    "head/middle/tail WITHIN each language — the per-lang split is the "
+    "recipe's point (one global cutoff would gut low-resource "
+    "languages); one window over (lang, logprob) after the two "
+    "Zipf-bounded logprob shuffles, per-bucket stats map-combined",
+)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import unigram_logprob
+
+    docs = load_table(spark, "documents", sf_dir)
+    lp = unigram_logprob(docs)
+    j = docs.select(F.col("doc_id").alias("id"), "lang").join(lp, "id")
+    w = Window.partitionBy("lang").orderBy(F.desc("logprob"), F.asc("id"))
+    labels = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    b = j.withColumn(
+        "bucket", F.element_at(labels, F.ntile(3).over(w))
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logprob"), 6).alias("avg_logprob"),
+        F.min("logprob").alias("min_logprob"),
+        F.max("logprob").alias("max_logprob"),
+    )

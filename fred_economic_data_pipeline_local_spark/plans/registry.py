@@ -103,6 +103,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "manifest_scd2_history",
     "stream_event_dedup",
     "embedding_power_iteration",
+    "curation_perplexity_buckets",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",
@@ -144,9 +145,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "fred_dedup_append",
     "fred_upsert_merge",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     # ===== below the window: hash-green r5-r7, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "q3_shipping_priority",
     "q5_nation_revenue",
     "q9_product_type_profit",
     "q18_large_volume_customers",
