@@ -100,6 +100,7 @@ HEADLINE = [
     "stream_event_dedup",
     "embedding_power_iteration",
     "curation_perplexity_buckets",
+    "multimodal_frame_dedup",
 ]
 
 

@@ -200,3 +200,55 @@ def multimodal_mixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_byte", 6).alias("mean_px"),
     )
+
+
+@query(
+    "multimodal_frame_dedup",
+    # the frame slicing is the sample_frames stub (bytes i*size ..
+    # (i+1)*size with size = max(len // max(n_frames, 1), 1)); the
+    # fixture text is ASCII so DuckDB's substr over chars re-derives the
+    # same bytes and md5 agrees byte-for-byte — the whole cross-media
+    # frame-dedup result is hash-checked
+    oracle="""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(1 + length(text) % 16 AS INTEGER) AS n_frames,
+         greatest(length(text) // greatest(1 + length(text) % 16, 1), 1)
+           AS fsize
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, t.i AS frame_idx,
+         md5(substr(text, t.i * fsize + 1, fsize)) AS frame_md5
+  FROM m CROSS JOIN LATERAL
+       (SELECT unnest(generate_series(0, n_frames - 1)) AS i) t
+)
+SELECT frame_md5,
+       count(*) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc
+FROM fr
+GROUP BY frame_md5
+HAVING count(*) > 1
+""",
+    description="cross-media frame-level dedup: 1->N frame sampling "
+    "(mapInPandas at the codec edge) then JVM-side md5 fingerprints "
+    "grouped corpus-wide — the shuffle carries (16-byte hash, ids), "
+    "never frame bytes; duplicate groups (shared intro/outro frames, "
+    "re-uploads) surface with occurrence and document counts",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    frames = sample_frames(attach_media(docs), every=1)
+    fp = frames.select(
+        "doc_id", F.md5(F.col("frame_bytes")).alias("frame_md5")
+    )
+    return (
+        fp.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )

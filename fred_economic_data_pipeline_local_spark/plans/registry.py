@@ -66,9 +66,13 @@ def get_query(name: str) -> QuerySpec:
 #   1. the two r7 hash-reds (manifest_zorder_range_read,
 #      stream_lake_ingest), now driver-robust via run-unique scratch +
 #      localCheckpoint'd results — at the head until hash-green;
-#   2. the three entries with no driver row ever: sample_weighted_aes
+#   2. the entries with no driver row ever: sample_weighted_aes
 #      (deferred from r7), dedup_span_removal and
-#      manifest_incremental_minmax (both new this round);
+#      manifest_incremental_minmax (new at the round head), plus the
+#      eleven operators added in the round-8 continuation session
+#      (BM25, PageRank, rebucket, theta sketches, session windows,
+#      SemDeDup, SCD2, replay dedup, power iteration, perplexity
+#      buckets, frame dedup);
 #   3. the six entries whose CODE changed this round (the scratch-root
 #      conversion of every lakehouse side-effecting query; the
 #      fpp-sized Bloom mask) — fresh r6/r7 rows don't cover new code;
@@ -104,6 +108,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "stream_event_dedup",
     "embedding_power_iteration",
     "curation_perplexity_buckets",
+    "multimodal_frame_dedup",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",
@@ -144,9 +149,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "fred_gold_yearly",
     "fred_dedup_append",
     "fred_upsert_merge",
-    "q1_pricing_summary",
     # ===== below the window: hash-green r5-r7, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
     "q9_product_type_profit",
