@@ -101,6 +101,7 @@ HEADLINE = [
     "embedding_power_iteration",
     "curation_perplexity_buckets",
     "multimodal_frame_dedup",
+    "tpch_refresh_pricing",
 ]
 
 

@@ -1379,3 +1379,69 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "tpch_refresh_pricing",
+    # the oracle applies the same refresh-set algebra directly:
+    # bootstrap (not RF1) + RF1 inserts = the full fixture, minus RF2's
+    # deleted orders — then the Q1-shape pricing aggregate over the
+    # refreshed state
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE NOT (l_orderkey % 13 = 5)
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H refresh functions through the lakehouse (RF1 "
+    "insert batch via O(delta) MERGE, RF2 delete batch via the CDC "
+    "delete feed) on the LARGEST fixture table — the fact-scale probe "
+    "of the manifest commit log: only touched buckets rewrite, deletes "
+    "land under one atomic commit, and the Q1-shape pricing aggregate "
+    "over the refreshed table must equal the plain set algebra over "
+    "the raw fixture",
+)
+def tpch_refresh_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint: see manifest_zorder_range_read
+    import tempfile
+
+    from ..sources.lakehouse import ManifestLakeTable
+
+    raw = load_table(spark, "lineitem", sf_dir)
+    # the synthetic fixture's (l_orderkey, l_linenumber) is NOT unique
+    # (TPC-H proper's PK doesn't hold here) — a keyed upsert table needs
+    # one, so derive a full-row surrogate: rows are unique as tuples,
+    # and every refresh set derives the SAME rid from the same frame
+    rid = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in raw.columns]))
+    li = raw.select(
+        rid.alias("rid"),
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    )
+    rf1 = F.col("l_orderkey") % 7 == 3
+    t = ManifestLakeTable(
+        tempfile.mkdtemp(prefix="tpch_rf_"),
+        keys=["rid"],
+        n_buckets=32,
+    )
+    t.overwrite(li.where(~rf1))
+    t.merge_into(li.where(rf1))  # RF1: late-arriving order batch
+    rf2 = li.where(F.col("l_orderkey") % 13 == 5).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    t.apply_changes(rf2)  # RF2: aged-out order batch
+    return (
+        t.read(spark)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .localCheckpoint(eager=True)
+    )

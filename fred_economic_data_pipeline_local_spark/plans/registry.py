@@ -109,6 +109,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "embedding_power_iteration",
     "curation_perplexity_buckets",
     "multimodal_frame_dedup",
+    "tpch_refresh_pricing",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",
@@ -148,9 +149,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "fred_silver_monthly",
     "fred_gold_yearly",
     "fred_dedup_append",
-    "fred_upsert_merge",
     # ===== below the window: hash-green r5-r7, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "fred_upsert_merge",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
