@@ -102,6 +102,7 @@ HEADLINE = [
     "curation_perplexity_buckets",
     "multimodal_frame_dedup",
     "tpch_refresh_pricing",
+    "dq_expectations_orders",
 ]
 
 

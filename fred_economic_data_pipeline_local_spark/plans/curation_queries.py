@@ -1445,3 +1445,122 @@ def tpch_refresh_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+_DQ_RULES = {
+    "totalprice_positive": "o_totalprice > 0",
+    "totalprice_under_cap": "o_totalprice <= 300000",
+    "orderdate_before_2000": "o_orderdate < TIMESTAMP '2000-01-01'",
+    "priority_known": (
+        "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+        "'4-NOT SPECIFIED','5-LOW')"
+    ),
+    "custkey_resolves": "__cust_hit = 1",
+}
+_DQ_CASES_SQL = {
+    "totalprice_positive": "o_totalprice > 0",
+    "totalprice_under_cap": "o_totalprice <= 300000",
+    "orderdate_before_2000": "o_orderdate < TIMESTAMP '2000-01-01'",
+    "priority_known": (
+        "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+        "'4-NOT SPECIFIED','5-LOW')"
+    ),
+    "custkey_resolves": (
+        "o_custkey IN (SELECT c_custkey FROM customer)"
+    ),
+}
+
+
+def _dq_flagged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with the referential flag precomputed (broadcast left
+    join against distinct customer keys) so the rule set stays
+    single-scan SQL booleans."""
+    o = load_table(spark, "orders", sf_dir)
+    c = (
+        load_table(spark, "customer", sf_dir)
+        .select(F.col("c_custkey").alias("__ck"))
+        .distinct()
+        .withColumn("__cust_hit", F.lit(1))
+    )
+    return o.join(
+        F.broadcast(c), o.o_custkey == F.col("__ck"), "left"
+    ).drop("__ck")
+
+
+@query(
+    "dq_expectations_orders",
+    oracle="""
+SELECT r.rule,
+       (SELECT count(*) FROM orders) AS n_rows,
+       r.v AS n_violations,
+       round(r.v / (SELECT CAST(count(*) AS DOUBLE) FROM orders), 6)
+         AS violation_frac
+FROM (
+"""
+    + "\nUNION ALL\n".join(
+        f"""  SELECT '{name}' AS rule,
+         (SELECT count(*) FROM orders
+          WHERE NOT coalesce(({sql}), FALSE)) AS v"""
+        for name, sql in _DQ_CASES_SQL.items()
+    )
+    + """
+) r
+""",
+    description="declarative data-quality expectations (Delta Live "
+    "Tables expect/Great Expectations contract reduced to core): named "
+    "SQL boolean rules — range, domain, recency, and a broadcast "
+    "referential check — evaluated in ONE scan as a single aggregate "
+    "row exploded to the per-rule violations report; unknown (null) "
+    "never passes a gate",
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import expectations_report
+
+    return expectations_report(
+        _dq_flagged_orders(spark, sf_dir), _DQ_RULES
+    )
+
+
+@query(
+    "dq_quarantine_orders",
+    oracle="""
+WITH f AS (
+  SELECT o.*,
+"""
+    + ",\n".join(
+        f"         coalesce(({sql}), FALSE) AS ok_{i}"
+        for i, sql in enumerate(_DQ_CASES_SQL.values())
+    )
+    + """
+  FROM orders o
+),
+v AS (
+  SELECT list_aggr(list_sort(list_filter(["""
+    + ", ".join(
+        f"CASE WHEN NOT ok_{i} THEN '{name}' END"
+        for i, name in enumerate(_DQ_CASES_SQL)
+    )
+    + """], x -> x IS NOT NULL)), 'string_agg', ',') AS violated
+  FROM f
+  WHERE """
+    + " OR ".join(f"NOT ok_{i}" for i in range(len(_DQ_CASES_SQL)))
+    + """
+)
+SELECT violated, count(*) AS n_rows
+FROM v GROUP BY violated
+""",
+    description="quarantine split for the same expectation set: failing "
+    "rows land in a dead-letter frame carrying the sorted violated-rule "
+    "array (self-describing), grouped here into the per-violation-"
+    "signature census; passing/failing are projections of one flagged "
+    "frame — no shuffle beyond the census aggregate",
+)
+def dq_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import quarantine
+
+    _, bad = quarantine(_dq_flagged_orders(spark, sf_dir), _DQ_RULES)
+    return (
+        bad.select(F.concat_ws(",", "violated").alias("violated"))
+        .groupBy("violated")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -110,6 +110,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "curation_perplexity_buckets",
     "multimodal_frame_dedup",
     "tpch_refresh_pricing",
+    "dq_expectations_orders",
+    "dq_quarantine_orders",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",
@@ -147,10 +149,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     # --- 5. round-5 freshness head (FRED flagship + TPC-H canaries
     #     + text block head) ---
     "fred_silver_monthly",
-    "fred_gold_yearly",
-    "fred_dedup_append",
     # ===== below the window: hash-green r5-r7, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "fred_gold_yearly",
+    "fred_dedup_append",
     "fred_upsert_merge",
     "q1_pricing_summary",
     "q3_shipping_priority",
