@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_frame_dedup",
     "tpch_refresh_pricing",
     "dq_expectations_orders",
+    "twap_user_values",
 ]
 
 

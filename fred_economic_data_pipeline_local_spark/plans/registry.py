@@ -112,6 +112,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_refresh_pricing",
     "dq_expectations_orders",
     "dq_quarantine_orders",
+    "twap_user_values",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",
@@ -148,9 +149,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q22_global_sales_opportunity",
     # --- 5. round-5 freshness head (FRED flagship + TPC-H canaries
     #     + text block head) ---
-    "fred_silver_monthly",
     # ===== below the window: hash-green r5-r7, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "fred_silver_monthly",
     "fred_gold_yearly",
     "fred_dedup_append",
     "fred_upsert_merge",

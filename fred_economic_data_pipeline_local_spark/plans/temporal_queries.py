@@ -129,3 +129,36 @@ def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey").agg(
         F.sum("__c").alias("n_shipped_week1")
     )
+
+
+@query(
+    "twap_user_values",
+    oracle="""
+WITH s AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, value AS v, event_id AS tb
+  FROM events WHERE value IS NOT NULL
+),
+n AS (SELECT *, lead(t) OVER (PARTITION BY k ORDER BY t, tb) AS t_next
+      FROM s),
+a AS (
+  SELECT k, count(*) AS n_obs,
+         sum(CASE WHEN t_next IS NOT NULL
+                  THEN v * (t_next - t) END) AS wsum,
+         max(t) - min(t) AS span
+  FROM n GROUP BY k
+)
+SELECT k AS user_id, n_obs, round(wsum / span, 6) AS twap
+FROM a WHERE span > 0
+""",
+    description="time-weighted average per user (TWAP / step "
+    "interpolation): each observation's value holds until the next, so "
+    "the mean is duration-weighted — the correct summary for "
+    "irregularly sampled series where a plain avg over-weights bursts; "
+    "one key-partitioned lead window + a map-combined weighted sum on "
+    "the same key, never a self-join",
+)
+def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import time_weighted_avg
+
+    ev = load_table(spark, "events", sf_dir)
+    return time_weighted_avg(ev)

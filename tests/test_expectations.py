@@ -64,3 +64,49 @@ class TestExpectations:
     def test_empty_rules_rejected(self, spark):
         with pytest.raises(ValueError):
             expectations_report(_df(spark), {})
+
+
+class TestTimeWeightedAvg:
+    def _run(self, spark, rows):
+        from fred_economic_data_pipeline_local_spark.operators.temporal import (
+            time_weighted_avg,
+        )
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double, event_id long"
+        )
+        return {
+            r.user_id: (r.n_obs, r.twap)
+            for r in time_weighted_avg(df).collect()
+        }
+
+    def test_duration_weighting(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # value 10 holds 1s, value 20 holds 3s -> twap 17.5
+            (1, t0, 10.0, 1),
+            (1, t0 + dt.timedelta(seconds=1), 20.0, 2),
+            (1, t0 + dt.timedelta(seconds=4), 99.0, 3),  # last: no interval
+        ]
+        got = self._run(spark, rows)
+        assert got == {1: (3, 17.5)}
+
+    def test_single_observation_excluded(self, spark):
+        import datetime as dt
+
+        rows = [(7, dt.datetime(2024, 1, 1), 5.0, 1)]
+        assert self._run(spark, rows) == {}
+
+    def test_null_values_ignored(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 10.0, 1),
+            (1, t0 + dt.timedelta(seconds=1), None, 2),
+            (1, t0 + dt.timedelta(seconds=2), 10.0, 3),
+        ]
+        got = self._run(spark, rows)
+        assert got == {1: (2, 10.0)}
