@@ -104,6 +104,8 @@ HEADLINE = [
     "tpch_refresh_pricing",
     "dq_expectations_orders",
     "twap_user_values",
+    "markov_event_transitions",
+    "basket_pmi_pairs",
 ]
 
 

@@ -1564,3 +1564,54 @@ def dq_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("violated")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+_KMV_G_K = 64
+
+
+@query(
+    "sketch_kmv_by_source",
+    oracle=f"""
+WITH sk AS (SELECT grp, h, h / 18446744073709551616.0 + 0.5 AS u
+            FROM {export_sql('kmv_src')}),
+agg AS (SELECT grp, count(*) AS n, max(u) AS uk FROM sk GROUP BY grp),
+ex AS (SELECT source AS grp,
+              CAST(count(DISTINCT n_chars) AS BIGINT) AS exact
+       FROM documents GROUP BY source)
+SELECT agg.grp AS source,
+       round(CASE WHEN agg.n < {_KMV_G_K} THEN CAST(agg.n AS DOUBLE)
+                  ELSE {_KMV_G_K - 1}.0 / agg.uk END, 6) AS n_distinct_est,
+       ex.exact,
+       abs(round(CASE WHEN agg.n < {_KMV_G_K} THEN CAST(agg.n AS DOUBLE)
+                      ELSE {_KMV_G_K - 1}.0 / agg.uk END, 6) - ex.exact)
+         <= 0.4 * ex.exact AS within_bound
+FROM agg JOIN ex USING (grp)
+""",
+    description="per-group KMV distinct sketches (the profiling shape: "
+    "one sketch per ingest source, merged corpus-wide by the lossless "
+    "union): grouped k-smallest cap over one map-combined distinct "
+    "shuffle, O(k) rows per group exported; DuckDB re-normalizes the "
+    "hashes, re-derives each group's estimate, and certifies it "
+    "against the exact per-source distinct count",
+)
+def sketch_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.profile import kmv_estimate, kmv_sketch
+
+    docs = load_table(spark, "documents", sf_dir)
+    sk = export_table(
+        kmv_sketch(docs, "n_chars", k=_KMV_G_K, by="source"), "kmv_src"
+    )
+    est = kmv_estimate(sk, k=_KMV_G_K, by=True)
+    exact = docs.groupBy(F.col("source").alias("grp")).agg(
+        F.count_distinct("n_chars").alias("exact")
+    )
+    return est.join(exact, "grp").select(
+        F.col("grp").alias("source"),
+        "n_distinct_est",
+        "exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("exact"))
+            <= 0.4 * F.col("exact")
+        ).alias("within_bound"),
+    )

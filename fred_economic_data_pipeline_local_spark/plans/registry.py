@@ -76,11 +76,14 @@ def get_query(name: str) -> QuerySpec:
 #   3. the six entries whose CODE changed this round (the scratch-root
 #      conversion of every lakehouse side-effecting query; the
 #      fpp-sized Bloom mask) — fresh r6/r7 rows don't cover new code;
-#   4. the complete round-4 freshness debt: the 24 entries whose
-#      newest external row dated to round 4 (the r4 refresh head +
-#      the TPC-H q8-q22 tail), promised this rotation since r7;
-#   5. the round-5 freshness head (FRED flagship block, TPC-H
-#      canaries, text-analysis block head) filling the window to 50.
+#   4. the round-4 freshness debt: the entries whose newest external
+#      row dated to round 4 (the r4 refresh head + the TPC-H q8-q22
+#      tail), promised this rotation since r7. The nineteen
+#      continuation additions (priority 2 — never-checked outranks
+#      refresh by this list's own order) displaced the round-5
+#      freshness head entirely and the last two r4 entries (q21, q22 —
+#      both r4-green and locally re-verified every round; they head
+#      round 9 with the remaining round-5 rows).
 # Everything demoted below the window is hash-green as of rounds 5-7
 # and remains covered by the identical local mirror
 # (tests/test_oracle_parity.py) every round. After this rotation no
@@ -113,6 +116,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dq_expectations_orders",
     "dq_quarantine_orders",
     "twap_user_values",
+    "markov_event_transitions",
+    "basket_pmi_pairs",
+    "sketch_kmv_by_source",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",
@@ -145,12 +151,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    # --- 5. round-5 freshness head (FRED flagship + TPC-H canaries
-    #     + text block head) ---
     # ===== below the window: hash-green r5-r7, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
     "fred_silver_monthly",
     "fred_gold_yearly",
     "fred_dedup_append",

@@ -2111,3 +2111,77 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank_topk(edges, k=20, iterations=_PR_ITERS)
+
+
+_PMI_TOPK = 25
+
+
+@query(
+    "basket_pmi_pairs",
+    oracle=f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_baskets FROM b),
+item AS (SELECT pk, count(*) AS n_item FROM b GROUP BY pk),
+pair AS (
+  SELECT a.pk AS part_a, c.pk AS part_b, count(*) AS n_pair
+  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT part_a, part_b, n_pair,
+       round(ln((n_pair * n_baskets) /
+                (CAST(ia.n_item AS DOUBLE) * ib.n_item)), 6) AS pmi
+FROM pair
+JOIN item ia ON ia.pk = part_a
+JOIN item ib ON ib.pk = part_b
+CROSS JOIN n
+ORDER BY pmi DESC, part_a, part_b
+LIMIT {_PMI_TOPK}
+""",
+    description="basket co-occurrence with PMI scoring (the "
+    "market-basket / co-occurrence-embedding statistic): the pair join "
+    "is equi-keyed on the basket id so pair work is bounded by basket "
+    "size squared (TPC-H baskets are <=7 items), never corpus-"
+    "quadratic; item marginals join back as the Zipf-bounded item "
+    "table; min-support prunes the pair tail before scoring",
+)
+def basket_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = b.agg(
+        F.count_distinct("ok").cast("double").alias("n_baskets")
+    )
+    item = b.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    a = b.select(F.col("ok"), F.col("pk").alias("part_a"))
+    c = b.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pair = (
+        a.join(c, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("__na"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("__nb"))
+    scored = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("n_baskets"))
+                    / (F.col("__na").cast("double") * F.col("__nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_PMI_TOPK)

@@ -162,3 +162,46 @@ def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return time_weighted_avg(ev)
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (SELECT event_type, next_type, count(*) AS n FROM s
+      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(n) AS row_n FROM t GROUP BY 1)
+SELECT t.event_type, t.next_type, t.n,
+       round(t.n / CAST(tot.row_n AS DOUBLE), 6) AS p
+FROM t JOIN tot USING (event_type)
+""",
+    description="first-order Markov transition matrix over per-user "
+    "event sequences: one key-partitioned lead window builds the "
+    "bigrams, counts map-combine on the (from, to) pair, and the "
+    "row-normalizer joins back as #types rows broadcast — the "
+    "session-flow model behind next-action prediction and bot "
+    "detection, never a self-join",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = t.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    return t.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+    )
