@@ -155,3 +155,132 @@ def remove_top_component(
             e, F.col("vl"), lambda x, vc: x - proj * vc
         ).alias(vec_col),
     )
+
+
+def gram_pca_components(
+    emb: DataFrame,
+    dims: int,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 8,
+) -> DataFrame:
+    """Top-``k`` principal components via the distributed Gram matrix —
+    the classic tall-skinny PCA: each Arrow batch contributes its local
+    ``X^T X`` (one numpy GEMM per batch, the only Python in the plan,
+    Arrow-batched via ``mapInPandas``), the d x d partials are summed
+    elementwise in one map-combined exchange of O(d^2 x partitions)
+    values (the corpus never shuffles), and the d x d result — O(d^2)
+    bounded driver state, like the touched-bucket collects — is
+    eigendecomposed locally with ``numpy.linalg.eigh``. For d = 64
+    that is a 4,096-double collect; at 100 TB the corpus cost is ONE
+    scan, which is why Gram-PCA beats iterating power iteration k
+    times when k > 1 and d^2 fits on the driver.
+
+    Embeddings are centered with the 8-dp-rounded mean (same contract
+    as ``power_iteration_top_component``); loadings are rounded to
+    ``round_dp`` and sign-canonicalized (largest-|loading| dimension
+    positive, ties to the lowest dimension), so downstream projections
+    consume engine-portable doubles.
+
+    Returns ``dims`` rows: (dim 1-based, m = rounded per-dim mean,
+    c1..ck = rounded loadings, eig1..eigk = 4-dp eigenvalues).
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = emb.select(_as_double(F.col(vec_col)).alias("e"))
+    mean = _mean_vector(c)
+    cc = c.join(F.broadcast(mean)).select(
+        F.zip_with("e", "ml", lambda x, m: x - m).alias("ec"), "ml"
+    )
+
+    def _gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["ec"]]
+            )
+            yield pd.DataFrame({"g": [(x.T @ x).ravel().tolist()]})
+
+    partials = cc.select("ec").mapInPandas(
+        _gram_partials, schema="g array<double>"
+    )
+    sums = (
+        partials.select(F.posexplode("g").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    gram = np.zeros((dims, dims))
+    for r in sums:
+        gram[r["i"] // dims, r["i"] % dims] = r["s"]
+    eigval, eigvec = np.linalg.eigh(gram)
+    order = np.argsort(eigval)[::-1][:k]
+    comps, eigs = [], []
+    for j in order:
+        v = eigvec[:, j]
+        amax = np.lexsort((np.arange(dims), -np.abs(v)))[0]
+        if v[amax] < 0:
+            v = -v
+        comps.append(np.round(v, round_dp))
+        eigs.append(round(float(eigval[j]), 4))
+    ml = [round(float(x), 8) for x in _collect_mean(mean)]
+    rows = [
+        (
+            d + 1,
+            ml[d],
+            *[float(comps[j][d]) for j in range(k)],
+            *eigs,
+        )
+        for d in range(dims)
+    ]
+    cols = (
+        ["dim", "m"]
+        + [f"c{j + 1}" for j in range(k)]
+        + [f"eig{j + 1}" for j in range(k)]
+    )
+    return emb.sparkSession.createDataFrame(rows, cols)
+
+
+def _collect_mean(mean: DataFrame) -> list[float]:
+    """The 1-row mean frame's array — O(dims) driver state."""
+    return list(mean.collect()[0]["ml"])
+
+
+def project_onto_components(
+    emb: DataFrame,
+    components: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Project each embedding onto the (dim, m, c1..ck) component frame
+    ``gram_pca_components`` returns: p_j = sum_i (x_i - m_i) * c_j[i].
+    Components aggregate to one broadcast row of arrays; the projection
+    is a narrow per-row fold — no shuffle at all."""
+    aggs = [
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+        ).alias("ml")
+    ] + [
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", f"c{j + 1}"))),
+            lambda s: s[f"c{j + 1}"],
+        ).alias(f"cl{j + 1}")
+        for j in range(k)
+    ]
+    crow = components.agg(*aggs)
+    e = _as_double(F.col(vec_col))
+    centered = F.zip_with(e, F.col("ml"), lambda x, m: x - m)
+    return emb.join(F.broadcast(crow)).select(
+        F.col(id_col),
+        *[
+            F.round(dot(centered, F.col(f"cl{j + 1}")), round_dp).alias(
+                f"p{j + 1}"
+            )
+            for j in range(k)
+        ],
+    )

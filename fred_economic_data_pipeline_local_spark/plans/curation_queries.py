@@ -1615,3 +1615,68 @@ def sketch_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.4 * F.col("exact")
         ).alias("within_bound"),
     )
+
+
+@query(
+    "manifest_time_travel",
+    # content is the whole contract: every committed version stays a
+    # reproducible snapshot, so reading v0/v1/v2 AFTER later commits
+    # must equal the plain set algebra of the three states over the raw
+    # fixture (the oracle re-derives all three) — version immutability
+    # mechanics are pinned in tests/test_lakehouse.py
+    oracle="""
+WITH v0 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+u AS (
+  SELECT doc_id, n_chars + 1000 AS n_chars FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1
+),
+v1 AS (
+  SELECT * FROM u
+  UNION ALL
+  SELECT * FROM v0 WHERE doc_id NOT IN (SELECT doc_id FROM u)
+),
+v2 AS (SELECT * FROM v1 WHERE doc_id % 7 <> 0)
+SELECT CAST(0 AS INTEGER) AS version, count(*) AS n_docs,
+       sum(n_chars) AS sum_chars FROM v0
+UNION ALL
+SELECT CAST(1 AS INTEGER), count(*), sum(n_chars) FROM v1
+UNION ALL
+SELECT CAST(2 AS INTEGER), count(*), sum(n_chars) FROM v2
+""",
+    description="time travel over the commit log (Delta's VERSION AS OF "
+    "reduced to core): bootstrap v0, an upsert+insert MERGE commits v1, "
+    "a delete-expressing overwrite commits v2 — then ALL THREE versions "
+    "are read back concurrently from their immutable manifests (data "
+    "dirs are never rewritten, a version pin is just a different "
+    "manifest file, zero storage copied) and aggregated side by side",
+)
+def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint'd result, same driver-
+    # robustness rationale as manifest_zorder_range_read
+    import tempfile
+
+    from ..sources.lakehouse import ManifestLakeTable
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="time_travel_")
+    t = ManifestLakeTable(root, keys=["doc_id"], n_buckets=8)
+    t.overwrite(docs.where(F.col("doc_id") % 3 == 0))
+    upserts = docs.where(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0)
+    ).withColumn("n_chars", F.col("n_chars") + 1000)
+    inserts = docs.where(F.col("doc_id") % 3 == 1)
+    t.merge_into(upserts.unionByName(inserts))
+    t.overwrite(t.read(spark, 1).where(F.col("doc_id") % 7 != 0))
+    snaps = [
+        t.read(spark, v)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(F.lit(v).alias("version"), "n_docs", "sum_chars")
+        for v in (0, 1, 2)
+    ]
+    out = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+    return out.localCheckpoint(eager=True)

@@ -119,6 +119,16 @@ CATALOG_ORDER: tuple[str, ...] = (
     "markov_event_transitions",
     "basket_pmi_pairs",
     "sketch_kmv_by_source",
+    # --- 2b. third continuation wave (added mid-round-8; never
+    #     checked — same never-checked-outranks-refresh rule demotes
+    #     the equal number of r4-green TPC-H tail entries to round 9,
+    #     where they join the promised round-5 freshness head) ---
+    "winsorize_order_prices",
+    "anomaly_mad_outliers",
+    "sliding_window_events",
+    "record_linkage_fs",
+    "embedding_gram_pca",
+    "manifest_time_travel",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",

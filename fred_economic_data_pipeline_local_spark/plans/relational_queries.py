@@ -2185,3 +2185,156 @@ def basket_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi"), F.asc("part_a"), F.asc("part_b")
     ).limit(_PMI_TOPK)
+
+
+@query(
+    "winsorize_order_prices",
+    oracle="""
+WITH b AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       round(b.lo, 2) AS lo,
+       round(b.hi, 2) AS hi,
+       count(*) AS n,
+       sum(CASE WHEN o_totalprice < b.lo THEN 1 ELSE 0 END) AS n_clip_lo,
+       sum(CASE WHEN o_totalprice > b.hi THEN 1 ELSE 0 END) AS n_clip_hi,
+       round(avg(CASE WHEN o_totalprice < b.lo THEN b.lo
+                      WHEN o_totalprice > b.hi THEN b.hi
+                      ELSE o_totalprice END), 2) AS avg_winsorized
+FROM orders o JOIN b USING (o_orderpriority)
+GROUP BY o.o_orderpriority, b.lo, b.hi
+""",
+    description="robust aggregation: per-priority winsorized mean of "
+    "order prices (clip at the group's exact p05/p95 before averaging) "
+    "— one map-combined exchange computes the quantile bounds, the "
+    "O(groups) bounds frame broadcasts back, one more map-combined "
+    "exchange aggregates the clipped values; percentile_approx swap-in "
+    "for unbounded groups (operators/robust.py)",
+)
+def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import winsorize
+
+    orders = load_table(spark, "orders", sf_dir)
+    return winsorize(orders, "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "anomaly_mad_outliers",
+    oracle="""
+WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+d AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN m USING (event_type)
+),
+s AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+SELECT d.event_type,
+       round(any_value(d.med), 4) AS med,
+       round(any_value(s.mad), 4) AS mad,
+       count(*) AS n,
+       sum(CASE WHEN d.adev > 3.0 * 1.4826 * s.mad THEN 1 ELSE 0 END)
+         AS n_outliers
+FROM d JOIN s USING (event_type)
+GROUP BY d.event_type
+""",
+    description="robust anomaly screen: per-event-type median absolute "
+    "deviation with 3-sigma-equivalent flags (|v - med| > 3*1.4826*MAD) "
+    "— two map-combined exchanges (median, then median of deviations; "
+    "MAD is irreducibly two rounds), O(groups) frames broadcast back; "
+    "exact medians so the oracle's interpolated midpoints are the same "
+    "IEEE doubles",
+)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import mad_outliers
+
+    ev = load_table(spark, "events", sf_dir)
+    return mad_outliers(ev, "event_type", "value")
+
+
+# Fellegi-Sunter weights, computed ONCE in Python and embedded as
+# identical full-precision double literals in both engines (libm ln()
+# could differ by 1 ulp between engines; a shared literal cannot)
+import math as _math
+
+_FS_M_U = {"seg": (0.9, 0.2), "bal": (0.8, 0.05), "seq": (0.7, 0.01)}
+_FS_W = {
+    n: (_math.log(m / u), _math.log((1 - m) / (1 - u)))
+    for n, (m, u) in _FS_M_U.items()
+}
+_FS_MATCH, _FS_POSSIBLE = 6.0, 1.0
+
+
+@query(
+    "record_linkage_fs",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.c_nationkey AS block,
+         a.c_mktsegment = b.c_mktsegment AS agree_seg,
+         abs(a.c_acctbal - b.c_acctbal) <= 50.0 AS agree_bal,
+         abs(a.c_custkey - b.c_custkey) <= 10 AS agree_seq,
+         (CASE WHEN a.c_mktsegment = b.c_mktsegment
+               THEN {_FS_W['seg'][0]!r} ELSE {_FS_W['seg'][1]!r} END
+          + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 50.0
+                 THEN {_FS_W['bal'][0]!r} ELSE {_FS_W['bal'][1]!r} END
+          + CASE WHEN abs(a.c_custkey - b.c_custkey) <= 10
+                 THEN {_FS_W['seq'][0]!r} ELSE {_FS_W['seq'][1]!r} END
+         ) AS score
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+)
+SELECT block,
+       CASE WHEN score >= {_FS_MATCH!r} THEN 'match'
+            WHEN score >= {_FS_POSSIBLE!r} THEN 'possible'
+            ELSE 'non_match' END AS decision,
+       count(*) AS n_pairs,
+       sum(CASE WHEN agree_seg THEN 1 ELSE 0 END) AS n_agree_seg,
+       sum(CASE WHEN agree_bal THEN 1 ELSE 0 END) AS n_agree_bal,
+       sum(CASE WHEN agree_seq THEN 1 ELSE 0 END) AS n_agree_seq,
+       round(avg(score), 6) AS avg_score
+FROM pairs
+GROUP BY 1, 2
+""",
+    description="probabilistic record linkage (Fellegi-Sunter 1969) as "
+    "master-dedup: nation-blocked candidate pairs (equi-join, never a "
+    "cross join — work bounded by sum of block^2), three agree/disagree "
+    "features scored with log-odds weights embedded as shared double "
+    "literals, three-way match/possible/non-match decision; "
+    "sorted-neighborhood or LSH blocking swaps in as block_col at scale "
+    "(operators/linkage.py)",
+)
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import FSFeature, fs_score_pairs
+
+    cust = load_table(spark, "customer", sf_dir)
+    feats = [
+        FSFeature(
+            "seg",
+            lambda lc, rc: lc("c_mktsegment") == rc("c_mktsegment"),
+            *_FS_M_U["seg"],
+        ),
+        FSFeature(
+            "bal",
+            lambda lc, rc: F.abs(lc("c_acctbal") - rc("c_acctbal")) <= 50.0,
+            *_FS_M_U["bal"],
+        ),
+        FSFeature(
+            "seq",
+            lambda lc, rc: F.abs(lc("c_custkey") - rc("c_custkey")) <= 10,
+            *_FS_M_U["seq"],
+        ),
+    ]
+    scored = fs_score_pairs(
+        cust, "c_custkey", "c_nationkey", feats, _FS_MATCH, _FS_POSSIBLE
+    )
+    return scored.groupBy(
+        F.col("block"), F.col("decision")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("agree_seg").cast("long")).alias("n_agree_seg"),
+        F.sum(F.col("agree_bal").cast("long")).alias("n_agree_bal"),
+        F.sum(F.col("agree_seq").cast("long")).alias("n_agree_seq"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    )

@@ -1077,3 +1077,40 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_top_component(
         emb, dims=_PI_DIMS, iterations=_PI_ITERS
     )
+
+
+@query(
+    "embedding_gram_pca",
+    # the components (dim, m, c1, c2) are exported; the oracle
+    # re-derives EVERY projection from the exported loadings and the
+    # raw embeddings — the eigendecomposition itself is pinned by
+    # tests/test_linalg.py (orthonormality + Gram residual), the same
+    # split as the PQ/IVF entries (codebook exported, scoring re-derived)
+    oracle=f"""
+SELECT e.vec_id,
+       round(sum((CAST(e.embedding[t.dim] AS DOUBLE) - t.m) * t.c1), 6)
+         AS p1,
+       round(sum((CAST(e.embedding[t.dim] AS DOUBLE) - t.m) * t.c2), 6)
+         AS p2
+FROM embeddings e CROSS JOIN {export_sql('gram_pca_components')} t
+GROUP BY e.vec_id
+""",
+    description="tall-skinny PCA via the distributed Gram matrix: one "
+    "numpy GEMM per Arrow batch (mapInPandas), d^2 partial sums in one "
+    "map-combined exchange (the corpus never shuffles, ONE scan total), "
+    "local eigh of the 64x64 Gram on the driver (O(d^2) bounded state), "
+    "8-dp sign-canonicalized loadings broadcast back for a narrow "
+    "no-shuffle projection — the k>1 companion to "
+    "embedding_power_iteration",
+)
+def embedding_gram_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.linalg import (
+        gram_pca_components,
+        project_onto_components,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    comps = gram_pca_components(emb, dims=64, k=2)
+    exported = export_table(comps, "gram_pca_components")
+    return project_onto_components(emb, exported, k=2)

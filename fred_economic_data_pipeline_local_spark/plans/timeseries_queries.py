@@ -508,3 +508,50 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "sliding_window_events",
+    # a 1h window sliding every 30 min puts each event in EXACTLY two
+    # windows (window = 2 x slide), both aligned to the epoch 30-min
+    # grid: start1 = ts - (epoch_us(ts) % 30min), start2 = start1 - 30min
+    oracle="""
+WITH w AS (
+  SELECT event_type, value,
+         unnest([ts - to_microseconds(epoch_us(ts) % 1800000000),
+                 ts - to_microseconds(epoch_us(ts) % 1800000000)
+                    - INTERVAL '30 minutes']) AS wstart
+  FROM events
+)
+SELECT event_type,
+       strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM w
+GROUP BY 1, 2
+""",
+    description="SURVEY §2.10: sliding (hopping) event-time window — "
+    "native F.window(ts, '1 hour', slide '30 minutes') in batch; the "
+    "same expression streams with a watermark; Spark expands each row "
+    "into its overlapping windows BEFORE the one map-combined exchange, "
+    "so the shuffle carries (type, window) partials, never 2x the rows",
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            "event_type", F.window("ts", "1 hour", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

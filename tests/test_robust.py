@@ -1,0 +1,88 @@
+"""Robust statistics: winsorize + MAD outlier screen semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fred_economic_data_pipeline_local_spark.operators.robust import (
+    mad_outliers,
+    winsorize,
+)
+
+
+def _frame(spark, vals, key="g"):
+    return spark.createDataFrame(
+        [(key, float(v)) for v in vals], ["k", "v"]
+    )
+
+
+def test_winsorize_clips_both_tails(spark):
+    # 1..100: p05 = 5.95, p95 = 95.05 (linear interpolation) — values
+    # 1..5 clip low, 96..100 clip high
+    df = _frame(spark, range(1, 101))
+    r = winsorize(df, "k", "v").collect()[0]
+    assert r["n"] == 100
+    assert r["n_clip_lo"] == 5
+    assert r["n_clip_hi"] == 5
+    assert abs(r["lo"] - 5.95) < 1e-9
+    assert abs(r["hi"] - 95.05) < 1e-9
+    # clipped mean: replace 1..5 by 5.95 and 96..100 by 95.05
+    exp = (sum(range(6, 96)) + 5 * 5.95 + 5 * 95.05) / 100.0
+    assert abs(r["avg_winsorized"] - round(exp, 2)) < 1e-9
+
+
+def test_winsorize_constant_group_never_clips(spark):
+    df = _frame(spark, [7.0] * 10)
+    r = winsorize(df, "k", "v").collect()[0]
+    assert r["n_clip_lo"] == 0 and r["n_clip_hi"] == 0
+    assert r["avg_winsorized"] == 7.0
+
+
+def test_winsorize_approx_path_same_shape(spark):
+    df = _frame(spark, range(1, 101))
+    r = winsorize(df, "k", "v", approx_rel_err=0.001).collect()[0]
+    # percentile_approx returns exact data values (no interpolation);
+    # bounds land on real rows and the contract columns are intact
+    assert r["n"] == 100
+    assert set(r.asDict()) == {
+        "k", "lo", "hi", "n", "n_clip_lo", "n_clip_hi", "avg_winsorized",
+    }
+
+
+def test_mad_flags_only_the_outlier(spark):
+    # tight cluster + one spike: med=10, MAD=1 -> threshold 4.4478
+    df = _frame(spark, [9, 9, 10, 10, 10, 11, 11, 1000])
+    r = mad_outliers(df, "k", "v").collect()[0]
+    assert r["med"] == 10.0
+    assert r["mad"] == 1.0
+    assert r["n"] == 8
+    assert r["n_outliers"] == 1
+
+
+def test_mad_constant_group_zero_mad_no_flags_on_equal(spark):
+    # all-equal group: MAD = 0 and |v - med| = 0 is NOT > 0 -> no flags
+    df = _frame(spark, [5.0] * 6)
+    r = mad_outliers(df, "k", "v").collect()[0]
+    assert r["mad"] == 0.0 and r["n_outliers"] == 0
+
+
+def test_mad_groups_are_independent(spark):
+    df = _frame(spark, [1, 1, 1, 100], key="a").union(
+        _frame(spark, [100, 100, 100, 100], key="b")
+    )
+    rows = {r["k"]: r for r in mad_outliers(df, "k", "v").collect()}
+    assert rows["a"]["n_outliers"] == 1
+    assert rows["b"]["n_outliers"] == 0
+
+
+def test_sliding_window_expands_each_event_twice(spark):
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+    ev_n = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    )
+    out = all_queries()["sliding_window_events"](
+        spark, "/root/testdata/sf0.001"
+    )
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2 * ev_n
