@@ -83,6 +83,16 @@ AQE_SLICE = [
     "semdedup_cluster_prune",
     "manifest_scd2_history",
     "embedding_power_iteration",
+    # third continuation wave: exact-percentile bounds broadcast-back,
+    # double-median MAD rounds, native sliding-window expand, blocked
+    # FS pair scoring, Arrow-batched Gram + broadcast projection,
+    # multi-version manifest snapshot union
+    "winsorize_order_prices",
+    "anomaly_mad_outliers",
+    "sliding_window_events",
+    "record_linkage_fs",
+    "embedding_gram_pca",
+    "manifest_time_travel",
 ]
 
 

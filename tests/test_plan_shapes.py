@@ -360,3 +360,51 @@ def test_power_iteration_corpus_never_shuffles_vectors(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "ec#" not in line and "embedding#" not in line, line
+
+
+def test_winsorize_bounds_broadcast_back_two_exchanges(spark):
+    plan = plan_of(spark, "winsorize_order_prices")
+    # one exchange for the percentile bounds, one for the clipped agg;
+    # the bounds frame must come back as a broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_percentile" in plan  # map-side partial quantile state
+
+
+def test_mad_double_median_broadcasts_both_rounds(spark):
+    plan = plan_of(spark, "anomaly_mad_outliers")
+    # median join appears in the MAD branch and the final flag branch —
+    # Spark reuses the broadcast rather than recomputing the median
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "ReusedExchange" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_sliding_window_expands_before_partial_agg(spark):
+    plan = plan_of(spark, "sliding_window_events")
+    # Spark's native sliding window: Expand (each row -> its 2 windows)
+    # feeds the PARTIAL aggregate, so the one exchange carries
+    # (type, window) partials — never 2x the corpus rows
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    ex = plan.index("Exchange hashpartitioning")
+    assert plan.index("Expand") > ex  # expand below the exchange
+
+
+def test_record_linkage_blocking_is_equi_join(spark):
+    plan = plan_of(spark, "record_linkage_fs")
+    # pair generation must key on the block (equi join with the id
+    # inequality as residual), never a cartesian/nested-loop pair blowup
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "c_custkey" in plan  # residual id < id rides the equi join
+
+
+def test_gram_pca_projection_never_shuffles_corpus(spark):
+    plan = plan_of(spark, "embedding_gram_pca")
+    # the final projection: corpus scan + broadcast 1-row component
+    # arrays; the only exchange is the SinglePartition collect_list of
+    # the 64-row exported component table
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert ".oracle_exports/gram_pca_components" in plan
