@@ -106,6 +106,16 @@ HEADLINE = [
     "twap_user_values",
     "markov_event_transitions",
     "basket_pmi_pairs",
+    "winsorize_order_prices",
+    "anomaly_mad_outliers",
+    "sliding_window_events",
+    "record_linkage_fs",
+    "embedding_gram_pca",
+    "manifest_time_travel",
+    "graph_triangle_topk",
+    "bootstrap_ci_order_prices",
+    "ks_test_doc_lengths",
+    "text_entropy_by_source",
 ]
 
 

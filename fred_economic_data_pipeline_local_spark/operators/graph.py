@@ -105,3 +105,72 @@ def pagerank_topk(edges: DataFrame, k: int = 20, **kw) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(k)
     )
+
+
+def triangle_counts(edges: DataFrame, topk: int | None = None) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED edge list (one row
+    per edge, either orientation; self-loops and duplicates removed
+    here) — the Suri-Vassilvitskii MR-triangle shape with degree
+    orientation: every edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so each wedge is generated at its
+    lowest-order apex and each triangle is found exactly once. The
+    orientation bounds the wedge-join fanout by O(sqrt(|E|)) per node
+    (arboricity), which is what keeps a power-law hub from exploding
+    the join at 100 TB — without it, the apex with degree d generates
+    d^2 wedges.
+
+    Plan shape: degree = one map-combined exchange; orientation = two
+    broadcast-or-shuffle equi-joins of the O(|E|) edge list onto the
+    O(|V|) degree table; wedges = one self-equi-join on the apex;
+    closure = one equi-join of wedges onto oriented edges on the
+    (lo, hi) pair. Everything is an equi-join on ids — no cross joins,
+    no nested loops. Returns (node, n_triangles) for every node in at
+    least one triangle, TakeOrdered-limited when ``topk`` is given.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = canon.union(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("__db"))
+    # orient: lower (degree, id) endpoint -> higher
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "apex").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    if topk is not None:
+        return per_node.orderBy(
+            F.desc("n_triangles"), F.asc("node")
+        ).limit(topk)
+    return per_node

@@ -107,3 +107,165 @@ def mad_outliers(
             )
         ).alias("n_outliers"),
     )
+
+
+# Poisson(1) cumulative probabilities, computed once in Python and
+# shared as literals with any SQL mirror (same discipline as the
+# linkage log-odds weights: no libm divergence between engines).
+import math as _math
+
+_POIS1_CUM: list[float] = []
+_acc, _p = 0.0, _math.exp(-1.0)
+for _k in range(8):
+    _acc += _p
+    _POIS1_CUM.append(_acc)
+    _p /= _k + 1
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value: str,
+    reps: int = 32,
+    z: float = 1.959963984540054,  # Phi^-1(0.975), shared literal
+) -> DataFrame:
+    """Bootstrap standard error + normal-approximation CI for
+    ``mean(value)`` by the Poisson bootstrap (Chamandy et al., Google
+    2012 — "Estimating Uncertainty for Massive Data Streams"): each of
+    ``reps`` replicates re-weights every row with an independent
+    Poisson(1) count, a distributed-friendly surrogate for resampling
+    n-out-of-n (no global state, no sampling pass per replicate).
+
+    Determinism contract: the Poisson draw for (row, rep) inverts the
+    shared cumulative table above at u = first-8-hex-digits of
+    md5(id:rep) / 16^8 — md5, not rand(), so every engine, partition
+    layout, and retry reproduces the identical replicate weights (the
+    same recipe as the md5 samplers in operators/curation.py).
+
+    Plan shape: one explode of the fact rows into ``reps`` weighted
+    copies feeding a map-combined (rep) aggregate — ONE exchange of
+    O(reps x partitions) partial sums; replicate means then reduce to a
+    1-row (point, se, ci_lo, ci_hi) frame. The explode multiplies rows
+    ``reps``-fold BEFORE the combiner, but partials absorb it: the
+    exchange itself stays O(reps), independent of table size.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col("__rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(len(_POIS1_CUM))
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CUM[k]), F.lit(k)).otherwise(w)
+    rep_means = (
+        df.select(
+            F.col(id_col),
+            F.col(value),
+            F.explode(F.array(*[F.lit(r) for r in range(reps)])).alias(
+                "__rep"
+            ),
+        )
+        .select("__rep", (w.cast("double") * F.col(value)).alias("__wx"), w.alias("__w"))
+        .groupBy("__rep")
+        .agg(
+            (F.sum("__wx") / F.sum("__w")).alias("__mean")
+        )
+    )
+    point = df.agg(F.avg(value).alias("__point"))
+    return (
+        rep_means.agg(
+            F.round(F.stddev_samp("__mean"), 4).alias("boot_se"),
+            F.count(F.lit(1)).alias("n_reps"),
+        )
+        .join(F.broadcast(point))
+        .select(
+            F.round("__point", 4).alias("point"),
+            "boot_se",
+            "n_reps",
+            F.round(F.col("__point") - F.lit(z) * F.col("boot_se"), 4).alias(
+                "ci_lo"
+            ),
+            F.round(F.col("__point") + F.lit(z) * F.col("boot_se"), 4).alias(
+                "ci_hi"
+            ),
+        )
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group: str,
+    value: str,
+    a,
+    b,
+    alpha_c: float = 1.358,  # Kolmogorov c(0.05), shared literal
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between groups ``a`` and
+    ``b`` of ``group``: D = sup |F_a(x) - F_b(x)| over the observed
+    support, with the large-sample alpha=0.05 rejection threshold
+    c * sqrt((n_a + n_b) / (n_a * n_b)).
+
+    Plan shape: the corpus collapses to per-(group, value) counts in
+    one map-combined exchange — the ECDF lives on the DISTINCT-value
+    domain, so the cumulative window that follows runs over O(|support|)
+    rows (a single-partition window, same bounded-domain justification
+    as the profile sketches; n_chars-like supports are hundreds of
+    values, never the corpus). Returns one row:
+    (n_a, n_b, d_stat, d_crit, reject).
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        df.where(F.col(group).isin([a, b]))
+        .groupBy(value)
+        .agg(
+            F.sum((F.col(group) == a).cast("long")).alias("__ca"),
+            F.sum((F.col(group) == b).cast("long")).alias("__cb"),
+        )
+    )
+    totals = cnt.agg(
+        F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b")
+    )
+    wv = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = cnt.select(
+        F.sum("__ca").over(wv).alias("__fa"),
+        F.sum("__cb").over(wv).alias("__fb"),
+    ).join(broadcast(totals))
+    crit = F.lit(alpha_c) * F.sqrt(
+        (F.col("n_a") + F.col("n_b"))
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        ecdf.groupBy("n_a", "n_b")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("__fa") / F.col("n_a")
+                        - F.col("__fb") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("d_stat")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_stat",
+            F.round(crit, 6).alias("d_crit"),
+            (F.col("d_stat") > crit).alias("reject"),
+        )
+    )

@@ -1516,3 +1516,101 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("logprob").alias("min_logprob"),
         F.max("logprob").alias("max_logprob"),
     )
+
+
+@query(
+    "ks_test_doc_lengths",
+    # the reject comparison mirrors the engine exactly: ROUNDED d_stat
+    # vs UNROUNDED critical value (both engines compute crit from the
+    # same integer counts, so it is the same IEEE double)
+    oracle="""
+WITH cnt AS (
+  SELECT n_chars,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+),
+tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM cnt),
+ecdf AS (
+  SELECT sum(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS fa,
+         sum(cb) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS fb
+  FROM cnt
+),
+d AS (
+  SELECT n_a, n_b,
+         round(max(abs(fa / n_a - fb / n_b)), 6) AS d_stat
+  FROM ecdf CROSS JOIN tot GROUP BY n_a, n_b
+)
+SELECT n_a, n_b, d_stat,
+       round(1.358 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)), 6)
+         AS d_crit,
+       d_stat > 1.358 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE))
+         AS reject
+FROM d
+""",
+    description="two-sample Kolmogorov-Smirnov test between two "
+    "sources' document-length distributions (operators/robust.py): the "
+    "corpus collapses to per-(group, value) counts in ONE map-combined "
+    "exchange, the ECDF cumulates over the O(|support|) distinct-value "
+    "domain (a bounded single-partition window, never the corpus), "
+    "alpha=0.05 large-sample rejection threshold — the drift test for "
+    "'did this source's length profile change between crawls'",
+)
+def ks_test_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import ks_two_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ks_two_sample(docs, "source", "n_chars", "src0", "src1")
+
+
+@query(
+    "text_entropy_by_source",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT source, sum(c) AS n_tokens,
+         count(*) AS n_distinct,
+         sum(c * ln(c)) AS clogc
+  FROM cnt GROUP BY source
+)
+SELECT source, n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(ln(n_tokens) - clogc / n_tokens, 6) AS entropy_nats
+FROM agg
+""",
+    description="Shannon token entropy per source — the vocabulary-"
+    "diversity screen (template/boilerplate sources read low-entropy): "
+    "H = ln N - (1/N) sum c ln c needs only (source, token) counts, one "
+    "map-combined exchange + an O(vocab) re-aggregate; no p_i "
+    "materialization, no second corpus scan",
+)
+def text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log("c")).alias("__clogc"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log("n_tokens") - F.col("__clogc") / F.col("n_tokens"), 6
+            ).alias("entropy_nats"),
+        )
+    )

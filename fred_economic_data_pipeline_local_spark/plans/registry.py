@@ -129,6 +129,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "record_linkage_fs",
     "embedding_gram_pca",
     "manifest_time_travel",
+    "graph_triangle_topk",
+    "bootstrap_ci_order_prices",
+    "ks_test_doc_lengths",
+    "text_entropy_by_source",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",

@@ -2338,3 +2338,110 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("agree_seq").cast("long")).alias("n_agree_seq"),
         F.round(F.avg("score"), 6).alias("avg_score"),
     )
+
+
+@query(
+    "graph_triangle_topk",
+    # the oracle enumerates triangles with the simple id-ordered
+    # closure — the triangle SET is orientation-invariant, so it needn't
+    # mirror the engine's degree orientation (which exists purely to
+    # bound wedge fanout on hubs); per-node counts explode identically
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT a.pk AS x, c.pk AS y FROM b a JOIN b c
+    ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+t AS (
+  SELECT w1.x AS na, w1.y AS nb, w2.y AS nc
+  FROM e w1 JOIN e w2 ON w1.x = w2.x AND w1.y < w2.y
+  JOIN e e3 ON e3.x = w1.y AND e3.y = w2.y
+),
+pn AS (
+  SELECT unnest([na, nb, nc]) AS node FROM t
+)
+SELECT node, count(*) AS n_triangles
+FROM pn GROUP BY node
+ORDER BY n_triangles DESC, node LIMIT 20
+""",
+    description="triangle census over the part co-purchase graph "
+    "(edges = part pairs sharing >= 2 orders — the bundle-detection "
+    "graph): Suri-Vassilvitskii MR triangles with DEGREE orientation, "
+    "so wedge fanout per node is bounded by O(sqrt(|E|)) instead of "
+    "hub-degree^2 — the difference between a plan that survives a "
+    "power-law graph at 100 TB and one that explodes on the first hub; "
+    "all equi-joins, per-node counts via a 3-way explode, TakeOrdered "
+    "top-20",
+)
+def graph_triangle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = b.select("ok", F.col("pk").alias("src"))
+    c = b.select("ok", F.col("pk").alias("dst"))
+    edges = (
+        a.join(c, "ok")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges, topk=20)
+
+
+from ..operators.robust import _POIS1_CUM as _BOOT_CUM  # noqa: E402
+
+_BOOT_REPS = 32
+_BOOT_Z = 1.959963984540054
+
+# the shared Poisson(1) inverse-CDF CASE chain, rendered once for SQL
+_BOOT_W_SQL = "CASE " + " ".join(
+    f"WHEN u < {p!r} THEN {k}" for k, p in enumerate(_BOOT_CUM)
+) + f" ELSE {len(_BOOT_CUM)} END"
+
+
+@query(
+    "bootstrap_ci_order_prices",
+    oracle=f"""
+WITH reps AS (
+  SELECT o_orderkey, o_totalprice, r
+  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_REPS - 1})) AS r)
+),
+drawn AS (
+  SELECT r, o_totalprice,
+         CAST(CONCAT('0x', substr(md5(CONCAT(CAST(o_orderkey AS VARCHAR), ':',
+              CAST(r AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+  FROM reps
+),
+weighted AS (SELECT r, o_totalprice, {_BOOT_W_SQL} AS w FROM drawn),
+rep_means AS (
+  SELECT r, sum(CAST(w AS DOUBLE) * o_totalprice) / sum(w) AS m
+  FROM weighted GROUP BY r
+),
+se AS (SELECT round(stddev_samp(m), 4) AS boot_se,
+              count(*) AS n_reps FROM rep_means),
+pt AS (SELECT avg(o_totalprice) AS p FROM orders)
+SELECT round(p, 4) AS point, boot_se, n_reps,
+       round(p - {_BOOT_Z!r} * boot_se, 4) AS ci_lo,
+       round(p + {_BOOT_Z!r} * boot_se, 4) AS ci_hi
+FROM se CROSS JOIN pt
+""",
+    description="Poisson bootstrap CI for the mean order price "
+    "(Chamandy et al. 2012): 32 replicates re-weight every row with a "
+    "deterministic md5-inverted Poisson(1) count — no global resampling "
+    "pass, ONE exchange of O(reps x partitions) partial sums; the "
+    "uncertainty-quantification primitive a 100 TB aggregate needs "
+    "because exact resampling is a shuffle per replicate",
+)
+def bootstrap_ci_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import poisson_bootstrap_ci
+
+    orders = load_table(spark, "orders", sf_dir)
+    return poisson_bootstrap_ci(
+        orders, "o_orderkey", "o_totalprice", reps=_BOOT_REPS, z=_BOOT_Z
+    )

@@ -93,6 +93,12 @@ AQE_SLICE = [
     "record_linkage_fs",
     "embedding_gram_pca",
     "manifest_time_travel",
+    # batch 2: degree-oriented wedge joins, md5-Poisson explode-combine,
+    # bounded-support ECDF window, vocabulary entropy re-aggregate
+    "graph_triangle_topk",
+    "bootstrap_ci_order_prices",
+    "ks_test_doc_lengths",
+    "text_entropy_by_source",
 ]
 
 

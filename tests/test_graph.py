@@ -63,3 +63,55 @@ class TestPagerank:
             [("x", "y"), ("y", "y2"), ("y2", "x")], iterations=1
         )
         assert got == ref
+
+
+class TestTriangles:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, ["src", "dst"])
+
+    def test_k4_counts(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        out = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(self._edges(spark, k4)).collect()
+        }
+        # K4 has 4 triangles; every node sits in C(3,2) = 3 of them
+        assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_star_has_no_triangles(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        star = [(0, i) for i in range(1, 6)]
+        assert triangle_counts(self._edges(spark, star)).count() == 0
+
+    def test_duplicates_reverses_and_self_loops_ignored(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        messy = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 2), (0, 1)]
+        out = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(self._edges(spark, messy)).collect()
+        }
+        assert out == {0: 1, 1: 1, 2: 1}
+
+    def test_topk_ordering_and_no_cartesian(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        # two triangles sharing node 0 -> node 0 leads
+        edges = [(0, 1), (1, 2), (0, 2), (0, 3), (3, 4), (0, 4)]
+        df = triangle_counts(self._edges(spark, edges), topk=3)
+        rows = df.collect()
+        assert rows[0]["node"] == 0 and rows[0]["n_triangles"] == 2
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -408,3 +408,24 @@ def test_gram_pca_projection_never_shuffles_corpus(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastExchange" in plan
     assert ".oracle_exports/gram_pca_components" in plan
+
+
+def test_bootstrap_single_rep_exchange_with_partials(spark):
+    plan = plan_of(spark, "bootstrap_ci_order_prices")
+    # the 32x explode must feed a PARTIAL aggregate before its exchange:
+    # the shuffle carries O(reps x partitions) sums, never the replicas
+    gen = plan.index("Generate explode")
+    partial = plan.index("partial_sum")
+    assert partial < gen  # partial agg sits ABOVE the explode in the tree
+    assert "Exchange hashpartitioning(__rep" in plan
+
+
+def test_ks_ecdf_window_runs_on_collapsed_support(spark):
+    plan = plan_of(spark, "ks_test_doc_lengths")
+    # the Window must consume the (value)-grouped aggregate, not corpus
+    # rows: exactly one REAL corpus-side hash exchange (the count
+    # groupBy — the totals branch reuses it rather than re-scanning),
+    # then the SinglePartition exchange for the bounded-support window
+    assert plan.count("+- Exchange hashpartitioning") == 1
+    assert "ReusedExchange" in plan
+    assert "Window" in plan

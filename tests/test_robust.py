@@ -86,3 +86,74 @@ def test_sliding_window_expands_each_event_twice(spark):
     )
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == 2 * ev_n
+
+
+class TestBootstrap:
+    def test_point_is_plain_mean_and_ci_brackets_it(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.robust import (
+            poisson_bootstrap_ci,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(100 + (i % 7))) for i in range(200)], ["id", "v"]
+        )
+        r = poisson_bootstrap_ci(df, "id", "v", reps=16).collect()[0]
+        exact = sum(100 + (i % 7) for i in range(200)) / 200.0
+        assert abs(r["point"] - round(exact, 4)) < 1e-9
+        assert r["n_reps"] == 16
+        assert r["boot_se"] > 0
+        assert r["ci_lo"] < r["point"] < r["ci_hi"]
+
+    def test_deterministic_across_runs_and_partitionings(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.robust import (
+            poisson_bootstrap_ci,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], ["id", "v"]
+        )
+        a = poisson_bootstrap_ci(df, "id", "v", reps=8).collect()[0]
+        b = poisson_bootstrap_ci(
+            df.repartition(7), "id", "v", reps=8
+        ).collect()[0]
+        assert a == b
+
+
+class TestKS:
+    def test_identical_distributions_not_rejected(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.robust import (
+            ks_two_sample,
+        )
+
+        rows = [("a", float(i % 10)) for i in range(100)] + [
+            ("b", float(i % 10)) for i in range(100)
+        ]
+        r = ks_two_sample(
+            spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+        ).collect()[0]
+        assert r["d_stat"] == 0.0 and not r["reject"]
+        assert r["n_a"] == 100 and r["n_b"] == 100
+
+    def test_disjoint_distributions_rejected_with_d_one(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.robust import (
+            ks_two_sample,
+        )
+
+        rows = [("a", float(i)) for i in range(50)] + [
+            ("b", float(1000 + i)) for i in range(50)
+        ]
+        r = ks_two_sample(
+            spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+        ).collect()[0]
+        assert r["d_stat"] == 1.0 and r["reject"]
+
+    def test_other_groups_excluded(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.robust import (
+            ks_two_sample,
+        )
+
+        rows = [("a", 1.0), ("b", 1.0), ("z", 999.0)]
+        r = ks_two_sample(
+            spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+        ).collect()[0]
+        assert r["n_a"] == 1 and r["n_b"] == 1 and r["d_stat"] == 0.0
