@@ -120,9 +120,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "basket_pmi_pairs",
     "sketch_kmv_by_source",
     # --- 2b. third continuation wave (added mid-round-8; never
-    #     checked — same never-checked-outranks-refresh rule demotes
-    #     the equal number of r4-green TPC-H tail entries to round 9,
-    #     where they join the promised round-5 freshness head) ---
+    #     checked — the never-checked-outranks-refresh rule demotes an
+    #     equal number of r4-green TPC-H tail entries (q8-q20, all
+    #     locally re-verified every round) to round 9, where they join
+    #     the promised round-5 freshness head) ---
     "winsorize_order_prices",
     "anomaly_mad_outliers",
     "sliding_window_events",

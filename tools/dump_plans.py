@@ -165,6 +165,35 @@ SHOWCASE = {
         "union+re-sum, and the probe join with the <= d*w-row counter "
         "matrix on the BROADCAST side (`BroadcastHashJoin`, LeftOuter)."
     ),
+    "winsorize_order_prices": (
+        "Winsorized mean (third wave). Look for: the percentile bounds "
+        "computed behind ONE `Exchange hashpartitioning` with "
+        "`partial_percentile` map-side state, the O(groups) bounds frame "
+        "re-entering via `BroadcastHashJoin`, and the clipped re-aggregate "
+        "as a second partial/final pair — the fact table never sorts."
+    ),
+    "graph_triangle_topk": (
+        "Degree-oriented triangle census (third wave). Look for: every "
+        "join an equi `SortMergeJoin`/`BroadcastHashJoin` (no "
+        "CartesianProduct anywhere), the orientation struct choosing the "
+        "lower-(degree, id) endpoint, the wedge self-join keyed on the "
+        "apex, the closure join on (x, y), and `TakeOrderedAndProject` "
+        "for the top-20."
+    ),
+    "bootstrap_ci_order_prices": (
+        "Poisson bootstrap CI (third wave). Look for: `partial_sum` "
+        "ABOVE `Generate explode` in the tree — the 32x replication is "
+        "absorbed by the map-side combiner, so the one "
+        "`Exchange hashpartitioning(__rep...)` carries O(reps x "
+        "partitions) sums; md5/conv weight derivation fully codegen'd."
+    ),
+    "embedding_gram_pca": (
+        "Gram-matrix PCA projection (third wave). Look for: zero "
+        "`Exchange hashpartitioning` in the projection plan — the corpus "
+        "is scanned once and probed against the IdentityBroadcast of the "
+        "64-row exported component table (collect_list SinglePartition "
+        "is the only exchange, over 64 rows)."
+    ),
     # bloom_pruned_join_revenue is deliberately not showcased: its
     # defining feature is a 2,048-element array LITERAL in the filter
     # condition (16 KB of plan text that would swamp this file); the
