@@ -23,9 +23,18 @@ the index once and returns the read-back DataFrame, so the downstream
 plan consumes the materialized parquet (also truncating lineage, the
 same job the localCheckpoints used to do on these paths).
 
-The export directory is a fixed, git-ignored location inside the repo
-(the only writable root the driver and the local tests share); oracle
-SQL strings embed the absolute path at import time via ``export_sql``.
+The export root is a PER-PROCESS subdirectory of a fixed, git-ignored
+location inside the repo (the only writable root the driver and the
+local tests share): ``.oracle_exports/pid-<pid>``. The pid scoping,
+computed ONCE at import, keeps every consumer consistent — oracle SQL
+strings embed the absolute path at import time via ``export_sql`` and
+``export_table`` writes under the same constant, so within one process
+(or its forked children, which inherit the constant) query and oracle
+always agree — while ISOLATING concurrent processes: a bench.py JVM
+re-running an export-backed query can no longer rewrite the files a
+concurrently-running test's oracle is reading (observed: the r7 driver
+hash-reds' mechanism, reproduced locally as a FILE_NOT_EXIST on
+``dedup_minhash_shingles`` with pytest and bench live at once).
 Query → oracle ordering is guaranteed by the comparison protocol (the
 Spark callable runs before the oracle SQL), matching both
 ``tests/oracle_utils.compare_query`` and the driver's sweep.
@@ -40,6 +49,7 @@ from pyspark.sql import DataFrame
 EXPORT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".oracle_exports",
+    f"pid-{os.getpid()}",
 )
 
 

@@ -287,7 +287,7 @@ def test_pq_scoring_reads_exported_code_index(spark):
     the compressed-scan shape the operator exists for."""
     plan = plan_of(spark, "similarity_pq_topk")
     assert "BroadcastNestedLoopJoin" not in plan
-    assert ".oracle_exports/similarity_pq_codes" in plan
+    assert "similarity_pq_codes" in plan  # the exported code table
     assert "BroadcastHashJoin" in plan
 
 
@@ -299,7 +299,7 @@ def test_ivfpq_candidates_join_probes_by_cell(spark):
     # string truncates Location entries, so check the file index)
     files = "\n".join(df.inputFiles())
     for idx in ("ivfpq_probes", "ivfpq_assign", "ivfpq_codes", "ivfpq_codebook"):
-        assert f".oracle_exports/{idx}" in files, idx
+        assert f"/{idx}" in files, idx  # exported under the pid-scoped root
 
 
 def test_weighted_sample_is_group_limited_per_stratum(spark):
@@ -407,7 +407,7 @@ def test_gram_pca_projection_never_shuffles_corpus(spark):
     # the 64-row exported component table
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastExchange" in plan
-    assert ".oracle_exports/gram_pca_components" in plan
+    assert "gram_pca_components" in plan  # the exported component table
 
 
 def test_bootstrap_single_rep_exchange_with_partials(spark):

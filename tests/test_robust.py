@@ -157,3 +157,21 @@ class TestKS:
             spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
         ).collect()[0]
         assert r["n_a"] == 1 and r["n_b"] == 1 and r["d_stat"] == 0.0
+
+
+def test_export_root_is_pid_scoped_and_consistent():
+    # concurrent JVMs must not share export dirs (the r7 hash-red
+    # mechanism, reproduced locally as FILE_NOT_EXIST during a
+    # pytest-vs-bench race); within one process the SQL fragment and the
+    # write path must embed the SAME root
+    import os
+
+    from fred_economic_data_pipeline_local_spark.exports import (
+        EXPORT_DIR,
+        export_path,
+        export_sql,
+    )
+
+    assert EXPORT_DIR.endswith(f"pid-{os.getpid()}")
+    assert export_path("x") == os.path.join(EXPORT_DIR, "x")
+    assert EXPORT_DIR in export_sql("x")

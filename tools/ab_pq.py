@@ -64,24 +64,18 @@ def main() -> None:
         ).count()
 
     def phase_codes():
-        cb = spark.read.parquet(
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                ".oracle_exports",
-                "ab_pq_codebook",
-            )
-        )
+        from fred_economic_data_pipeline_local_spark.exports import export_path
+
+        cb = spark.read.parquet(export_path("ab_pq_codebook"))
         export_table(
             pq_codes(emb, cb, m_sub=_M, dims=64), "ab_pq_codes"
         ).count()
 
     def phase_topk():
-        base = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".oracle_exports",
-        )
-        cb = spark.read.parquet(os.path.join(base, "ab_pq_codebook"))
-        codes = spark.read.parquet(os.path.join(base, "ab_pq_codes"))
+        from fred_economic_data_pipeline_local_spark.exports import export_path
+
+        cb = spark.read.parquet(export_path("ab_pq_codebook"))
+        codes = spark.read.parquet(export_path("ab_pq_codes"))
         pq_topk(
             emb,
             queries,
