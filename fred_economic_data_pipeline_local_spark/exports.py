@@ -46,11 +46,43 @@ import os
 
 from pyspark.sql import DataFrame
 
-EXPORT_DIR = os.path.join(
+_EXPORT_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".oracle_exports",
-    f"pid-{os.getpid()}",
 )
+EXPORT_DIR = os.path.join(_EXPORT_ROOT, f"pid-{os.getpid()}")
+
+
+def _sweep_dead_pid_dirs() -> None:
+    """Best-effort: drop pid-scoped export dirs whose owning process is
+    gone (each run leaves one; at bench scale they hold a few MB). Only
+    dirs whose pid is provably not alive are touched, so a live
+    process — even an unrelated one that reused the pid — never loses
+    its files. Pre-pid-scoping flat dirs are left alone."""
+    import shutil
+
+    try:
+        names = os.listdir(_EXPORT_ROOT)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if not name.startswith("pid-"):
+            continue
+        try:
+            pid = int(name[4:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_EXPORT_ROOT, name), ignore_errors=True)
+        except PermissionError:
+            pass  # alive, owned by someone else
+
+
+_sweep_dead_pid_dirs()
 
 
 def export_path(name: str) -> str:
