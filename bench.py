@@ -116,6 +116,9 @@ HEADLINE = [
     "bootstrap_ci_order_prices",
     "ks_test_doc_lengths",
     "text_entropy_by_source",
+    "manifest_vacuum_read",
+    "events_changepoint_cusum",
+    "text_jaccard_source_pairs",
 ]
 
 

@@ -1680,3 +1680,56 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
     return out.localCheckpoint(eager=True)
+
+
+@query(
+    "manifest_vacuum_read",
+    # content is the whole contract: after three commits and a
+    # keep-1 vacuum, the CURRENT version must still read exactly the
+    # final state (vacuum may only ever remove unreferenced history) —
+    # the retention mechanics (protected versions, lock requirement,
+    # orphan invisibility) are pinned in tests/test_lakehouse.py
+    oracle="""
+WITH final AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, n_chars + 500 FROM documents WHERE doc_id % 2 = 1
+)
+SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       count(DISTINCT doc_id) AS n_keys
+FROM final
+""",
+    description="VACUUM retention (Delta's VACUUM reduced to core): "
+    "bootstrap + two MERGE commits build history, vacuum(keep=1) drops "
+    "every data dir no retained manifest references — O(history) "
+    "metadata work, zero data reads — and the current version still "
+    "reads byte-identically; the storage-reclaim op a 100 TB table "
+    "needs because every MERGE strands prior bucket versions",
+)
+def manifest_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint'd result, same driver-
+    # robustness rationale as manifest_zorder_range_read
+    import tempfile
+
+    from ..sources.lakehouse import ManifestLakeTable
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="vacuum_docs_")
+    t = ManifestLakeTable(root, keys=["doc_id"], n_buckets=8)
+    t.overwrite(docs.where(F.col("doc_id") % 3 == 0))
+    t.merge_into(docs)  # full upsert: history now has 2 versions
+    t.merge_into(
+        docs.where(F.col("doc_id") % 2 == 1).withColumn(
+            "n_chars", F.col("n_chars") + 500
+        )
+    )
+    t.vacuum(keep=1)
+    return (
+        t.read(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_keys"),
+        )
+        .localCheckpoint(eager=True)
+    )

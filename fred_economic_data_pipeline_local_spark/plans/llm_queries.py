@@ -1614,3 +1614,71 @@ def text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_nats"),
         )
     )
+
+
+@query(
+    "text_jaccard_source_pairs",
+    oracle="""
+WITH v AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       round(n_shared / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sz sa ON sa.source = src_a
+JOIN sz sb ON sb.source = src_b
+ORDER BY jaccard DESC, src_a, src_b LIMIT 20
+""",
+    description="pairwise source-vocabulary Jaccard (corpus-overlap "
+    "dashboard: which sources mirror each other): the pair join is "
+    "equi-keyed on the TOKEN (work bounded by per-token source lists — "
+    "vocabulary postings, never a source cross join); sizes broadcast "
+    "back, integer-exact similarity, TakeOrdered top-20",
+)
+def text_jaccard_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    v = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("__na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("__nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("src_a"), F.asc("src_b"))
+        .limit(20)
+    )

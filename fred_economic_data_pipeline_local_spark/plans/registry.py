@@ -134,6 +134,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "bootstrap_ci_order_prices",
     "ks_test_doc_lengths",
     "text_entropy_by_source",
+    "manifest_vacuum_read",
+    "events_changepoint_cusum",
+    "text_jaccard_source_pairs",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",

@@ -555,3 +555,139 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_CUSUM_K = 0.5  # drift allowance (in sigmas)
+_CUSUM_H = 5.0  # alarm threshold
+
+
+@query(
+    "events_changepoint_cusum",
+    # every float both engines compute derives from INTEGER hourly
+    # counts through the identical expression (mean = s/n, var from the
+    # sum-of-squares identity, ordered cumulative sums) — bit-exact
+    # across engines, no rounding needed until the output edge
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, sum(c) AS s, sum(c * c) AS ss, count(*) AS n
+  FROM hourly GROUP BY 1
+),
+z AS (
+  SELECT h.event_type, h.hr,
+         CASE WHEN (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) > 0
+              THEN (c - CAST(s AS DOUBLE) / n)
+                   / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))
+              ELSE 0.0 END - {_CUSUM_K!r} AS y
+  FROM hourly h JOIN stats USING (event_type) WHERE n > 1
+),
+p AS (
+  SELECT event_type, hr,
+         sum(y) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS pt
+  FROM z
+),
+s AS (
+  SELECT event_type, hr,
+         round(pt - least(0.0,
+               min(pt) OVER (PARTITION BY event_type ORDER BY hr
+                             ROWS UNBOUNDED PRECEDING)), 8) AS cusum
+  FROM p
+),
+ranked AS (
+  SELECT event_type, hr, cusum,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cusum DESC, hr) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_hours
+  FROM s
+)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       round(cusum, 6) AS max_cusum,
+       CAST(hr AS BIGINT) AS alarm_hr,
+       cusum > {_CUSUM_H!r} AS alarm
+FROM ranked WHERE rn = 1
+""",
+    description="CUSUM changepoint detection per event type over hourly "
+    "counts (Page 1954): the one-sided recursion S_t = max(0, S_t-1 + "
+    "z_t - k) is NOT a window function, but the prefix-sum identity "
+    "S_t = P_t - min_j<=t P_j IS — one cumulative sum + one running min "
+    "over the O(hours) per-type domain, no recursion, no UDF, no "
+    "iteration; variance derived from integer count aggregates so both "
+    "engines compute bit-identical floats up to the output edge",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    # `div` = exact long division (a double divide + cast could flip a
+    # row at an exact hour boundary; DuckDB's // is exact too)
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(F.col("n") > 1)
+        .select(
+            "event_type",
+            "hr",
+            (
+                F.when(
+                    var > 0,
+                    (F.col("c") - F.col("s").cast("double") / F.col("n"))
+                    / F.sqrt(var),
+                ).otherwise(F.lit(0.0))
+                - F.lit(_CUSUM_K)
+            ).alias("y"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = z.select(
+        "event_type",
+        "hr",
+        F.sum("y").over(w).alias("pt"),
+    ).select(
+        "event_type", "hr", "pt", F.min("pt").over(w).alias("minp")
+    )
+    s = p.select(
+        "event_type",
+        "hr",
+        F.round(F.col("pt") - F.least(F.lit(0.0), F.col("minp")), 8).alias(
+            "cusum"
+        ),
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = s.select(
+        "event_type",
+        "hr",
+        "cusum",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("cusum"), F.asc("hr")
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n_hours"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "event_type",
+        "n_hours",
+        F.round("cusum", 6).alias("max_cusum"),
+        F.col("hr").alias("alarm_hr"),
+        (F.col("cusum") > F.lit(_CUSUM_H)).alias("alarm"),
+    )

@@ -99,6 +99,11 @@ AQE_SLICE = [
     "bootstrap_ci_order_prices",
     "ks_test_doc_lengths",
     "text_entropy_by_source",
+    # batch 3: retention read-back, prefix-sum/running-min CUSUM
+    # windows, token-postings pair join
+    "manifest_vacuum_read",
+    "events_changepoint_cusum",
+    "text_jaccard_source_pairs",
 ]
 
 

@@ -429,3 +429,22 @@ def test_ks_ecdf_window_runs_on_collapsed_support(spark):
     assert plan.count("+- Exchange hashpartitioning") == 1
     assert "ReusedExchange" in plan
     assert "Window" in plan
+
+
+def test_cusum_corpus_exchange_then_bounded_windows(spark):
+    plan = plan_of(spark, "events_changepoint_cusum")
+    # the corpus collapses to (type, hour) counts in one exchange; the
+    # prefix-sum and running-min windows then ride the O(hours) domain
+    # behind the per-type stats broadcast — never a corpus-wide sort
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_jaccard_pairs_join_on_token_postings(spark):
+    plan = plan_of(spark, "text_jaccard_source_pairs")
+    # pair generation equi-keyed on tok; sizes re-enter as broadcasts;
+    # top-20 as TakeOrdered, no global sort
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -175,3 +175,63 @@ def test_export_root_is_pid_scoped_and_consistent():
     assert EXPORT_DIR.endswith(f"pid-{os.getpid()}")
     assert export_path("x") == os.path.join(EXPORT_DIR, "x")
     assert EXPORT_DIR in export_sql("x")
+
+
+def test_cusum_window_identity_matches_recursion(spark):
+    # the engine computes S_t = P_t - min(0, min_j P_j); pin it against
+    # the literal Page recursion S_t = max(0, S_{t-1} + z_t - k) on the
+    # real fixture (per event_type, hourly counts, k = 0.5)
+    import math
+
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["events_changepoint_cusum"](
+            spark, sf
+        ).collect()
+    }
+    from datetime import timezone
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").collect()
+    hourly: dict = {}
+    for r in ev:
+        # fixture timestamps are UTC; Row carries a naive datetime
+        hr = int(
+            r["ts"].replace(tzinfo=timezone.utc).timestamp()
+        ) // 3600
+        hourly.setdefault(r["event_type"], {}).setdefault(hr, 0)
+        hourly[r["event_type"]][hr] += 1
+    for et, bucket in hourly.items():
+        counts = [bucket[h] for h in sorted(bucket)]
+        n = len(counts)
+        if n <= 1:
+            assert et not in out
+            continue
+        s_, ss = sum(counts), sum(c * c for c in counts)
+        var = (ss - s_ * s_ / n) / (n - 1)
+        best, best_hr, cur = -1.0, None, 0.0
+        for h in sorted(bucket):
+            z = (bucket[h] - s_ / n) / math.sqrt(var) if var > 0 else 0.0
+            cur = max(0.0, cur + z - 0.5)
+            if round(cur, 8) > best:
+                best, best_hr = round(cur, 8), h
+        r = out[et]
+        assert r["n_hours"] == n
+        assert abs(r["max_cusum"] - round(best, 6)) < 1e-9, et
+        assert r["alarm_hr"] == best_hr, et
+        assert r["alarm"] == (best > 5.0)
+
+
+def test_jaccard_source_pairs_small_known(spark):
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+    rows = all_queries()["text_jaccard_source_pairs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(rows) <= 20
+    # scores sorted desc with the documented tiebreak; all in (0, 1]
+    seq = [(r["jaccard"], r["src_a"], r["src_b"]) for r in rows]
+    assert all(0.0 < j <= 1.0 for j, *_ in seq)
+    assert seq == sorted(seq, key=lambda t: (-t[0], t[1], t[2]))
