@@ -119,6 +119,7 @@ HEADLINE = [
     "manifest_vacuum_read",
     "events_changepoint_cusum",
     "text_jaccard_source_pairs",
+    "events_trend_slope",
 ]
 
 

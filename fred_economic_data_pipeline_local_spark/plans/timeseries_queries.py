@@ -691,3 +691,87 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hr").alias("alarm_hr"),
         (F.col("cusum") > F.lit(_CUSUM_H)).alias("alarm"),
     )
+
+
+@query(
+    "events_trend_slope",
+    # every input to the slope is either exact (LONG day index, its
+    # squares/sums) or an ordered sequential window sum of doubles —
+    # same addition order in both engines, so the formula's
+    # cancellation (n*Sxy - Sx*Sy over a trailing window) reproduces
+    # bit-for-bit; the denominator is all-integer and exact
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS d,
+         round(sum(value), 2) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, d, y,
+         count(*) OVER w AS n,
+         sum(d) OVER w AS sx,
+         sum(y) OVER w AS sy,
+         sum(d * y) OVER w AS sxy,
+         sum(d * d) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(d AS BIGINT) AS d, y,
+       CAST(n AS BIGINT) AS n_window,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sy)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+            END AS slope
+FROM win
+""",
+    description="trailing 7-bucket OLS trend slope per event type — the "
+    "rolling regression a monitoring pipeline runs over every series: "
+    "slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) from FIVE window sums "
+    "over one (type)-partitioned ordered frame — one exchange, no "
+    "iteration, no UDF; the denominator is exact integer arithmetic "
+    "(LONG day indexes), so the classic cancellation pitfall costs "
+    "nothing",
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "d",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("d").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("d") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).over(w).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return win.select(
+        "event_type",
+        "d",
+        "y",
+        F.col("n").alias("n_window"),
+        F.when(
+            (F.col("n") >= 2) & (den > 0),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / den.cast("double"),
+                6,
+            ),
+        ).alias("slope"),
+    )

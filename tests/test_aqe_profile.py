@@ -104,6 +104,7 @@ AQE_SLICE = [
     "manifest_vacuum_read",
     "events_changepoint_cusum",
     "text_jaccard_source_pairs",
+    "events_trend_slope",
 ]
 
 

@@ -235,3 +235,28 @@ def test_jaccard_source_pairs_small_known(spark):
     seq = [(r["jaccard"], r["src_a"], r["src_b"]) for r in rows]
     assert all(0.0 < j <= 1.0 for j, *_ in seq)
     assert seq == sorted(seq, key=lambda t: (-t[0], t[1], t[2]))
+
+
+def test_trend_slope_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["events_trend_slope"](spark, sf).collect()
+    by_type: dict = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["d"])):
+        by_type.setdefault(r["event_type"], []).append(r)
+    checked = 0
+    for et, series in by_type.items():
+        for i, r in enumerate(series):
+            lo = max(0, i - 6)
+            xs = [s["d"] for s in series[lo : i + 1]]
+            ys = [s["y"] for s in series[lo : i + 1]]
+            if len(xs) >= 2 and len(set(xs)) > 1:
+                exp = np.polyfit(xs, ys, 1)[0]
+                assert abs(r["slope"] - exp) < 1e-5, (et, r["d"])
+                checked += 1
+            else:
+                assert r["slope"] is None
+    assert checked > 20
