@@ -120,6 +120,7 @@ HEADLINE = [
     "events_changepoint_cusum",
     "text_jaccard_source_pairs",
     "events_trend_slope",
+    "manifest_shallow_clone",
 ]
 
 

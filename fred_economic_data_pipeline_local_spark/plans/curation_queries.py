@@ -1733,3 +1733,80 @@ def manifest_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "manifest_shallow_clone",
+    # content is the whole contract: the clone reads the source's
+    # snapshot without copying a byte, then diverges copy-on-write —
+    # so (source after its own later merge) and (clone after ITS merge)
+    # must equal two independent set-algebra states over the fixture;
+    # zero-copy + isolation mechanics are pinned in tests/test_lakehouse
+    oracle="""
+WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN n_chars + 111 ELSE n_chars END
+           AS n_chars
+  FROM base
+),
+cl AS (
+  SELECT doc_id, n_chars + 999 AS n_chars FROM documents
+  WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id, n_chars FROM base WHERE doc_id % 4 <> 1
+)
+SELECT 'source' AS side, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM src
+UNION ALL
+SELECT 'clone', count(*), sum(n_chars) FROM cl
+""",
+    description="SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE "
+    "reduced to core): the clone's commit references the source's data "
+    "dirs by absolute path — zero bytes copied, O(buckets) metadata — "
+    "then diverges copy-on-write: the clone's MERGE writes only under "
+    "the clone's root, the source's own later MERGE writes only new "
+    "version dirs, and both read their independent states; the "
+    "dev/test-against-production-data primitive at 100 TB",
+)
+def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint'd result, same driver-
+    # robustness rationale as manifest_zorder_range_read
+    import os
+    import tempfile
+
+    from ..sources.lakehouse import ManifestLakeTable, shallow_clone
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    scratch = tempfile.mkdtemp(prefix="shallow_clone_")
+    src = ManifestLakeTable(
+        os.path.join(scratch, "src"), keys=["doc_id"], n_buckets=8
+    )
+    src.overwrite(docs.where(F.col("doc_id") % 2 == 0))
+    clone = shallow_clone(src, os.path.join(scratch, "clone"))
+    # diverge BOTH sides after the clone point
+    src.merge_into(
+        docs.where(F.col("doc_id") % 6 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 111
+        )
+    )
+    clone.merge_into(
+        docs.where(F.col("doc_id") % 4 == 1).withColumn(
+            "n_chars", F.col("n_chars") + 999
+        )
+    )
+    sides = [
+        src.read(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(F.lit("source").alias("side"), "n_docs", "sum_chars"),
+        clone.read(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(F.lit("clone").alias("side"), "n_docs", "sum_chars"),
+    ]
+    return sides[0].unionByName(sides[1]).localCheckpoint(eager=True)

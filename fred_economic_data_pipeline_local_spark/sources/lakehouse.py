@@ -1255,3 +1255,64 @@ class ManifestLakeTable(_KeyBucketedTable):
                 os.remove(self._manifest_path(v))
                 removed.append(os.path.join("_manifests", f"m={v}.json"))
         return removed
+
+
+def shallow_clone(
+    source: "ManifestLakeTable",
+    dest_root: str,
+    version: int | None = None,
+) -> "ManifestLakeTable":
+    """Delta-style SHALLOW CLONE: commit a new table at ``dest_root``
+    whose manifest references the SOURCE's data dirs by absolute path —
+    zero bytes copied, O(buckets) metadata work. The clone then lives
+    its own life copy-on-write: a MERGE/overwrite on the clone writes
+    new dirs under the CLONE's root and re-references untouched source
+    dirs, so clone mutations never touch source files, and source
+    mutations (which always write NEW version dirs) never move the
+    dirs the clone pinned. ``version`` clones a historical snapshot
+    (time-travel clone).
+
+    The clone's ``vacuum`` is safe by construction: it sweeps only
+    ``dest_root/data`` (a foreign absolute reference is never listed
+    there), so it can drop clone-local garbage but never source bytes.
+    The one shared-fate edge — same as Delta's shallow clones — is a
+    VACUUM ON THE SOURCE, which may delete dirs historical clones still
+    reference; pin retention accordingly (tests pin both properties).
+
+    Bucketing spec, zone maps, and layout are inherited verbatim (the
+    clone's key-hash routing must agree with the referenced buckets);
+    txn watermarks are NOT copied — the clone is a new idempotence
+    domain, matching Delta (a replayed streaming batch must re-apply to
+    a fresh clone).
+    """
+    doc = source._manifest_doc(version)
+    mapping = {
+        int(b): (
+            rel if os.path.isabs(rel) else os.path.join(source.root, rel)
+        )
+        for b, rel in doc["buckets"].items()
+    }
+    keys = doc.get("keys", source.keys)
+    n_buckets = doc.get("n_buckets", source.n_buckets)
+    clone = ManifestLakeTable(
+        dest_root,
+        keys=keys,
+        n_buckets=n_buckets,
+        stats_cols=list(source.stats_cols),
+    )
+    os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
+    clone._lock.acquire()
+    try:
+        if clone.current_version() is not None:
+            raise FileExistsError(
+                f"shallow_clone target {dest_root} is already a table"
+            )
+        clone._commit(
+            0,
+            mapping,
+            {int(b): s for b, s in doc.get("stats", {}).items()},
+            layout=doc.get("layout", "hash"),
+        )
+    finally:
+        clone._lock.release()
+    return clone

@@ -105,6 +105,7 @@ AQE_SLICE = [
     "events_changepoint_cusum",
     "text_jaccard_source_pairs",
     "events_trend_slope",
+    "manifest_shallow_clone",
 ]
 
 

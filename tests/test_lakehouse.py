@@ -1175,3 +1175,124 @@ class TestMinMaxIVM:
             apply_minmax_delta(
                 agg0, t.changes(spark, 0, 1), t.read(spark, 1), ["g"], "v"
             )
+
+
+class TestShallowClone:
+    def _docs(self, spark, n=40):
+        return spark.range(n).selectExpr("id AS k", "id * 10 AS v")
+
+    def _table(self, spark, root, df):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        t = ManifestLakeTable(str(root), keys=["k"], n_buckets=4)
+        t.overwrite(df)
+        return t
+
+    def test_clone_reads_source_snapshot_zero_copy(self, spark, tmp_path):
+        import os
+
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            shallow_clone,
+        )
+
+        df = self._docs(spark)
+        src = self._table(spark, tmp_path / "src", df)
+        clone = shallow_clone(src, str(tmp_path / "cl"))
+        assert sorted(r.k for r in clone.read(spark).collect()) == list(
+            range(40)
+        )
+        # zero copy: no data files under the clone's own data dir
+        data = os.path.join(str(tmp_path / "cl"), "data")
+        assert os.listdir(data) == []
+
+    def test_clone_mutations_never_touch_source(self, spark, tmp_path):
+        import os
+
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            shallow_clone,
+        )
+
+        src = self._table(spark, tmp_path / "src", self._docs(spark))
+        before = {
+            d: sorted(os.listdir(os.path.join(str(tmp_path / "src"), "data", d)))
+            for d in os.listdir(os.path.join(str(tmp_path / "src"), "data"))
+        }
+        clone = shallow_clone(src, str(tmp_path / "cl"))
+        clone.merge_into(
+            spark.range(5).selectExpr("id AS k", "id * 1000 AS v")
+        )
+        after = {
+            d: sorted(os.listdir(os.path.join(str(tmp_path / "src"), "data", d)))
+            for d in os.listdir(os.path.join(str(tmp_path / "src"), "data"))
+        }
+        assert before == after  # source bytes untouched
+        got = {r.k: r.v for r in clone.read(spark).collect()}
+        assert got[3] == 3000 and got[39] == 390
+        # the source still reads its own state
+        src_got = {r.k: r.v for r in src.read(spark).collect()}
+        assert src_got[3] == 30
+
+    def test_source_merge_does_not_move_clone(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            shallow_clone,
+        )
+
+        src = self._table(spark, tmp_path / "src", self._docs(spark))
+        clone = shallow_clone(src, str(tmp_path / "cl"))
+        src.merge_into(
+            spark.range(10).selectExpr("id AS k", "id * 777 AS v")
+        )
+        got = {r.k: r.v for r in clone.read(spark).collect()}
+        assert got[3] == 30  # clone pinned to the cloned snapshot
+
+    def test_clone_vacuum_cannot_drop_source_bytes(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            shallow_clone,
+        )
+
+        src = self._table(spark, tmp_path / "src", self._docs(spark))
+        clone = shallow_clone(src, str(tmp_path / "cl"))
+        clone.merge_into(
+            spark.range(5).selectExpr("id AS k", "id * 1000 AS v")
+        )
+        removed = clone.vacuum(keep=1)
+        assert all(not r.startswith("/") for r in removed)
+        assert sorted(
+            r.k for r in src.read(spark).collect()
+        ) == list(range(40))
+
+    def test_source_vacuum_breaks_historical_clone_documented(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            shallow_clone,
+        )
+
+        src = self._table(spark, tmp_path / "src", self._docs(spark))
+        clone = shallow_clone(src, str(tmp_path / "cl"))
+        src.overwrite(spark.range(3).selectExpr("id AS k", "id AS v"))
+        src.vacuum(keep=1)  # drops the dirs the clone references
+        with _pytest.raises(Exception):
+            clone.read(spark).collect()
+
+    def test_time_travel_clone_and_existing_target_refused(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            shallow_clone,
+        )
+
+        src = self._table(spark, tmp_path / "src", self._docs(spark, 10))
+        src.merge_into(
+            spark.range(10, 20).selectExpr("id AS k", "id * 10 AS v")
+        )
+        old = shallow_clone(src, str(tmp_path / "cl0"), version=0)
+        assert old.read(spark).count() == 10
+        with _pytest.raises(FileExistsError):
+            shallow_clone(src, str(tmp_path / "cl0"))
