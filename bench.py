@@ -121,6 +121,7 @@ HEADLINE = [
     "text_jaccard_source_pairs",
     "events_trend_slope",
     "manifest_shallow_clone",
+    "customer_rfm_segments",
 ]
 
 

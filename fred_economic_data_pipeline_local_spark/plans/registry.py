@@ -139,6 +139,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_jaccard_source_pairs",
     "events_trend_slope",
     "manifest_shallow_clone",
+    "customer_rfm_segments",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",

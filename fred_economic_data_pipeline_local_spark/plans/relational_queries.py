@@ -10,7 +10,7 @@ dim join is a BroadcastHashJoin with zero shuffle of the fact side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -2444,4 +2444,104 @@ def bootstrap_ci_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     return poisson_bootstrap_ci(
         orders, "o_orderkey", "o_totalprice", reps=_BOOT_REPS, z=_BOOT_Z
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    # quartile scores are VALUE-based (compare against the exact
+    # quartile boundaries), not ntile-based: a global ntile needs a
+    # single-partition sort of every customer — the boundary join is
+    # the form that scales; boundaries are the same interpolated
+    # doubles in both engines (quantile_cont = F.percentile), and every
+    # comparison is >= against those shared doubles
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS r_day,
+         count(*) AS f,
+         round(sum(o_totalprice), 2) AS m
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT quantile_cont(r_day, 0.25) AS r1, quantile_cont(r_day, 0.5) AS r2,
+         quantile_cont(r_day, 0.75) AS r3,
+         quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+         quantile_cont(f, 0.75) AS f3,
+         quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+         quantile_cont(m, 0.75) AS m3
+  FROM rfm
+),
+scored AS (
+  SELECT o_custkey,
+         CASE WHEN r_day >= r3 THEN 1 WHEN r_day >= r2 THEN 2
+              WHEN r_day >= r1 THEN 3 ELSE 4 END AS r_score,
+         CASE WHEN f >= f3 THEN 1 WHEN f >= f2 THEN 2
+              WHEN f >= f1 THEN 3 ELSE 4 END AS f_score,
+         CASE WHEN m >= m3 THEN 1 WHEN m >= m2 THEN 2
+              WHEN m >= m1 THEN 3 ELSE 4 END AS m_score
+  FROM rfm CROSS JOIN b
+)
+SELECT CASE
+         WHEN r_score = 1 AND f_score = 1 THEN \'champion\'
+         WHEN r_score = 1 THEN \'recent\'
+         WHEN f_score = 1 THEN \'loyal\'
+         WHEN r_score = 4 AND f_score = 4 THEN \'lost\'
+         ELSE \'regular\' END AS segment,
+       count(*) AS n_customers,
+       round(avg(r_score), 6) AS avg_r,
+       round(avg(f_score), 6) AS avg_f,
+       round(avg(m_score), 6) AS avg_m
+FROM scored GROUP BY 1
+""",
+    description="RFM customer segmentation (recency/frequency/monetary "
+    "quartiles): one per-customer aggregate, ONE 9-value quartile "
+    "aggregate broadcast back, value-based scores by comparison — no "
+    "global ntile sort (the textbook form needs a single-partition "
+    "window over every customer; this is the shape that survives "
+    "100 TB), rule-based segment labels",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max(F.expr("unix_micros(o_orderdate) div 86400000000")).alias(
+            "r_day"
+        ),
+        F.count(F.lit(1)).alias("f"),
+        F.round(F.sum("o_totalprice"), 2).alias("m"),
+    )
+    b = rfm.agg(
+        *[
+            F.percentile(c, q).alias(f"{c[0]}{i + 1}")
+            for c in ("r_day", "f", "m")
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ]
+    )
+
+    def _score(col, lo, mid, hi):
+        return (
+            F.when(F.col(col) >= F.col(hi), 1)
+            .when(F.col(col) >= F.col(mid), 2)
+            .when(F.col(col) >= F.col(lo), 3)
+            .otherwise(4)
+        )
+
+    scored = rfm.join(F.broadcast(b)).select(
+        "o_custkey",
+        _score("r_day", "r1", "r2", "r3").alias("r_score"),
+        _score("f", "f1", "f2", "f3").alias("f_score"),
+        _score("m", "m1", "m2", "m3").alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when(F.col("r_score") == 1, "recent")
+        .when(F.col("f_score") == 1, "loyal")
+        .when((F.col("r_score") == 4) & (F.col("f_score") == 4), "lost")
+        .otherwise("regular")
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("r_score"), 6).alias("avg_r"),
+        F.round(F.avg("f_score"), 6).alias("avg_f"),
+        F.round(F.avg("m_score"), 6).alias("avg_m"),
     )

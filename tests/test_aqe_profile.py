@@ -106,6 +106,7 @@ AQE_SLICE = [
     "text_jaccard_source_pairs",
     "events_trend_slope",
     "manifest_shallow_clone",
+    "customer_rfm_segments",
 ]
 
 

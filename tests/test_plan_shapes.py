@@ -448,3 +448,12 @@ def test_jaccard_pairs_join_on_token_postings(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_no_global_window_boundaries_broadcast(spark):
+    plan = plan_of(spark, "customer_rfm_segments")
+    # value-based quartile scores: the 1-row boundary aggregate comes
+    # back as a broadcast; a global ntile would plan a SinglePartition
+    # exchange of EVERY customer feeding a Window — refuse that shape
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
