@@ -229,7 +229,11 @@ def ks_two_sample(
     from pyspark.sql import Window
 
     cnt = (
-        df.where(F.col(group).isin([a, b]))
+        # drop null values: an ECDF is undefined on them, and the two
+        # engines would order a null group differently (Spark sorts
+        # nulls first, DuckDB last) — excluding them keeps the window
+        # deterministic everywhere
+        df.where(F.col(group).isin([a, b]) & F.col(value).isNotNull())
         .groupBy(value)
         .agg(
             F.sum((F.col(group) == a).cast("long")).alias("__ca"),

@@ -260,3 +260,15 @@ def test_trend_slope_matches_numpy_polyfit(spark):
             else:
                 assert r["slope"] is None
     assert checked > 20
+
+
+def test_ks_null_values_excluded(spark):
+    from fred_economic_data_pipeline_local_spark.operators.robust import (
+        ks_two_sample,
+    )
+
+    rows = [("a", 1.0), ("a", None), ("b", 1.0), ("b", None), ("b", None)]
+    r = ks_two_sample(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r["n_a"] == 1 and r["n_b"] == 1 and r["d_stat"] == 0.0
