@@ -122,6 +122,8 @@ HEADLINE = [
     "events_trend_slope",
     "manifest_shallow_clone",
     "customer_rfm_segments",
+    "pareto_abc_parts",
+    "manifest_zone_report",
 ]
 
 

@@ -1810,3 +1810,91 @@ def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("clone").alias("side"), "n_docs", "sum_chars"),
     ]
     return sides[0].unionByName(sides[1]).localCheckpoint(eager=True)
+
+
+@query(
+    "manifest_zone_report",
+    # the (doc_id, bucket) assignment is exported; the oracle re-derives
+    # every bucket's TRUE min/max/count from the export joined to the
+    # raw fixture and recomputes the pairwise overlap degree — value
+    # equality therefore certifies that the manifest's zone maps
+    # describe the bytes on disk exactly (the property read_range
+    # pruning depends on), not merely that a report was produced
+    oracle=f"""
+WITH assign AS (SELECT * FROM {{EXPORT}}),
+r AS (
+  SELECT a.bucket,
+         min(d.n_chars) AS lo, max(d.n_chars) AS hi,
+         count(*) AS n_rows
+  FROM assign a JOIN documents d USING (doc_id)
+  GROUP BY a.bucket
+)
+SELECT x.bucket, x.lo, x.hi, x.n_rows,
+       (SELECT count(*) FROM r y
+        WHERE y.bucket <> x.bucket
+          AND NOT (y.hi < x.lo OR y.lo > x.hi)) AS n_overlapping
+FROM r x
+""".replace("{EXPORT}", export_sql("zone_report_assign")),
+    description="zone-map observability report over a ZORDER-clustered "
+    "table: per-bucket [min, max] straight from the committed manifest "
+    "+ pairwise range-overlap degree (the clustering-quality metric — "
+    "hash layout overlaps everywhere, zorder approaches disjoint "
+    "slices); the oracle re-derives the true ranges from the exported "
+    "bucket assignment, so a hash match CERTIFIES the zone maps "
+    "describe the bytes read_range prunes by",
+)
+def manifest_zone_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..exports import export_table
+    from ..sources.lakehouse import ManifestLakeTable
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="zone_report_")
+    t = ManifestLakeTable(
+        root, keys=["doc_id"], n_buckets=16, stats_cols=["n_chars"]
+    )
+    t.overwrite(docs)
+    t.optimize_zorder(spark, ["n_chars"])
+    assign = t.read(spark).select(
+        "doc_id",
+        F.regexp_extract(
+            F.input_file_name(), r"/b([0-9]+)_v[0-9]+/[^/]*$", 1
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    exported = export_table(assign, "zone_report_assign")
+    counts = exported.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    st = t.stats()
+    ranges = spark.createDataFrame(
+        [
+            (int(b), int(s["n_chars"][0]), int(s["n_chars"][1]))
+            for b, s in sorted(st.items())
+        ],
+        "bucket int, lo bigint, hi bigint",
+    )
+    other = ranges.select(
+        F.col("bucket").alias("__ob"),
+        F.col("lo").alias("__olo"),
+        F.col("hi").alias("__ohi"),
+    )
+    overlap = (
+        ranges.join(
+            F.broadcast(other),
+            (F.col("bucket") != F.col("__ob"))
+            & ~((F.col("__ohi") < F.col("lo")) | (F.col("__olo") > F.col("hi"))),
+            "left",
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(
+            F.count("__ob").alias("n_overlapping")
+        )
+    )
+    return (
+        overlap.join(F.broadcast(counts), "bucket")
+        .select("bucket", "lo", "hi", "n_rows", "n_overlapping")
+        .localCheckpoint(eager=True)
+    )

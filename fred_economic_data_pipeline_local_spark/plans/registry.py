@@ -140,6 +140,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_trend_slope",
     "manifest_shallow_clone",
     "customer_rfm_segments",
+    "pareto_abc_parts",
+    "manifest_zone_report",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",

@@ -2545,3 +2545,72 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("f_score"), 6).alias("avg_f"),
         F.round(F.avg("m_score"), 6).alias("avg_m"),
     )
+
+
+@query(
+    "pareto_abc_parts",
+    # the cumulative-share window runs over the O(parts) aggregate
+    # (parts << lineitems), with rev rounded to 2dp BEFORE ordering so
+    # both engines sort identical doubles; partkey tiebreak pins ties
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(rev_c) AS t FROM rev),
+cum AS (
+  SELECT l_partkey, rev_c,
+         CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / t AS cum_share
+  FROM rev CROSS JOIN tot
+),
+cls AS (
+  SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+              WHEN cum_share <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev_c
+  FROM cum
+)
+SELECT abc_class, count(*) AS n_parts,
+       CAST(sum(rev_c) AS DOUBLE) / 100.0 AS class_revenue
+FROM cls GROUP BY 1
+""",
+    description="ABC/Pareto inventory classification: per-part revenue "
+    "aggregate (one map-combined exchange collapses the fact table), "
+    "cumulative-share window over the O(parts) domain — the global sort "
+    "is over the AGGREGATE, never the fact rows — 80/95% class "
+    "boundaries, per-class rollup",
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    # exact-cents discipline from the ROW level up: the per-row
+    # extended revenue is the same double in both engines (identical
+    # inputs, identical multiply), so round(x*100) is the same LONG,
+    # and every aggregate above it is order-independent integer math —
+    # per-part 2-dp double sums were observed to land on rounding
+    # boundaries (1-cent cross-engine diffs in the class rollup)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_c"))
+    tot = rev.agg(F.sum("rev_c").alias("t"))
+    w = (
+        Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.join(F.broadcast(tot)).select(
+        "rev_c",
+        (F.sum("rev_c").over(w).cast("double") / F.col("t")).alias(
+            "cum_share"
+        ),
+    )
+    cls = F.when(F.col("cum_share") <= 0.8, "A").when(
+        F.col("cum_share") <= 0.95, "B"
+    ).otherwise("C")
+    return cum.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum("rev_c").cast("double") / 100.0).alias("class_revenue"),
+    )

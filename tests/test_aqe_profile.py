@@ -107,6 +107,8 @@ AQE_SLICE = [
     "events_trend_slope",
     "manifest_shallow_clone",
     "customer_rfm_segments",
+    "pareto_abc_parts",
+    "manifest_zone_report",
 ]
 
 

@@ -1296,3 +1296,34 @@ class TestShallowClone:
         assert old.read(spark).count() == 10
         with _pytest.raises(FileExistsError):
             shallow_clone(src, str(tmp_path / "cl0"))
+
+
+def test_zone_overlap_hash_vs_zorder(spark, tmp_path):
+    """The clustering-quality metric behind manifest_zone_report:
+    key-hash routing scatters every value range into every bucket
+    (full pairwise overlap), OPTIMIZE ZORDER turns the same data into
+    (near-)disjoint slices."""
+    from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+        ManifestLakeTable,
+    )
+
+    df = spark.range(400).selectExpr("id AS k", "id AS v")
+    t = ManifestLakeTable(
+        str(tmp_path / "t"), keys=["k"], n_buckets=8, stats_cols=["v"]
+    )
+    t.overwrite(df)
+
+    def overlap_pairs(stats):
+        rs = [(s["v"][0], s["v"][1]) for s in stats.values()]
+        return sum(
+            1
+            for i, a in enumerate(rs)
+            for j, b in enumerate(rs)
+            if i != j and not (b[1] < a[0] or b[0] > a[1])
+        )
+
+    hash_overlap = overlap_pairs(t.stats())
+    t.optimize_zorder(spark, ["v"])
+    zorder_overlap = overlap_pairs(t.stats())
+    assert hash_overlap == 8 * 7  # every pair overlaps under hash
+    assert zorder_overlap < hash_overlap / 4
