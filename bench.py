@@ -124,6 +124,8 @@ HEADLINE = [
     "customer_rfm_segments",
     "pareto_abc_parts",
     "manifest_zone_report",
+    "graph_link_prediction",
+    "events_user_ltv_decay",
 ]
 
 

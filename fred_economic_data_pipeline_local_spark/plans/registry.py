@@ -142,6 +142,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "customer_rfm_segments",
     "pareto_abc_parts",
     "manifest_zone_report",
+    "graph_link_prediction",
+    "events_user_ltv_decay",
     # --- 3. code changed this round (scratch-root conversion /
     #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
     "fred_merge_into_lake",

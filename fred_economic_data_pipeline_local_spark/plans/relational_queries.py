@@ -2614,3 +2614,95 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         (F.sum("rev_c").cast("double") / 100.0).alias("class_revenue"),
     )
+
+
+@query(
+    "graph_link_prediction",
+    # id-ordered wedge enumeration (same orientation-invariance argument
+    # as graph_triangle_topk's oracle); candidate pairs are distance-2
+    # non-edges, scored by neighborhood Jaccard — all integer counts, so
+    # the score is the same double in both engines
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT a.pk AS x, c.pk AS y FROM b a JOIN b c
+    ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+deg AS (SELECT x AS node, count(*) AS d FROM und GROUP BY 1),
+wedge AS (
+  SELECT w1.y AS a, w2.y AS b2, count(*) AS common
+  FROM und w1 JOIN und w2 ON w1.x = w2.x AND w1.y < w2.y
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.a, w.b2, w.common FROM wedge w
+  LEFT JOIN e ON e.x = w.a AND e.y = w.b2
+  WHERE e.x IS NULL
+)
+SELECT c.a AS part_a, c.b2 AS part_b, c.common AS n_common,
+       round(c.common / CAST(da.d + db.d - c.common AS DOUBLE), 6)
+         AS jaccard
+FROM cand c
+JOIN deg da ON da.node = c.a
+JOIN deg db ON db.node = c.b2
+ORDER BY jaccard DESC, part_a, part_b LIMIT 20
+""",
+    description="link prediction over the co-purchase graph "
+    "(common-neighbors Jaccard, the classic recommender baseline): "
+    "distance-2 candidate pairs from ONE wedge equi-join at the shared "
+    "neighbor, existing edges removed by an anti join, neighborhood "
+    "sizes joined back — integer-exact scores, TakeOrdered top-20; the "
+    "same bounded-fanout join family as the triangle census",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    bkt = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    pa = bkt.select("ok", F.col("pk").alias("x"))
+    pb = bkt.select("ok", F.col("pk").alias("y"))
+    e = (
+        pa.join(pb, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("x", "y")
+    )
+    und = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("x").alias("node"), "d"
+    )
+    w1 = und.select(F.col("x").alias("apex"), F.col("y").alias("a"))
+    w2 = und.select(F.col("x").alias("apex"), F.col("y").alias("b2"))
+    wedge = (
+        w1.join(w2, "apex")
+        .where(F.col("a") < F.col("b2"))
+        .groupBy("a", "b2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedge.join(
+        e, (e.x == wedge.a) & (e.y == wedge.b2), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("node").alias("b2"), F.col("d").alias("__db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b2")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b2").alias("part_b"),
+            F.col("common").alias("n_common"),
+            F.round(
+                F.col("common")
+                / (F.col("__da") + F.col("__db") - F.col("common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -775,3 +775,46 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("slope"),
     )
+
+
+_LTV_REF_DAY = 19815  # 2024-04-02 UTC, just past the fixture's span
+_LTV_HALFLIFE_DAYS = 30.0
+
+
+@query(
+    "events_user_ltv_decay",
+    # both engines compute exp() on the same doubles (age derived from
+    # exact LONG day buckets); per-term 1-ulp libm differences are
+    # ~1e-16 relative, invisible at the 2-dp output rounding — and the
+    # reference day is a shared literal, never now()
+    oracle=f"""
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value * exp(-(
+         ({_LTV_REF_DAY} - epoch_us(ts) // 86400000000)
+         / {_LTV_HALFLIFE_DAYS!r}) * 0.6931471805599453)), 2)
+         AS ltv_decayed
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id
+""",
+    description="exponentially-decayed lifetime value per user "
+    "(half-life 30 days, fixed reference day — never now(), so the "
+    "result is reproducible): one map-combined exchange of per-user "
+    "partials, the decay factored as exp(-age*ln2/halflife) inside "
+    "whole-stage codegen; the recency-weighted aggregate every "
+    "engagement pipeline publishes",
+)
+def events_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull()
+    )
+    age_days = F.lit(_LTV_REF_DAY) - F.expr(
+        "unix_micros(ts) div 86400000000"
+    )
+    decay = F.exp(
+        -(age_days / F.lit(_LTV_HALFLIFE_DAYS)) * F.lit(0.6931471805599453)
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * decay), 2).alias("ltv_decayed"),
+    )

@@ -109,6 +109,8 @@ AQE_SLICE = [
     "customer_rfm_segments",
     "pareto_abc_parts",
     "manifest_zone_report",
+    "graph_link_prediction",
+    "events_user_ltv_decay",
 ]
 
 
