@@ -1093,7 +1093,8 @@ def profile_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket pruning (zone maps tightened by clustering) is pinned in
     # tests/test_lakehouse.py, invisible to (and unneeded by) the oracle
     oracle="""
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE n_chars BETWEEN 200 AND 400
 GROUP BY source
@@ -1106,12 +1107,13 @@ GROUP BY source
     "read_range prunes buckets driver-side before any file is listed",
 )
 def manifest_zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scratch is run-unique (mkdtemp), NOT the shared .oracle_exports
-    # root: this oracle never reads the export, and a fixed path lets
-    # any concurrent process (bench.py re-runs this very query) rewrite
-    # the files a lazily-returned frame would re-read — the r7 driver
-    # hash-red. localCheckpoint pins the 20-row result to memory so the
-    # returned frame has no lineage into the scratch dir at all.
+    # Scratch is run-unique (mkdtemp) and the result is
+    # localCheckpoint-pinned — correct hygiene for a lazily-returned
+    # frame over temp files, but NOT the cause of the r7/r8 driver
+    # hash-reds: those were oracle dtype drift (the oracle's bare
+    # sum(n_chars) typed HUGEINT, which DuckDB fetchdf renders float64
+    # vs Spark's int64 — fixed r9 with CAST(... AS BIGINT); VERDICT r8
+    # root-caused it, and tests/test_oracle_dtypes.py now pins it).
     import tempfile
 
     from ..sources.lakehouse import ManifestLakeTable
@@ -1144,7 +1146,8 @@ def manifest_zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle is the plain aggregate over the raw fixture; the
     # exactly-once txn mechanics are pinned in tests/test_streaming.py
     oracle="""
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY source, lang
 """,
@@ -1156,10 +1159,10 @@ GROUP BY source, lang
     "steady-state cost tracks arrival rate, not table size",
 )
 def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Run-unique scratch + localCheckpoint'd result, same rationale as
-    # manifest_zorder_range_read: the oracle reads only the raw
-    # fixture, so nothing may tie the returned frame to shared scratch
-    # state a concurrent JVM could mutate (the r7 driver hash-red).
+    # Run-unique scratch + localCheckpoint'd result, same hygiene
+    # rationale as manifest_zorder_range_read — and the same correction:
+    # the r7/r8 driver hash-reds were HUGEINT oracle dtype drift, not
+    # scratch races (fixed r9 with CAST(... AS BIGINT) in the oracle).
     import os
     import tempfile
 
@@ -1202,7 +1205,8 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicate over the raw fixture; the spec validation and
     # bucket-count mechanics are pinned in tests/test_rebucket.py
     oracle="""
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE n_chars BETWEEN 150 AND 450
 GROUP BY source
@@ -1639,11 +1643,11 @@ v1 AS (
 ),
 v2 AS (SELECT * FROM v1 WHERE doc_id % 7 <> 0)
 SELECT CAST(0 AS INTEGER) AS version, count(*) AS n_docs,
-       sum(n_chars) AS sum_chars FROM v0
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM v0
 UNION ALL
-SELECT CAST(1 AS INTEGER), count(*), sum(n_chars) FROM v1
+SELECT CAST(1 AS INTEGER), count(*), CAST(sum(n_chars) AS BIGINT) FROM v1
 UNION ALL
-SELECT CAST(2 AS INTEGER), count(*), sum(n_chars) FROM v2
+SELECT CAST(2 AS INTEGER), count(*), CAST(sum(n_chars) AS BIGINT) FROM v2
 """,
     description="time travel over the commit log (Delta's VERSION AS OF "
     "reduced to core): bootstrap v0, an upsert+insert MERGE commits v1, "
@@ -1695,7 +1699,7 @@ WITH final AS (
   UNION ALL
   SELECT doc_id, n_chars + 500 FROM documents WHERE doc_id % 2 = 1
 )
-SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        count(DISTINCT doc_id) AS n_keys
 FROM final
 """,
@@ -1756,10 +1760,11 @@ cl AS (
   UNION ALL
   SELECT doc_id, n_chars FROM base WHERE doc_id % 4 <> 1
 )
-SELECT 'source' AS side, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT 'source' AS side, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM src
 UNION ALL
-SELECT 'clone', count(*), sum(n_chars) FROM cl
+SELECT 'clone', count(*), CAST(sum(n_chars) AS BIGINT) FROM cl
 """,
     description="SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE "
     "reduced to core): the clone's commit references the source's data "

@@ -1542,7 +1542,7 @@ d AS (
          round(max(abs(fa / n_a - fb / n_b)), 6) AS d_stat
   FROM ecdf CROSS JOIN tot GROUP BY n_a, n_b
 )
-SELECT n_a, n_b, d_stat,
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, d_stat,
        round(1.358 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)), 6)
          AS d_crit,
        d_stat > 1.358 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE))
@@ -1578,7 +1578,8 @@ agg AS (
          sum(c * ln(c)) AS clogc
   FROM cnt GROUP BY source
 )
-SELECT source, n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
        round(ln(n_tokens) - clogc / n_tokens, 6) AS entropy_nats
 FROM agg
 """,

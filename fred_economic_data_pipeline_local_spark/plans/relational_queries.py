@@ -2200,8 +2200,10 @@ SELECT o.o_orderpriority,
        round(b.lo, 2) AS lo,
        round(b.hi, 2) AS hi,
        count(*) AS n,
-       sum(CASE WHEN o_totalprice < b.lo THEN 1 ELSE 0 END) AS n_clip_lo,
-       sum(CASE WHEN o_totalprice > b.hi THEN 1 ELSE 0 END) AS n_clip_hi,
+       CAST(sum(CASE WHEN o_totalprice < b.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN o_totalprice > b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_hi,
        round(avg(CASE WHEN o_totalprice < b.lo THEN b.lo
                       WHEN o_totalprice > b.hi THEN b.hi
                       ELSE o_totalprice END), 2) AS avg_winsorized
@@ -2235,8 +2237,8 @@ SELECT d.event_type,
        round(any_value(d.med), 4) AS med,
        round(any_value(s.mad), 4) AS mad,
        count(*) AS n,
-       sum(CASE WHEN d.adev > 3.0 * 1.4826 * s.mad THEN 1 ELSE 0 END)
-         AS n_outliers
+       CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * s.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM d JOIN s USING (event_type)
 GROUP BY d.event_type
 """,
@@ -2290,9 +2292,12 @@ SELECT block,
             WHEN score >= {_FS_POSSIBLE!r} THEN 'possible'
             ELSE 'non_match' END AS decision,
        count(*) AS n_pairs,
-       sum(CASE WHEN agree_seg THEN 1 ELSE 0 END) AS n_agree_seg,
-       sum(CASE WHEN agree_bal THEN 1 ELSE 0 END) AS n_agree_bal,
-       sum(CASE WHEN agree_seq THEN 1 ELSE 0 END) AS n_agree_seq,
+       CAST(sum(CASE WHEN agree_seg THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree_seg,
+       CAST(sum(CASE WHEN agree_bal THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree_bal,
+       CAST(sum(CASE WHEN agree_seq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree_seq,
        round(avg(score), 6) AS avg_score
 FROM pairs
 GROUP BY 1, 2

@@ -23,11 +23,64 @@ def duckdb_run(sql: str, sf_dir: str):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    # DESCRIBE types the query through the binder without executing it —
+    # the logical types feed the dtype-kind check below (the driver
+    # hashes through fetchdf(), whose dtype kind is a pure function of
+    # the logical type: HUGEINT -> float64, BIGINT -> int64, ...)
+    duck_types = {
+        c: t for c, t, *_ in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
     con.close()
-    return cols, rows
+    return cols, rows, duck_types
+
+
+# pandas dtype KIND each engine's result lands as on the driver's
+# compare path (DuckDB fetchdf / Spark toPandas). None = non-numeric,
+# hash-stable across engines (strings, dates, binaries) — not compared.
+_DUCK_KIND = {
+    "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
+    "UTINYINT": "i", "USMALLINT": "i", "UINTEGER": "i", "UBIGINT": "i",
+    "HUGEINT": "f", "UHUGEINT": "f",  # fetchdf renders int128 as float64
+    "FLOAT": "f", "DOUBLE": "f",
+    "BOOLEAN": "b",
+    "TIMESTAMP": "M", "TIMESTAMP WITH TIME ZONE": "M",
+}
+_SPARK_KIND = {
+    "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+    "float": "f", "double": "f",
+    "boolean": "b",
+    "timestamp": "M", "timestamp_ntz": "M",
+}
+
+
+def assert_dtype_kinds_match(
+    name: str, spark_dtypes: list[tuple[str, str]], duck_types: dict[str, str]
+) -> None:
+    """Fail if any column's pandas dtype KIND differs between the two
+    engines on the driver's fetchdf()/toPandas() hash path — the drift
+    the exact-value repr comparison is structurally blind to (int64 vs
+    float64 repr identically for integral values). Known offender:
+    DuckDB HUGEINT from sum(INTEGER); fix with CAST(... AS BIGINT)."""
+    bad = []
+    for col, s_type in spark_dtypes:
+        d_type = duck_types.get(col)
+        if d_type is None:
+            continue  # column-name parity is asserted separately
+        if d_type.upper().startswith("DECIMAL("):
+            bad.append(f"{col}: DuckDB {d_type} (pandas rendering unstable)")
+            continue
+        sk = _SPARK_KIND.get(s_type)
+        dk = _DUCK_KIND.get(d_type.upper())
+        if sk and dk and sk != dk:
+            bad.append(f"{col}: spark {s_type}({sk}) vs duckdb {d_type}({dk})")
+    assert not bad, (
+        f"{name}: dtype-kind drift on the driver hash path — "
+        + "; ".join(bad)
+        + " — CAST in the oracle SQL (e.g. CAST(sum(x) AS BIGINT))"
+    )
 
 
 def _norm(v):
@@ -79,11 +132,12 @@ def compare_query(
         spark.conf.set(k, v)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows = duckdb_run(sql, sf_dir)
+    d_cols, d_rows, duck_types = duckdb_run(sql, sf_dir)
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     )
+    assert_dtype_kinds_match(name, sdf.dtypes, duck_types)
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
     )
