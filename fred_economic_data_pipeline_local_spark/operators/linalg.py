@@ -67,6 +67,10 @@ def power_iteration_top_component(
     Returns ``dims`` rows (dim 1-based, loading, eigenvalue) with the
     eigenvalue estimate (the final pre-normalization norm) rounded 4 dp.
     """
+    if iterations < 1:
+        # iterations=0 would leave the norm frame unbuilt and surface
+        # as an opaque TypeError at the final join (ADVICE r8)
+        raise ValueError("power_iteration_top_component: iterations must be >= 1")
     c = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
     )
