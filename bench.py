@@ -126,6 +126,9 @@ HEADLINE = [
     "manifest_zone_report",
     "graph_link_prediction",
     "events_user_ltv_decay",
+    "sketch_hll_report",
+    "graph_personalized_pagerank",
+    "winsorize_approx_path",
 ]
 
 

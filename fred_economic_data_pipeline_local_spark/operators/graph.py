@@ -189,3 +189,107 @@ def triangle_counts(edges: DataFrame, topk: int | None = None) -> DataFrame:
             F.desc("n_triangles"), F.asc("node")
         ).limit(topk)
     return per_node
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    weight_col: str | None = None,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank with optional edge
+    weights: the teleport vector concentrates on ``seeds`` (a frame
+    with a ``node`` column) instead of the uniform 1/N — r_0(v) =
+    I[v in S]/|S|; r_i(v) = (1-d)·I[v in S]/|S| + d·Σ over in-edges
+    (u, v) of r_{i-1}(u)·w(u,v)/W(u), W(u) the total outgoing weight.
+    The result ranks nodes by proximity to the seed set — the
+    recommendation / relevance-propagation form (Haveliwala 2002).
+
+    Weights default to 1 (uniform transition). Rank mass entering a
+    node with no out-edges decays (the standard PPR-without-dangling-
+    redistribution form) — pass both edge directions for conservation.
+
+    Determinism: per-iteration ``round_dp`` rounding, same contract as
+    ``pagerank``; the transition ratio w/W is a ratio of aggregates
+    (exact for integer weights), and the contribution is computed as
+    (r·w)/W left-to-right so any IEEE engine reproduces it.
+
+    Plan shape mirrors ``pagerank``: the weighted adjacency (edges
+    joined to out-weight sums) is shuffled once onto src and eagerly
+    localCheckpoint'd; per iteration only (node, rank) pairs exchange
+    with map-side combine; the seed-floor frame is precomputed once.
+    At cluster scale: persisted adjacency + O(nodes) rank exchanges.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        w.alias("w"),
+    ).localCheckpoint(eager=True)
+    sd = (
+        seeds.select(F.col("node").cast("string").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    base_mass = (1.0 - damping) / n_seeds
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(sd.select("node"))
+        .distinct()
+    )
+    # the per-node teleport floor, computed once: (1-d)/|S| on seeds,
+    # 0 elsewhere (left join against the seed set, broadcast if small)
+    base = (
+        nodes.join(sd.withColumn("__s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__s").isNotNull(), F.lit(base_mass))
+            .otherwise(F.lit(0.0))
+            .alias("base"),
+            F.when(F.col("__s").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("r0"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wsum = e.groupBy("src").agg(F.sum("w").alias("ws"))
+    links = e.join(wsum, "src").repartition("src").localCheckpoint(
+        eager=True
+    )
+    rank = base.select("node", F.round(F.col("r0"), round_dp).alias("r"))
+    for _ in range(iterations):
+        contribs = (
+            links.join(rank.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                ((F.col("r") * F.col("w")) / F.col("ws")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            base.join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.round(
+                    F.col("base")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    round_dp,
+                )
+                .alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rank.select("node", F.col("r").alias("rank"))

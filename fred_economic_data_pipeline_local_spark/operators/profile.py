@@ -518,3 +518,114 @@ def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
             F.col("n_matched") / F.least("__ta", "__tb"), 6
         ).alias("n_intersect_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with PLAIN-ROW register state (the KMV family's HLL
+# sibling — Flajolet et al. 2007). Spark's own approx_count_distinct
+# owns its HLL++ register binary; this variant keeps the registers as
+# ordinary (grp, reg, rho) rows so they are persistable, exportable,
+# O(delta)-mergeable by MAX, and every estimate is re-derivable by any
+# SQL engine from the rows alone — the property that makes the catalog
+# entry fully hash-checkable (same design rationale as kmv_sketch).
+# ---------------------------------------------------------------------------
+
+def hll_alpha(p: int) -> float:
+    """Standard HLL bias constant for m = 2**p registers."""
+    m = 1 << p
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 10, by: str | None = None
+) -> DataFrame:
+    """HLL register table for ``col``: register index = the HIGH ``p``
+    bits of xxhash64, rho = leading-zero count of the remaining
+    ``64 - p`` bits + 1, computed EXACTLY via ``length(bin(w))``
+    (integer bit arithmetic, never floating log2 — a float log2 rounds
+    ``w`` just below a power of two onto the wrong integer for large
+    ``w``). Returns (grp?, reg, rho) with one row per NON-ZERO register
+    per group: max-aggregated, O(groups x 2^p) state regardless of
+    corpus size — at 100 TB the register table is broadcast territory,
+    and per-snapshot register tables merge by MAX (``hll_merge``)
+    instead of rescans, exactly like Delta/DataSketches HLL columns.
+
+    Plan: one map-combined exchange of (grp, reg) partial maxima; the
+    bin/length/bit expressions are all codegen'd built-ins.
+    """
+    wbits = 64 - p
+    grp = [F.col(by).alias("grp")] if by else []
+    h = F.xxhash64(F.col(col))
+    reg = F.shiftrightunsigned(h, wbits).alias("reg")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    # length(bin(w)) = floor(log2(w)) + 1 for w > 0, exactly.
+    # rho is CAPPED at 52 - p so every 2^-rho term and every partial
+    # sum in hll_estimate is an exact multiple of 2^-(52-p) bounded by
+    # 2^(p+1) — exactly representable in a double, which makes the
+    # register-sum ORDER-INDEPENDENT (the same engine-determinism trick
+    # as pareto's integer cents; an uncapped rho of up to 64-p+1 makes
+    # the float sum depend on partial-aggregation order). The cap costs
+    # nothing statistically: it binds only past ~2^(52-p) distinct
+    # values per register.
+    rho = F.least(
+        F.when(w == 0, F.lit(wbits + 1)).otherwise(
+            F.lit(wbits + 1) - F.length(F.bin(w))
+        ),
+        F.lit(52 - p),
+    ).alias("rho")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*grp, reg, rho)
+        .groupBy(*(["grp"] if by else []), "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union of sketches = MAX over the concatenated register rows —
+    lossless (identical to sketching the concatenated inputs), so
+    per-source / per-snapshot sketches roll up without rescanning."""
+    it = iter(register_tables)
+    u = next(it)
+    for t in it:
+        u = u.unionByName(t)
+    keys = [c for c in u.columns if c != "rho"]
+    return u.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, p: int, by: bool = False, round_dp: int = 4
+) -> DataFrame:
+    """Distinct-count estimate from a register table: the harmonic-mean
+    raw estimate alpha * m^2 / (V + sum 2^-rho) with the standard
+    small-range linear-counting correction E <= 2.5m -> m * ln(m / V)
+    (V = zero registers = m - rows). 2^-rho is computed as
+    1.0 / (1 << rho) — integer shift + power-of-two division, both
+    IEEE-exact — and the rho cap in ``hll_registers`` makes every
+    partial sum exactly representable, so Z is order-independent and
+    engine-independent; the only libm call is the correction's ln, with
+    an identical exact-double argument in any engine. Returns
+    (grp?, n_registers, n_distinct_est)."""
+    m = 1 << p
+    alpha = hll_alpha(p)
+    keys = ["grp"] if by else []
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), rho)")
+        ).alias("__z"),
+    )
+    v = F.lit(float(m)) - F.col("n_registers")  # zero registers
+    raw = F.lit(alpha * m * m) / (v + F.col("__z"))
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        *keys, "n_registers", F.round(est, round_dp).alias("n_distinct_est")
+    )

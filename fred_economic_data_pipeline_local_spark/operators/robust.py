@@ -273,3 +273,56 @@ def ks_two_sample(
             (F.col("d_stat") > crit).alias("reject"),
         )
     )
+
+
+def winsorize_bounds(
+    df: DataFrame,
+    key: str,
+    value: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    approx_rel_err: float | None = None,
+) -> DataFrame:
+    """Per-group clip bounds only — the winsorize plan's first exchange,
+    split out so the approx path can PERSIST/EXPORT the O(groups) bounds
+    table (at 100 TB the GK sketch pass over the corpus is the expensive
+    step; its product is a tiny bounds table you keep). Returns
+    (key, lo, hi) raw doubles."""
+    if approx_rel_err is not None:
+        acc = max(1, int(1.0 / approx_rel_err))
+        qagg = F.percentile_approx(value, [lo_q, hi_q], acc)
+    else:
+        qagg = F.percentile(value, [lo_q, hi_q])
+    return df.groupBy(key).agg(
+        qagg.getItem(0).alias("lo"), qagg.getItem(1).alias("hi")
+    )
+
+
+def winsorize_apply(
+    df: DataFrame, key: str, value: str, bounds: DataFrame
+) -> DataFrame:
+    """Clip + aggregate against a PRECOMPUTED bounds frame (key, lo,
+    hi) — the winsorize plan's second exchange. The bounds frame is
+    O(groups) and broadcast; the fact side shuffles once, map-combined.
+    Output shape matches ``winsorize``."""
+    v = F.col(value)
+    b = bounds.select(
+        key, F.col("lo").alias("__lo"), F.col("hi").alias("__hi")
+    )
+    clipped = (
+        F.when(v < F.col("__lo"), F.col("__lo"))
+        .when(v > F.col("__hi"), F.col("__hi"))
+        .otherwise(v)
+    )
+    return (
+        df.join(broadcast(b), key)
+        .groupBy(key)
+        .agg(
+            F.round(F.first("__lo"), 2).alias("lo"),
+            F.round(F.first("__hi"), 2).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col("__lo")).cast("long")).alias("n_clip_lo"),
+            F.sum((v > F.col("__hi")).cast("long")).alias("n_clip_hi"),
+            F.round(F.avg(clipped), 2).alias("avg_winsorized"),
+        )
+    )

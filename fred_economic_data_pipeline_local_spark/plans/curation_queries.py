@@ -1621,6 +1621,110 @@ def sketch_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_P = 10  # m = 1024 registers; alpha embedded as a shared literal
+
+
+def _hll_est_sql(v: str, z: str) -> str:
+    """The HLL estimate as DuckDB SQL from zero-register count ``v``
+    and the exact register sum ``z`` — the SAME alpha/m literals and
+    branch the Spark side uses (operators/profile.hll_estimate)."""
+    from ..operators.profile import hll_alpha
+
+    m = 1 << _HLL_P
+    raw = f"{hll_alpha(_HLL_P) * m * m!r} / ({v} + {z})"
+    return (
+        f"round(CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / {v}) "
+        f"ELSE {raw} END, 4)"
+    )
+
+
+@query(
+    "sketch_hll_report",
+    oracle=f"""
+WITH regs AS (SELECT grp, reg, rho FROM {export_sql('hll_regs_src')}),
+per AS (
+  SELECT grp AS scope, CAST(count(*) AS BIGINT) AS n_registers,
+         sum(1.0 / (1::BIGINT << rho)) AS z
+  FROM regs GROUP BY grp
+),
+mrg AS (SELECT reg, max(rho) AS rho FROM regs GROUP BY reg),
+tot AS (
+  SELECT 'ALL' AS scope, CAST(count(*) AS BIGINT) AS n_registers,
+         sum(1.0 / (1::BIGINT << rho)) AS z
+  FROM mrg
+),
+est AS (
+  SELECT scope, n_registers,
+         {_hll_est_sql(f'({1 << _HLL_P} - n_registers)', 'z')}
+           AS n_distinct_est
+  FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+),
+ex AS (
+  SELECT source AS scope,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_exact
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+)
+SELECT est.scope, est.n_registers, est.n_distinct_est,
+       ex.n_distinct_exact,
+       round(abs(est.n_distinct_est - ex.n_distinct_exact)
+             / ex.n_distinct_exact, 6) AS rel_err
+FROM est JOIN ex USING (scope)
+""",
+    description="grouped HLL distinct-sketch report with a lossless "
+    "max-merge rollup (the KMV/theta family's HLL sibling, Flajolet "
+    "2007): register state is PLAIN ROWS (grp, reg, rho) — one "
+    "map-combined exchange, O(groups x 2^p) state, exportable and "
+    "O(delta)-mergeable — rho derived by exact integer bit arithmetic "
+    "(length(bin(w)), never float log2) and capped at 52-p so the "
+    "register sum is order- and engine-independent; DuckDB re-derives "
+    "every per-source estimate AND the max-merged corpus-wide estimate "
+    "from the exported registers and certifies both against exact "
+    "distinct counts",
+)
+def sketch_hll_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.profile import hll_estimate, hll_registers
+
+    docs = load_table(spark, "documents", sf_dir)
+    regs = export_table(
+        hll_registers(docs, "doc_id", p=_HLL_P, by="source"), "hll_regs_src"
+    )
+    per = hll_estimate(regs, p=_HLL_P, by=True).select(
+        F.col("grp").alias("scope"), "n_registers", "n_distinct_est"
+    )
+    merged = regs.groupBy("reg").agg(F.max("rho").alias("rho"))
+    tot = hll_estimate(merged, p=_HLL_P, by=False).select(
+        F.lit("ALL").alias("scope"), "n_registers", "n_distinct_est"
+    )
+    exact = (
+        docs.groupBy(F.col("source").alias("scope"))
+        .agg(F.count_distinct("doc_id").alias("n_distinct_exact"))
+        .unionByName(
+            docs.agg(
+                F.count_distinct("doc_id").alias("n_distinct_exact")
+            ).select(F.lit("ALL").alias("scope"), "n_distinct_exact")
+        )
+    )
+    return (
+        per.unionByName(tot)
+        .join(exact, "scope")
+        .select(
+            "scope",
+            "n_registers",
+            "n_distinct_est",
+            "n_distinct_exact",
+            F.round(
+                F.abs(F.col("n_distinct_est") - F.col("n_distinct_exact"))
+                / F.col("n_distinct_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
 @query(
     "manifest_time_travel",
     # content is the whole contract: every committed version stays a

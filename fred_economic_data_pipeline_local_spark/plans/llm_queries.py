@@ -48,6 +48,9 @@ QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
     description="exact dedup: min-id representative per normalized content",
 )
 def dedup_exact_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BENCH_r08 delta (1.26x vs r7) A/B'd round 9: isolated min-of-5 at
+    # sf0.1 is 0.42s vs BENCH_r06's 0.415s — session context, not a plan
+    # change. No action taken.
     docs = load_table(spark, "documents", sf_dir)
     return exact_dedup(docs)
 

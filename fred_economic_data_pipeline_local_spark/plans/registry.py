@@ -59,102 +59,53 @@ def get_query(name: str) -> QuerySpec:
 # registry match exactly, so adding a query without cataloguing it is a
 # test failure, not a silent reorder.
 #
-# Editorial reslot #5 (round 8, mandated by the round-7 verdict):
-# external consumers verify a fixed-size prefix of this catalog, so the
-# prefix carries the queries whose verification is currently most
-# valuable, in rotation priority:
-#   1. the two r7 hash-reds (manifest_zorder_range_read,
-#      stream_lake_ingest), now driver-robust via run-unique scratch +
-#      localCheckpoint'd results — at the head until hash-green;
-#   2. the entries with no driver row ever: sample_weighted_aes
-#      (deferred from r7), dedup_span_removal and
-#      manifest_incremental_minmax (new at the round head), plus the
-#      eleven operators added in the round-8 continuation session
-#      (BM25, PageRank, rebucket, theta sketches, session windows,
-#      SemDeDup, SCD2, replay dedup, power iteration, perplexity
-#      buckets, frame dedup);
-#   3. the six entries whose CODE changed this round (the scratch-root
-#      conversion of every lakehouse side-effecting query; the
-#      fpp-sized Bloom mask) — fresh r6/r7 rows don't cover new code;
-#   4. the round-4 freshness debt: the entries whose newest external
-#      row dated to round 4 (the r4 refresh head + the TPC-H q8-q22
-#      tail), promised this rotation since r7. The nineteen
-#      continuation additions (priority 2 — never-checked outranks
-#      refresh by this list's own order) displaced the round-5
-#      freshness head entirely and the last two r4 entries (q21, q22 —
-#      both r4-green and locally re-verified every round; they head
-#      round 9 with the remaining round-5 rows).
-# Everything demoted below the window is hash-green as of rounds 5-7
+# Editorial reslot #6 (round 9, mandated by the round-8 verdict):
+# external consumers verify a fixed-size prefix of this catalog (50
+# entries), so the prefix carries the queries whose verification is
+# currently most valuable, in rotation priority:
+#   1. the ELEVEN r7/r8 driver hash-reds, root-caused by VERDICT r8 as
+#      oracle dtype drift (bare integer sum() -> DuckDB HUGEINT ->
+#      pandas float64 vs Spark int64) and fixed this round with
+#      CAST(... AS BIGINT) in the oracle SQL — NOT the shared-scratch
+#      contention theory rotations #4/#5 recorded (that hygiene is
+#      kept, but it was refuted: the reds stayed red under run-unique
+#      scratch, and the 11 reds were exactly the catalog's 11
+#      HUGEINT-emitting oracles). At the head until hash-green;
+#      tests/test_oracle_dtypes.py now pins the whole class.
+#   2. the round-9 additions, never driver-checked: sketch_hll_report,
+#      graph_personalized_pagerank, winsorize_approx_path;
+#   3. code changed this round: graph_pagerank_topk (the adjacency is
+#      now eagerly checkpointed — ADVICE r8);
+#   4. the 23 remaining round-4-dated rows (curation/embedding refresh
+#      + the TPC-H q2-q22 tail), promised since rotation #5;
+#   5. the round-5 freshness head (fred flagship block + q1/q3/q5/q9/
+#      q18 + the first text rows) — the remaining round-5 rows follow
+#      in round 10.
+# Everything demoted below the window is hash-green as of rounds 5-8
 # and remains covered by the identical local mirror
 # (tests/test_oracle_parity.py) every round. After this rotation no
-# entry's newest external row is older than round 5; the remaining
-# round-5 rows (text/event-time/curation tails) head round 9's
-# rotation.
+# entry's newest external row is older than round 5.
 CATALOG_ORDER: tuple[str, ...] = (
     # ===== verified window (first 50) =====
-    # --- 1. the two r7 hash-reds, now driver-robust (run-unique
-    #     scratch + localCheckpoint) — kept at the head ---
+    # --- 1. the 11 HUGEINT-fixed oracles (r7/r8 reds) ---
     "manifest_zorder_range_read",
     "stream_lake_ingest",
-    # --- 2. first-ever driver rows (never checked before r8; includes
-    #     the operators ADDED this round mid-session) ---
-    "sample_weighted_aes",
-    "dedup_span_removal",
-    "manifest_incremental_minmax",
-    "text_bm25_topk",
-    "graph_pagerank_topk",
     "manifest_rebucket_read",
-    "sketch_theta_set_ops",
-    "session_window_events",
-    "semdedup_cluster_prune",
-    "manifest_scd2_history",
-    "stream_event_dedup",
-    "embedding_power_iteration",
-    "curation_perplexity_buckets",
-    "multimodal_frame_dedup",
-    "tpch_refresh_pricing",
-    "dq_expectations_orders",
-    "dq_quarantine_orders",
-    "twap_user_values",
-    "markov_event_transitions",
-    "basket_pmi_pairs",
-    "sketch_kmv_by_source",
-    # --- 2b. third continuation wave (added mid-round-8; never
-    #     checked — the never-checked-outranks-refresh rule demotes an
-    #     equal number of r4-green TPC-H tail entries (q8-q20, all
-    #     locally re-verified every round) to round 9, where they join
-    #     the promised round-5 freshness head) ---
+    "manifest_time_travel",
+    "manifest_vacuum_read",
+    "manifest_shallow_clone",
     "winsorize_order_prices",
     "anomaly_mad_outliers",
-    "sliding_window_events",
     "record_linkage_fs",
-    "embedding_gram_pca",
-    "manifest_time_travel",
-    "graph_triangle_topk",
-    "bootstrap_ci_order_prices",
     "ks_test_doc_lengths",
     "text_entropy_by_source",
-    "manifest_vacuum_read",
-    "events_changepoint_cusum",
-    "text_jaccard_source_pairs",
-    "events_trend_slope",
-    "manifest_shallow_clone",
-    "customer_rfm_segments",
-    "pareto_abc_parts",
-    "manifest_zone_report",
-    "graph_link_prediction",
-    "events_user_ltv_decay",
-    # --- 3. code changed this round (scratch-root conversion /
-    #     fpp-sized bloom mask) — re-verify despite fresh r6/r7 rows ---
-    "fred_merge_into_lake",
-    "fred_merge_into_manifest",
-    "manifest_change_feed",
-    "manifest_apply_changes",
-    "manifest_incremental_agg",
-    "bloom_pruned_join_revenue",
-    # --- 4. the round-4 refresh head + TPC-H q8-q22 tail (the 24
-    #     oldest external rows, promised this rotation since r7) ---
-    "sample_temperature_mix",
+    # --- 2. round-9 additions (never checked) ---
+    "sketch_hll_report",
+    "graph_personalized_pagerank",
+    "winsorize_approx_path",
+    # --- 3. code changed this round ---
+    "graph_pagerank_topk",
+    # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",
     "curation_quality_report",
@@ -176,10 +127,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q20_potential_promotion",
-    # ===== below the window: hash-green r5-r7, mirrored locally
-    # every round by tests/test_oracle_parity.py =====
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
+    # --- 5. round-5 freshness head ---
     "fred_silver_monthly",
     "fred_gold_yearly",
     "fred_dedup_append",
@@ -192,6 +142,46 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_token_counts",
     "text_quality_metrics",
     "text_language_id",
+    # ===== below the window: hash-green r5-r8, mirrored locally
+    # every round by tests/test_oracle_parity.py =====
+    "sample_weighted_aes",
+    "dedup_span_removal",
+    "manifest_incremental_minmax",
+    "text_bm25_topk",
+    "sketch_theta_set_ops",
+    "session_window_events",
+    "semdedup_cluster_prune",
+    "manifest_scd2_history",
+    "stream_event_dedup",
+    "embedding_power_iteration",
+    "curation_perplexity_buckets",
+    "multimodal_frame_dedup",
+    "tpch_refresh_pricing",
+    "dq_expectations_orders",
+    "dq_quarantine_orders",
+    "twap_user_values",
+    "markov_event_transitions",
+    "basket_pmi_pairs",
+    "sketch_kmv_by_source",
+    "sliding_window_events",
+    "embedding_gram_pca",
+    "graph_triangle_topk",
+    "bootstrap_ci_order_prices",
+    "events_changepoint_cusum",
+    "text_jaccard_source_pairs",
+    "events_trend_slope",
+    "customer_rfm_segments",
+    "pareto_abc_parts",
+    "manifest_zone_report",
+    "graph_link_prediction",
+    "events_user_ltv_decay",
+    "fred_merge_into_lake",
+    "fred_merge_into_manifest",
+    "manifest_change_feed",
+    "manifest_apply_changes",
+    "manifest_incremental_agg",
+    "bloom_pruned_join_revenue",
+    "sample_temperature_mix",
     "text_fingerprints",
     "text_gopher_flags",
     "text_unigram_logprob",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..exports import export_sql
 from .registry import query
 
 
@@ -2040,6 +2041,124 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT b.node, round(b.b + 0.85 * coalesce(s.s, 0), 8) AS r
+  FROM base b
+  LEFT JOIN (
+    SELECT e.dst AS node, sum((p.r * e.w) / ws.ws) AS s
+    FROM edges e
+    JOIN {prev} p ON e.src = p.node
+    JOIN ws ON e.src = ws.src
+    GROUP BY e.dst
+  ) s ON b.node = s.node
+)"""
+
+
+_PPR_ITERS = 5
+# teleport literal is written (1.0 - 0.85), NOT 0.15: the operator
+# computes (1.0 - damping) in Python and 1.0 - 0.85 is NOT the double
+# 0.15 — both engines must round the same IEEE value
+_PPR_SQL = (
+    """
+WITH e0 AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+seeds AS (
+  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+  FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+),
+ns AS (SELECT count(*) AS n FROM seeds),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges
+    UNION ALL SELECT dst FROM edges
+    UNION ALL SELECT node FROM seeds
+  )
+),
+ws AS (SELECT src, sum(w) AS ws FROM edges GROUP BY src),
+base AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN (1.0 - 0.85) / ns.n ELSE 0.0 END AS b,
+         CASE WHEN s.node IS NOT NULL
+              THEN 1.0 / ns.n ELSE 0.0 END AS r00
+  FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.node = s.node
+),
+r0 AS (SELECT node, round(r00, 8) AS r FROM base),
+"""
+    + ",\n".join(_ppr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PPR_ITERS))
+    + f"""
+SELECT node, round(r, 6) AS rank FROM r{_PPR_ITERS}
+WHERE node LIKE 's%'
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+)
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=_PPR_SQL,
+    description="personalized weighted PageRank (Haveliwala 2002) over "
+    "the customer-supplier co-purchase graph: teleport mass restarts at "
+    "the AUTOMOBILE-segment customers, transition probabilities "
+    "proportional to co-purchase counts (w/W, a ratio of exact integer "
+    "aggregates) — 'which suppliers are most relevant to this customer "
+    "segment', the relevance-propagation form of the recommendation "
+    "query. Same scale posture as pagerank: adjacency shuffled once and "
+    "eagerly checkpointed, per-iteration exchange is (node, double) "
+    "pairs with map-side combine, seed floor precomputed once, 8-dp "
+    "per-iteration rounding for cross-engine determinism; top-20 "
+    "supplier nodes",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    r = personalized_pagerank(edges, seeds, iterations=5, weight_col="w")
+    return (
+        r.where(F.col("node").startswith("s"))
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
 def _pr_iter_sql(prev: str, cur: str) -> str:
     return f"""{cur} AS (
   SELECT n.node,
@@ -2222,6 +2341,92 @@ def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
     return winsorize(orders, "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "winsorize_approx_path",
+    # approx bounds come from Spark's GK sketch — unverifiable in SQL
+    # by construction, so they are EXPORTED (the exported-index
+    # pattern) and DuckDB certifies everything downstream: the clip
+    # counts and winsorized mean re-derived exactly from the exported
+    # bounds, plus an accuracy gate against the EXACT quantile path
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderpriority, lo, hi
+  FROM {export_sql('winsorize_approx_bounds')}
+),
+a AS (
+  SELECT o.o_orderpriority,
+         round(b.lo, 2) AS lo,
+         round(b.hi, 2) AS hi,
+         count(*) AS n,
+         CAST(sum(CASE WHEN o_totalprice < b.lo THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clip_lo,
+         CAST(sum(CASE WHEN o_totalprice > b.hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clip_hi,
+         round(avg(CASE WHEN o_totalprice < b.lo THEN b.lo
+                        WHEN o_totalprice > b.hi THEN b.hi
+                        ELSE o_totalprice END), 2) AS avg_winsorized
+  FROM orders o JOIN b USING (o_orderpriority)
+  GROUP BY o.o_orderpriority, b.lo, b.hi
+),
+eb AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY 1
+),
+e AS (
+  SELECT o.o_orderpriority,
+         round(avg(CASE WHEN o_totalprice < eb.lo THEN eb.lo
+                        WHEN o_totalprice > eb.hi THEN eb.hi
+                        ELSE o_totalprice END), 2) AS avg_exact
+  FROM orders o JOIN eb USING (o_orderpriority)
+  GROUP BY o.o_orderpriority
+)
+SELECT a.*,
+       round(abs(a.avg_winsorized - e.avg_exact) / e.avg_exact, 6)
+         AS rel_gap,
+       abs(a.avg_winsorized - e.avg_exact) / e.avg_exact <= 0.005
+         AS within_tol
+FROM a JOIN e USING (o_orderpriority)
+""",
+    description="the 100 TB winsorize path: percentile_approx (GK "
+    "sketch, rel err 1e-3, constant aggregation state — exact "
+    "F.percentile buffers every group value and is refused at "
+    "unbounded group sizes) computes the per-group bounds, the "
+    "O(groups) bounds table is exported/persisted, and the clip + "
+    "re-aggregate runs against it; DuckDB re-derives clip counts and "
+    "the winsorized mean EXACTLY from the exported bounds and gates "
+    "the approx mean against the exact-quantile mean at 0.5% — the "
+    "sketch's accuracy is measured, not assumed",
+)
+def winsorize_approx_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.robust import winsorize_apply, winsorize_bounds
+
+    orders = load_table(spark, "orders", sf_dir)
+    bounds = export_table(
+        winsorize_bounds(
+            orders, "o_orderpriority", "o_totalprice", approx_rel_err=0.001
+        ),
+        "winsorize_approx_bounds",
+    )
+    a = winsorize_apply(orders, "o_orderpriority", "o_totalprice", bounds)
+    exact_b = winsorize_bounds(orders, "o_orderpriority", "o_totalprice")
+    e = winsorize_apply(
+        orders, "o_orderpriority", "o_totalprice", exact_b
+    ).select(
+        "o_orderpriority", F.col("avg_winsorized").alias("avg_exact")
+    )
+    gap = F.abs(F.col("avg_winsorized") - F.col("avg_exact")) / F.col(
+        "avg_exact"
+    )
+    return a.join(e, "o_orderpriority").select(
+        a["*"],
+        F.round(gap, 6).alias("rel_gap"),
+        (gap <= 0.005).alias("within_tol"),
+    )
 
 
 @query(

@@ -38,6 +38,10 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
     description="backward as-of join via union+window (no per-row probe)",
 )
 def asof_clicks_to_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BENCH_r08 delta (1.40x vs r7) A/B'd round 9: isolated min-of-5 at
+    # sf0.1 is 0.40s, matching BENCH_r06's 0.23-0.4s envelope — the r7/r8
+    # bench numbers were session-context (bench-prefix JVM state), zero
+    # diff on this plan. No action taken.
     ev = load_table(spark, "events", sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"

@@ -272,3 +272,42 @@ def test_ks_null_values_excluded(spark):
         spark.createDataFrame(rows, "g string, v double"), "g", "v", "a", "b"
     ).collect()[0]
     assert r["n_a"] == 1 and r["n_b"] == 1 and r["d_stat"] == 0.0
+
+
+def test_winsorize_apply_with_exact_bounds_matches_winsorize(spark):
+    from fred_economic_data_pipeline_local_spark.operators.robust import (
+        winsorize,
+        winsorize_apply,
+        winsorize_bounds,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 101)]
+        + [("h", float(i * 3)) for i in range(1, 51)],
+        "k string, v double",
+    )
+    direct = {tuple(r) for r in winsorize(df, "k", "v").collect()}
+    split = {
+        tuple(r)
+        for r in winsorize_apply(
+            df, "k", "v", winsorize_bounds(df, "k", "v")
+        ).collect()
+    }
+    assert direct == split
+
+
+def test_winsorize_bounds_approx_within_rank_tolerance(spark):
+    from fred_economic_data_pipeline_local_spark.operators.robust import (
+        winsorize_bounds,
+    )
+
+    n = 2000
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(n)], "k string, v double"
+    )
+    ex = winsorize_bounds(df, "k", "v").collect()[0]
+    ap = winsorize_bounds(df, "k", "v", approx_rel_err=0.001).collect()[0]
+    # GK guarantee: rank error <= rel_err * n -> value error <= 2/0.001
+    # ranks on this uniform grid; generous envelope
+    assert abs(ap["lo"] - ex["lo"]) <= n * 0.001 * 2 + 1
+    assert abs(ap["hi"] - ex["hi"]) <= n * 0.001 * 2 + 1
