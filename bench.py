@@ -129,6 +129,7 @@ HEADLINE = [
     "sketch_hll_report",
     "graph_personalized_pagerank",
     "winsorize_approx_path",
+    "hybrid_rrf_retrieval",
 ]
 
 

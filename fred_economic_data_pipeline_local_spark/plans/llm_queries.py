@@ -1461,6 +1461,115 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
 
 
+_RRF_L, _RRF_K0, _RRF_K = 50, 60, 10
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    # both legs reuse the proven oracle shapes (text_bm25_topk /
+    # similarity_cosine_topk): scores rounded 6dp + id tiebreak make
+    # the integer ranks engine-deterministic; the fused score is two
+    # exact-input divisions + one addition in fixed leg order; absent
+    # legs surface as rank 0 (never NULL) so no pandas NaN typing
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter({_LTOKS_SQL}, t -> t <> '') AS tk
+  FROM documents
+),
+corpus AS (SELECT count(*) AS n_docs, sum(len(tk)) AS sum_dl FROM toks),
+ex AS (
+  SELECT id, len(tk) AS dl,
+         unnest(list_filter(tk, t -> list_contains({_BM25_TERMS_SQL}, t)))
+           AS term
+  FROM toks
+),
+tf AS (SELECT id, term, count(*) AS tf, max(dl) AS dl
+       FROM ex GROUP BY id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+c AS (
+  SELECT tf.id,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+               / (tf + 1.2 * (0.25
+                  + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))),
+               10) AS c
+  FROM tf JOIN dfq USING (term) CROSS JOIN corpus
+),
+lex AS (
+  SELECT id, round(sum(c), 6) AS score
+  FROM c GROUP BY id ORDER BY score DESC, id LIMIT {_RRF_L}
+),
+lexr AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER)
+           AS rank_1
+  FROM lex
+),
+ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+qv AS (SELECT e FROM ce WHERE vec_id = 0),
+sem AS (
+  SELECT c.vec_id AS id,
+         round(list_dot_product(qv.e, c.e) /
+               (sqrt(list_dot_product(qv.e, qv.e)) *
+                sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+  FROM ce c CROSS JOIN qv WHERE c.vec_id <> 0
+  ORDER BY cos_sim DESC, id LIMIT {_RRF_L}
+),
+semr AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY cos_sim DESC, id) AS INTEGER)
+           AS rank_2
+  FROM sem
+),
+f AS (
+  SELECT coalesce(l.id, s.id) AS id, l.rank_1, s.rank_2
+  FROM lexr l FULL OUTER JOIN semr s ON l.id = s.id
+)
+SELECT id,
+       coalesce(rank_1, 0) AS lex_rank,
+       coalesce(rank_2, 0) AS sem_rank,
+       round(coalesce(1.0 / ({_RRF_K0} + rank_1), 0.0)
+             + coalesce(1.0 / ({_RRF_K0} + rank_2), 0.0), 6) AS rrf_score
+FROM f
+ORDER BY rrf_score DESC, id
+LIMIT {_RRF_K}
+""",
+    description="hybrid retrieval with reciprocal-rank fusion (Cormack "
+    "2009, the production fuser for lexical+semantic search): the BM25 "
+    "leg ranks by posting-list-pruned inverted-index scores, the "
+    "semantic leg by exact cosine against the query vector, both top-L "
+    "lists reduced to integer ranks (6-dp score rounding + id "
+    "tiebreak), fused as sum 1/(k0+rank) in fixed leg order — "
+    "parameter-free, score-scale-free; fusion work is O(L) broadcast "
+    "joins, all corpus-scale cost stays inside the legs' own scale "
+    "paths (posting lists, IVF cells)",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import rank_of, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+    from ..operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = rank_of(
+        bm25_topk(docs, _BM25_TERMS, k=_RRF_L), "id", "score", _RRF_L
+    )
+    qv = emb.where(F.col("vec_id") == 0)
+    sem = rank_of(
+        brute_force_topk(emb, qv, k=_RRF_L).select(
+            F.col("neighbor_id").alias("id"), "cos_sim"
+        ),
+        "id",
+        "cos_sim",
+        _RRF_L,
+    )
+    fused = rrf_fuse([lex, sem], k0=_RRF_K0, k=_RRF_K)
+    return fused.select(
+        "id",
+        F.coalesce("rank_1", F.lit(0)).alias("lex_rank"),
+        F.coalesce("rank_2", F.lit(0)).alias("sem_rank"),
+        "rrf_score",
+    )
+
+
 @query(
     "curation_perplexity_buckets",
     # per-doc logprob is rounded to 6 dp in BOTH engines before the

@@ -73,7 +73,8 @@ def get_query(name: str) -> QuerySpec:
 #      HUGEINT-emitting oracles). At the head until hash-green;
 #      tests/test_oracle_dtypes.py now pins the whole class.
 #   2. the round-9 additions, never driver-checked: sketch_hll_report,
-#      graph_personalized_pagerank, winsorize_approx_path;
+#      graph_personalized_pagerank, winsorize_approx_path,
+#      hybrid_rrf_retrieval;
 #   3. code changed this round: graph_pagerank_topk (the adjacency is
 #      now eagerly checkpointed — ADVICE r8);
 #   4. the 23 remaining round-4-dated rows (curation/embedding refresh
@@ -103,6 +104,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "sketch_hll_report",
     "graph_personalized_pagerank",
     "winsorize_approx_path",
+    "hybrid_rrf_retrieval",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---
@@ -141,9 +143,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q18_large_volume_customers",
     "text_token_counts",
     "text_quality_metrics",
-    "text_language_id",
     # ===== below the window: hash-green r5-r8, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "text_language_id",
     "sample_weighted_aes",
     "dedup_span_removal",
     "manifest_incremental_minmax",
