@@ -130,6 +130,7 @@ HEADLINE = [
     "graph_personalized_pagerank",
     "winsorize_approx_path",
     "hybrid_rrf_retrieval",
+    "window_hll_distinct_users",
 ]
 
 

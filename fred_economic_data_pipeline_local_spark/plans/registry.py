@@ -74,7 +74,7 @@ def get_query(name: str) -> QuerySpec:
 #      tests/test_oracle_dtypes.py now pins the whole class.
 #   2. the round-9 additions, never driver-checked: sketch_hll_report,
 #      graph_personalized_pagerank, winsorize_approx_path,
-#      hybrid_rrf_retrieval;
+#      hybrid_rrf_retrieval, window_hll_distinct_users;
 #   3. code changed this round: graph_pagerank_topk (the adjacency is
 #      now eagerly checkpointed — ADVICE r8);
 #   4. the 23 remaining round-4-dated rows (curation/embedding refresh
@@ -105,6 +105,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "graph_personalized_pagerank",
     "winsorize_approx_path",
     "hybrid_rrf_retrieval",
+    "window_hll_distinct_users",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---
@@ -142,9 +143,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q9_product_type_profit",
     "q18_large_volume_customers",
     "text_token_counts",
-    "text_quality_metrics",
     # ===== below the window: hash-green r5-r8, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "text_quality_metrics",
     "text_language_id",
     "sample_weighted_aes",
     "dedup_span_removal",

@@ -818,3 +818,156 @@ def events_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value") * decay), 2).alias("ltv_decayed"),
     )
+
+
+_WHLL_P = 10
+
+
+def _whll_est_sql(v: str, z: str) -> str:
+    """HLL estimate fragment — same alpha/m literals as the Spark side
+    (operators/profile.hll_estimate with p = _WHLL_P)."""
+    from ..operators.profile import hll_alpha
+
+    m = 1 << _WHLL_P
+    raw = f"{hll_alpha(_WHLL_P) * m * m!r} / ({v} + {z})"
+    return (
+        f"round(CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / {v}) "
+        f"ELSE {raw} END, 4)"
+    )
+
+
+def _whll_oracle() -> str:
+    from ..exports import export_sql
+
+    m = 1 << _WHLL_P
+    return f"""
+WITH regs AS (SELECT grp AS day, reg, rho FROM {export_sql('whll_day_regs')}),
+days AS (SELECT DISTINCT day FROM regs),
+allregs AS (SELECT DISTINCT reg FROM regs),
+grid AS (
+  SELECT d.day, r.reg, max(g.rho) OVER (
+           PARTITION BY r.reg ORDER BY d.day
+           ROWS UNBOUNDED PRECEDING) AS rmax
+  FROM days d CROSS JOIN allregs r
+  LEFT JOIN regs g ON g.day = d.day AND g.reg = r.reg
+),
+cum AS (
+  SELECT day, count(rmax) AS n_regs,
+         sum(CASE WHEN rmax IS NULL THEN 0.0
+                  ELSE 1.0 / (1::BIGINT << rmax) END) AS z
+  FROM grid GROUP BY day
+),
+cum_est AS (
+  SELECT day, {_whll_est_sql(f'({m} - n_regs)', 'z')} AS n_cum_est
+  FROM cum
+),
+day_agg AS (
+  SELECT day, count(*) AS n_regs,
+         sum(1.0 / (1::BIGINT << rho)) AS z
+  FROM regs GROUP BY day
+),
+day_est AS (
+  SELECT day, {_whll_est_sql(f'({m} - n_regs)', 'z')} AS n_day_est
+  FROM day_agg
+),
+ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+day_exact AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_day_exact
+  FROM ev GROUP BY day
+),
+firsts AS (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id),
+news AS (SELECT day, count(*) AS n_new FROM firsts GROUP BY day),
+cum_exact AS (
+  SELECT d.day,
+         CAST(sum(coalesce(n.n_new, 0)) OVER (
+           ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_cum_exact
+  FROM (SELECT DISTINCT day FROM ev) d LEFT JOIN news n ON d.day = n.day
+)
+SELECT de.day, dx.n_day_exact, de.n_day_est,
+       cx.n_cum_exact, ce.n_cum_est
+FROM day_est de
+JOIN day_exact dx USING (day)
+JOIN cum_est ce USING (day)
+JOIN cum_exact cx USING (day)
+"""
+
+
+@query(
+    "window_hll_distinct_users",
+    oracle=_whll_oracle(),
+    description="windowed HLL distinct-user report with a CUMULATIVE "
+    "rollup by running register max (the sketch-union-over-time shape: "
+    "Snowflake's HLL_COMBINE over a window): per-day register tables "
+    "(one map-combined exchange, O(days x 2^p) total state) are "
+    "exported, the to-date sketch at day d is max(rho) over days <= d "
+    "per register — an O(days x 2^p) dense-grid window, NEVER a "
+    "re-scan of the corpus per day — and both the per-day and "
+    "cumulative estimates are certified against exact distinct counts "
+    "(cumulative exact via the first-seen trick, no quadratic "
+    "count-distinct-per-prefix)",
+)
+def window_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.profile import hll_estimate, hll_registers
+
+    m = 1 << _WHLL_P
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    regs = export_table(
+        hll_registers(ev, "user_id", p=_WHLL_P, by="day"), "whll_day_regs"
+    )
+    day_est = hll_estimate(regs, p=_WHLL_P, by=True).select(
+        F.col("grp").alias("day"), F.col("n_distinct_est").alias("n_day_est")
+    )
+    # cumulative sketch: dense (day x reg) grid (O(days x 2^p) rows,
+    # both sides tiny) + running max per register; missing cells stay
+    # null and are ignored by the window max
+    days = regs.select("grp").distinct().select(F.col("grp").alias("day"))
+    allregs = regs.select("reg").distinct()
+    w = (
+        Window.partitionBy("reg")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grid = (
+        days.crossJoin(allregs)
+        .join(
+            regs.select(F.col("grp").alias("day"), "reg", "rho"),
+            ["day", "reg"],
+            "left",
+        )
+        .withColumn("rmax", F.max("rho").over(w))
+    )
+    cum_regs = grid.where(F.col("rmax").isNotNull()).select(
+        F.col("day").alias("grp"), "reg", F.col("rmax").alias("rho")
+    )
+    cum_est = hll_estimate(cum_regs, p=_WHLL_P, by=True).select(
+        F.col("grp").alias("day"), F.col("n_distinct_est").alias("n_cum_est")
+    )
+    day_exact = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_day_exact")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    news = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_exact = (
+        ev.select("day")
+        .distinct()
+        .join(news, "day", "left")
+        .withColumn(
+            "n_cum_exact",
+            F.sum(F.coalesce("n_new", F.lit(0))).over(wcum),
+        )
+        .select("day", "n_cum_exact")
+    )
+    return (
+        day_est.join(day_exact, "day")
+        .join(cum_est, "day")
+        .join(cum_exact, "day")
+        .select("day", "n_day_exact", "n_day_est", "n_cum_exact", "n_cum_est")
+    )
