@@ -131,6 +131,7 @@ HEADLINE = [
     "winsorize_approx_path",
     "hybrid_rrf_retrieval",
     "window_hll_distinct_users",
+    "similarity_ivf_recall",
 ]
 
 

@@ -407,6 +407,108 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ivf_recall",
+    # the ANN family's accuracy gate, driver-hash-checked: DuckDB
+    # re-derives BOTH rankings (IVF candidates from the exported
+    # assign/probe tables, ground truth by exact cosine over the
+    # fixture) and recomputes recall@k — upgrading the recall number
+    # from a test-pinned claim to a hash-verified artifact
+    oracle=f"""
+WITH asg AS (SELECT * FROM {export_sql('ivf_recall_assign')}),
+pr AS (SELECT * FROM {export_sql('ivf_recall_probes')}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cand AS (
+  SELECT pr.query_id, asg.id AS neighbor_id
+  FROM pr JOIN asg USING (cell)
+  WHERE pr.query_id <> asg.id
+),
+ivf AS (
+  SELECT cand.query_id, cand.neighbor_id
+  FROM cand JOIN c qc ON qc.vec_id = cand.query_id
+            JOIN c cc ON cc.vec_id = cand.neighbor_id
+  QUALIFY row_number() OVER (
+    PARTITION BY cand.query_id
+    ORDER BY round(list_dot_product(qc.e, cc.e) /
+                   (sqrt(list_dot_product(qc.e, qc.e)) *
+                    sqrt(list_dot_product(cc.e, cc.e))), 6) DESC,
+             cand.neighbor_id) <= {_K}
+),
+q AS (SELECT * FROM c WHERE vec_id < {_NQUERY}),
+bf AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(list_dot_product(q.e, c.e) /
+                   (sqrt(list_dot_product(q.e, q.e)) *
+                    sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+             neighbor_id) <= {_K}
+),
+nc AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM cand GROUP BY query_id
+),
+hits AS (
+  SELECT ivf.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ivf JOIN bf USING (query_id, neighbor_id)
+  GROUP BY ivf.query_id
+)
+SELECT nc.query_id, nc.n_candidates,
+       coalesce(hits.n_hits, 0) AS n_hits,
+       round(coalesce(hits.n_hits, 0) / {float(_K)!r}, 4) AS recall
+FROM nc LEFT JOIN hits USING (query_id)
+""",
+    description="recall@k gate for the IVF index, hash-verified end to "
+    "end: per query, the IVF top-k (candidates restricted to the probed "
+    "cells — the scale path) is intersected with the exact brute-force "
+    "top-k ground truth; the report carries the probed candidate count "
+    "(the work bound the index bought) next to the recall it cost. At "
+    "100 TB this is the index-quality monitor you run on a sampled "
+    "query set after every index rebuild — ground truth costs one "
+    "broadcast compare of the SAMPLE, never a corpus cross join",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.similarity import ivf_assign, ivf_probes, ivf_topk_from
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < _NQUERY)
+    assign, cents = ivf_assign(emb, n_cells=8, dims=64, lloyd_iters=0)
+    assign = export_table(assign, "ivf_recall_assign")
+    probes = export_table(
+        ivf_probes(queries, cents, nprobe=2), "ivf_recall_probes"
+    )
+    ivf = ivf_topk_from(emb, queries, assign, probes, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    bf = brute_force_topk(emb, queries, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    n_cand = (
+        probes.join(assign, "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    hits = (
+        ivf.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_cand.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_candidates",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(_K)), 4
+            ).alias("recall"),
+        )
+    )
+
+
+@query(
     "embedding_neardup_lsh",
     # the multi-table (id, t, sig) index is exported; DuckDB re-runs
     # bucket_cap, the any-table collision join, and the exact cosine
