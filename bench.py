@@ -132,6 +132,7 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "window_hll_distinct_users",
     "similarity_ivf_recall",
+    "curation_mixture_allocation",
 ]
 
 

@@ -750,3 +750,81 @@ def weighted_sample(
         .where(F.col("__rn") <= n)
         .drop("__key", "__rn")
     )
+
+
+def mixture_allocation(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exact training-mix seat apportionment: split an integer token/
+    document ``budget`` across groups in proportion to ``n_group **
+    alpha`` (alpha<1 flattens over-represented sources — the standard
+    temperature reweighting), using the largest-remainder (Hamilton)
+    method so the allocations are INTEGERS that sum exactly to the
+    budget — the property per-group ``ceil``/``round`` quotas (cf.
+    ``temperature_mix``) cannot give, and the one a token-budgeted
+    pretraining mix actually needs.
+
+    Cross-engine determinism: the only order-sensitive float operation
+    is the weight-sum denominator, which is computed as a RUNNING sum
+    over groups ordered by ``group_col`` (any IEEE engine folds the
+    same sequence to the same double); sqrt/multiply/divide are
+    correctly rounded everywhere, remainders are exact subtractions,
+    and remainder ties break by group id.
+
+    Plan: one map-combined count exchange; everything after runs on the
+    O(groups) aggregate — the single-partition windows here order
+    GROUPS, never corpus rows. Returns (group, n_avail, quota, n_alloc,
+    capped) plus conservation is the caller's assert: sum(n_alloc) ==
+    budget always.
+    """
+    if budget < 0:
+        raise ValueError("mixture_allocation: budget must be >= 0")
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_avail")
+    )
+    # alpha=0.5 routes through sqrt, which (unlike libm pow) is
+    # IEEE-correctly-rounded in every engine — the cross-engine-safe
+    # default; other alphas accept the ~1-ulp pow() variance
+    weight = (
+        F.sqrt(F.col("n_avail").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_avail").cast("double"), F.lit(alpha))
+    )
+    sq = counts.withColumn("sq", weight)
+    wrun = Window.orderBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = sq.withColumn("rs", F.sum("sq").over(wrun))
+    denom = run.agg(F.max("rs").alias("dd"))
+    quota = run.join(F.broadcast(denom)).withColumn(
+        "q", (F.lit(budget) * F.col("sq")) / F.col("dd")
+    )
+    base = quota.withColumn("b", F.floor("q")).withColumn(
+        "rem", F.col("q") - F.floor("q")
+    )
+    leftover = base.agg(
+        (F.lit(budget) - F.sum("b")).cast("long").alias("leftover")
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("grp"))
+    ranked = base.withColumn("rnk", F.row_number().over(wr)).join(
+        F.broadcast(leftover)
+    )
+    return ranked.select(
+        F.col("grp").alias(group_col),
+        "n_avail",
+        F.round("q", 6).alias("quota"),
+        (
+            F.col("b")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+        (
+            F.col("b")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+            > F.col("n_avail")
+        ).alias("capped"),
+    )

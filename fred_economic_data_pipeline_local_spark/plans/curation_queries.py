@@ -413,6 +413,71 @@ def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_mixture_allocation",
+    # budget is derived from the data (60% of the corpus), the weight
+    # denominator is an ORDERED running sum (the only order-sensitive
+    # float op, folded in the same sequence by any IEEE engine), and
+    # remainder ties break by source — fully engine-deterministic
+    oracle="""
+WITH counts AS (
+  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_avail
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(floor(0.6 * sum(n_avail)) AS BIGINT) AS n_budget
+  FROM counts
+),
+run AS (
+  SELECT grp, n_avail, sqrt(CAST(n_avail AS DOUBLE)) AS sq,
+         sum(sqrt(CAST(n_avail AS DOUBLE))) OVER (
+           ORDER BY grp ROWS UNBOUNDED PRECEDING) AS rs
+  FROM counts
+),
+d AS (SELECT max(rs) AS dd FROM run),
+base AS (
+  SELECT grp, n_avail,
+         (n_budget * sq) / dd AS q,
+         CAST(floor((n_budget * sq) / dd) AS BIGINT) AS b,
+         (n_budget * sq) / dd - floor((n_budget * sq) / dd) AS rem
+  FROM run CROSS JOIN d CROSS JOIN tot
+),
+lo AS (
+  SELECT CAST(any_value(n_budget) - sum(b) AS BIGINT) AS leftover
+  FROM base CROSS JOIN tot
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, grp) AS rnk
+  FROM base
+)
+SELECT grp AS source, n_avail, round(q, 6) AS quota,
+       CAST(b + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc,
+       b + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END > n_avail
+         AS capped
+FROM rk CROSS JOIN lo
+""",
+    description="token-budgeted training-mix apportionment: a fixed "
+    "integer budget (60% of the corpus) split across sources in "
+    "proportion to n^0.5 (temperature flattening) by the "
+    "largest-remainder / Hamilton method — INTEGER allocations that "
+    "sum exactly to the budget, the conservation property per-group "
+    "ceil quotas cannot give; one map-combined count exchange, then "
+    "O(sources) arithmetic (the single-partition windows order the "
+    "20-row group table, never the corpus); weight denominator as an "
+    "ordered running sum so any IEEE engine folds the identical "
+    "sequence",
+)
+def curation_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.curation import mixture_allocation
+
+    docs = load_table(spark, "documents", sf_dir)
+    budget = math.floor(0.6 * docs.count())
+    return mixture_allocation(docs, "source", budget, alpha=0.5)
+
+
+@query(
     "sample_temperature_mix",
     oracle="""
 WITH q AS (SELECT source, CAST(ceil(sqrt(count(*))) AS BIGINT) AS quota

@@ -75,7 +75,7 @@ def get_query(name: str) -> QuerySpec:
 #   2. the round-9 additions, never driver-checked: sketch_hll_report,
 #      graph_personalized_pagerank, winsorize_approx_path,
 #      hybrid_rrf_retrieval, window_hll_distinct_users,
-#      similarity_ivf_recall;
+#      similarity_ivf_recall, curation_mixture_allocation;
 #   3. code changed this round: graph_pagerank_topk (the adjacency is
 #      now eagerly checkpointed — ADVICE r8);
 #   4. the 23 remaining round-4-dated rows (curation/embedding refresh
@@ -108,6 +108,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "hybrid_rrf_retrieval",
     "window_hll_distinct_users",
     "similarity_ivf_recall",
+    "curation_mixture_allocation",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---
@@ -143,9 +144,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_nation_revenue",
     "q9_product_type_profit",
-    "q18_large_volume_customers",
     # ===== below the window: hash-green r5-r8, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "q18_large_volume_customers",
     "text_token_counts",
     "text_quality_metrics",
     "text_language_id",

@@ -442,3 +442,54 @@ class TestAdaptiveQualityGate:
         # the high-scoring source's cutoff is strictly higher — one
         # global threshold could not produce both
         assert by_src["b"][0]["cutoff"] > by_src["a"][0]["cutoff"]
+
+
+class TestMixtureAllocation:
+    def _df(self, spark, counts):
+        rows = [(g, i) for g, n in counts.items() for i in range(n)]
+        return spark.createDataFrame(rows, "source string, i long")
+
+    def test_allocations_sum_exactly_to_budget(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            mixture_allocation,
+        )
+
+        df = self._df(spark, {"a": 100, "b": 25, "c": 4, "d": 1})
+        for budget in (0, 1, 7, 50, 130):
+            out = mixture_allocation(df, "source", budget).collect()
+            assert sum(r["n_alloc"] for r in out) == budget, budget
+
+    def test_alpha_half_flattens_vs_proportional(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            mixture_allocation,
+        )
+
+        df = self._df(spark, {"big": 400, "small": 4})
+        out = {
+            r["source"]: r["n_alloc"]
+            for r in mixture_allocation(df, "source", 110).collect()
+        }
+        # sqrt weights: 20:2 -> ~100:10 (vs ~109:1 proportional)
+        assert out["big"] == 100 and out["small"] == 10
+
+    def test_capped_flag_when_quota_exceeds_availability(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            mixture_allocation,
+        )
+
+        df = self._df(spark, {"a": 100, "b": 1})
+        out = {
+            r["source"]: r
+            for r in mixture_allocation(df, "source", 99).collect()
+        }
+        # sqrt weights 10:1 -> b's seat allocation (9) exceeds its 1 doc
+        assert out["b"]["capped"] and out["b"]["n_alloc"] > 1
+        assert not out["a"]["capped"]
+
+    def test_negative_budget_raises(self, spark):
+        from fred_economic_data_pipeline_local_spark.operators.curation import (
+            mixture_allocation,
+        )
+
+        with pytest.raises(ValueError, match="budget must be >= 0"):
+            mixture_allocation(self._df(spark, {"a": 1}), "source", -1)
