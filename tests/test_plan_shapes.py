@@ -457,3 +457,59 @@ def test_rfm_no_global_window_boundaries_broadcast(spark):
     # exchange of EVERY customer feeding a Window — refuse that shape
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_hll_registers_single_exchange_codegen_bitops(spark):
+    """The register derivation must be one map-combined exchange with
+    every bit expression inside whole-stage codegen — at 100 TB the
+    exchange carries O(groups x 2^p) partial maxima, never rows."""
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.profile import (
+        hll_registers,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        hll_registers(docs, "doc_id", p=10, by="source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan
+    # codegen'd stages print as "*(n) Operator" in the executed plan —
+    # the bin/shift/mask project must be inside a codegen span
+    assert "*(1) Project" in plan
+
+
+def test_mixture_allocation_single_corpus_exchange(spark):
+    """All windows/joins after the count aggregate run on the O(groups)
+    frame: exactly one exchange may hash-partition corpus rows."""
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.curation import (
+        mixture_allocation,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        mixture_allocation(docs, "source", 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan  # map-side combine on the corpus scan
+    # group-table joins stay broadcast — no shuffle join of tiny frames
+    assert "SortMergeJoin" not in plan
+
+
+def test_rrf_fusion_joins_are_broadcast(spark):
+    """Fusing top-L lists is O(L): the full-outer fusion join must not
+    shuffle (the corpus-scale work stays inside the legs)."""
+    from fred_economic_data_pipeline_local_spark.plans import all_queries
+
+    df = all_queries()["hybrid_rrf_retrieval"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fused frame is top-L rows: accept either broadcast outer join
+    # or a single-partition sort-merge of L-row sides, but never a
+    # nested loop over corpus rows
+    assert "BroadcastNestedLoopJoin" not in plan or "buildright" in plan.lower()
