@@ -48,3 +48,17 @@ def test_catalog_order_matches_registry_exactly(spark):
     stale = sorted(set(CATALOG_ORDER) - set(qs))
     assert not stale, f"remove from CATALOG_ORDER: {stale}"
     assert qs == list(CATALOG_ORDER), "emitted order must be CATALOG_ORDER"
+
+
+def test_verified_window_is_fully_oracle_backed(spark):
+    """The driver hash-checks the first 50 catalog entries; a rows-only
+    entry in the window wastes a verification slot (it can only earn
+    the weaker rows-match). Keep rows-only entries below the fold."""
+    from fred_economic_data_pipeline_local_spark.plans import all_oracles
+    from fred_economic_data_pipeline_local_spark.plans.registry import (
+        CATALOG_ORDER,
+    )
+
+    oracles = all_oracles()
+    missing = [n for n in CATALOG_ORDER[:50] if n not in oracles]
+    assert not missing, f"rows-only entries in the verified window: {missing}"
