@@ -1262,6 +1262,113 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_P = 10  # m = 1024 registers; alpha embedded as a shared literal
+
+
+def _hll_est_sql(v: str, z: str) -> str:
+    """The HLL estimate as DuckDB SQL from zero-register count ``v``
+    and the exact register sum ``z`` — the SAME alpha/m literals and
+    branch the Spark side uses (operators/profile.hll_estimate)."""
+    from ..operators.profile import hll_alpha
+
+    m = 1 << _HLL_P
+    raw = f"{hll_alpha(_HLL_P) * m * m!r} / ({v} + {z})"
+    return (
+        f"round(CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / {v}) "
+        f"ELSE {raw} END, 4)"
+    )
+
+
+@query(
+    "stream_hll_ingest",
+    # contract: the streamed register MAX-merge over arbitrary batch
+    # boundaries must equal one batch sketch of the full corpus — so
+    # the oracle re-derives every per-source estimate from the exported
+    # FINAL register table and certifies it against the exact distinct
+    # count over the raw fixture. Exactly-once needs no watermark here:
+    # register max is idempotent, so replays cannot change the state.
+    oracle=f"""
+WITH regs AS (SELECT grp, reg, rho FROM {export_sql('stream_hll_regs')}),
+per AS (
+  SELECT grp AS source, CAST(count(*) AS BIGINT) AS n_registers,
+         sum(1.0 / (1::BIGINT << rho)) AS z
+  FROM regs GROUP BY grp
+),
+est AS (
+  SELECT source, n_registers,
+         {_hll_est_sql(f'({1 << _HLL_P} - n_registers)', 'z')}
+           AS n_distinct_est
+  FROM per
+),
+ex AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_exact
+  FROM documents GROUP BY source
+)
+SELECT est.source, est.n_registers, est.n_distinct_est,
+       ex.n_distinct_exact,
+       round(abs(est.n_distinct_est - ex.n_distinct_exact)
+             / ex.n_distinct_exact, 6) AS rel_err
+FROM est JOIN ex USING (source)
+""",
+    description="streaming sketch maintenance (foreachBatch HLL "
+    "register MAX-merge into a versioned manifest table): per "
+    "micro-batch the work is the batch's own register aggregate plus "
+    "an O(groups x 2^p) merge commit — sketch state never grows with "
+    "the corpus, and exactly-once is FREE because register max is "
+    "idempotent/commutative/associative (no txn watermark, unlike row "
+    "upserts); the final streamed state must equal one batch sketch of "
+    "the whole corpus regardless of batch boundaries, which the oracle "
+    "certifies from the exported registers against exact counts",
+)
+def stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..exports import export_table
+    from ..operators.profile import hll_estimate, hll_registers
+    from ..sources.lakehouse import ManifestLakeTable
+    from ..streaming.lake_ingest import stream_hll_merge
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stream_hll_")
+    inbox = os.path.join(scratch, "inbox")
+    root = os.path.join(scratch, "sketch")
+    bootstrap = docs.where(F.col("doc_id") % 7 == 0)
+    arriving = docs.where(F.col("doc_id") % 7 != 0)
+    arriving.repartition(4).write.parquet(inbox)
+    t = ManifestLakeTable(root, keys=["grp", "reg"], n_buckets=4)
+    t.overwrite(hll_registers(bootstrap, "doc_id", p=_HLL_P, by="source"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    stream_hll_merge(stream, t, "doc_id", p=_HLL_P, by="source")
+    regs = export_table(t.read(spark), "stream_hll_regs")
+    est = hll_estimate(regs, p=_HLL_P, by=True).select(
+        F.col("grp").alias("source"), "n_registers", "n_distinct_est"
+    )
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_distinct_exact")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_registers",
+            "n_distinct_est",
+            "n_distinct_exact",
+            F.round(
+                F.abs(F.col("n_distinct_est") - F.col("n_distinct_exact"))
+                / F.col("n_distinct_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 @query(
     "manifest_rebucket_read",
     # content is the whole contract: rebucketing is a pure LAYOUT
@@ -1683,24 +1790,6 @@ def sketch_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_distinct_est") - F.col("exact"))
             <= 0.4 * F.col("exact")
         ).alias("within_bound"),
-    )
-
-
-_HLL_P = 10  # m = 1024 registers; alpha embedded as a shared literal
-
-
-def _hll_est_sql(v: str, z: str) -> str:
-    """The HLL estimate as DuckDB SQL from zero-register count ``v``
-    and the exact register sum ``z`` — the SAME alpha/m literals and
-    branch the Spark side uses (operators/profile.hll_estimate)."""
-    from ..operators.profile import hll_alpha
-
-    m = 1 << _HLL_P
-    raw = f"{hll_alpha(_HLL_P) * m * m!r} / ({v} + {z})"
-    return (
-        f"round(CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
-        f"THEN {float(m)!r} * ln({float(m)!r} / {v}) "
-        f"ELSE {raw} END, 4)"
     )
 
 

@@ -75,7 +75,8 @@ def get_query(name: str) -> QuerySpec:
 #   2. the round-9 additions, never driver-checked: sketch_hll_report,
 #      graph_personalized_pagerank, winsorize_approx_path,
 #      hybrid_rrf_retrieval, window_hll_distinct_users,
-#      similarity_ivf_recall, curation_mixture_allocation;
+#      similarity_ivf_recall, curation_mixture_allocation,
+#      stream_hll_ingest;
 #   3. code changed this round: graph_pagerank_topk (the adjacency is
 #      now eagerly checkpointed — ADVICE r8);
 #   4. the 23 remaining round-4-dated rows (curation/embedding refresh
@@ -109,6 +110,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "window_hll_distinct_users",
     "similarity_ivf_recall",
     "curation_mixture_allocation",
+    "stream_hll_ingest",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---
@@ -143,9 +145,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
-    "q9_product_type_profit",
     # ===== below the window: hash-green r5-r8, mirrored locally
     # every round by tests/test_oracle_parity.py =====
+    "q9_product_type_profit",
     "q18_large_volume_customers",
     "text_token_counts",
     "text_quality_metrics",

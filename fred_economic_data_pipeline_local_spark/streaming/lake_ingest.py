@@ -65,3 +65,64 @@ def stream_merge_into(
         with tempfile.TemporaryDirectory(prefix="lake_ingest_ckpt_") as ckpt:
             _run(ckpt)
     return applied["n"]
+
+
+def stream_hll_merge(
+    stream_df: DataFrame,
+    table: ManifestLakeTable,
+    col: str,
+    p: int = 10,
+    by: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Maintain an HLL register table (operators/profile.hll_registers
+    schema: grp?, reg, rho) under a stream: per micro-batch, sketch the
+    batch and MAX-merge it into the table with one versioned overwrite
+    commit. Returns the number of committed batches.
+
+    Exactly-once is FREE here — no txn watermark needed: register max
+    is idempotent, commutative and associative, so a replayed batch,
+    a duplicated row, or any batch-boundary placement folds to the
+    same final register table as one batch sketch of the whole input.
+    (Contrast ``stream_merge_into``, whose row upserts need the
+    txnAppId/txnVersion watermark.) Per batch the work is the batch's
+    own register aggregate plus an O(groups x 2^p)-row merge — sketch
+    state never grows with the corpus, so steady-state cost tracks
+    arrival rate only.
+    """
+    from ..operators.profile import hll_merge, hll_registers
+
+    applied = {"n": 0}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_regs = hll_registers(batch_df, col, p=p, by=by)
+        spark = batch_df.sparkSession
+        try:
+            current = table.read(spark)
+        except FileNotFoundError:
+            # uninitialized (or empty-bootstrap) table = empty sketch;
+            # the first committing batch creates it
+            current = batch_regs.limit(0)
+        merged = hll_merge(current, batch_regs)
+        # localCheckpoint: the overwrite must not lazily re-read the
+        # table dirs it is about to supersede
+        table.overwrite(merged.localCheckpoint(eager=True))
+        applied["n"] += 1
+
+    def _run(ckpt: str) -> None:
+        q = (
+            stream_df.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if checkpoint_dir is not None:
+        _run(checkpoint_dir)
+    else:
+        with tempfile.TemporaryDirectory(prefix="hll_ingest_ckpt_") as ckpt:
+            _run(ckpt)
+    return applied["n"]

@@ -351,3 +351,72 @@ def test_replay_dedup_stream_restores_exactly_once(spark, tmp_path):
     n_exact = load_table(spark, "events", SF_DIR).count()
     assert streamed.count() == n_exact
     assert streamed.select("event_id").distinct().count() == n_exact
+
+
+class TestStreamHllMerge:
+    def _table(self, spark, tmp_path, docs):
+        from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
+            ManifestLakeTable,
+        )
+
+        # no bootstrap: the first committing batch creates the sketch
+        return ManifestLakeTable(
+            str(tmp_path / "sketch"), keys=["grp", "reg"], n_buckets=2
+        )
+
+    def test_streamed_state_equals_batch_sketch(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.operators.profile import (
+            hll_registers,
+        )
+        from fred_economic_data_pipeline_local_spark.streaming.lake_ingest import (
+            stream_hll_merge,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+        )
+        inbox = str(tmp_path / "inbox")
+        docs.repartition(5).write.parquet(inbox)
+        t = self._table(spark, tmp_path, docs)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        n = stream_hll_merge(stream, t, "doc_id", p=8, by="source")
+        assert n >= 2  # genuinely multi-batch
+        streamed = {
+            (r["grp"], r["reg"], r["rho"]) for r in t.read(spark).collect()
+        }
+        batch = {
+            (r["grp"], r["reg"], r["rho"])
+            for r in hll_registers(docs, "doc_id", p=8, by="source").collect()
+        }
+        assert streamed == batch
+
+    def test_replay_is_a_no_op_by_idempotence(self, spark, tmp_path):
+        from fred_economic_data_pipeline_local_spark.streaming.lake_ingest import (
+            stream_hll_merge,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "s") for i in range(100)], "doc_id long, source string"
+        )
+        inbox = str(tmp_path / "inbox")
+        docs.write.parquet(inbox)
+        t = self._table(spark, tmp_path, docs)
+        stream = spark.readStream.schema(docs.schema).parquet(inbox)
+        stream_hll_merge(
+            stream, t, "doc_id", p=8, by="source",
+            checkpoint_dir=str(tmp_path / "ck1"),
+        )
+        before = {tuple(r) for r in t.read(spark).collect()}
+        # a FRESH checkpoint re-delivers every file: max-merge must fold
+        # the duplicate delivery to the identical state
+        stream2 = spark.readStream.schema(docs.schema).parquet(inbox)
+        stream_hll_merge(
+            stream2, t, "doc_id", p=8, by="source",
+            checkpoint_dir=str(tmp_path / "ck2"),
+        )
+        after = {tuple(r) for r in t.read(spark).collect()}
+        assert before == after
