@@ -566,3 +566,35 @@ def test_cms_estimates_dominate_exact_counts(spark, items):
     }
     for t, n in exact.items():
         assert ests[t] >= n, (t, n, ests[t])
+
+
+# --- mixture allocation (Hamilton apportionment) invariants -----------------
+
+_mix_counts = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+    st.integers(min_value=1, max_value=200),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(counts=_mix_counts, budget=st.integers(min_value=0, max_value=400))
+@settings(**_SETTINGS)
+def test_mixture_allocation_conserves_and_stays_within_one_seat(
+    spark, counts, budget
+):
+    """Hamilton invariants: allocations are integers summing EXACTLY to
+    the budget, and each group's allocation is floor(quota) or
+    floor(quota)+1 (the no-seat-jumping property that makes largest
+    remainder the fair apportionment)."""
+    from fred_economic_data_pipeline_local_spark.operators.curation import (
+        mixture_allocation,
+    )
+
+    rows = [(g, i) for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "source string, i long")
+    out = mixture_allocation(df, "source", budget).collect()
+    assert sum(r["n_alloc"] for r in out) == budget
+    for r in out:
+        lo = int(r["quota"])  # floor of the (rounded-6dp) quota
+        assert r["n_alloc"] in (lo, lo + 1), (r, budget)
