@@ -1,0 +1,272 @@
+"""Statistical screening operators: rank AUC, chi-squared independence,
+Benford first-digit conformance, Gini concentration, Spearman rank
+correlation.
+
+The reference's analytics stop at plain means over the gold layer
+(``transform_fred_data.py:124-128``); a curation pipeline that feeds
+model training needs distribution-level screens — "does this quality
+score actually separate the classes?" (AUC), "are these two categorical
+columns independent?" (chi-squared), "do these amounts look organic or
+fabricated?" (Benford), "how concentrated is the corpus on a few
+producers?" (Gini). Every operator here is a composition of built-in
+aggregates and windows: no UDFs, no driver loops, no collects.
+
+Determinism discipline (the oracle contract): statistics are computed
+from integer counts and exact integer ranks wherever possible; average
+tie-ranks are exact multiples of 0.5 (binary-representable, so their
+sums are order-independent); irrational constants (Benford's
+log10(1 + 1/d)) are computed ONCE in Python and shared as literals with
+the SQL mirror — the same no-libm-divergence discipline as the
+Fellegi-Sunter weights in operators/linkage.py.
+
+Scale notes. AUC/Spearman rank within (group) or (group, value)
+partitions — the sort is the per-group shuffle any rank statistic needs
+and parallelizes across groups; chi-squared reduces the fact table to
+O(|A| x |B|) cells in one map-combined exchange; Benford reduces to 9
+rows; Gini's within-group prefix scan runs on per-entity aggregates
+(customers, not line items), already orders of magnitude smaller than
+the fact table.
+"""
+
+from __future__ import annotations
+
+import math as _math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def rank_auc(
+    df: DataFrame, group: str, score: str, label: Column
+) -> DataFrame:
+    """Per-``group`` area under the ROC curve of ``score`` predicting the
+    boolean ``label`` column expression, by the rank (Mann-Whitney U)
+    formulation with midrank tie correction:
+
+        AUC = (sum of positive midranks - n_pos*(n_pos+1)/2)
+              / (n_pos * n_neg)
+
+    Midranks are ``rank() + (|ties| - 1)/2`` — exact multiples of 0.5,
+    so the positive-midrank sum is an order-independent double and the
+    whole statistic is engine-deterministic without rounding tricks.
+
+    Plan shape: one per-group sort (the rank window) with the tie count
+    riding a sibling window over (group, score) — Catalyst shares the
+    exchange; then one map-combined aggregate per group. Groups with an
+    empty class are dropped (AUC undefined). Returns one row per group:
+    (group, n_pos, n_neg, auc).
+    """
+    w_rank = Window.partitionBy(group).orderBy(score)
+    w_tie = Window.partitionBy(group, score)
+    ranked = df.select(
+        F.col(group),
+        label.cast("long").alias("__pos"),
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
+        ).alias("__midrank"),
+    )
+    n_pos = F.sum("__pos")
+    n_neg = F.sum(F.lit(1) - F.col("__pos"))
+    return (
+        ranked.groupBy(group)
+        .agg(
+            n_pos.alias("n_pos"),
+            n_neg.alias("n_neg"),
+            F.sum(F.col("__midrank") * F.col("__pos")).alias("__rank_pos"),
+        )
+        .where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            group,
+            "n_pos",
+            "n_neg",
+            F.round(
+                (
+                    F.col("__rank_pos")
+                    - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+                )
+                / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns: per-cell observed counts vs ``expected = row_total *
+    col_total / N``, with the cell contribution ``(obs - exp)^2 / exp``,
+    the table-wide statistic, and the degrees of freedom
+    ``(|A| - 1)(|B| - 1)`` repeated on every row.
+
+    Plan shape: ONE map-combined exchange collapses the fact table to
+    the O(|A| x |B|) contingency cells; the row/column marginals and the
+    grand total are O(|A|) / O(|B|) / 1-row re-aggregations of the cell
+    frame (never a second fact scan) and broadcast back. Everything
+    downstream of the counts is exact integer arithmetic divided once —
+    deterministic across engines. Returns one row per observed cell:
+    (col_a, col_b, n_obs, expected, contrib, chi2_total, dof).
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n_obs"))
+    row_m = cells.groupBy(col_a).agg(F.sum("n_obs").alias("__rt"))
+    col_m = cells.groupBy(col_b).agg(F.sum("n_obs").alias("__ct"))
+    tot = cells.agg(
+        F.sum("n_obs").alias("__n"),
+        F.count_distinct(col_a).alias("__ka"),
+        F.count_distinct(col_b).alias("__kb"),
+    )
+    e = (F.col("__rt") * F.col("__ct")).cast("double") / F.col("__n")
+    contrib = (F.col("n_obs") - e) * (F.col("n_obs") - e) / e
+    scored = (
+        cells.join(broadcast(row_m), col_a)
+        .join(broadcast(col_m), col_b)
+        .join(broadcast(tot))
+        .select(
+            col_a,
+            col_b,
+            "n_obs",
+            F.round(e, 6).alias("expected"),
+            F.round(contrib, 6).alias("contrib"),
+            contrib.alias("__c"),
+            ((F.col("__ka") - 1) * (F.col("__kb") - 1))
+            .cast("int")
+            .alias("dof"),
+        )
+    )
+    total = scored.agg(F.round(F.sum("__c"), 6).alias("chi2_total"))
+    return scored.join(broadcast(total)).select(
+        col_a, col_b, "n_obs", "expected", "contrib", "chi2_total", "dof"
+    )
+
+
+# Benford's-law expected first-digit shares log10(1 + 1/d), computed
+# once in Python and shared as full-precision literals with any SQL
+# mirror (no cross-engine libm log10 in the query path).
+BENFORD_SHARES: dict[int, float] = {
+    d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_first_digit(df: DataFrame, value: str) -> DataFrame:
+    """Benford's-law conformance screen over a positive numeric column:
+    the observed first-significant-digit distribution vs the expected
+    ``log10(1 + 1/d)`` shares, with per-digit chi-squared contributions
+    ``N * (obs_share - exp_share)^2 / exp_share``.
+
+    The first digit is taken from the DECIMAL RENDERING of
+    ``floor(value)`` as a BIGINT — string-of-integer is rendered
+    identically by every engine, where ``floor(log10(x))`` exponent
+    arithmetic can disagree by 1 ulp at power-of-ten boundaries.
+    Requires ``value >= 1`` (rows below are filtered; amounts in the
+    fixtures and in FRED-style economic series satisfy it).
+
+    Plan shape: one map-combined exchange to 9 digit rows; the 1-row
+    total broadcast back. Returns one row per digit:
+    (digit, n_obs, obs_share, exp_share, contrib).
+    """
+    digit = F.substring(
+        F.floor(F.col(value)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.where(F.col(value) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").alias("__n"))
+    exp_share = F.lit(None).cast("double")
+    for d, s in sorted(BENFORD_SHARES.items()):
+        exp_share = F.when(F.col("digit") == d, F.lit(s)).otherwise(
+            exp_share
+        )
+    obs_share = F.col("n_obs").cast("double") / F.col("__n")
+    return counts.join(broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("exp_share"),
+        F.round(
+            F.col("__n")
+            * (obs_share - exp_share)
+            * (obs_share - exp_share)
+            / exp_share,
+            6,
+        ).alias("contrib"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame, group: str, entity: str, value: str
+) -> DataFrame:
+    """Per-``group`` Gini concentration coefficient of ``value`` summed
+    per ``entity`` (e.g. spend per customer within a market segment), by
+    the rank formula over ascending entity totals:
+
+        G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n
+
+    Entity totals are rounded to 2 dp BEFORE ranking (house float-sum
+    discipline: the raw double sum's last ulp is partial-order
+    dependent; the rounded total is the cross-engine value), and the
+    rank orders by (total, entity) so ties break deterministically.
+
+    Plan shape: one map-combined exchange to per-entity totals (the big
+    reduction), then a per-group sort over the ALREADY-AGGREGATED
+    entity frame — orders of magnitude smaller than the fact table —
+    and one final per-group aggregate. Returns one row per group:
+    (group, n_entities, total_value, gini).
+    """
+    totals = df.groupBy(group, entity).agg(
+        F.round(F.sum(value), 2).alias("__x")
+    )
+    w = Window.partitionBy(group).orderBy("__x", entity)
+    ranked = totals.select(
+        group, F.col("__x"), F.row_number().over(w).alias("__i")
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy(group).agg(
+        n.alias("n_entities"),
+        F.round(F.sum("__x"), 2).alias("total_value"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("__i") * F.col("__x"))
+            / (n * F.sum("__x"))
+            - (n + F.lit(1)).cast("double") / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame, group: str, col_x: str, col_y: str
+) -> DataFrame:
+    """Per-``group`` Spearman rank correlation between two numeric
+    columns: Pearson correlation of the midrank-transformed values
+    (``rank() + (|ties| - 1)/2`` — the tie-corrected form, identical to
+    scipy's ``spearmanr``). Midranks are exact multiples of 0.5, so the
+    only cross-engine float risk is the final Pearson reduction, rounded
+    to 6 dp in both engines.
+
+    Plan shape: two rank windows sharing the per-group partition
+    exchange, then one map-combined corr aggregate. Returns one row per
+    group: (group, n, spearman_rho).
+    """
+    wx = Window.partitionBy(group).orderBy(col_x)
+    wy = Window.partitionBy(group).orderBy(col_y)
+    tx = Window.partitionBy(group, col_x)
+    ty = Window.partitionBy(group, col_y)
+    ranked = df.select(
+        F.col(group),
+        (
+            F.rank().over(wx)
+            + (F.count(F.lit(1)).over(tx) - F.lit(1)) / F.lit(2.0)
+        ).alias("__rx"),
+        (
+            F.rank().over(wy)
+            + (F.count(F.lit(1)).over(ty) - F.lit(1)) / F.lit(2.0)
+        ).alias("__ry"),
+    )
+    return ranked.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("__rx", "__ry"), 6).alias("spearman_rho"),
+    )

@@ -111,6 +111,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_ivf_recall",
     "curation_mixture_allocation",
     "stream_hll_ingest",
+    # --- 2b. round-9 second-wave additions (never checked; each new
+    # entry in the window displaces one round-4-dated row to the head
+    # of round 10's rotation — never-checked beats re-check) ---
+    "auc_doc_length_lang",
+    "chi2_priority_status",
+    "benford_order_prices",
+    "gini_customer_spend",
+    "spearman_quantity_price",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---
@@ -356,6 +364,7 @@ def _load_all() -> None:
         llm_queries,
         multimodal_queries,
         relational_queries,
+        stats_queries,
         temporal_queries,
         similarity_queries,
         timeseries_queries,

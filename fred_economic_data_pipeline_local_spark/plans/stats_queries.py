@@ -1,0 +1,214 @@
+"""Statistical-screen catalog entries: AUC, chi-squared, Benford, Gini,
+Spearman (operators/stats.py), mirrored in DuckDB SQL for the driver's
+hash gate.
+
+Oracle conventions (registry module docstring): identical aliases in
+both engines, integer counts CAST to BIGINT (never HUGEINT — see
+tests/test_oracle_dtypes.py), doubles rounded 6 dp, irrational
+constants embedded as shared Python-computed literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.stats import BENFORD_SHARES
+from .registry import query
+
+
+@query(
+    "auc_doc_length_lang",
+    oracle="""
+WITH r AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         rank() OVER (PARTITION BY source ORDER BY n_chars)
+           + (count(*) OVER (PARTITION BY source, n_chars) - 1) / 2.0
+           AS midrank
+  FROM documents
+)
+SELECT source,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+       round((sum(midrank * pos)
+              - CAST(sum(pos) AS BIGINT)
+                * (CAST(sum(pos) AS BIGINT) + 1) / 2.0)
+             / (CAST(sum(pos) AS BIGINT) * CAST(sum(1 - pos) AS BIGINT)),
+             6) AS auc
+FROM r
+GROUP BY source
+HAVING sum(pos) > 0 AND sum(1 - pos) > 0
+""",
+    description="rank-based (Mann-Whitney) AUC with midrank tie "
+    "correction: per source, how well document length separates "
+    "English from non-English docs — the screen that tells a curation "
+    "pipeline whether a candidate quality feature carries signal; one "
+    "per-group rank window + one map-combined aggregate, midranks are "
+    "exact halves so the statistic is engine-deterministic "
+    "(operators/stats.py:rank_auc)",
+)
+def auc_doc_length_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import rank_auc
+
+    docs = load_table(spark, "documents", sf_dir)
+    return rank_auc(docs, "source", "n_chars", F.col("lang") == "en")
+
+
+@query(
+    "chi2_priority_status",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n_obs
+  FROM orders GROUP BY 1, 2
+),
+rm AS (SELECT o_orderpriority, CAST(sum(n_obs) AS BIGINT) AS rt
+       FROM cells GROUP BY 1),
+cm AS (SELECT o_orderstatus, CAST(sum(n_obs) AS BIGINT) AS ct
+       FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+               count(DISTINCT o_orderpriority) AS ka,
+               count(DISTINCT o_orderstatus) AS kb
+        FROM cells),
+scored AS (
+  SELECT cells.o_orderpriority, cells.o_orderstatus, cells.n_obs,
+         CAST(rm.rt * cm.ct AS DOUBLE) / tot.n AS e,
+         CAST((tot.ka - 1) * (tot.kb - 1) AS INTEGER) AS dof
+  FROM cells
+  JOIN rm USING (o_orderpriority)
+  JOIN cm USING (o_orderstatus)
+  CROSS JOIN tot
+)
+SELECT o_orderpriority, o_orderstatus, n_obs,
+       round(e, 6) AS expected,
+       round((n_obs - e) * (n_obs - e) / e, 6) AS contrib,
+       (SELECT round(sum((n_obs - e) * (n_obs - e) / e), 6) FROM scored)
+         AS chi2_total,
+       dof
+FROM scored
+""",
+    description="Pearson chi-squared test of independence between "
+    "order priority and order status: per-cell observed vs expected "
+    "counts, cell contributions, the table statistic, and dof — the "
+    "fact table collapses to O(|A| x |B|) cells in one map-combined "
+    "exchange; marginals re-aggregate the cell frame and broadcast "
+    "back (operators/stats.py:chi2_independence)",
+)
+def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import chi2_independence
+
+    orders = load_table(spark, "orders", sf_dir)
+    return chi2_independence(orders, "o_orderpriority", "o_orderstatus")
+
+
+# CAST to DOUBLE: DuckDB types bare decimal literals as DECIMAL, whose
+# pandas rendering drifts from Spark's float64 on the driver hash path
+_BENFORD_CASE = "CAST(CASE digit " + " ".join(
+    f"WHEN {d} THEN {s!r}" for d, s in sorted(BENFORD_SHARES.items())
+) + " END AS DOUBLE)"
+
+
+@query(
+    "benford_order_prices",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit,
+         count(*) AS n_obs
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / n, 6) AS obs_share,
+       round({_BENFORD_CASE}, 6) AS exp_share,
+       round(n * (CAST(n_obs AS DOUBLE) / n - {_BENFORD_CASE})
+               * (CAST(n_obs AS DOUBLE) / n - {_BENFORD_CASE})
+               / {_BENFORD_CASE}, 6) AS contrib
+FROM c CROSS JOIN t
+""",
+    description="Benford's-law first-digit conformance of order "
+    "amounts (the fraud/fabrication screen for ingested economic "
+    "series): observed vs expected log10(1+1/d) shares with chi-squared "
+    "contributions; the first digit comes from the BIGINT decimal "
+    "rendering (engine-identical) not log10 exponent arithmetic, and "
+    "the expected shares are shared Python-computed literals "
+    "(operators/stats.py:benford_first_digit)",
+)
+def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import benford_first_digit
+
+    orders = load_table(spark, "orders", sf_dir)
+    return benford_first_digit(orders, "o_totalprice")
+
+
+@query(
+    "gini_customer_spend",
+    oracle="""
+WITH totals AS (
+  SELECT c.c_mktsegment, o.o_custkey, round(sum(o.o_totalprice), 2) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, x,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY x, o_custkey) AS i
+  FROM totals
+)
+SELECT c_mktsegment,
+       count(*) AS n_entities,
+       round(sum(x), 2) AS total_value,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+FROM ranked GROUP BY 1
+""",
+    description="Gini concentration of customer spend within each "
+    "market segment (rank formula over ascending per-customer totals) "
+    "— the corpus-concentration screen a source-mixing policy reads; "
+    "the fact table reduces to per-customer totals FIRST (one "
+    "map-combined exchange), the per-group sort runs on the already-"
+    "aggregated entity frame, totals rounded 2 dp before ranking per "
+    "the house float-sum discipline (operators/stats.py:gini_by_group)",
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import gini_by_group
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = orders.join(cust, "o_custkey")
+    return gini_by_group(joined, "c_mktsegment", "o_custkey", "o_totalprice")
+
+
+@query(
+    "spearman_quantity_price",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+             / 2.0 AS rx,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+              - 1) / 2.0 AS ry
+  FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n,
+       round(corr(rx, ry), 6) AS spearman_rho
+FROM r GROUP BY 1
+""",
+    description="Spearman rank correlation (midrank tie correction, "
+    "scipy-equivalent) between quantity and extended price per return "
+    "flag: two rank windows sharing one per-group exchange, then a "
+    "map-combined corr aggregate; monotone-association screen that "
+    "Pearson-on-values misses under nonlinearity "
+    "(operators/stats.py:spearman_corr)",
+)
+def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import spearman_corr
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return spearman_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
