@@ -1,0 +1,118 @@
+"""Ordered-series operators: closed-form EWMA and lagged autocorrelation.
+
+The reference's time dimension stops at calendar averages
+(``transform_fred_data.py:86-99``); monitoring an economic or telemetry
+series needs recency-weighted levels (EWMA) and persistence diagnostics
+(ACF). A recursive EWMA looks stateful, but the closed form
+
+    y_N = (1-a)^(N-1) * x_1 + sum_{i=2..N} a * (1-a)^(N-i) * x_i
+
+is one weighted sum over the ordered series — pure window + aggregate,
+no recursion, no applyInPandas, no state store.
+
+Scale notes. Both operators partition by the series key, so the sort
+parallelizes across keys; the ACF runs on the per-day AGGREGATED series
+(O(days) rows per key), never the raw events. Weights use
+``pow(1-a, k)`` with integer k — sub-ulp libm variance across engines
+is absorbed by the 6 dp output rounding; (1-a)^k underflows gracefully
+to 0 for long histories, which is exactly the semantics (old
+observations stop mattering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ewma_last(
+    df: DataFrame,
+    key: str,
+    order_by: list[str],
+    value: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-``key`` exponentially-weighted moving average of ``value``
+    over the ``order_by``-ordered history, initialized at the first
+    observation (y_1 = x_1) — the last EWMA level each series currently
+    sits at, computed as ONE weighted sum via the closed form above.
+
+    Plan shape: a single per-key sort (row_number and count share the
+    partition window), then one map-combined aggregate. Null values are
+    excluded (the reference's "." sentinel family arrives as null).
+    Returns one row per key: (key, n_events, ewma).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    q = 1.0 - alpha
+    w = Window.partitionBy(key).orderBy(*order_by)
+    wk = Window.partitionBy(key)
+    x = (
+        df.where(F.col(value).isNotNull())
+        .select(
+            F.col(key),
+            F.col(value).alias("__x"),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wk).alias("__n"),
+        )
+    )
+    weight = F.when(
+        F.col("__rn") == 1, F.pow(F.lit(q), F.col("__n") - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(q), F.col("__n") - F.col("__rn")))
+    return x.groupBy(key).agg(
+        F.max("__n").alias("n_events"),
+        F.round(F.sum(weight * F.col("__x")), 6).alias("ewma"),
+    )
+
+
+def acf_lags(
+    df: DataFrame,
+    key: str,
+    order_by: list[str],
+    value: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-``key`` sample autocorrelation of the ordered series at index
+    lags 1..``max_lag``: Pearson correlation of (x_t, x_{t+lag}) pairs —
+    the persistence diagnostic read before trusting a trend slope.
+
+    Plan shape: one per-key sort produces all ``max_lag`` lead columns
+    in the same window pass; the leads then unpivot (in-partition
+    explode, no shuffle) into (key, lag, x, y) pairs feeding one
+    map-combined corr aggregate. Returns one row per (key, lag):
+    (key, lag, n_pairs, acf).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    w = Window.partitionBy(key).orderBy(*order_by)
+    leads = df.select(
+        F.col(key),
+        F.col(value).alias("__x"),
+        *[
+            F.lead(value, k).over(w).alias(f"__y{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    pairs = leads.select(
+        key,
+        "__x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"__y{k}").alias("y")
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__p"),
+    ).select(
+        key,
+        F.col("__p.lag").alias("lag"),
+        "__x",
+        F.col("__p.y").alias("__y"),
+    ).where(F.col("__y").isNotNull())
+    return pairs.groupBy(key, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("__x", "__y"), 6).alias("acf"),
+    )

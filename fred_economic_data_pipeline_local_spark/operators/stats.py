@@ -270,3 +270,48 @@ def spearman_corr(
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("__rx", "__ry"), 6).alias("spearman_rho"),
     )
+
+
+def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Two-dimensional skyline (Pareto frontier), maximizing both ``x``
+    and ``y``: rows no other row dominates, where r' dominates r iff
+    ``x' >= x AND y' >= y`` with at least one strict. Equal (x, y)
+    duplicates dominate neither and all survive.
+
+    2-D dominance has a sort identity: after collapsing to (x,
+    max-y-at-x), a point is on the frontier iff its y strictly exceeds
+    the running max-y over all STRICTLY HIGHER x. The naive check is
+    the O(n^2) dominance self-join; this plan is the distributed
+    sort-prune form:
+
+      1. local prune — the identity applied WITHIN each input
+         partition (window over spark_partition_id(), no shuffle): any
+         point dominated locally is dominated globally, and for
+         non-adversarial data the per-partition frontier is tiny
+         (O(log n) expected for independent dimensions);
+      2. global pass — the same window over the pruned survivors, a
+         frame already reduced by orders of magnitude, so the
+         single-partition sort the identity needs runs on the SMALL
+         remainder, never the corpus.
+
+    Returns the surviving (x, y) pairs; callers join back on (x, y)
+    equality to recover full rows (ties included).
+    """
+
+    def _frontier(pts: DataFrame, part: list[str]) -> DataFrame:
+        gmax = pts.groupBy(*part, x).agg(F.max(y).alias(y))
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(F.desc(x))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.max(y).over(w)
+        return gmax.select(*part, x, y, prev.alias("__prev")).where(
+            F.col("__prev").isNull() | (F.col(y) > F.col("__prev"))
+        ).drop("__prev")
+
+    local = _frontier(
+        df.select(x, y).withColumn("__pid", F.spark_partition_id()),
+        ["__pid"],
+    ).drop("__pid")
+    return _frontier(local, [])

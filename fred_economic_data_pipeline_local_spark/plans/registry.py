@@ -119,6 +119,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "benford_order_prices",
     "gini_customer_spend",
     "spearman_quantity_price",
+    "ewma_user_values",
+    "acf_event_type_daily",
+    "skyline_orders_price_date",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

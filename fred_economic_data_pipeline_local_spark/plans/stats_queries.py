@@ -212,3 +212,42 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     return spearman_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "skyline_orders_price_date",
+    # the oracle is the DEFINITION (O(n^2) dominance anti-join, DuckDB
+    # runs it as an IEJoin); the Spark side is the distributed
+    # sort-prune plan — the hash gate pins plan == definition
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders d
+  WHERE d.o_totalprice >= o.o_totalprice
+    AND d.o_orderdate >= o.o_orderdate
+    AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate > o.o_orderdate)
+)
+""",
+    description="2-D skyline: orders no other order beats on BOTH "
+    "total price and recency (Pareto frontier, ties kept) — local "
+    "per-partition sort-prune then a global pass over the tiny "
+    "survivor set, never the O(n^2) dominance self-join the oracle "
+    "definitionally runs (operators/stats.py:pareto_frontier_2d)",
+)
+def skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import pareto_frontier_2d
+
+    orders = load_table(spark, "orders", sf_dir)
+    frontier = pareto_frontier_2d(orders, "o_totalprice", "o_orderdate")
+    return (
+        orders.join(frontier, ["o_totalprice", "o_orderdate"])
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "odate"
+            ),
+        )
+    )

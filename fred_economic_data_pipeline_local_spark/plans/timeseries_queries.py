@@ -971,3 +971,89 @@ def window_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cum_exact, "day")
         .select("day", "n_day_exact", "n_day_est", "n_cum_exact", "n_cum_est")
     )
+
+
+# EWMA smoothing constant, shared as one literal with the SQL mirror
+_EWMA_ALPHA = 0.3
+_EWMA_Q = 1.0 - _EWMA_ALPHA
+
+
+@query(
+    "ewma_user_values",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN rn = 1 THEN pow({_EWMA_Q!r}, n - 1)
+                      ELSE {_EWMA_ALPHA!r} * pow({_EWMA_Q!r}, n - rn)
+                 END * value), 6) AS ewma
+FROM x GROUP BY user_id
+""",
+    description="per-user EWMA level (alpha=0.3, initialized at the "
+    "first observation) via the closed-form weighted sum — a recursive-"
+    "looking statistic expressed as ONE per-key sort + map-combined "
+    "aggregate, no state store, no applyInPandas; weights pow(q, k) "
+    "with integer k, sub-ulp libm variance absorbed by 6 dp rounding "
+    "(operators/series.py:ewma_last)",
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import ewma_last
+
+    ev = load_table(spark, "events", sf_dir)
+    return ewma_last(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
+    )
+
+
+@query(
+    "acf_event_type_daily",
+    oracle=f"""
+WITH leads AS (
+  SELECT event_type, revenue AS x,
+         lead(revenue, 1) OVER (PARTITION BY event_type
+                                ORDER BY y, m, d) AS y1,
+         lead(revenue, 2) OVER (PARTITION BY event_type
+                                ORDER BY y, m, d) AS y2,
+         lead(revenue, 3) OVER (PARTITION BY event_type
+                                ORDER BY y, m, d) AS y3
+  FROM ({_DAILY})
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, x, y1 AS yy FROM leads WHERE y1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2 AS lag, x, y2 AS yy FROM leads WHERE y2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3 AS lag, x, y3 AS yy FROM leads WHERE y3 IS NOT NULL
+)
+SELECT event_type, lag,
+       count(*) AS n_pairs,
+       round(corr(x, yy), 6) AS acf
+FROM pairs GROUP BY 1, 2
+""",
+    description="sample autocorrelation at lags 1-3 of each event "
+    "type's daily revenue series (persistence diagnostic before "
+    "trusting a trend slope) — the ACF runs on the per-day AGGREGATED "
+    "series, all leads produced in one per-key window pass then "
+    "unpivoted in-partition (operators/series.py:acf_lags)",
+)
+def acf_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import acf_lags
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    return acf_lags(daily, "event_type", ["y", "m", "d"], "revenue", max_lag=3)
