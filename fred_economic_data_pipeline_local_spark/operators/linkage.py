@@ -93,3 +93,64 @@ def fs_score_pairs(
         .when(F.col("score") >= possible_threshold, F.lit("possible"))
         .otherwise(F.lit("non_match")),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    order_by: list[str],
+    window: int = 3,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo,
+    SIGMOD 1995) — the other classic blocking scheme: within each block,
+    sort by a fuzzy key and pair every record with its ``window``
+    nearest neighbors in sort order. Where equi-blocking misses matches
+    that straddle a block boundary value, SNM catches anything CLOSE in
+    the sort key; pair count is exactly O(n * window), never O(n_b^2).
+
+    Plan shape: one per-block sort assigns ranks; each record then
+    explodes into ``window`` (rank + offset) probe keys and candidate
+    pairs come from a pure EQUI-join on (block, rank) — no range join,
+    no self-join with inequality residuals, so the plan stays
+    sort-merge/shuffled-hash friendly at any scale. Returns one row per
+    candidate pair: (block, id_a, id_b, rank_gap, <carry>_a, <carry>_b).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from pyspark.sql import Window as W
+
+    carry = carry or []
+    rn = F.row_number().over(
+        W.partitionBy(block_col).orderBy(*order_by, id_col)
+    )
+    ranked = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(f"__c_{c}") for c in carry],
+        rn.alias("__rn"),
+    )
+    probes = ranked.select(
+        "block",
+        F.col("__id").alias("id_a"),
+        *[F.col(f"__c_{c}").alias(f"{c}_a") for c in carry],
+        F.col("__rn").alias("__rn_a"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, window + 1)])
+        ).alias("__off"),
+    ).withColumn("__rn", F.col("__rn_a") + F.col("__off"))
+    right = ranked.select(
+        "block",
+        F.col("__id").alias("id_b"),
+        *[F.col(f"__c_{c}").alias(f"{c}_b") for c in carry],
+        "__rn",
+    )
+    return probes.join(right, ["block", "__rn"]).select(
+        "block",
+        "id_a",
+        "id_b",
+        F.col("__off").cast("int").alias("rank_gap"),
+        *[f"{c}_a" for c in carry],
+        *[f"{c}_b" for c in carry],
+    )

@@ -1795,3 +1795,120 @@ def text_jaccard_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("src_a"), F.asc("src_b"))
         .limit(20)
     )
+
+
+_MI_TOPK = 20
+
+
+def _mi_term_sql(n: str, r: str, c: str) -> str:
+    """One MI cell term (n/N) * ln(N*n / (r*c)) with the n=0 guard —
+    operand order mirrors the Spark expression exactly for IEEE
+    identity (double(N)*n first, double(r)*c second)."""
+    return (
+        f"CASE WHEN {n} > 0 THEN (CAST({n} AS DOUBLE) / n_docs)"
+        f" * ln(CAST(n_docs AS DOUBLE) * {n}"
+        f" / (CAST({r} AS DOUBLE) * {c})) ELSE 0 END"
+    )
+
+
+@query(
+    "text_token_mi_lang",
+    oracle=f"""
+WITH tl AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+         unnest(list_distinct({_LTOKS_SQL})) AS token
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_en
+  FROM documents
+),
+per_tok AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df_t,
+         CAST(sum(en) AS BIGINT) AS df_en
+  FROM tl GROUP BY token
+),
+cells AS (
+  SELECT token, df_t, df_en, n_docs,
+         df_en AS n11,
+         df_t - df_en AS n10,
+         n_en - df_en AS n01,
+         n_docs - df_t - n_en + df_en AS n00,
+         df_t AS r1, n_docs - df_t AS r0,
+         n_en AS c1, n_docs - n_en AS c0
+  FROM per_tok CROSS JOIN tot
+)
+SELECT token, df_t, df_en,
+       round({_mi_term_sql('n11', 'r1', 'c1')}
+             + {_mi_term_sql('n10', 'r1', 'c0')}
+             + {_mi_term_sql('n01', 'r0', 'c1')}
+             + {_mi_term_sql('n00', 'r0', 'c0')}, 6) AS mi
+FROM cells
+ORDER BY mi DESC, token
+LIMIT {_MI_TOPK}
+""",
+    description="top tokens by mutual information between per-doc "
+    "token presence and the English label — the feature-relevance "
+    "screen behind langid feature selection: one explode of per-doc "
+    "DISTINCT tokens to a map-combined (token) aggregate, the 1-row "
+    "corpus marginals broadcast back, MI from exact integer cell "
+    "counts with the n=0 guard; ordering uses the ROUNDED score so "
+    "the top-k cut is engine-deterministic",
+)
+def text_token_mi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tl = docs.select(
+        (F.col("lang") == "en").cast("long").alias("__en"),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col("text"))))
+        ).alias("token"),
+    )
+    per_tok = tl.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_t"), F.sum("__en").alias("df_en")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("__n_en"),
+    )
+    cells = per_tok.join(F.broadcast(tot)).select(
+        "token",
+        "df_t",
+        "df_en",
+        F.col("__n"),
+        F.col("df_en").alias("__n11"),
+        (F.col("df_t") - F.col("df_en")).alias("__n10"),
+        (F.col("__n_en") - F.col("df_en")).alias("__n01"),
+        (F.col("__n") - F.col("df_t") - F.col("__n_en") + F.col("df_en"))
+        .alias("__n00"),
+        F.col("df_t").alias("__r1"),
+        (F.col("__n") - F.col("df_t")).alias("__r0"),
+        F.col("__n_en").alias("__c1"),
+        (F.col("__n") - F.col("__n_en")).alias("__c0"),
+    )
+
+    def term(n: str, r: str, c: str):
+        nn, rr, cc = F.col(n), F.col(r), F.col(c)
+        return F.when(
+            nn > 0,
+            (nn.cast("double") / F.col("__n"))
+            * F.log(
+                F.col("__n").cast("double")
+                * nn
+                / (rr.cast("double") * cc)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    mi = F.round(
+        term("__n11", "__r1", "__c1")
+        + term("__n10", "__r1", "__c0")
+        + term("__n01", "__r0", "__c1")
+        + term("__n00", "__r0", "__c0"),
+        6,
+    )
+    return (
+        cells.select("token", "df_t", "df_en", mi.alias("mi"))
+        .orderBy(F.desc("mi"), F.asc("token"))
+        .limit(_MI_TOPK)
+    )

@@ -122,6 +122,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ewma_user_values",
     "acf_event_type_daily",
     "skyline_orders_price_date",
+    "assoc_rules_parts",
+    "linkage_sorted_neighborhood",
+    "text_token_mi_lang",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

@@ -2916,3 +2916,157 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+_RULES_TOPK = 20
+_RULES_MINSUP = 2
+
+
+@query(
+    "assoc_rules_parts",
+    oracle=f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_baskets FROM b),
+item AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY pk),
+pair AS (
+  SELECT a.pk AS part_a, c.pk AS part_b, CAST(count(*) AS BIGINT) AS n_pair
+  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= {_RULES_MINSUP}
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_pair FROM pair
+  UNION ALL
+  SELECT part_b, part_a, n_pair FROM pair
+)
+SELECT r.antecedent, r.consequent, r.n_pair,
+       round(r.n_pair / n.n_baskets, 6) AS support,
+       round(CAST(r.n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+       round(CAST(r.n_pair AS DOUBLE) * n.n_baskets
+             / (CAST(ia.n_item AS DOUBLE) * ic.n_item), 6) AS lift
+FROM rules r
+JOIN item ia ON ia.pk = r.antecedent
+JOIN item ic ON ic.pk = r.consequent
+CROSS JOIN n
+ORDER BY lift DESC, antecedent, consequent
+LIMIT {_RULES_TOPK}
+""",
+    description="association rules (support / confidence / lift) over "
+    "order baskets: the basket_pmi pair shape — equi-keyed on the "
+    "basket id, pair work bounded by basket size squared, min-support "
+    "pruned BEFORE scoring — then each surviving pair unfolds into both "
+    "rule directions in-partition (no extra shuffle); ordering uses the "
+    "ROUNDED lift so the top-k cut is engine-deterministic",
+)
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = b.agg(F.count_distinct("ok").cast("double").alias("n_baskets"))
+    item = b.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    a = b.select("ok", F.col("pk").alias("part_a"))
+    c = b.select("ok", F.col("pk").alias("part_b"))
+    pair = (
+        a.join(c, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= _RULES_MINSUP)
+    )
+    rules = pair.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("antecedent"),
+                    F.col("part_b").alias("consequent"),
+                    F.col("n_pair"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("antecedent"),
+                    F.col("part_a").alias("consequent"),
+                    F.col("n_pair"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
+    ia = item.select(
+        F.col("pk").alias("antecedent"), F.col("n_item").alias("__na")
+    )
+    ic = item.select(
+        F.col("pk").alias("consequent"), F.col("n_item").alias("__nc")
+    )
+    scored = (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .join(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_baskets"), 6).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("__na"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_baskets")
+                / (F.col("__na").cast("double") * F.col("__nc")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(_RULES_TOPK)
+
+
+_SNM_WINDOW = 3
+
+
+@query(
+    "linkage_sorted_neighborhood",
+    oracle=f"""
+WITH r AS (
+  SELECT c_mktsegment AS block, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.block, a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(b.rn - a.rn AS INTEGER) AS rank_gap,
+       round(b.c_acctbal - a.c_acctbal, 2) AS bal_gap
+FROM r a
+JOIN r b ON a.block = b.block
+        AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW}
+""",
+    description="sorted-neighborhood candidate generation (Hernandez-"
+    "Stolfo SNM): within each segment, pair every customer with its 3 "
+    "nearest neighbors in account-balance sort order — O(n * w) pairs "
+    "by construction; the Spark plan explodes rank+offset probe keys "
+    "so candidates come from a pure EQUI-join on (block, rank), no "
+    "inequality self-join (operators/linkage.py:"
+    "sorted_neighborhood_pairs); the oracle runs the definitional "
+    "BETWEEN join",
+)
+def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import sorted_neighborhood_pairs
+
+    cust = load_table(spark, "customer", sf_dir)
+    pairs = sorted_neighborhood_pairs(
+        cust,
+        id_col="c_custkey",
+        block_col="c_mktsegment",
+        order_by=["c_acctbal"],
+        window=_SNM_WINDOW,
+        carry=["c_acctbal"],
+    )
+    return pairs.select(
+        "block",
+        "id_a",
+        "id_b",
+        "rank_gap",
+        F.round(
+            F.col("c_acctbal_b") - F.col("c_acctbal_a"), 2
+        ).alias("bal_gap"),
+    )
