@@ -1172,3 +1172,73 @@ def dup_span_removal(
             F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    shingle_k: int = 2,
+    threshold: float = 0.6,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric set CONTAINMENT over word k-grams: for within-block
+    pairs, C(A in B) = |A ∩ B| / |A| and C(B in A) = |A ∩ B| / |B|,
+    keeping pairs where either direction >= ``threshold``.
+
+    Containment is the near-SUBSET detector resemblance misses: a
+    short document pasted verbatim into a long one has tiny Jaccard
+    (the union is huge) but containment ~1.0 — the quote/boilerplate/
+    excerpt duplication mode in web corpora. Same inverted-index
+    postings self-join as ``ngram_jaccard_pairs`` (one reused
+    exchange, only >=1-shared-shingle pairs materialize), but WITHOUT
+    the size-band predicate: containment admits arbitrarily mismatched
+    sizes by design, so there is nothing sound to band on — ``df_cap``
+    (posting document-frequency cap, same false-negative-only
+    semantics) is the skew lever here. Returns
+    (id_a, id_b, cont_a_in_b, cont_b_in_a).
+    """
+    blocked = df.withColumn(
+        "block", F.col(block_col) if block_col else F.lit(1)
+    )
+    sh = shingle_df(
+        blocked, text_col, id_col, shingle_k, extra_cols=("block",)
+    ).withColumn("__n", F.size("sh"))
+    ex = sh.select("id", "block", "__n", F.explode("sh").alias("s"))
+    if df_cap is not None:
+        hot = (
+            ex.groupBy("block", "s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > df_cap)
+            .select("block", "s")
+        )
+        ex = ex.join(F.broadcast(hot), ["block", "s"], "left_anti")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__n").alias("na"),
+            F.col("b.__n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c_ab = F.col("common") / F.col("na").cast("double")
+    c_ba = F.col("common") / F.col("nb").cast("double")
+    return (
+        common.where(F.greatest(c_ab, c_ba) >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 6).alias("cont_a_in_b"),
+            F.round(c_ba, 6).alias("cont_b_in_a"),
+        )
+    )

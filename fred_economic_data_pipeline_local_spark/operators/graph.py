@@ -293,3 +293,45 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return rank.select("node", F.col("r").alias("rank"))
+
+
+def bfs_levels(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Breadth-first levels from ``seeds`` over a directed edge list
+    ``(src, dst)``: each reachable node's minimum hop distance, capped
+    at ``max_depth`` (pass both edge directions for undirected graphs).
+
+    Frontier-based expansion — the scale-correct BFS plan: iteration i
+    joins ONLY the newly-discovered frontier (never the full visited
+    set) against the adjacency, dedups, and anti-joins the visited set
+    so each node is labeled exactly once, at its first (= minimum)
+    depth. Per iteration the shuffle carries the frontier's (node)
+    keys plus its out-edges; the edge list is materialized once up
+    front (the persisted-adjacency posture of ``pagerank`` above).
+    All-integer levels and set semantics: nothing to round, the result
+    is engine- and partitioning-deterministic by construction.
+
+    Returns (node, level) with level in [0, max_depth].
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    e = edges.select("src", "dst").localCheckpoint()
+    levels = seeds.select(
+        "node", F.lit(0).cast("int").alias("level")
+    ).localCheckpoint()
+    frontier = levels.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(levels, "node", "left_anti")
+            .select("node", F.lit(depth).cast("int").alias("level"))
+            .localCheckpoint()
+        )
+        levels = levels.union(new).localCheckpoint()
+        frontier = new.select("node")
+    return levels

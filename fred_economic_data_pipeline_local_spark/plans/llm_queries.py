@@ -1912,3 +1912,101 @@ def text_token_mi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mi"), F.asc("token"))
         .limit(_MI_TOPK)
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+         AS cont_a_in_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6)
+         AS cont_b_in_a
+FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+WHERE greatest(
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s),
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)) >= 0.6
+""",
+    description="asymmetric 2-gram set containment pairs (either "
+    "direction >= 0.6), blocked by source — the near-SUBSET detector "
+    "resemblance misses: a short doc pasted into a long one has tiny "
+    "Jaccard but containment ~1; same postings self-join as "
+    "dedup_ngram_jaccard but with NO size band (containment admits "
+    "mismatched sizes by design) "
+    "(operators/dedup.py:ngram_containment_pairs)",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_containment_pairs(docs, shingle_k=2, threshold=0.6)
+
+
+_ZIPF_TOP_RANKS = 50
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+WITH tf AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest({_LTOKS_SQL}) AS token FROM documents)
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT source, token, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, token) AS r
+  FROM tf
+),
+xy AS (
+  SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM rk WHERE r <= {_ZIPF_TOP_RANKS}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope
+FROM xy GROUP BY source
+""",
+    description="Zipf conformance per source: OLS slope of ln(freq) on "
+    "ln(rank) over the top-50 token ranks (healthy natural-language "
+    "sources sit near -1; generated/templated text flattens) — one "
+    "map-combined term-frequency exchange, a per-source rank window on "
+    "the O(vocab) frame, closed-form OLS on 50 points",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            "source",
+            F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("token"))
+    xy = (
+        tf.select("source", "freq", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= _ZIPF_TOP_RANKS)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return xy.groupBy("source").agg(
+        n.alias("n_terms"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -125,6 +125,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "assoc_rules_parts",
     "linkage_sorted_neighborhood",
     "text_token_mi_lang",
+    "graph_bfs_levels",
+    "dedup_containment_pairs",
+    "text_zipf_slope",
+    "interarrival_burstiness",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

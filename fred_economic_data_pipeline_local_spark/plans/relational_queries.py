@@ -3070,3 +3070,57 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal_b") - F.col("c_acctbal_a"), 2
         ).alias("bal_gap"),
     )
+
+
+@query(
+    "graph_bfs_levels",
+    # the whole walk is integer set algebra, so the oracle can be the
+    # DEFINITION: a recursive CTE enumerating (node, lvl) pairs with
+    # UNION set semantics, min(lvl) = BFS distance
+    oracle="""
+WITH RECURSIVE
+b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT a.pk AS x, c.pk AS y FROM b a JOIN b c
+    ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+seed AS (SELECT min(x) AS node FROM und),
+w(node, lvl) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT u.y, w.lvl + 1 FROM w JOIN und u ON u.x = w.node WHERE w.lvl < 3
+)
+SELECT node, CAST(min(lvl) AS INTEGER) AS level
+FROM w GROUP BY node
+""",
+    description="BFS hop distance (<=3) from the smallest part in the "
+    "co-purchase graph: frontier-based expansion — each iteration "
+    "joins ONLY the new frontier against the adjacency and anti-joins "
+    "the visited set, so per-hop cost is frontier out-degree, never "
+    "visited x edges; all-integer levels, nothing to round "
+    "(operators/graph.py:bfs_levels); the oracle is the definitional "
+    "recursive CTE",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_levels
+
+    li = load_table(spark, "lineitem", sf_dir)
+    bkt = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    pa = bkt.select("ok", F.col("pk").alias("x"))
+    pb = bkt.select("ok", F.col("pk").alias("y"))
+    e = (
+        pa.join(pb, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("x", "y")
+    )
+    und = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+    seeds = und.agg(F.min("x").alias("node"))
+    return bfs_levels(edges, seeds, max_depth=3)

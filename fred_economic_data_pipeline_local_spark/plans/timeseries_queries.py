@@ -1057,3 +1057,53 @@ def acf_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("value"), 2).alias("revenue"))
     )
     return acf_lags(daily, "event_type", ["y", "m", "d"], "revenue", max_lag=3)
+
+
+@query(
+    "interarrival_burstiness",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id))
+           / CAST(1000000 AS DOUBLE) AS gap_s
+  FROM events
+)
+SELECT user_id,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       round(avg(gap_s), 4) AS mean_gap_s,
+       round(stddev_samp(gap_s) / avg(gap_s), 6) AS cv,
+       round((stddev_samp(gap_s) - avg(gap_s))
+             / (stddev_samp(gap_s) + avg(gap_s)), 6) AS burstiness
+FROM g
+WHERE gap_s IS NOT NULL
+GROUP BY user_id
+HAVING count(gap_s) >= 2
+""",
+    description="per-user inter-arrival burstiness (Goh-Barabasi "
+    "B = (sigma - mu)/(sigma + mu), plus the coefficient of variation): "
+    "B ~ 0 is Poisson traffic, B -> 1 is bursty, B -> -1 is periodic — "
+    "the bot/automation screen over the event stream; one per-user "
+    "sort for the lag gaps, exact integer microsecond diffs scaled to "
+    "seconds, then a map-combined aggregate",
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = ev.select(
+        "user_id",
+        ((us - F.lag(us).over(w)) / F.lit(1000000.0)).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    sd = F.stddev_samp("gap_s")
+    mu = F.avg("gap_s")
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(mu, 4).alias("mean_gap_s"),
+            F.round(sd / mu, 6).alias("cv"),
+            F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
