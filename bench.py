@@ -133,6 +133,17 @@ HEADLINE = [
     "window_hll_distinct_users",
     "similarity_ivf_recall",
     "curation_mixture_allocation",
+    # round-9 second wave: rank statistics, skyline, containment, BFS
+    "spearman_quantity_price",
+    "gini_customer_spend",
+    "skyline_orders_price_date",
+    "assoc_rules_parts",
+    "dedup_containment_pairs",
+    "linkage_sorted_neighborhood",
+    "text_token_mi_lang",
+    "graph_bfs_levels",
+    "ewma_user_values",
+    "interarrival_burstiness",
 ]
 
 

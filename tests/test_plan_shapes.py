@@ -513,3 +513,69 @@ def test_rrf_fusion_joins_are_broadcast(spark):
     # or a single-partition sort-merge of L-row sides, but never a
     # nested loop over corpus rows
     assert "BroadcastNestedLoopJoin" not in plan or "buildright" in plan.lower()
+
+
+def test_rank_stats_single_corpus_exchange(spark):
+    """rank_auc / spearman / gini / ewma / burstiness: the fact table
+    shuffles ONCE on the group key — the (group, value) tie windows
+    are satisfied by the coarser hash(group) clustering (Catalyst
+    re-sorts, never re-exchanges), and everything downstream is
+    O(groups) or map-combined."""
+    for name, key in (
+        ("auc_doc_length_lang", "source"),
+        ("spearman_quantity_price", "l_returnflag"),
+        ("ewma_user_values", "user_id"),
+        ("interarrival_burstiness", "user_id"),
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert f"Exchange hashpartitioning({key}" in plan, name
+
+
+def test_gini_reduces_entities_before_ranking(spark):
+    """per-entity totals aggregate BEFORE the rank window: the window
+    input is the (group, entity) frame, so the sort never sees the
+    fact table; partial aggregation rides the first exchange."""
+    plan = plan_of(spark, "gini_customer_spend")
+    # partial+final for the entity totals, then the window's exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(c_mktsegment" in plan
+    # dimension side broadcast, never a shuffled fact-dim join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skyline_prunes_locally_before_global_pass(spark):
+    """pareto_frontier_2d: the local stage partitions by
+    spark_partition_id() (no shuffle of the corpus for stage 1); only
+    the pruned survivor frame reaches the global single-partition
+    window."""
+    plan = plan_of(spark, "skyline_orders_price_date")
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    # exactly one single-partition exchange (the global pass over
+    # survivors); the corpus itself never SinglePartition-exchanges
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_containment_joins_on_token_postings(spark):
+    """same postings equi-join family as dedup_ngram_jaccard: pair
+    generation is keyed on (block, shingle hash), never a cartesian."""
+    plan = plan_of(spark, "dedup_containment_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snm_pairs_are_equi_join_on_block_rank(spark):
+    """sorted-neighborhood pairing joins on (block, rank) equi-keys —
+    the exploded probe keys keep the plan SMJ/SHJ-friendly with no
+    inequality residual driving a nested loop."""
+    plan = plan_of(spark, "linkage_sorted_neighborhood")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_mi_broadcasts_corpus_marginals(spark):
+    """the 1-row corpus marginal frame broadcasts back onto the
+    per-token frame; the top-k cut is TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "text_token_mi_lang")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
