@@ -79,11 +79,12 @@ def get_query(name: str) -> QuerySpec:
 #      stream_hll_ingest;
 #   3. code changed this round: graph_pagerank_topk (the adjacency is
 #      now eagerly checkpointed — ADVICE r8);
-#   4. the 23 remaining round-4-dated rows (curation/embedding refresh
-#      + the TPC-H q2-q22 tail), promised since rotation #5;
-#   5. the round-5 freshness head (fred flagship block + q1/q3/q5/q9/
-#      q18 + the first text rows) — the remaining round-5 rows follow
-#      in round 10.
+#   4. the round-4-dated rows (curation/embedding refresh + the TPC-H
+#      tail), promised since rotation #5 — the second-wave additions
+#      (block 2b below) displaced the q14-q22 slice and the round-5
+#      head below the window (never-checked beats re-check); those
+#      displaced rows head round 10's rotation;
+#   5. (displaced to round 10) the round-5 freshness head.
 # Everything demoted below the window is hash-green as of rounds 5-8
 # and remains covered by the identical local mirror
 # (tests/test_oracle_parity.py) every round. After this rotation no
