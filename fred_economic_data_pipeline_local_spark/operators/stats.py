@@ -272,6 +272,69 @@ def spearman_corr(
     )
 
 
+def km_survival(
+    df: DataFrame, duration: str, censored: str
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator over per-entity
+    ``duration`` with right-censoring flags: at each distinct EVENT
+    time t_i (a duration where at least one uncensored entity exits),
+
+        S(t_i) = prod_{j <= i} (1 - d_j / n_j)
+
+    with d_j = uncensored exits at t_j and n_j = entities still at
+    risk (duration >= t_j, censored or not). The retention-curve
+    estimator that a naive "fraction still alive" gets WRONG whenever
+    observation windows differ (censored entities leave the risk set
+    without counting as exits).
+
+    Determinism: d and n are exact integers from one map-combined
+    aggregate; the cumulative product runs as exp(sum(ln(1 - d/n)))
+    with the d == n endpoint (survival exactly 0) handled by a flag,
+    never ln(0); the result rounds to 6 dp in both engines.
+
+    Plan shape: one exchange collapses entities to per-duration (d,
+    at-that-duration) counts; the risk set and the product-limit walk
+    are cumulative windows over the O(|distinct durations|) frame — the
+    same bounded-domain single-partition justification as the KS ECDF
+    (durations collapse; the corpus never enters a global window).
+    Returns one row per event time: (t, n_at_risk, d_events, survival).
+    """
+    cens = F.col(censored)
+    per_t = df.groupBy(F.col(duration).alias("t")).agg(
+        F.sum((~cens).cast("long")).alias("d_events"),
+        F.count(F.lit(1)).alias("__m"),
+    )
+    total = per_t.agg(F.sum("__m").alias("__total"))
+    w_prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = per_t.join(broadcast(total)).select(
+        "t",
+        "d_events",
+        (
+            F.col("__total")
+            - F.coalesce(F.sum("__m").over(w_prior), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    events = at_risk.where(F.col("d_events") > 0)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    frac = F.col("d_events").cast("double") / F.col("n_at_risk")
+    term = F.when(F.col("d_events") < F.col("n_at_risk"), F.log(1 - frac))
+    dead = F.max(
+        (F.col("d_events") == F.col("n_at_risk")).cast("int")
+    ).over(w_cum)
+    return events.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        F.when(dead == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(term).over(w_cum)), 6))
+        .alias("survival"),
+    )
+
+
 def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """Two-dimensional skyline (Pareto frontier), maximizing both ``x``
     and ``y``: rows no other row dominates, where r' dominates r iff

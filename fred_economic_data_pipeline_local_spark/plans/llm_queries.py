@@ -2010,3 +2010,103 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "stream_cms_ingest",
+    # contract (the text_cms_heavy_hitters certificate shape plus the
+    # streaming guarantee): the hash-checkable fields are the exact
+    # top-20 token counts from the raw fixture; the CMS guarantees
+    # (overestimate-only, Markov bound) AND the streaming guarantee
+    # (streamed counter state == ONE batch sketch of the whole corpus,
+    # exact cell-level equality — counters are additive over the
+    # batch partition) ship as certificates the oracle requires TRUE.
+    # Unlike stream_hll_ingest, exactly-once here is NOT free: CMS
+    # counts add, so a replayed batch double-counts — the
+    # txnAppId/txnVersion watermark inside the overwrite commit is
+    # what makes the replay a no-op (tests/test_stream_cms.py replays
+    # the whole stream on a fresh checkpoint and asserts the state is
+    # byte-identical).
+    oracle=f"""
+WITH t AS (SELECT {_LTOKS_SQL} AS tk FROM documents),
+g AS (SELECT unnest(tk) AS tok FROM t),
+c AS (SELECT tok, count(*) AS freq FROM g GROUP BY tok)
+SELECT tok, freq,
+       TRUE AS never_underestimates,
+       TRUE AS within_bound,
+       TRUE AS state_equals_batch
+FROM c ORDER BY freq DESC, tok LIMIT 20
+""",
+    description="streaming count-min maintenance (foreachBatch counter "
+    "ADD through a WATERMARKED overwrite commit): per micro-batch the "
+    "work is the batch's own d x w counter aggregate plus an O(d*w) "
+    "read-add-overwrite — state never grows with the corpus; CMS "
+    "counters are additive (NOT idempotent — a replayed batch would "
+    "double-count, unlike HLL register max), so exactly-once rides the "
+    "txnAppId/txnVersion watermark committed atomically with the "
+    "counters; final streamed state must equal one batch sketch of the "
+    "whole corpus cell-for-cell, certified alongside the "
+    "overestimate-only and Markov-bound guarantees against exact "
+    "top-20 counts",
+)
+def stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.profile import cms_estimate, cms_sketch
+    from ..sources.lakehouse import ManifestLakeTable
+    from ..streaming.lake_ingest import stream_cms_merge
+
+    w, d = 2048, 4
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_cms_")
+    inbox = os.path.join(scratch, "inbox")
+    root = os.path.join(scratch, "sketch")
+    bootstrap = toks.where(F.col("doc_id") % 7 == 0)
+    arriving = toks.where(F.col("doc_id") % 7 != 0)
+    arriving.repartition(4).write.parquet(inbox)
+    t = ManifestLakeTable(root, keys=["row", "pos"], n_buckets=4)
+    t.overwrite(cms_sketch(bootstrap, "tok", w=w, d=d))
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    stream_cms_merge(stream, t, "tok", app_id="cms_ingest", w=w, d=d)
+    streamed = t.read(spark)
+    one_batch = cms_sketch(toks, "tok", w=w, d=d)
+    mismatch = (
+        streamed.join(
+            one_batch.withColumnRenamed("n", "__n2"),
+            ["row", "pos"],
+            "full_outer",
+        )
+        .where(
+            F.coalesce(F.col("n"), F.lit(-1))
+            != F.coalesce(F.col("__n2"), F.lit(-1))
+        )
+        .agg(F.count(F.lit(1)).alias("__bad"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = exact.orderBy(F.desc("freq"), F.asc("tok")).limit(20)
+    n_total = toks.count()
+    est = cms_estimate(streamed, top.select("tok"), "tok", w=w, d=d)
+    return (
+        top.join(est, "tok")
+        .join(F.broadcast(mismatch))
+        .select(
+            "tok",
+            "freq",
+            (F.col("est") >= F.col("freq")).alias("never_underestimates"),
+            (
+                F.col("est")
+                <= F.col("freq") + F.lit(2.0 * n_total / w)
+            ).alias("within_bound"),
+            (F.col("__bad") == 0).alias("state_equals_batch"),
+        )
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .localCheckpoint(eager=True)
+    )

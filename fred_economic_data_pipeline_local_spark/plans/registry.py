@@ -130,6 +130,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_containment_pairs",
     "text_zipf_slope",
     "interarrival_burstiness",
+    "stream_cms_ingest",
+    "survival_user_lifetime",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

@@ -251,3 +251,70 @@ def skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "survival_user_lifetime",
+    oracle="""
+WITH u AS (
+  SELECT user_id, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+  FROM events GROUP BY user_id
+),
+c AS (SELECT max(mx) AS cmax, min(mn) AS cmin FROM u),
+l AS (
+  SELECT (u.mx - u.mn) / CAST(1000000 AS DOUBLE) AS t,
+         u.mx > c.cmax - ((c.cmax - c.cmin) // 5) AS censored
+  FROM u CROSS JOIN c
+),
+per_t AS (
+  SELECT t,
+         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+           AS d_events,
+         CAST(count(*) AS BIGINT) AS m
+  FROM l GROUP BY t
+),
+tot AS (SELECT CAST(sum(m) AS BIGINT) AS total FROM per_t),
+risk AS (
+  SELECT t, d_events,
+         CAST(total - COALESCE(sum(m) OVER (
+                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM per_t CROSS JOIN tot
+),
+ev AS (SELECT * FROM risk WHERE d_events > 0)
+SELECT t, n_at_risk, d_events,
+       CASE WHEN max(CASE WHEN d_events = n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+            THEN CAST(0 AS DOUBLE)
+            ELSE round(exp(sum(CASE WHEN d_events < n_at_risk
+                                    THEN ln(1 - CAST(d_events AS DOUBLE)
+                                            / n_at_risk)
+                               END) OVER (
+                         ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+       END AS survival
+FROM ev
+""",
+    description="Kaplan-Meier survival curve of user lifetime (first to "
+    "last event, seconds), right-censoring users whose last event falls "
+    "in the final fifth of the corpus span (still active — they leave "
+    "the risk set without counting as exits, the correction a naive "
+    "fraction-alive retention curve gets wrong); exact integer risk/"
+    "exit counts, product-limit walk as exp(sum(ln(1 - d/n))) over the "
+    "O(|distinct durations|) frame with the d = n endpoint flagged to "
+    "exact 0, never ln(0) (operators/stats.py:km_survival)",
+)
+def survival_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import km_survival
+
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros("ts")
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("__mn"), F.max(us).alias("__mx")
+    )
+    c = u.agg(F.max("__mx").alias("__cmax"), F.min("__mn").alias("__cmin"))
+    cutoff = F.col("__cmax") - F.expr("(__cmax - __cmin) div 5")
+    l = u.join(F.broadcast(c)).select(
+        ((F.col("__mx") - F.col("__mn")) / F.lit(1000000.0)).alias("dur"),
+        (F.col("__mx") > cutoff).alias("cens"),
+    )
+    return km_survival(l, "dur", "cens")

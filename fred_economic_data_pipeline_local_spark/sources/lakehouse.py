@@ -657,21 +657,41 @@ class ManifestLakeTable(_KeyBucketedTable):
         # predate the new columns — the union schema reads them as null
         return spark.read.option("mergeSchema", True).parquet(*paths)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int | None:
         """Full replace as a VERSIONED commit (Delta's overwrite
         semantics): the new manifest references only the new dirs, so
         prior versions stay readable, diffable (``changes`` across an
         overwrite surfaces true deletes), and vacuumable; on an
         uninitialized table this is the bootstrap commit 0. Returns the
-        committed version."""
+        committed version.
+
+        ``txn=(app_id, batch_version)`` engages the same idempotent-
+        writer watermark as ``merge_into``: an overwrite whose batch
+        version is already recorded for ``app_id`` is a NO-OP returning
+        None. This is the exactly-once lever for NON-idempotent
+        aggregate states maintained by read-modify-overwrite (e.g.
+        additive count-min counters, where a replayed batch would
+        double-count — contrast HLL register max, which needs no
+        watermark)."""
         os.makedirs(self.root, exist_ok=True)
         self._lock.acquire()
         try:
             cur = self.current_version()
+            if (
+                txn is not None
+                and cur is not None
+                and self.txn(cur).get(txn[0], -1) >= txn[1]
+            ):
+                return None
             nxt = 0 if cur is None else cur + 1
             mapping = self._write_buckets(df, nxt)
             self._commit(
-                nxt, mapping, self._stats_from_dirs(df.sparkSession, mapping)
+                nxt,
+                mapping,
+                self._stats_from_dirs(df.sparkSession, mapping),
+                txn_update={txn[0]: txn[1]} if txn is not None else None,
             )
         finally:
             self._lock.release()

@@ -126,3 +126,77 @@ def stream_hll_merge(
         with tempfile.TemporaryDirectory(prefix="hll_ingest_ckpt_") as ckpt:
             _run(ckpt)
     return applied["n"]
+
+
+def stream_cms_merge(
+    stream_df: DataFrame,
+    table: ManifestLakeTable,
+    col: str,
+    app_id: str,
+    w: int = 1024,
+    d: int = 4,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Maintain a count-min sketch (operators/profile.cms_sketch schema:
+    row, pos, n) under a stream: per micro-batch, sketch the batch and
+    ADD it into the table with one watermarked overwrite commit.
+    Returns the number of committed (non-replayed, non-empty) batches.
+
+    CMS counters are ADDITIVE, not idempotent — a replayed micro-batch
+    would double-count every item, silently inflating every estimate
+    (the failure HLL's register max is immune to). So exactly-once here
+    NEEDS the txnAppId/txnVersion watermark: ``overwrite(...,
+    txn=(app_id, batch_id))`` records the applied batch inside the same
+    atomic manifest flip that publishes the counters, and a
+    checkpoint-replayed batch is a no-op. Per batch the work is the
+    batch's own counter aggregate (shuffle carries at most d*w cells,
+    map-combined) plus an O(d*w) read-add-overwrite — state never grows
+    with the corpus.
+    """
+    from ..operators.profile import cms_merge, cms_sketch
+
+    applied = {"n": 0}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # fast-path replay skip BEFORE computing the batch sketch; the
+        # authoritative check re-runs inside overwrite's locked region
+        if (
+            table.current_version() is not None
+            and table.txn().get(app_id, -1) >= int(batch_id)
+        ):
+            return
+        batch_cms = cms_sketch(batch_df, col, w=w, d=d)
+        spark = batch_df.sparkSession
+        try:
+            current = table.read(spark)
+        except FileNotFoundError:
+            current = batch_cms.limit(0)
+        merged = cms_merge(current, batch_cms)
+        # localCheckpoint: the overwrite must not lazily re-read the
+        # table dirs it is about to supersede
+        if (
+            table.overwrite(
+                merged.localCheckpoint(eager=True),
+                txn=(app_id, int(batch_id)),
+            )
+            is not None
+        ):
+            applied["n"] += 1
+
+    def _run(ckpt: str) -> None:
+        q = (
+            stream_df.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if checkpoint_dir is not None:
+        _run(checkpoint_dir)
+    else:
+        with tempfile.TemporaryDirectory(prefix="cms_ingest_ckpt_") as ckpt:
+            _run(ckpt)
+    return applied["n"]
