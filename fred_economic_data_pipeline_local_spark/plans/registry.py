@@ -132,6 +132,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "interarrival_burstiness",
     "stream_cms_ingest",
     "survival_user_lifetime",
+    "weighted_median_price",
+    "sampling_effective_size",
+    "calibration_length_deciles",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

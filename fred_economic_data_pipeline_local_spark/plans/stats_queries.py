@@ -318,3 +318,128 @@ def survival_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__mx") > cutoff).alias("cens"),
     )
     return km_survival(l, "dur", "cens")
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_quantity
+                               ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows_at_or_after,
+       round(min(v), 2) AS weighted_median,
+       round(any_value(tw), 2) AS total_weight
+FROM c WHERE cw >= tw / 2
+GROUP BY l_returnflag
+""",
+    description="quantity-weighted median price per return flag (lower "
+    "weighted median: smallest value whose cumulative weight crosses "
+    "half the total) — the robust center a plain median misses when "
+    "rows carry unequal mass; one per-group sort carries both the "
+    "cumulative and total weight windows, weights are integral-valued "
+    "doubles so every cumulative sum is exact",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(wc).alias("cw"),
+        F.sum("l_quantity").over(wt).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_at_or_after"),
+            F.round(F.min("v"), 2).alias("weighted_median"),
+            F.round(F.first("tw"), 2).alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "sampling_effective_size",
+    oracle="""
+SELECT source,
+       count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_w,
+       round(CAST(sum(n_chars) AS DOUBLE) * sum(n_chars)
+             / sum(CAST(n_chars AS DOUBLE) * n_chars), 4) AS ess,
+       round(CAST(sum(n_chars) AS DOUBLE) * sum(n_chars)
+             / sum(CAST(n_chars AS DOUBLE) * n_chars) / count(*), 6)
+         AS ess_ratio
+FROM documents GROUP BY source
+""",
+    description="Kish effective sample size (sum w)^2 / sum(w^2) per "
+    "source under length-proportional importance weights — how many "
+    "equal-weight documents the weighted sample is actually worth "
+    "(ess_ratio ~ 1 = uniform, -> 1/n = one doc dominates); exact "
+    "integer weight sums, one map-combined exchange",
+)
+def sampling_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.col("n_chars")
+    sw = F.sum(w)
+    sw2 = F.sum(w.cast("double") * w)
+    ess = sw.cast("double") * sw / sw2
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        sw.alias("sum_w"),
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.count(F.lit(1)), 6).alias("ess_ratio"),
+    )
+
+
+@query(
+    "calibration_length_deciles",
+    oracle="""
+WITH d AS (
+  SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_score,
+       round(CAST(sum(pos) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+         AS pos_rate
+FROM d GROUP BY decile
+""",
+    description="calibration / reliability table for the length-as-"
+    "quality feature: equal-count score deciles (ntile with a unique "
+    "tiebreak, engine-deterministic) vs the observed English rate per "
+    "decile — the companion readout to auc_doc_length_lang that shows "
+    "WHERE the feature separates, not just whether",
+)
+def calibration_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.orderBy("n_chars", "doc_id")
+    d = docs.select(
+        "n_chars",
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_score"),
+        F.round(
+            F.sum("pos") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("pos_rate"),
+    )
