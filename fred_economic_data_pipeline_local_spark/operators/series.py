@@ -116,3 +116,105 @@ def acf_lags(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("__x", "__y"), 6).alias("acf"),
     )
+
+
+def _indexed(df: DataFrame, key: str, order_by: list[str], value: str):
+    w = Window.partitionBy(key).orderBy(*order_by)
+    return df.select(
+        F.col(key),
+        F.col(value).alias("__x"),
+        F.row_number().over(w).alias("__i"),
+    )
+
+
+def _pairs(idx: DataFrame, key: str):
+    """All i < j index pairs WITHIN a series — an equi-join on the
+    series key with the index inequality as residual. Pair count is
+    O(len^2) per series (len = points AFTER per-period aggregation,
+    e.g. days — bounded by the calendar, not the corpus), parallel
+    across series."""
+    a = idx.select(
+        key, F.col("__x").alias("__xa"), F.col("__i").alias("__ia")
+    )
+    b = idx.select(
+        key, F.col("__x").alias("__xb"), F.col("__i").alias("__ib")
+    )
+    return a.join(b, key).where(F.col("__ia") < F.col("__ib"))
+
+
+def mann_kendall(
+    df: DataFrame, key: str, order_by: list[str], value: str
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per series:
+    S = sum over i<j of sign(x_j - x_i), with the tie-corrected
+    variance Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 and the
+    continuity-corrected z = (S -/+ 1)/sqrt(Var). Detects monotone
+    trend without OLS's normality/linearity assumptions — the robust
+    companion to the least-squares slope (events_trend_slope).
+
+    Everything up to the final z is exact integer arithmetic (sign
+    sums, tie-group cubics), so the statistic is engine-deterministic;
+    z rounds at 6 dp. Returns (key, n_points, s_stat, z_stat).
+    """
+    idx = _indexed(df, key, order_by, value)
+    s = (
+        _pairs(idx, key)
+        .groupBy(key)
+        .agg(
+            F.sum(
+                F.signum(F.col("__xb") - F.col("__xa")).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    n = idx.groupBy(key).agg(F.count(F.lit(1)).alias("n_points"))
+    ties = (
+        idx.groupBy(key, "__x")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(key)
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).alias("__tie_sum")
+        )
+    )
+    nn = F.col("n_points")
+    var = (
+        nn * (nn - 1) * (2 * nn + 5) - F.col("__tie_sum")
+    ).cast("double") / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(ties, key)
+        .join(s, key)
+        .select(key, "n_points", "s_stat", F.round(z, 6).alias("z_stat"))
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame, key: str, order_by: list[str], value: str
+) -> DataFrame:
+    """Theil-Sen estimator per series: the MEDIAN of all pairwise
+    slopes (x_j - x_i)/(j - i) over the index-ordered points — a
+    29.3%-breakdown robust slope (one wild day cannot move it, unlike
+    OLS). Pair slopes are identical IEEE divisions in any engine and
+    the exact median interpolates the same midpoint, so only the final
+    6 dp rounding is nominal. Same bounded O(len^2)-per-series pair
+    join as ``mann_kendall``. Returns (key, n_pairs, sen_slope).
+    """
+    idx = _indexed(df, key, order_by, value)
+    slopes = _pairs(idx, key).select(
+        key,
+        (
+            (F.col("__xb") - F.col("__xa"))
+            / (F.col("__ib") - F.col("__ia")).cast("double")
+        ).alias("__slope"),
+    )
+    return slopes.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.median("__slope"), 6).alias("sen_slope"),
+    )

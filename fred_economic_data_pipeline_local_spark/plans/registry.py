@@ -135,6 +135,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "weighted_median_price",
     "sampling_effective_size",
     "calibration_length_deciles",
+    "mann_kendall_trend",
+    "theil_sen_trend",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

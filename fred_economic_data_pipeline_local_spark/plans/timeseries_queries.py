@@ -1107,3 +1107,96 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_gaps") >= 2)
     )
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+
+
+_MK_IDX = f"""
+SELECT event_type, revenue AS x,
+       row_number() OVER (PARTITION BY event_type ORDER BY y, m, d) AS i
+FROM ({_DAILY})
+"""
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+WITH idx AS ({_MK_IDX}),
+p AS (
+  SELECT a.event_type, sign(b.x - a.x) AS sg
+  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i
+),
+s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+      FROM p GROUP BY 1),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+      FROM idx GROUP BY 1),
+t AS (
+  SELECT event_type,
+         CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie_sum
+  FROM (SELECT event_type, x, count(*) AS tt FROM idx GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT n.event_type, n.n_points, s.s_stat,
+       round(CASE
+         WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+           / sqrt((n_points * (n_points - 1) * (2 * n_points + 5)
+                   - tie_sum) / CAST(18 AS DOUBLE))
+         WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+           / sqrt((n_points * (n_points - 1) * (2 * n_points + 5)
+                   - tie_sum) / CAST(18 AS DOUBLE))
+         ELSE CAST(0 AS DOUBLE)
+       END, 6) AS z_stat
+FROM n JOIN t USING (event_type) JOIN s USING (event_type)
+""",
+    description="Mann-Kendall nonparametric trend test per event type "
+    "over the daily revenue series: S = sum of pairwise signs with "
+    "tie-corrected variance and continuity-corrected z — monotone-trend "
+    "detection without OLS assumptions; the pair join is per-series "
+    "O(days^2), bounded by the calendar, parallel across series, and "
+    "everything up to z is exact integer arithmetic "
+    "(operators/series.py:mann_kendall)",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import mann_kendall
+
+    daily = _daily_revenue(spark, sf_dir)
+    return mann_kendall(daily, "event_type", ["y", "m", "d"], "revenue")
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+WITH idx AS ({_MK_IDX}),
+sl AS (
+  SELECT a.event_type,
+         (b.x - a.x) / CAST(b.i - a.i AS DOUBLE) AS slope
+  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 6) AS sen_slope
+FROM sl GROUP BY event_type
+""",
+    description="Theil-Sen robust slope per event type: median of all "
+    "pairwise daily-revenue slopes (29.3% breakdown — one wild day "
+    "cannot move it, unlike the OLS events_trend_slope it pairs with); "
+    "identical IEEE pair divisions in both engines, exact median "
+    "(operators/series.py:theil_sen_slope)",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import theil_sen_slope
+
+    daily = _daily_revenue(spark, sf_dir)
+    return theil_sen_slope(daily, "event_type", ["y", "m", "d"], "revenue")
