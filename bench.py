@@ -144,6 +144,10 @@ HEADLINE = [
     "graph_bfs_levels",
     "ewma_user_values",
     "interarrival_burstiness",
+    "weighted_median_price",
+    "survival_user_lifetime",
+    "mann_kendall_trend",
+    "theil_sen_trend",
 ]
 
 
