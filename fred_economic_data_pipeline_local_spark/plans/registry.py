@@ -137,6 +137,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "calibration_length_deciles",
     "mann_kendall_trend",
     "theil_sen_trend",
+    "linkage_snm_clusters",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

@@ -3124,3 +3124,87 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst"))
     seeds = und.agg(F.min("x").alias("node"))
     return bfs_levels(edges, seeds, max_depth=3)
+
+
+_SNM_BAL_TOL = 50.0
+
+
+@query(
+    "linkage_snm_clusters",
+    # the oracle is the DEFINITION end-to-end: the SNM BETWEEN join for
+    # candidates, the match rule, and a recursive-CTE transitive
+    # closure with min-label components (UNION set semantics bounds the
+    # walk; per-component state is size^2 over tiny match clusters)
+    oracle=f"""
+WITH RECURSIVE
+r0 AS (
+  SELECT c_mktsegment AS blk, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS rn
+  FROM customer
+),
+e0 AS (
+  SELECT a.c_custkey AS x, b.c_custkey AS y
+  FROM r0 a JOIN r0 b
+    ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW}
+  WHERE abs(b.c_acctbal - a.c_acctbal) <= {_SNM_BAL_TOL!r}
+),
+e AS (SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+n AS (SELECT DISTINCT x AS node FROM e),
+w(node, lbl) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.y, w.lbl FROM w JOIN e ON e.x = w.node
+),
+comp AS (SELECT node, min(lbl) AS entity FROM w GROUP BY node),
+sel AS (
+  SELECT c.c_custkey, COALESCE(comp.entity, c.c_custkey) AS entity_id
+  FROM customer c LEFT JOIN comp ON c.c_custkey = comp.node
+)
+SELECT c_custkey, entity_id,
+       CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+FROM sel
+""",
+    description="end-to-end entity resolution: SNM blocking (window-3 "
+    "balance-sorted neighbors per segment) -> match rule (balance "
+    "within 50) -> connected-component entity ids via min-label "
+    "propagation (O(diameter) rounds, exact zero-change fixpoint) -> "
+    "every customer labeled with its entity and cluster size "
+    "(singletons = own id); the composition a dedup/linkage pipeline "
+    "actually ships, each stage already proven separately "
+    "(operators/linkage.py + operators/dedup.py:neardup_components); "
+    "the oracle re-derives the whole pipeline definitionally with a "
+    "recursive-CTE transitive closure",
+)
+def linkage_snm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import neardup_components
+    from ..operators.linkage import sorted_neighborhood_pairs
+
+    cust = load_table(spark, "customer", sf_dir)
+    pairs = sorted_neighborhood_pairs(
+        cust,
+        id_col="c_custkey",
+        block_col="c_mktsegment",
+        order_by=["c_acctbal"],
+        window=_SNM_WINDOW,
+        carry=["c_acctbal"],
+    )
+    edges = pairs.where(
+        F.abs(F.col("c_acctbal_b") - F.col("c_acctbal_a"))
+        <= F.lit(_SNM_BAL_TOL)
+    ).select("id_a", "id_b")
+    comp = neardup_components(edges)
+    labeled = (
+        cust.select("c_custkey")
+        .join(comp, cust["c_custkey"] == comp["id"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce("component", "c_custkey").alias("entity_id"),
+        )
+    )
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return labeled.join(sizes, "entity_id").select(
+        "c_custkey", "entity_id", "n_members"
+    )
