@@ -138,6 +138,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "mann_kendall_trend",
     "theil_sen_trend",
     "linkage_snm_clusters",
+    "forecast_seasonal_naive_mape",
+    "source_ucb_scores",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

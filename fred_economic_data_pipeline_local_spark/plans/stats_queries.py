@@ -443,3 +443,52 @@ def calibration_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos") / F.count(F.lit(1)).cast("double"), 6
         ).alias("pos_rate"),
     )
+
+
+@query(
+    "source_ucb_scores",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reward
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM s)
+SELECT source, n, n_reward,
+       round(CAST(n_reward AS DOUBLE) / n, 6) AS mean_reward,
+       round(CAST(n_reward AS DOUBLE) / n
+             + sqrt(2.0 * ln(CAST(total AS DOUBLE)) / n), 6) AS ucb
+FROM s CROSS JOIN t
+""",
+    description="UCB1 source-selection scores (mean reward + "
+    "sqrt(2 ln N / n) exploration bonus) with English-rate as the "
+    "reward signal — the bandit policy a dynamic source-mixing "
+    "curator runs to balance exploiting known-good sources against "
+    "exploring under-sampled ones; exact integer counts, one "
+    "map-combined exchange, 1-row total broadcast",
+)
+def source_ucb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_reward"),
+    )
+    t = s.agg(F.sum("n").alias("__total"))
+    mean_r = F.col("n_reward").cast("double") / F.col("n")
+    return s.join(F.broadcast(t)).select(
+        "source",
+        "n",
+        "n_reward",
+        F.round(mean_r, 6).alias("mean_reward"),
+        F.round(
+            mean_r
+            + F.sqrt(
+                F.lit(2.0)
+                * F.log(F.col("__total").cast("double"))
+                / F.col("n")
+            ),
+            6,
+        ).alias("ucb"),
+    )

@@ -1200,3 +1200,80 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = _daily_revenue(spark, sf_dir)
     return theil_sen_slope(daily, "event_type", ["y", "m", "d"], "revenue")
+
+
+# epoch-day arithmetic (integer) instead of engine dayofweek(): Spark
+# numbers Sunday=1..7, DuckDB Sunday=0..6 — epoch_day % 7 is the same
+# integer everywhere
+_EPOCH_DAILY = """
+SELECT event_type,
+       epoch_us(ts) // 86400000000 AS eday,
+       round(sum(value), 2) AS revenue
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "forecast_seasonal_naive_mape",
+    oracle=f"""
+WITH d AS ({_EPOCH_DAILY}),
+mx AS (SELECT max(eday) AS mxd FROM d),
+train AS (
+  SELECT event_type, eday % 7 AS wd, revenue
+  FROM d CROSS JOIN mx WHERE eday < mxd - 6
+),
+fc AS (
+  SELECT event_type, wd, round(avg(revenue), 4) AS fc_rev
+  FROM train GROUP BY 1, 2
+),
+test AS (
+  SELECT event_type, eday % 7 AS wd, revenue
+  FROM d CROSS JOIN mx WHERE eday >= mxd - 6
+)
+SELECT t.event_type,
+       CAST(count(*) AS BIGINT) AS n_test_days,
+       round(avg(abs(t.revenue - f.fc_rev) / t.revenue), 6) AS mape
+FROM test t JOIN fc f ON t.event_type = f.event_type AND t.wd = f.wd
+GROUP BY t.event_type
+""",
+    description="seasonal-naive forecast backtest: hold out the final "
+    "week of the daily revenue series, forecast each test day with its "
+    "weekday's train mean, report per-type MAPE — the eval-harness "
+    "shape every production forecaster is judged by before anything "
+    "fancier ships; weekday from integer epoch-day % 7 (Spark and "
+    "DuckDB number dayofweek() differently — integer arithmetic is "
+    "engine-identical), forecasts rounded 4 dp before scoring",
+)
+def forecast_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    mx = d.agg(F.max("eday").alias("__mxd"))
+    dd = d.join(F.broadcast(mx)).withColumn("wd", F.col("eday") % 7)
+    train = dd.where(F.col("eday") < F.col("__mxd") - 6)
+    fc = train.groupBy("event_type", "wd").agg(
+        F.round(F.avg("revenue"), 4).alias("__fc")
+    )
+    test = dd.where(F.col("eday") >= F.col("__mxd") - 6)
+    return (
+        test.join(fc, ["event_type", "wd"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_days"),
+            F.round(
+                F.avg(
+                    F.abs(F.col("revenue") - F.col("__fc"))
+                    / F.col("revenue")
+                ),
+                6,
+            ).alias("mape"),
+        )
+    )
