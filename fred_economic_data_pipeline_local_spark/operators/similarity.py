@@ -1284,3 +1284,63 @@ def semdedup_prune(
         "cluster_id",
         F.coalesce("__p", F.lit(False)).alias("pruned"),
     )
+
+
+def centroid_silhouette_report(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified-silhouette clustering quality per cluster: for every
+    vector, a = distance to its (nearest) centroid and b = distance to
+    the second-nearest, s = (b - a)/max(a, b) in [-1, 1] — the
+    centroid-based silhouette (Hruschka 2004), O(n*k) instead of the
+    O(n^2) pairwise classic, which is the only form that survives at
+    corpus scale. High mean s = tight, well-separated clusters; near 0
+    = boundary soup (the drift alarm between snapshot re-clusterings).
+
+    Same deterministic frame as ``kmeans_assign_report``: k lowest-id
+    seeds broadcast, squared distances via the mirrorable
+    dot(a,a) - 2 dot(a,s) + dot(s,s) form; the per-vector nearest-two
+    fold is a sort_array(collect_list) over exactly k partition-local
+    structs (the broadcast keeps every seed row of a vector in one
+    partition — the aggregate's partial completes map-side). sqrt and
+    the ratio are identical IEEE ops in any engine; 6 dp rounding on
+    the per-cluster mean only. Returns
+    (cluster_id, n_members, avg_silhouette).
+    """
+    if k < 2:
+        raise ValueError(f"silhouette needs k >= 2, got {k}")
+    c = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
+    )
+    seeds = (
+        c.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("seed_id"), F.col("e").alias("se"))
+    )
+    a, s = F.col("e"), F.col("se")
+    sqdist = dot(a, a) - F.lit(2.0) * dot(a, s) + dot(s, s)
+    scored = c.crossJoin(broadcast(seeds)).withColumn("sqdist", sqdist)
+    nearest2 = scored.groupBy("vid").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("sqdist"), F.col("seed_id")))
+        ).alias("__arr")
+    )
+    a_d = F.sqrt(F.col("__arr")[0]["sqdist"])
+    b_d = F.sqrt(F.col("__arr")[1]["sqdist"])
+    sil = F.when(F.greatest(a_d, b_d) == 0, F.lit(0.0)).otherwise(
+        (b_d - a_d) / F.greatest(a_d, b_d)
+    )
+    return (
+        nearest2.select(
+            F.col("__arr")[0]["seed_id"].alias("cluster_id"),
+            sil.alias("__s"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("__s"), 6).alias("avg_silhouette"),
+        )
+    )

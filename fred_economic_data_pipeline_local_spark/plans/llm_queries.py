@@ -2110,3 +2110,63 @@ def stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "text_novelty_rate",
+    oracle=f"""
+WITH oldsh AS (
+  SELECT DISTINCT unnest({_SHINGLES_SQL}) AS s
+  FROM documents WHERE doc_id % 5 <> 0
+),
+newsh AS (
+  SELECT DISTINCT source, unnest({_SHINGLES_SQL}) AS s
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT n.source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN o.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN o.s IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+FROM newsh n LEFT JOIN oldsh o ON n.s = o.s
+GROUP BY n.source
+""",
+    description="per-source 2-gram novelty of an arriving snapshot vs "
+    "the existing corpus: the share of the new docs' distinct shingles "
+    "never seen before — high novelty = fresh signal worth ingesting, "
+    "near-zero = re-crawl/duplication (the ingest-value screen next to "
+    "dedup); hashed-shingle postings left-anti the old corpus set, one "
+    "equi-join on the 8-byte shingle hash, counts match the string-"
+    "shingle oracle by the same injectivity-in-practice argument as "
+    "the Jaccard family",
+)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_df
+
+    docs = load_table(spark, "documents", sf_dir)
+    old_sh = (
+        shingle_df(docs.where(F.col("doc_id") % 5 != 0), shingle_k=2)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    new_sh = (
+        shingle_df(
+            docs.where(F.col("doc_id") % 5 == 0),
+            shingle_k=2,
+            extra_cols=("source",),
+        )
+        .select("source", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    joined = new_sh.join(
+        old_sh.withColumn("__seen", F.lit(1)), "s", "left"
+    )
+    novel = F.sum((F.col("__seen").isNull()).cast("long"))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.alias("n_novel"),
+        F.round(
+            novel / F.count(F.lit(1)).cast("double"), 6
+        ).alias("novelty_rate"),
+    )

@@ -140,6 +140,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "linkage_snm_clusters",
     "forecast_seasonal_naive_mape",
     "source_ucb_scores",
+    "embedding_silhouette_centroids",
+    "text_novelty_rate",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

@@ -1216,3 +1216,45 @@ def embedding_gram_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = gram_pca_components(emb, dims=64, k=2)
     exported = export_table(comps, "gram_pca_components")
     return project_onto_components(emb, exported, k=2)
+
+
+@query(
+    "embedding_silhouette_centroids",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id AS seed_id, e AS se FROM c ORDER BY vec_id LIMIT {_KMEANS_K}),
+d AS (SELECT c.vec_id AS vid, s.seed_id,
+             list_dot_product(c.e, c.e)
+               - 2.0 * list_dot_product(c.e, s.se)
+               + list_dot_product(s.se, s.se) AS sqdist
+      FROM c CROSS JOIN s),
+r AS (SELECT vid, seed_id, sqdist,
+             row_number() OVER (PARTITION BY vid
+                                ORDER BY sqdist, seed_id) AS rn
+      FROM d),
+ab AS (
+  SELECT vid,
+         min(CASE WHEN rn = 1 THEN seed_id END) AS cluster_id,
+         sqrt(min(CASE WHEN rn = 1 THEN sqdist END)) AS a_d,
+         sqrt(min(CASE WHEN rn = 2 THEN sqdist END)) AS b_d
+  FROM r WHERE rn <= 2 GROUP BY vid
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(CASE WHEN greatest(a_d, b_d) = 0 THEN 0
+                      ELSE (b_d - a_d) / greatest(a_d, b_d) END), 6)
+         AS avg_silhouette
+FROM ab GROUP BY cluster_id
+""",
+    description="simplified (centroid-based) silhouette per cluster: "
+    "s = (b - a)/max(a, b) from each vector's nearest and second-"
+    "nearest centroid distances — the O(n*k) clustering-quality score "
+    "that survives at corpus scale where the O(n^2) pairwise classic "
+    "cannot; the drift alarm a curation pipeline reads between "
+    "snapshot re-clusterings "
+    "(operators/similarity.py:centroid_silhouette_report)",
+)
+def embedding_silhouette_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import centroid_silhouette_report
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return centroid_silhouette_report(emb, k=_KMEANS_K)
