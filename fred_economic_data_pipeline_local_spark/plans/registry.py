@@ -142,6 +142,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "source_ucb_scores",
     "embedding_silhouette_centroids",
     "text_novelty_rate",
+    "markov_conditional_entropy",
+    "dq_referential_integrity",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
     # --- 4. round-4 freshness tail ---

@@ -3208,3 +3208,64 @@ def linkage_snm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.join(sizes, "entity_id").select(
         "c_custkey", "entity_id", "n_members"
     )
+
+
+_RI_CHECKS = [
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey -> region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS relation,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS orphan_rate
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+        for name, child, fk, parent, pk in _RI_CHECKS
+    ),
+    description="referential-integrity audit across the whole star "
+    "schema: per foreign-key relation, child count, orphan count "
+    "(child keys with no parent), and orphan rate — the first DQ gate "
+    "a warehouse load runs; each relation is one left join against a "
+    "unique parent key (no row multiplication) with map-combined "
+    "counts, dimensions broadcast",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    parts = []
+    for name, child, fk, parent, pk in _RI_CHECKS:
+        c = load_table(spark, child, sf_dir).select(F.col(fk))
+        p = load_table(spark, parent, sf_dir).select(
+            F.col(pk), F.lit(1).alias("__hit")
+        )
+        j = c.join(F.broadcast(p), c[fk] == p[pk], "left")
+        orphans = F.sum(F.col("__hit").isNull().cast("long"))
+        parts.append(
+            j.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_child"),
+                orphans.alias("n_orphans"),
+                F.round(
+                    orphans / F.count(F.lit(1)).cast("double"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)

@@ -209,3 +209,62 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
     )
+
+
+@query(
+    "markov_conditional_entropy",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (SELECT event_type, next_type, count(*) AS n FROM s
+      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_n
+        FROM t GROUP BY 1),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM t)
+SELECT t.event_type,
+       tot.row_n AS n_transitions,
+       round(-sum((t.n / CAST(tot.row_n AS DOUBLE))
+                  * ln(t.n / CAST(tot.row_n AS DOUBLE))), 6) AS h_next,
+       round(CAST(tot.row_n AS DOUBLE) / g.grand, 6) AS weight
+FROM t JOIN tot USING (event_type) CROSS JOIN g
+GROUP BY t.event_type, tot.row_n, g.grand
+""",
+    description="next-event predictability per state: conditional "
+    "entropy H(next | current) of the first-order Markov transition "
+    "rows, with each state's share of all transitions — low entropy = "
+    "scripted/bot-like flows, high = organic browsing; derived "
+    "entirely from the transition counts (exact integers), nats, one "
+    "lead window + two map-combined aggregates",
+)
+def markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = t.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    g = t.agg(F.sum("n").alias("__grand"))
+    p = F.col("n") / F.col("row_n").cast("double")
+    return (
+        t.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(g))
+        .groupBy("event_type", "row_n", "__grand")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("h_next"))
+        .select(
+            "event_type",
+            F.col("row_n").alias("n_transitions"),
+            "h_next",
+            F.round(
+                F.col("row_n").cast("double") / F.col("__grand"), 6
+            ).alias("weight"),
+        )
+    )
