@@ -146,6 +146,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dq_referential_integrity",
     # --- 3. code changed this round ---
     "graph_pagerank_topk",
+    # --- 2c. last in-window slot (position 50); anything added after
+    # this point sits below the window and heads round 10's rotation ---
+    "profile_psi_lengths",
     # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",

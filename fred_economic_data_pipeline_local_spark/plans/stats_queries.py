@@ -492,3 +492,108 @@ def source_ucb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ucb"),
     )
+
+
+_PSI_EPS = 1e-6  # shared clamp literal: an empty bucket's share
+
+
+@query(
+    "profile_psi_lengths",
+    oracle=f"""
+WITH old AS (SELECT n_chars FROM documents WHERE doc_id % 5 <> 0),
+new AS (SELECT n_chars FROM documents WHERE doc_id % 5 = 0),
+e AS (
+  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS q
+  FROM old
+),
+ob AS (
+  SELECT 1 + len(list_filter(e.q, x -> old.n_chars > x)) AS bucket
+  FROM old CROSS JOIN e
+),
+nb AS (
+  SELECT 1 + len(list_filter(e.q, x -> new.n_chars > x)) AS bucket
+  FROM new CROSS JOIN e
+),
+oc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_old FROM ob GROUP BY 1),
+nc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM nb GROUP BY 1),
+ot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old FROM oc),
+nt AS (SELECT CAST(sum(n_new) AS BIGINT) AS t_new FROM nc),
+b AS (
+  SELECT oc.bucket,
+         COALESCE(oc.n_old, 0) AS n_old,
+         COALESCE(nc.n_new, 0) AS n_new,
+         greatest(COALESCE(oc.n_old, 0) / CAST(ot.t_old AS DOUBLE),
+                  {_PSI_EPS!r}) AS po,
+         greatest(COALESCE(nc.n_new, 0) / CAST(nt.t_new AS DOUBLE),
+                  {_PSI_EPS!r}) AS pn
+  FROM oc LEFT JOIN nc USING (bucket)
+  CROSS JOIN ot CROSS JOIN nt
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, n_old, n_new,
+       round(po, 6) AS p_old,
+       round(pn, 6) AS p_new,
+       round((pn - po) * ln(pn / po), 6) AS psi_term
+FROM b
+""",
+    description="population stability index of the document-length "
+    "distribution, arriving snapshot vs existing corpus: buckets are "
+    "the OLD corpus's exact deciles (so p_old ~ 0.1 by construction), "
+    "per-bucket (p_new - p_old) ln(p_new/p_old) terms with a shared "
+    "epsilon clamp for empty buckets — the standard drift gate "
+    "(total < 0.1 stable, > 0.25 act) a profiling pipeline runs on "
+    "every feature; bucket index by counting broadcast edges below "
+    "the value, engine-identical given exact quantile edges",
+)
+def profile_psi_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0).select("n_chars")
+    new = docs.where(F.col("doc_id") % 5 == 0).select("n_chars")
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = old.agg(F.percentile("n_chars", qs).alias("__q"))
+
+    def buckets(df):
+        b = F.lit(1)
+        for k in range(9):
+            b = b + (F.col("n_chars") > F.col("__q")[k]).cast("int")
+        return (
+            df.join(F.broadcast(edges))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    oc = buckets(old).withColumnRenamed("n", "n_old")
+    nc = buckets(new).withColumnRenamed("n", "n_new")
+    ot = oc.agg(F.sum("n_old").alias("__to"))
+    nt = nc.agg(F.sum("n_new").alias("__tn"))
+    j = (
+        oc.join(nc, "bucket", "left")
+        .join(F.broadcast(ot))
+        .join(F.broadcast(nt))
+        .select(
+            "bucket",
+            F.col("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.greatest(
+                F.col("n_old") / F.col("__to").cast("double"),
+                F.lit(_PSI_EPS),
+            ).alias("__po"),
+            F.greatest(
+                F.coalesce("n_new", F.lit(0)) / F.col("__tn").cast("double"),
+                F.lit(_PSI_EPS),
+            ).alias("__pn"),
+        )
+    )
+    return j.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_old",
+        "n_new",
+        F.round("__po", 6).alias("p_old"),
+        F.round("__pn", 6).alias("p_new"),
+        F.round(
+            (F.col("__pn") - F.col("__po"))
+            * F.log(F.col("__pn") / F.col("__po")),
+            6,
+        ).alias("psi_term"),
+    )
