@@ -149,6 +149,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     # --- 2c. last in-window slot (position 50); anything added after
     # this point sits below the window and heads round 10's rotation ---
     "profile_psi_lengths",
+    # --- 2d. below the window (never checked -> head of round 10) ---
+    "similarity_ivf_ndcg",
     # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",

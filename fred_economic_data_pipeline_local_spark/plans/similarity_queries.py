@@ -1258,3 +1258,123 @@ def embedding_silhouette_centroids(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load_table(spark, "embeddings", sf_dir)
     return centroid_silhouette_report(emb, k=_KMEANS_K)
+
+
+# ideal DCG for rel = K..1 at ranks 1..K — a closed-form constant,
+# computed once in Python and shared with the SQL mirror
+import math as _math
+
+_NDCG_IDCG = sum(
+    (_K - i + 1) / _math.log2(i + 1) for i in range(1, _K + 1)
+)
+
+
+@query(
+    "similarity_ivf_ndcg",
+    # rank-AWARE companion to similarity_ivf_recall: recall@k says how
+    # many true neighbors the index returned; NDCG@k says whether it
+    # put them in the right ORDER (graded relevance = K..1 by exact
+    # rank). Same exported-index pattern — DuckDB re-derives both
+    # rankings and the score
+    oracle=f"""
+WITH asg AS (SELECT * FROM {{a}}),
+pr AS (SELECT * FROM {{p}}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cand AS (
+  SELECT pr.query_id, asg.id AS neighbor_id
+  FROM pr JOIN asg USING (cell)
+  WHERE pr.query_id <> asg.id
+),
+ivf AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         row_number() OVER (
+           PARTITION BY cand.query_id
+           ORDER BY round(list_dot_product(qc.e, cc.e) /
+                          (sqrt(list_dot_product(qc.e, qc.e)) *
+                           sqrt(list_dot_product(cc.e, cc.e))), 6) DESC,
+                    cand.neighbor_id) AS sys_rank
+  FROM cand JOIN c qc ON qc.vec_id = cand.query_id
+            JOIN c cc ON cc.vec_id = cand.neighbor_id
+  QUALIFY sys_rank <= {{k}}
+),
+q AS (SELECT * FROM c WHERE vec_id < {{nq}}),
+bf AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_dot_product(q.e, c.e) /
+                          (sqrt(list_dot_product(q.e, q.e)) *
+                           sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+                    neighbor_id) AS ex_rank
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+  QUALIFY ex_rank <= {{k}}
+),
+rel AS (SELECT query_id, neighbor_id, {{k}} - ex_rank + 1 AS rel FROM bf),
+d AS (
+  SELECT ivf.query_id,
+         sum(COALESCE(rel.rel, 0) / log2(ivf.sys_rank + 1)) AS dcg
+  FROM ivf LEFT JOIN rel USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT query_id, round(dcg, 6) AS dcg,
+       round(dcg / {{idcg}}, 6) AS ndcg
+FROM d
+""".format(
+        a=export_sql("ivf_ndcg_assign"),
+        p=export_sql("ivf_ndcg_probes"),
+        k=_K,
+        nq=_NQUERY,
+        idcg=repr(_NDCG_IDCG),
+    ),
+    description="NDCG@k for the IVF index — the rank-AWARE companion "
+    "to similarity_ivf_recall (recall counts true neighbors returned; "
+    "NDCG scores whether the index put them in the right ORDER): "
+    "graded relevance K..1 from the exact ranking, DCG over the IVF "
+    "ranking's positions, ideal DCG as a shared closed-form literal; "
+    "same exported assign/probe tables, ground truth costs one "
+    "broadcast compare of the query SAMPLE",
+)
+def similarity_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..exports import export_table
+    from ..operators.similarity import ivf_assign, ivf_probes, ivf_topk_from
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < _NQUERY)
+    assign, cents = ivf_assign(emb, n_cells=8, dims=64, lloyd_iters=0)
+    assign = export_table(assign, "ivf_ndcg_assign")
+    probes = export_table(
+        ivf_probes(queries, cents, nprobe=2), "ivf_ndcg_probes"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    ivf = (
+        ivf_topk_from(emb, queries, assign, probes, k=_K)
+        .withColumn("sys_rank", F.row_number().over(wq))
+    )
+    bf = (
+        brute_force_topk(emb, queries, k=_K)
+        .withColumn("ex_rank", F.row_number().over(wq))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(_K) - F.col("ex_rank") + 1).alias("rel"),
+        )
+    )
+    d = (
+        ivf.join(bf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce("rel", F.lit(0))
+                / F.log2(F.col("sys_rank") + 1)
+            ).alias("__dcg")
+        )
+    )
+    return d.select(
+        "query_id",
+        F.round("__dcg", 6).alias("dcg"),
+        F.round(F.col("__dcg") / F.lit(_NDCG_IDCG), 6).alias("ndcg"),
+    )
