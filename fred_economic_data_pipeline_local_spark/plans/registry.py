@@ -151,6 +151,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "profile_psi_lengths",
     # --- 2d. below the window (never checked -> head of round 10) ---
     "similarity_ivf_ndcg",
+    "dq_uniqueness_audit",
+    "embedding_centroid_drift",
     # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",

@@ -3269,3 +3269,55 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_PK_CHECKS = [
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("part.p_partkey", "part", "p_partkey"),
+    ("supplier.s_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_nationkey", "nation", "n_nationkey"),
+    ("region.r_regionkey", "region", "r_regionkey"),
+    ("events.event_id", "events", "event_id"),
+    ("documents.doc_id", "documents", "doc_id"),
+    ("embeddings.vec_id", "embeddings", "vec_id"),
+]
+
+
+@query(
+    "dq_uniqueness_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS key_col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT {col}) AS BIGINT) AS n_dup_rows,
+       count(*) = count(DISTINCT {col}) AS is_unique
+FROM {table}"""
+        for name, table, col in _PK_CHECKS
+    ),
+    description="primary-key uniqueness audit across every fixture "
+    "table (row count vs distinct-key count, duplicate surplus, pass "
+    "flag) — the DQ gate that pairs with dq_referential_integrity: "
+    "RI assumes unique parents, this proves it; one map-combined "
+    "count-distinct per table, no joins",
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    parts = []
+    for name, table, col in _PK_CHECKS:
+        t = load_table(spark, table, sf_dir)
+        parts.append(
+            t.agg(
+                F.lit(name).alias("key_col"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col(col)).alias("n_distinct"),
+                (F.count(F.lit(1)) - F.count_distinct(F.col(col))).alias(
+                    "n_dup_rows"
+                ),
+                (
+                    F.count(F.lit(1)) == F.count_distinct(F.col(col))
+                ).alias("is_unique"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)

@@ -1378,3 +1378,74 @@ def similarity_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__dcg", 6).alias("dcg"),
         F.round(F.col("__dcg") / F.lit(_NDCG_IDCG), 6).alias("ndcg"),
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+oldd AS (SELECT label, unnest(generate_series(1, len(e))) AS i,
+                unnest(e) AS v
+         FROM c WHERE vec_id % 5 <> 0),
+newd AS (SELECT label, unnest(generate_series(1, len(e))) AS i,
+                unnest(e) AS v
+         FROM c WHERE vec_id % 5 = 0),
+oc AS (SELECT label, list(cv ORDER BY i) AS ce
+       FROM (SELECT label, i, avg(v) AS cv FROM oldd GROUP BY 1, 2)
+       GROUP BY label),
+nc AS (SELECT label, list(cv ORDER BY i) AS ce
+       FROM (SELECT label, i, avg(v) AS cv FROM newd GROUP BY 1, 2)
+       GROUP BY label),
+cnt AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old,
+         CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM c GROUP BY label
+)
+SELECT cnt.label, cnt.n_old, cnt.n_new,
+       round(list_dot_product(oc.ce, nc.ce) /
+             (sqrt(list_dot_product(oc.ce, oc.ce)) *
+              sqrt(list_dot_product(nc.ce, nc.ce))), 6) AS cos_drift,
+       round(sqrt(list_dot_product(nc.ce, nc.ce)) /
+             sqrt(list_dot_product(oc.ce, oc.ce)), 6) AS norm_ratio
+FROM cnt JOIN oc USING (label) JOIN nc USING (label)
+""",
+    description="per-label embedding drift between snapshots: cosine "
+    "between the old and new class centroids (cos_drift ~ 1 = stable "
+    "embedding space, falling = encoder/class drift — re-cluster and "
+    "re-index triggers) plus the centroid norm ratio; two O(labels x "
+    "dims) centroid aggregates, the comparison itself is O(labels) "
+    "(operators/curation.py:label_centroids on each snapshot)",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import label_centroids
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    oc = label_centroids(old).withColumnRenamed("centroid", "__oc")
+    nc = label_centroids(new).withColumnRenamed("centroid", "__nc")
+    cnt = emb.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 5 != 0).cast("long")).alias("n_old"),
+        F.sum((F.col("vec_id") % 5 == 0).cast("long")).alias("n_new"),
+    )
+    o, n = F.col("__oc"), F.col("__nc")
+    return (
+        cnt.join(oc, "label")
+        .join(nc, "label")
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            F.round(
+                dot(o, n) / (F.sqrt(dot(o, o)) * F.sqrt(dot(n, n))), 6
+            ).alias("cos_drift"),
+            F.round(F.sqrt(dot(n, n)) / F.sqrt(dot(o, o)), 6).alias(
+                "norm_ratio"
+            ),
+        )
+    )
