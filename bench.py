@@ -148,6 +148,11 @@ HEADLINE = [
     "survival_user_lifetime",
     "mann_kendall_trend",
     "theil_sen_trend",
+    "linkage_snm_clusters",
+    "profile_psi_lengths",
+    "similarity_ivf_ndcg",
+    "text_novelty_rate",
+    "embedding_silhouette_centroids",
 ]
 
 
