@@ -5,7 +5,6 @@ dominance."""
 
 from __future__ import annotations
 
-import itertools
 import math
 import random
 
