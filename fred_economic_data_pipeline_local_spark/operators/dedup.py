@@ -1242,3 +1242,116 @@ def ngram_containment_pairs(
             F.round(c_ba, 6).alias("cont_b_in_a"),
         )
     )
+
+
+def connected_components_twostar(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components for CHAIN-PRONE graphs: alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — O(log n) rounds
+    REGARDLESS of graph diameter or id placement.
+
+    ``neardup_components`` (min-label propagation) is the right tool
+    for near-dup clusters — clique-like, diameter 2-4. But similarity
+    graphs built from TOLERANCE rules (sorted-neighborhood |Δ| <= t
+    match edges, radius joins) form long CHAINS as density grows: at
+    10x the data the same rule that made 4-node clusters makes one
+    3,000-customer path per segment, and O(diameter) propagation blows
+    any round cap. Label-pointer jumping was tried and MEASURED
+    inadequate: with sequential ids it labels a 15k path in 14 rounds,
+    but with the fixtures' random id placement the label pointers jump
+    in ID space, not graph space, and convergence crawled past 23
+    rounds with per-round cost growing. Two-star contraction has no
+    such placement sensitivity: each large-star hangs every
+    higher-id neighbor off its neighborhood minimum, each small-star
+    re-parents the smaller neighbors, and the edge set collapses to a
+    star forest (child -> component-min root) in logarithmic rounds —
+    the fixtures' sf0.1 SNM graph (5 chains of 3,000 customers,
+    random id placement) labels in 9 rounds / ~49 s where min-label
+    propagation blew a 20-round cap without finishing.
+
+    Plan shape per round: two groupBy-min aggregates over the O(E)
+    edge frame with map-side combine, a join each to re-emit edges,
+    DISTINCT to keep the set bounded (emission never exceeds the
+    neighborhood multiset), eager localCheckpoint to truncate lineage,
+    and an exact set-difference change count as the fixpoint test (a
+    star forest is a fixed point of both stars). Returns
+    (id, component) with component = min id in the component, matching
+    ``neardup_components`` exactly (pinned on random graphs).
+    """
+    E = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_parts = max(1, E.rdd.getNumPartitions())
+    if stats is not None:
+        stats["n_parts"] = n_parts
+    if E.isEmpty():
+        if stats is not None:
+            stats["rounds"] = 0
+        return E.select(
+            F.col("u").alias("id"), F.col("v").alias("component")
+        )
+
+    def _large(e: DataFrame) -> DataFrame:
+        n = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = n.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            n.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small(e: DataFrame) -> DataFrame:
+        c = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = c.groupBy("u").agg(F.min("v").alias("m"))
+        out1 = c.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        out2 = m.select("u", F.col("m").alias("v"))
+        return (
+            out1.unionByName(out2)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    n_prev = E.count()
+    for rounds in range(1, max_iters + 1):
+        nxt = _small(_large(E)).repartition(n_parts, "u").localCheckpoint()
+        # fixpoint = set equality; both frames are DISTINCT, so equal
+        # counts + empty one-way difference is exact with ONE subtract
+        n_nxt = nxt.count()
+        changed = 1 if n_nxt != n_prev else nxt.subtract(E).count()
+        E, n_prev = nxt, n_nxt
+        if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
+            roots = E.select(F.col("v").alias("id")).distinct().select(
+                "id", F.col("id").alias("component")
+            )
+            return (
+                E.select(
+                    F.col("u").alias("id"), F.col("v").alias("component")
+                )
+                .unionByName(roots)
+                .distinct()
+            )
+    raise RuntimeError(
+        f"connected_components_twostar did not converge in {max_iters} "
+        "rounds (expected O(log n))"
+    )

@@ -153,6 +153,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_ivf_ndcg",
     "dq_uniqueness_audit",
     "embedding_centroid_drift",
+    "dq_freshness_audit",
+    "lorenz_customer_spend",
     # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",

@@ -3177,7 +3177,12 @@ FROM sel
     "recursive-CTE transitive closure",
 )
 def linkage_snm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import neardup_components
+    # two-star components, NOT neardup_components: tolerance-rule match
+    # graphs are chain-prone (at sf0.1 one 3,000-customer path per
+    # segment — O(diameter) propagation blew its round cap; two-star
+    # contraction labels it in O(log n) rounds regardless of id
+    # placement)
+    from ..operators.dedup import connected_components_twostar
     from ..operators.linkage import sorted_neighborhood_pairs
 
     cust = load_table(spark, "customer", sf_dir)
@@ -3193,7 +3198,7 @@ def linkage_snm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("c_acctbal_b") - F.col("c_acctbal_a"))
         <= F.lit(_SNM_BAL_TOL)
     ).select("id_a", "id_b")
-    comp = neardup_components(edges)
+    comp = connected_components_twostar(edges)
     labeled = (
         cust.select("c_custkey")
         .join(comp, cust["c_custkey"] == comp["id"], "left")
@@ -3321,3 +3326,119 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
+    "dq_freshness_audit",
+    oracle="""
+WITH m AS (
+  SELECT 'events.ts' AS time_col, max(ts) AS mx FROM events
+  UNION ALL
+  SELECT 'orders.o_orderdate', max(o_orderdate) FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_shipdate', max(l_shipdate) FROM lineitem
+),
+g AS (SELECT max(mx) AS gmx FROM m)
+SELECT time_col,
+       strftime(mx, '%Y-%m-%d %H:%M:%S') AS latest,
+       CAST(date_diff('day', CAST(mx AS DATE), CAST(gmx AS DATE))
+            AS INTEGER) AS lag_days
+FROM m CROSS JOIN g
+""",
+    description="data-freshness audit: each time-bearing table's latest "
+    "timestamp and its staleness in days behind the freshest feed — "
+    "the third DQ gate (after uniqueness and referential integrity) a "
+    "warehouse load runs; three map-combined max aggregates, one 1-row "
+    "broadcast, calendar-day lag via DATE casts (engine-identical, no "
+    "boundary-counting ambiguity)",
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    srcs = [
+        ("events.ts", "events", "ts"),
+        ("orders.o_orderdate", "orders", "o_orderdate"),
+        ("lineitem.l_shipdate", "lineitem", "l_shipdate"),
+    ]
+    maxes = [
+        load_table(spark, t, sf_dir).agg(
+            F.lit(name).alias("time_col"), F.max(c).alias("__mx")
+        )
+        for name, t, c in srcs
+    ]
+    m = functools.reduce(lambda a, b: a.unionByName(b), maxes)
+    g = m.agg(F.max("__mx").alias("__gmx"))
+    return m.join(F.broadcast(g)).select(
+        "time_col",
+        F.date_format("__mx", "yyyy-MM-dd HH:mm:ss").alias("latest"),
+        F.datediff(F.to_date("__gmx"), F.to_date("__mx"))
+        .cast("int")
+        .alias("lag_days"),
+    )
+
+
+@query(
+    "lorenz_customer_spend",
+    oracle="""
+WITH totals AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) AS decile FROM totals
+),
+d AS (
+  SELECT CAST(decile AS INTEGER) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         round(sum(x), 2) AS spend
+  FROM r GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS tn,
+             round(sum(spend), 2) AS tspend FROM d)
+SELECT decile, n_customers, spend,
+       round(sum(n_customers) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) / CAST(t.tn AS DOUBLE), 6)
+         AS cum_share_customers,
+       round(sum(spend) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) / t.tspend, 6)
+         AS cum_share_spend
+FROM d CROSS JOIN t
+""",
+    description="Lorenz curve points for customer spend (ascending "
+    "spend deciles vs cumulative spend share) — the visualization "
+    "table behind gini_customer_spend's single number; per-customer "
+    "totals reduce first, the decile walk runs on 10 rows",
+)
+def lorenz_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    totals = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("x")
+    )
+    r = totals.select(
+        "x",
+        F.ntile(10).over(Window.orderBy("x", "o_custkey")).alias("decile"),
+    )
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("x"), 2).alias("spend"),
+    )
+    t = d.agg(
+        F.sum("n_customers").alias("__tn"),
+        F.round(F.sum("spend"), 2).alias("__tspend"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.join(F.broadcast(t)).select(
+        "decile",
+        "n_customers",
+        "spend",
+        F.round(
+            F.sum("n_customers").over(wc) / F.col("__tn").cast("double"), 6
+        ).alias("cum_share_customers"),
+        F.round(F.sum("spend").over(wc) / F.col("__tspend"), 6).alias(
+            "cum_share_spend"
+        ),
+    )
