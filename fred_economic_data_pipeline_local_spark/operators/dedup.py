@@ -1307,12 +1307,14 @@ def connected_components_twostar(
         m = n.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # no DISTINCT here: duplicate emissions are harmless to
+        # small-star's min aggregate and its final distinct cleans
+        # them — skipping the exchange saves one shuffle per round
         return (
             n.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small(e: DataFrame) -> DataFrame:
