@@ -579,3 +579,32 @@ def test_token_mi_broadcasts_corpus_marginals(spark):
     plan = plan_of(spark, "text_token_mi_lang")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_psi_buckets_by_broadcast_edges(spark):
+    """PSI bucket assignment joins the 1-row decile-edge frame by
+    broadcast; both snapshot scans stay map-combined aggregates."""
+    plan = plan_of(spark, "profile_psi_lengths")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lorenz_reduces_customers_before_decile_walk(spark):
+    """per-customer totals aggregate BEFORE ntile; the cumulative walk
+    runs on the 10-row decile frame, never the fact table."""
+    plan = plan_of(spark, "lorenz_customer_spend")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(o_custkey" in plan
+
+
+def test_dq_audits_have_no_nested_loops(spark):
+    """every RI relation is one broadcast left join on a unique parent
+    key; uniqueness/freshness are pure aggregates."""
+    for name in (
+        "dq_referential_integrity",
+        "dq_uniqueness_audit",
+        "dq_freshness_audit",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan or name == "dq_freshness_audit", name
+        assert "CartesianProduct" not in plan, name
