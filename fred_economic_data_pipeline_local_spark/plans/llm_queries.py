@@ -2170,3 +2170,51 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             novel / F.count(F.lit(1)).cast("double"), 6
         ).alias("novelty_rate"),
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_LTOKS_SQL}) AS token FROM documents
+),
+tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+       FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(freq) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / sum(freq), 6) AS type_token_ratio,
+       round(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+FROM tf GROUP BY source
+""",
+    description="vocabulary-richness screen per source: type-token "
+    "ratio and hapax-legomena share (tokens seen exactly once) — "
+    "template/boilerplate text collapses both, organic text keeps "
+    "hapax near half the vocabulary (Zipf); one term-frequency "
+    "exchange, then an O(vocab) rollup — the corpus-health companion "
+    "to text_zipf_slope",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            "source",
+            F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    hapax = F.sum((F.col("freq") == 1).cast("long"))
+    types = F.count(F.lit(1))
+    return tf.groupBy("source").agg(
+        F.sum("freq").alias("n_tokens"),
+        types.alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.round(types / F.sum("freq").cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(hapax / types.cast("double"), 6).alias("hapax_ratio"),
+    )

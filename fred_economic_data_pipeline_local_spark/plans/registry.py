@@ -155,6 +155,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "embedding_centroid_drift",
     "dq_freshness_audit",
     "lorenz_customer_spend",
+    "text_hapax_ratio",
+    "events_dow_seasonality",
     # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",

@@ -1277,3 +1277,51 @@ def forecast_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mape"),
         )
     )
+
+
+@query(
+    "events_dow_seasonality",
+    oracle=f"""
+WITH d AS ({_EPOCH_DAILY}),
+wd AS (
+  SELECT event_type, eday % 7 AS dow, round(avg(revenue), 4) AS dow_avg
+  FROM d GROUP BY 1, 2
+),
+o AS (SELECT event_type, round(avg(revenue), 4) AS overall_avg
+      FROM d GROUP BY 1)
+SELECT wd.event_type, CAST(wd.dow AS INTEGER) AS dow,
+       wd.dow_avg, o.overall_avg,
+       round(wd.dow_avg / o.overall_avg, 6) AS seasonality_index
+FROM wd JOIN o USING (event_type)
+""",
+    description="day-of-week seasonality index per event type (weekday "
+    "mean daily revenue over the overall mean; 1 = flat) — the "
+    "decomposition readout behind forecast_seasonal_naive_mape's "
+    "forecaster; weekday from integer epoch-day % 7 (engine-identical), "
+    "averages rounded 4 dp before the ratio",
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    wd = d.groupBy(
+        "event_type", (F.col("eday") % 7).cast("int").alias("dow")
+    ).agg(F.round(F.avg("revenue"), 4).alias("dow_avg"))
+    o = d.groupBy("event_type").agg(
+        F.round(F.avg("revenue"), 4).alias("overall_avg")
+    )
+    return wd.join(F.broadcast(o), "event_type").select(
+        "event_type",
+        "dow",
+        "dow_avg",
+        "overall_avg",
+        F.round(F.col("dow_avg") / F.col("overall_avg"), 6).alias(
+            "seasonality_index"
+        ),
+    )
