@@ -335,3 +335,110 @@ def bfs_levels(
         levels = levels.union(new).localCheckpoint()
         frontier = new.select("node")
     return levels
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph (Newman
+    2002): the Pearson correlation of endpoint degrees taken over every
+    edge counted in BOTH directions (the standard symmetric estimator —
+    each undirected edge contributes (d_u, d_v) and (d_v, d_u), which
+    makes the statistic exchange-invariant without excess-degree
+    bookkeeping). Positive = hubs link hubs (social), negative = hubs
+    link leaves (technological/dependency) — a one-number screen for
+    whether skew-handling (hub salting, orientation bounds) will matter
+    on this graph at scale.
+
+    Plan shape: canonicalize + dedupe edges, one map-combined degree
+    aggregate, two broadcast-or-shuffle equi-joins of the edge list onto
+    the O(|V|) degree table, one corr aggregate. Degrees are exact
+    integers, their pairwise products exact doubles; the only float
+    reduction is the final corr, rounded 6 dp (the spearman/engine
+    precedent). Returns ONE row: (n_nodes, n_edges, assortativity).
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = canon.union(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("__db"))
+    paired = both.join(da, "a").join(db, "b")
+    return (
+        paired.agg(
+            F.round(
+                F.corr(
+                    F.col("__da").cast("double"),
+                    F.col("__db").cast("double"),
+                ),
+                6,
+            ).alias("assortativity"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        )
+        .join(
+            F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        )
+        .select("n_nodes", "n_edges", "assortativity")
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, min_degree: int = 2, topk: int | None = None
+) -> DataFrame:
+    """Local clustering coefficient per node: ``2 T(v) / (d(v) (d(v) -
+    1))`` — the fraction of a node's neighbor pairs that are themselves
+    connected (Watts-Strogatz). The community-density screen behind
+    "is this co-purchase neighborhood a real bundle or a hub artifact";
+    triangle counts come from :func:`triangle_counts` (degree-oriented
+    wedges, O(sqrt(|E|)) fanout — the 100 TB-safe census), degrees from
+    one map-combined aggregate, and the coefficient is an exact ratio
+    of integers. Nodes below ``min_degree`` are excluded (coefficient
+    undefined); triangle-free nodes score exact 0 via the left join.
+
+    Returns (node, degree, n_triangles, clustering_coeff), TakeOrdered
+    by (coeff desc, node) when ``topk`` is given.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = canon.union(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.col("a").alias("node"), "degree"
+    )
+    tri = triangle_counts(canon.select(F.col("a").alias("src"),
+                                       F.col("b").alias("dst")))
+    out = (
+        deg.where(F.col("degree") >= min_degree)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+    if topk is not None:
+        return out.orderBy(
+            F.desc("clustering_coeff"), F.asc("node")
+        ).limit(topk)
+    return out

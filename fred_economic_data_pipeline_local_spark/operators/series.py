@@ -218,3 +218,101 @@ def theil_sen_slope(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.median("__slope"), 6).alias("sen_slope"),
     )
+
+
+def conformal_backtest(
+    daily: DataFrame,
+    key: str,
+    time_col: str,
+    value: str,
+    period: int = 7,
+    alpha: float = 0.1,
+    cal_frac_num: int = 2,
+    cal_frac_den: int = 3,
+) -> DataFrame:
+    """Split-conformal interval calibration for the seasonal-naive
+    forecaster: per ``key``, forecast each ``time_col`` step with the
+    value ``period`` steps back, take absolute residuals, calibrate the
+    (1 - alpha) interval half-width on the FIRST cal_frac of residual
+    steps as the exact order statistic
+
+        qhat = the ceil((1 - alpha) * (n_cal + 1))-th smallest residual
+
+    (the finite-sample-valid split-conformal quantile, Vovk et al. /
+    Lei et al. 2018), then report empirical coverage of |r| <= qhat on
+    the held-out remainder — the distribution-free uncertainty wrapper
+    a production forecaster ships with, and the honesty check on it.
+
+    Determinism: residuals are differences of 2-dp-rounded aggregates
+    (identical doubles in both engines); the order statistic ranks by
+    (residual, time) so ties pin; coverage is a ratio of exact integer
+    counts. Scale: everything runs per key over the O(steps) aggregated
+    series — the lag is one window partitioned by key, the order
+    statistic one per-key sort of the calibration slice, never a global
+    window over raw events.
+
+    Returns one row per key:
+    (key, n_cal, n_test, qhat, coverage, target_coverage).
+    """
+    w_lag = Window.partitionBy(key).orderBy(time_col)
+    resid = (
+        daily.select(
+            key,
+            time_col,
+            F.col(value).alias("__v"),
+            F.lag(F.col(value), period).over(w_lag).alias("__fc"),
+        )
+        .where(F.col("__fc").isNotNull())
+        .select(
+            key, time_col, F.abs(F.col("__v") - F.col("__fc")).alias("__r")
+        )
+    )
+    # per-key cutoff: first cal_frac of residual steps calibrate
+    b = resid.groupBy(key).agg(
+        F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+    )
+    cut = (
+        F.col("__lo")
+        + ((F.col("__hi") - F.col("__lo")) * cal_frac_num) / cal_frac_den
+    )
+    tagged = resid.join(F.broadcast(b), key).select(
+        key, "__r", (F.col(time_col) <= cut).alias("__is_cal")
+    )
+    cal = tagged.where(F.col("__is_cal"))
+    n_cal = cal.groupBy(key).agg(F.count(F.lit(1)).alias("n_cal"))
+    w_rank = Window.partitionBy(key).orderBy("__r")
+    ranked = cal.select(
+        key, "__r", F.row_number().over(w_rank).alias("__rk")
+    )
+    qhat = (
+        ranked.join(F.broadcast(n_cal), key)
+        .where(
+            F.col("__rk")
+            >= F.ceil(F.lit(1.0 - alpha) * (F.col("n_cal") + 1))
+        )
+        .groupBy(key)
+        .agg(F.min("__r").alias("qhat"))
+    )
+    test = tagged.where(~F.col("__is_cal"))
+    return (
+        test.join(F.broadcast(qhat), key)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("__r") <= F.col("qhat")).cast("long")
+            ).alias("__hits"),
+            F.round(F.min("qhat"), 4).alias("qhat"),
+        )
+        .join(F.broadcast(n_cal), key)
+        .select(
+            key,
+            "n_cal",
+            "n_test",
+            "qhat",
+            F.round(
+                F.col("__hits").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+            F.lit(round(1.0 - alpha, 6)).alias("target_coverage"),
+        )
+    )

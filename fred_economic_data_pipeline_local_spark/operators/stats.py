@@ -100,6 +100,13 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     the table-wide statistic, and the degrees of freedom
     ``(|A| - 1)(|B| - 1)`` repeated on every row.
 
+    ``chi2_total`` uses the identity ``sum over ALL cells of
+    (o - e)^2 / e = sum over OBSERVED cells of o^2 / e - N`` (empty
+    cells have o = 0), so it is the full-table Pearson statistic even
+    when the contingency table is sparse — a sum of observed-cell
+    ``contrib`` values alone would silently drop the empty-cell mass
+    (each contributes ``e``), understating the statistic.
+
     Plan shape: ONE map-combined exchange collapses the fact table to
     the O(|A| x |B|) contingency cells; the row/column marginals and the
     grand total are O(|A|) / O(|B|) / 1-row re-aggregations of the cell
@@ -128,13 +135,18 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             "n_obs",
             F.round(e, 6).alias("expected"),
             F.round(contrib, 6).alias("contrib"),
-            contrib.alias("__c"),
+            (F.col("n_obs").cast("double") * F.col("n_obs") / e).alias(
+                "__o2e"
+            ),
+            F.col("__n").alias("__n_all"),
             ((F.col("__ka") - 1) * (F.col("__kb") - 1))
             .cast("int")
             .alias("dof"),
         )
     )
-    total = scored.agg(F.round(F.sum("__c"), 6).alias("chi2_total"))
+    total = scored.agg(
+        F.round(F.sum("__o2e") - F.max("__n_all"), 6).alias("chi2_total")
+    )
     return scored.join(broadcast(total)).select(
         col_a, col_b, "n_obs", "expected", "contrib", "chi2_total", "dof"
     )
@@ -378,3 +390,186 @@ def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
         ["__pid"],
     ).drop("__pid")
     return _frontier(local, [])
+
+
+def kruskal_wallis(df: DataFrame, group: str, value: str) -> DataFrame:
+    """Kruskal-Wallis H test (one-way ANOVA on ranks) of ``value``
+    across the ``group`` classes, with the standard tie correction:
+
+        H = 12 / (N (N+1)) * sum_g R_g^2 / n_g  -  3 (N+1)
+        C = 1 - sum_t (t^3 - t) / (N^3 - N);   H_adj = H / C
+
+    Rank-based by design: the raw-value ANOVA F needs sums of squares
+    whose catastrophic cancellation amplifies partial-sum-order ulp
+    noise past any rounding guard; midranks are exact multiples of 0.5
+    (order-independent double sums), so the statistic is
+    engine-deterministic.
+
+    Scale contract: ``value`` must have a BOUNDED DOMAIN (quantities,
+    scores, bucketed measures). The fact table collapses to
+    O(|domain| x |groups|) cells in one map-combined exchange; global
+    midranks come from a cumulative window over the O(|domain|)
+    distinct-value frame — the same bounded-domain single-partition
+    justification as the KS ECDF — and are broadcast-joined back onto
+    the cells. The corpus never enters a global sort.
+
+    Returns one row per group: (group, n, mean_rank) with the
+    table-wide (h_stat, h_adj, dof) repeated on every row (the chi2
+    convention).
+    """
+    cells = df.groupBy(value, group).agg(F.count(F.lit(1)).alias("__c"))
+    per_v = cells.groupBy(value).agg(F.sum("__c").alias("__t"))
+    w_prior = Window.orderBy(value).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # midrank of v = (# strictly below) + (ties + 1) / 2 — exact halves
+    mid = per_v.select(
+        value,
+        "__t",
+        (
+            F.coalesce(F.sum("__t").over(w_prior), F.lit(0))
+            + (F.col("__t") + 1) / F.lit(2.0)
+        ).alias("__mid"),
+    )
+    scored = cells.join(broadcast(mid.select(value, "__mid")), value)
+    per_g = scored.groupBy(group).agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.col("__c") * F.col("__mid")).alias("__rsum"),
+    )
+    tot = mid.agg(
+        F.sum("__t").alias("__n_all"),
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("__tie3"),
+        F.count(F.lit(1)).alias("__k_vals"),
+    )
+    k = per_g.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(F.col("__rsum") * F.col("__rsum") / F.col("n")).alias(
+            "__hsum"
+        ),
+    )
+    joined = per_g.join(broadcast(tot)).join(broadcast(k))
+    n_all = F.col("__n_all").cast("double")
+    h = (
+        F.lit(12.0) / (n_all * (n_all + 1)) * F.col("__hsum")
+        - 3 * (n_all + 1)
+    )
+    c_tie = F.lit(1.0) - F.col("__tie3") / (n_all * n_all * n_all - n_all)
+    return joined.select(
+        group,
+        "n",
+        F.round(F.col("__rsum") / F.col("n"), 6).alias("mean_rank"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / c_tie, 6).alias("h_adj"),
+        (F.col("__k") - 1).cast("int").alias("dof"),
+    )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str, label: str) -> DataFrame:
+    """Cramér's V association strength between two categorical columns:
+    ``V = sqrt(chi2 / (N * min(ka - 1, kb - 1)))`` — the [0, 1]-scaled
+    effect size the raw chi-squared statistic hides (chi2 grows with N;
+    V doesn't). Same cell/marginal plan as ``chi2_independence``: one
+    map-combined exchange to O(|A| x |B|) cells, marginals re-aggregated
+    from the cell frame and broadcast back, exact integer counts divided
+    once. chi2 uses the full-table identity ``sum o^2 / e - N`` over the
+    observed cells, so empty contingency cells (whose (0 - e)^2 / e mass
+    an observed-cells-only sum drops) are included — without them V
+    loses its <= 1 bound. Returns ONE row: (pair, n, ka, kb, chi2,
+    cramers_v) with ``pair = label`` so per-pair results union into a
+    report.
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n_obs"))
+    row_m = cells.groupBy(col_a).agg(F.sum("n_obs").alias("__rt"))
+    col_m = cells.groupBy(col_b).agg(F.sum("n_obs").alias("__ct"))
+    tot = cells.agg(
+        F.sum("n_obs").alias("__n"),
+        F.count_distinct(col_a).alias("__ka"),
+        F.count_distinct(col_b).alias("__kb"),
+    )
+    e = (F.col("__rt") * F.col("__ct")).cast("double") / F.col("__n_all")
+    scored = (
+        cells.join(broadcast(row_m), col_a)
+        .join(broadcast(col_m), col_b)
+        .join(broadcast(tot.select(F.col("__n").alias("__n_all"))))
+        .select(
+            (F.col("n_obs").cast("double") * F.col("n_obs") / e).alias(
+                "__o2e"
+            ),
+            "__n_all",
+        )
+    )
+    chi2 = scored.agg(
+        (F.sum("__o2e") - F.max("__n_all")).alias("__chi2")
+    )
+    mind = F.least(F.col("__ka") - 1, F.col("__kb") - 1)
+    return (
+        broadcast(tot)
+        .join(broadcast(chi2))
+        .select(
+            F.lit(label).alias("pair"),
+            F.col("__n").alias("n"),
+            F.col("__ka").cast("int").alias("ka"),
+            F.col("__kb").cast("int").alias("kb"),
+            F.round(F.col("__chi2"), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("__chi2") / (F.col("__n") * mind.cast("double"))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame, entity: str, cohort: Column, success: Column
+) -> DataFrame:
+    """Two-proportion pooled z-test between cohort 0 and cohort 1:
+    entities are deduplicated first (one trial per ``entity``), a trial
+    succeeds if ANY of its rows satisfies ``success``, and
+
+        z = (p1 - p0) / sqrt( p (1-p) (1/n0 + 1/n1) )
+
+    with p the pooled success share. The A/B readout every conversion
+    experiment ships; with deterministic cohorting (id parity, hash
+    buckets) the whole statistic derives from four exact integer counts
+    — one map-combined exchange to per-entity flags, one 4-counter
+    aggregate, zero joins. Returns ONE row:
+    (n_0, n_1, conv_0, conv_1, p_0, p_1, z_score).
+    """
+    per_e = df.groupBy(F.col(entity)).agg(
+        F.max(cohort.cast("int")).alias("__g"),
+        F.max(success.cast("int")).alias("__s"),
+    )
+    counts = per_e.agg(
+        F.sum((F.col("__g") == 0).cast("long")).alias("n_0"),
+        F.sum((F.col("__g") == 1).cast("long")).alias("n_1"),
+        F.sum(
+            ((F.col("__g") == 0) & (F.col("__s") == 1)).cast("long")
+        ).alias("conv_0"),
+        F.sum(
+            ((F.col("__g") == 1) & (F.col("__s") == 1)).cast("long")
+        ).alias("conv_1"),
+    )
+    p0 = F.col("conv_0").cast("double") / F.col("n_0")
+    p1 = F.col("conv_1").cast("double") / F.col("n_1")
+    pool = (F.col("conv_0") + F.col("conv_1")).cast("double") / (
+        F.col("n_0") + F.col("n_1")
+    )
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * (1.0 / F.col("n_0") + 1.0 / F.col("n_1"))
+    )
+    return counts.select(
+        "n_0",
+        "n_1",
+        "conv_0",
+        "conv_1",
+        F.round(p0, 6).alias("p_0"),
+        F.round(p1, 6).alias("p_1"),
+        F.round((p1 - p0) / se, 6).alias("z_score"),
+    )

@@ -157,6 +157,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "lorenz_customer_spend",
     "text_hapax_ratio",
     "events_dow_seasonality",
+    # --- 2e. round-10 additions (never checked; window composition is
+    # finalized in the round-10 editorial reslot) ---
+    "kruskal_wallis_qty_flag",
+    "cramers_v_pairs",
+    "abtest_conversion_ztest",
+    "forecast_conformal_intervals",
+    "graph_degree_assortativity",
+    "graph_clustering_topk",
     # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",

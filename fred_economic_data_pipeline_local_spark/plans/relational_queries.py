@@ -3442,3 +3442,110 @@ def lorenz_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share_spend"
         ),
     )
+
+
+# shared co-purchase edge CTE prefix (the same graph every graph_* entry
+# derives: part pairs sharing >= 2 orders)
+_COPURCHASE_E = """
+b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT a.pk AS x, c.pk AS y FROM b a JOIN b c
+    ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+deg AS (SELECT x AS node, count(*) AS d FROM und GROUP BY 1)
+"""
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+WITH {_COPURCHASE_E}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       round(corr(CAST(da.d AS DOUBLE), CAST(db.d AS DOUBLE)), 6)
+         AS assortativity
+FROM und JOIN deg da ON da.node = und.x JOIN deg db ON db.node = und.y
+""",
+    description="degree assortativity of the part co-purchase graph "
+    "(Newman 2002): Pearson correlation of endpoint degrees over every "
+    "edge in both directions — positive = hubs link hubs, negative = "
+    "hub-and-spoke; the one-number screen for whether hub salting / "
+    "degree orientation will matter on this graph at scale; exact "
+    "integer degrees, two equi-joins onto the O(|V|) degree table, one "
+    "corr aggregate (operators/graph.py:degree_assortativity)",
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import degree_assortativity
+
+    li = load_table(spark, "lineitem", sf_dir)
+    bkt = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    pa = bkt.select("ok", F.col("pk").alias("x"))
+    pb = bkt.select("ok", F.col("pk").alias("y"))
+    e = (
+        pa.join(pb, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select(F.col("x").alias("src"), F.col("y").alias("dst"))
+    )
+    return degree_assortativity(e)
+
+
+@query(
+    "graph_clustering_topk",
+    # id-ordered triangle closure in the oracle (orientation-invariant
+    # triangle SET — the graph_triangle_topk argument); coefficient is
+    # an exact ratio of integers
+    oracle=f"""
+WITH {_COPURCHASE_E},
+t AS (
+  SELECT w1.x AS na, w1.y AS nb, w2.y AS nc
+  FROM e w1 JOIN e w2 ON w1.x = w2.x AND w1.y < w2.y
+  JOIN e e3 ON e3.x = w1.y AND e3.y = w2.y
+),
+pn AS (SELECT unnest([na, nb, nc]) AS node FROM t),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM pn GROUP BY 1)
+SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+       COALESCE(tc.n_triangles, 0) AS n_triangles,
+       round(2.0 * COALESCE(tc.n_triangles, 0)
+             / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6)
+         AS clustering_coeff
+FROM deg LEFT JOIN tc USING (node)
+WHERE deg.d >= 2
+ORDER BY clustering_coeff DESC, node LIMIT 20
+""",
+    description="local clustering coefficient top-20 over the part "
+    "co-purchase graph (Watts-Strogatz 2 T(v) / (d (d-1))): the "
+    "bundle-vs-hub-artifact screen — a dense neighborhood is a real "
+    "product bundle, a hub with coefficient ~0 is an artifact; "
+    "triangles via the degree-oriented O(sqrt(|E|))-fanout census "
+    "(same engine as graph_triangle_topk), degrees from one "
+    "map-combined aggregate, exact integer ratio, TakeOrdered top-20 "
+    "(operators/graph.py:clustering_coefficients)",
+)
+def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import clustering_coefficients
+
+    li = load_table(spark, "lineitem", sf_dir)
+    bkt = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    pa = bkt.select("ok", F.col("pk").alias("x"))
+    pb = bkt.select("ok", F.col("pk").alias("y"))
+    e = (
+        pa.join(pb, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select(F.col("x").alias("src"), F.col("y").alias("dst"))
+    )
+    return clustering_coefficients(e, min_degree=2, topk=20)

@@ -74,6 +74,7 @@ tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n,
 scored AS (
   SELECT cells.o_orderpriority, cells.o_orderstatus, cells.n_obs,
          CAST(rm.rt * cm.ct AS DOUBLE) / tot.n AS e,
+         tot.n AS n_all,
          CAST((tot.ka - 1) * (tot.kb - 1) AS INTEGER) AS dof
   FROM cells
   JOIN rm USING (o_orderpriority)
@@ -83,7 +84,8 @@ scored AS (
 SELECT o_orderpriority, o_orderstatus, n_obs,
        round(e, 6) AS expected,
        round((n_obs - e) * (n_obs - e) / e, 6) AS contrib,
-       (SELECT round(sum((n_obs - e) * (n_obs - e) / e), 6) FROM scored)
+       (SELECT round(sum(CAST(n_obs AS DOUBLE) * n_obs / e)
+                     - max(n_all), 6) FROM scored)
          AS chi2_total,
        dof
 FROM scored
@@ -596,4 +598,174 @@ def profile_psi_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.log(F.col("__pn") / F.col("__po")),
             6,
         ).alias("psi_term"),
+    )
+
+
+@query(
+    "kruskal_wallis_qty_flag",
+    oracle="""
+WITH cells AS (
+  SELECT l_quantity AS v, l_returnflag, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+mid AS (
+  SELECT v, t,
+         COALESCE(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0)
+           + (t + 1) / 2.0 AS midrank
+  FROM pv
+),
+pg AS (
+  SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+         sum(c * midrank) AS rsum
+  FROM cells JOIN mid USING (v) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(t) AS BIGINT) AS n_all,
+               sum(CAST(t AS DOUBLE) * t * t - t) AS tie3 FROM mid),
+kk AS (SELECT count(*) AS k, sum(rsum * rsum / n) AS hsum FROM pg),
+hh AS (
+  SELECT 12.0 / (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1))
+           * hsum - 3 * (CAST(n_all AS DOUBLE) + 1) AS h,
+         1.0 - tie3 / (CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE)
+                       * CAST(n_all AS DOUBLE) - CAST(n_all AS DOUBLE))
+           AS ctie,
+         CAST(k - 1 AS INTEGER) AS dof
+  FROM tot CROSS JOIN kk
+)
+SELECT l_returnflag, n, round(rsum / n, 6) AS mean_rank,
+       round(h, 6) AS h_stat, round(h / ctie, 6) AS h_adj, dof
+FROM pg CROSS JOIN hh
+""",
+    description="Kruskal-Wallis H test (ANOVA on ranks, tie-corrected) "
+    "of line-item quantity across return flags: rank-based BY DESIGN — "
+    "the raw-value F statistic's sum-of-squares cancellation amplifies "
+    "partial-sum-order ulp noise, midranks are exact halves; the fact "
+    "table collapses to O(|domain| x |groups|) cells, global midranks "
+    "come from a cumulative window over the 50-value quantity DOMAIN "
+    "(the KS bounded-domain justification) and broadcast back — the "
+    "corpus never enters a global sort "
+    "(operators/stats.py:kruskal_wallis)",
+)
+def kruskal_wallis_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import kruskal_wallis
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return kruskal_wallis(li, "l_returnflag", "l_quantity")
+
+
+def _cramers_ctes(tag: str, table: str, a: str, b: str) -> str:
+    return f"""
+c_{tag} AS (SELECT {a} AS va, {b} AS vb, count(*) AS n_obs
+            FROM {table} GROUP BY 1, 2),
+rm_{tag} AS (SELECT va, CAST(sum(n_obs) AS BIGINT) AS rt
+             FROM c_{tag} GROUP BY 1),
+cm_{tag} AS (SELECT vb, CAST(sum(n_obs) AS BIGINT) AS ct
+             FROM c_{tag} GROUP BY 1),
+t_{tag} AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+                   count(DISTINCT va) AS ka, count(DISTINCT vb) AS kb
+            FROM c_{tag}),
+x_{tag} AS (
+  SELECT sum(CAST(n_obs AS DOUBLE) * n_obs
+             / (CAST(rt * ct AS DOUBLE) / t.n)) - max(t.n) AS chi2
+  FROM c_{tag} JOIN rm_{tag} USING (va) JOIN cm_{tag} USING (vb)
+  CROSS JOIN t_{tag} t
+)"""
+
+
+def _cramers_select(tag: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS pair, t.n,
+       CAST(t.ka AS INTEGER) AS ka, CAST(t.kb AS INTEGER) AS kb,
+       round(x.chi2, 6) AS chi2,
+       round(sqrt(x.chi2 / (t.n * CAST(least(t.ka - 1, t.kb - 1)
+                                       AS DOUBLE))), 6) AS cramers_v
+FROM t_{tag} t CROSS JOIN x_{tag} x
+"""
+
+
+_CRAMERS_PAIRS = [
+    ("p1", "orders", "o_orderpriority", "o_orderstatus",
+     "priority_status"),
+    ("p2", "lineitem", "l_returnflag", "l_linestatus",
+     "returnflag_linestatus"),
+    ("p3", "documents", "lang", "source", "lang_source"),
+]
+
+
+@query(
+    "cramers_v_pairs",
+    oracle="WITH "
+    + ",".join(_cramers_ctes(t, tb, a, b) for t, tb, a, b, _ in _CRAMERS_PAIRS)
+    + " UNION ALL ".join(
+        _cramers_select(t, lbl) for t, _, _, _, lbl in _CRAMERS_PAIRS
+    ),
+    description="Cramér's V association strength for three categorical "
+    "pairs (order priority x status, return flag x line status, doc "
+    "lang x source): the [0,1] effect size raw chi-squared hides — the "
+    "feature-redundancy screen a curation pipeline runs before keeping "
+    "two correlated quality signals; same O(|A| x |B|) cell plan as the "
+    "chi2 entry per pair, three tiny reports unioned "
+    "(operators/stats.py:cramers_v)",
+)
+def cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cramers_v
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        cramers_v(orders, "o_orderpriority", "o_orderstatus",
+                  "priority_status")
+        .unionByName(
+            cramers_v(li, "l_returnflag", "l_linestatus",
+                      "returnflag_linestatus")
+        )
+        .unionByName(cramers_v(docs, "lang", "source", "lang_source"))
+    )
+
+
+@query(
+    "abtest_conversion_ztest",
+    oracle="""
+WITH pe AS (
+  SELECT user_id, CAST(max(user_id % 2) AS INTEGER) AS g,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+         CAST(sum(CASE WHEN g = 0 AND s = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv_0,
+         CAST(sum(CASE WHEN g = 1 AND s = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv_1
+  FROM pe
+)
+SELECT n_0, n_1, conv_0, conv_1,
+       round(CAST(conv_0 AS DOUBLE) / n_0, 6) AS p_0,
+       round(CAST(conv_1 AS DOUBLE) / n_1, 6) AS p_1,
+       round((CAST(conv_1 AS DOUBLE) / n_1 - CAST(conv_0 AS DOUBLE) / n_0)
+             / sqrt((CAST(conv_0 + conv_1 AS DOUBLE) / (n_0 + n_1))
+                    * (1 - CAST(conv_0 + conv_1 AS DOUBLE) / (n_0 + n_1))
+                    * (1.0 / n_0 + 1.0 / n_1)), 6) AS z_score
+FROM c
+""",
+    description="two-proportion pooled z-test of purchase conversion "
+    "between the even/odd user-id cohorts (the deterministic-cohort A/B "
+    "readout): one map-combined exchange to per-user (cohort, "
+    "converted) flags, one 4-counter aggregate, z from exact integer "
+    "counts — no joins, no windows; swap the parity split for a hash "
+    "bucket and this is the experiment scorecard at any scale "
+    "(operators/stats.py:two_proportion_ztest)",
+)
+def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import two_proportion_ztest
+
+    ev = load_table(spark, "events", sf_dir)
+    return two_proportion_ztest(
+        ev,
+        "user_id",
+        F.col("user_id") % 2,
+        F.col("event_type") == "purchase",
     )

@@ -1325,3 +1325,81 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_index"
         ),
     )
+
+
+@query(
+    "forecast_conformal_intervals",
+    oracle=f"""
+WITH d AS ({_EPOCH_DAILY}),
+r0 AS (
+  SELECT event_type, eday, revenue,
+         lag(revenue, 7) OVER (PARTITION BY event_type
+                               ORDER BY eday) AS fc
+  FROM d
+),
+resid AS (SELECT event_type, eday, abs(revenue - fc) AS r
+          FROM r0 WHERE fc IS NOT NULL),
+b AS (SELECT event_type, min(eday) AS lo, max(eday) AS hi
+      FROM resid GROUP BY 1),
+tg AS (
+  SELECT resid.event_type, r,
+         eday <= lo + (hi - lo) * 2 / 3 AS is_cal
+  FROM resid JOIN b USING (event_type)
+),
+cal AS (SELECT event_type, r FROM tg WHERE is_cal),
+nc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+       FROM cal GROUP BY 1),
+rk AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY r) AS rkn
+  FROM cal
+),
+qh AS (
+  SELECT rk.event_type, min(r) AS qhat
+  FROM rk JOIN nc USING (event_type)
+  WHERE rkn >= ceil(0.9 * (n_cal + 1))
+  GROUP BY 1
+),
+tst AS (
+  SELECT tg.event_type,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits,
+         round(min(qhat), 4) AS qhat
+  FROM tg JOIN qh USING (event_type) WHERE NOT is_cal
+  GROUP BY 1
+)
+SELECT tst.event_type, n_cal, n_test, qhat,
+       round(CAST(hits AS DOUBLE) / n_test, 6) AS coverage,
+       CAST(0.9 AS DOUBLE) AS target_coverage
+FROM tst JOIN nc USING (event_type)
+""",
+    description="split-conformal prediction intervals for the "
+    "seasonal-naive daily-revenue forecaster (Lei et al. 2018): "
+    "absolute lag-7 residuals per event type, the finite-sample-valid "
+    "ceil(0.9*(n+1))-th order-statistic half-width calibrated on the "
+    "first two-thirds of steps, empirical coverage reported on the "
+    "held-out remainder — the distribution-free uncertainty wrapper a "
+    "production forecaster ships with; residuals are differences of "
+    "2-dp-rounded aggregates, the order statistic is tie-invariant, "
+    "coverage is a ratio of exact integer counts; everything runs per "
+    "key over the O(days) aggregated series "
+    "(operators/series.py:conformal_backtest)",
+)
+def forecast_conformal_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.series import conformal_backtest
+
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    return conformal_backtest(
+        d, "event_type", "eday", "revenue", period=7, alpha=0.1
+    )

@@ -1,0 +1,263 @@
+"""Unit pins for the round-10 operators (Kruskal-Wallis, Cramér's V,
+two-proportion z-test, conformal intervals, assortativity, clustering
+coefficients) against pure-Python references and closed-form cases.
+The parity tests cover the DuckDB mirrors; these pin the MATH."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# --- kruskal_wallis ----------------------------------------------------------
+
+
+def _py_kruskal(samples: dict[str, list[int]]):
+    """Tie-corrected Kruskal-Wallis H over {group: values} (textbook)."""
+    allv = sorted(v for vs in samples.values() for v in vs)
+    n = len(allv)
+    # midrank per distinct value
+    mid, i = {}, 0
+    while i < n:
+        j = i
+        while j < n and allv[j] == allv[i]:
+            j += 1
+        mid[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(mid[v] for v in vs) ** 2 / len(vs) for vs in samples.values()
+    ) - 3 * (n + 1)
+    ties = {}
+    for v in allv:
+        ties[v] = ties.get(v, 0) + 1
+    c = 1.0 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    return h, h / c
+
+
+def test_kruskal_wallis_matches_pure_python(spark):
+    from fred_economic_data_pipeline_local_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    rng = random.Random(11)
+    samples = {
+        g: [rng.randint(0, 9) + shift for _ in range(60)]
+        for g, shift in (("a", 0), ("b", 2), ("c", 0))
+    }
+    df = spark.createDataFrame(
+        [(g, v) for g, vs in samples.items() for v in vs],
+        "g string, v int",
+    )
+    out = {r[0]: r for r in _rows(kruskal_wallis(df, "g", "v"))}
+    h, h_adj = _py_kruskal(samples)
+    for g, vs in samples.items():
+        grow = out[g]
+        assert grow[1] == len(vs)
+        assert grow[3] == pytest.approx(h, abs=1e-5)
+        assert grow[4] == pytest.approx(h_adj, abs=1e-5)
+        assert grow[5] == 2  # dof = k - 1
+
+
+def test_kruskal_wallis_identical_groups_near_zero(spark):
+    from fred_economic_data_pipeline_local_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in range(1, 11)],
+        "g string, v int",
+    )
+    rows = _rows(kruskal_wallis(df, "g", "v"))
+    # identical distributions -> H exactly 0, mean ranks equal
+    assert all(r[3] == pytest.approx(0.0, abs=1e-9) for r in rows)
+    assert rows[0][2] == rows[1][2]
+
+
+# --- cramers_v ---------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association_is_one(spark):
+    from fred_economic_data_pipeline_local_spark.operators.stats import (
+        cramers_v,
+    )
+
+    df = spark.createDataFrame(
+        [(x, x.upper()) for x in "abcab" * 20], "a string, b string"
+    )
+    [(pair, n, ka, kb, chi2, v)] = _rows(cramers_v(df, "a", "b", "t"))
+    assert (pair, n, ka, kb) == ("t", 100, 3, 3)
+    assert v == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cramers_v_independent_is_zero(spark):
+    from fred_economic_data_pipeline_local_spark.operators.stats import (
+        cramers_v,
+    )
+
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    [(_, n, _, _, chi2, v)] = _rows(cramers_v(df, "a", "b", "t"))
+    assert n == 100
+    assert chi2 == pytest.approx(0.0, abs=1e-9)
+    assert v == pytest.approx(0.0, abs=1e-9)
+
+
+# --- two_proportion_ztest ------------------------------------------------------
+
+
+def test_ztest_matches_closed_form(spark):
+    from fred_economic_data_pipeline_local_spark.operators.stats import (
+        two_proportion_ztest,
+    )
+
+    # cohort 0 = even ids (40 users, 10 convert); cohort 1 = odd ids
+    # (60 users, 30 convert); duplicate view rows exercise the
+    # per-entity dedup
+    rows = []
+    for i in range(40):
+        uid = 2 * i
+        rows += [(uid, "purchase" if i < 10 else "view"), (uid, "view")]
+    for i in range(60):
+        uid = 2 * i + 1
+        rows += [(uid, "purchase" if i < 30 else "view"), (uid, "view")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    [(n0, n1, c0, c1, p0, p1, z)] = _rows(
+        two_proportion_ztest(
+            df,
+            "user_id",
+            F.col("user_id") % 2,
+            F.col("event_type") == "purchase",
+        )
+    )
+    assert (n0, n1, c0, c1) == (40, 60, 10, 30)
+    pool = 40 / 100
+    se = math.sqrt(pool * (1 - pool) * (1 / 40 + 1 / 60))
+    assert z == pytest.approx((0.5 - 0.25) / se, abs=1e-6)
+
+
+# --- conformal_backtest --------------------------------------------------------
+
+
+def test_conformal_qhat_is_order_statistic_and_coverage_exact(spark):
+    from fred_economic_data_pipeline_local_spark.operators.series import (
+        conformal_backtest,
+    )
+
+    # 40 steps; seasonal-naive with period 1 == lag-1; values chosen so
+    # residuals are the step index (1, 2, ..., 39)
+    vals, cur = [], 0.0
+    for i in range(40):
+        vals.append(("k", i, cur))
+        cur += i + 1.0
+    df = spark.createDataFrame(vals, "k string, t long, v double")
+    [(k, n_cal, n_test, qhat, cov, tgt)] = _rows(
+        conformal_backtest(df, "k", "t", "v", period=1, alpha=0.1)
+    )
+    # residual steps: t = 1..39 (lag defined from t=1); cut at
+    # 1 + (39 - 1) * 2 / 3 = 26.33 -> cal = t in 1..26 (residuals 1..26)
+    assert (n_cal, n_test) == (26, 13)
+    # qhat = ceil(0.9 * 27) = 25th smallest of 1..26 -> 25
+    assert qhat == 25.0
+    # test residuals 27..39, none <= 25 -> coverage 0
+    assert cov == 0.0
+    assert tgt == 0.9
+
+
+def test_conformal_full_coverage_when_residuals_stationary(spark):
+    from fred_economic_data_pipeline_local_spark.operators.series import (
+        conformal_backtest,
+    )
+
+    # alternating series: lag-1 residuals all equal -> qhat == residual,
+    # coverage exactly 1.0 on the test slice
+    df = spark.createDataFrame(
+        [("k", i, float(i % 2)) for i in range(30)],
+        "k string, t long, v double",
+    )
+    [(_, n_cal, n_test, qhat, cov, _)] = _rows(
+        conformal_backtest(df, "k", "t", "v", period=1, alpha=0.1)
+    )
+    assert qhat == 1.0 and cov == 1.0
+    assert n_cal + n_test == 29
+
+
+# --- degree_assortativity ------------------------------------------------------
+
+
+def _py_pearson(pairs):
+    n = len(pairs)
+    mx = sum(x for x, _ in pairs) / n
+    my = sum(y for _, y in pairs) / n
+    cov = sum((x - mx) * (y - my) for x, y in pairs) / (n - 1)
+    sx = math.sqrt(sum((x - mx) ** 2 for x, _ in pairs) / (n - 1))
+    sy = math.sqrt(sum((y - my) ** 2 for _, y in pairs) / (n - 1))
+    return cov / (sx * sy)
+
+
+def test_assortativity_triangle_with_pendant(spark):
+    from fred_economic_data_pipeline_local_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "src long, dst long"
+    )
+    [(n_nodes, n_edges, r)] = _rows(degree_assortativity(edges))
+    assert (n_nodes, n_edges) == (4, 4)
+    deg = {1: 3, 2: 2, 3: 2, 4: 1}
+    pairs = []
+    for a, b in ((1, 2), (1, 3), (2, 3), (1, 4)):
+        pairs += [(deg[a], deg[b]), (deg[b], deg[a])]
+    assert r == pytest.approx(_py_pearson(pairs), abs=1e-6)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from fred_economic_data_pipeline_local_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    [(n_nodes, n_edges, r)] = _rows(degree_assortativity(edges))
+    assert (n_nodes, n_edges) == (5, 4)
+    assert r == pytest.approx(-1.0, abs=1e-9)
+
+
+# --- clustering_coefficients ---------------------------------------------------
+
+
+def test_clustering_coefficients_triangle_with_pendant(spark):
+    from fred_economic_data_pipeline_local_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "src long, dst long"
+    )
+    out = {r[0]: r for r in _rows(clustering_coefficients(edges))}
+    # node 4 (degree 1) excluded; node 1: 1 triangle / C(3,2)=3 pairs
+    assert set(out) == {1, 2, 3}
+    assert out[1][1:] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
+    assert out[2][1:] == (2, 1, 1.0)
+    assert out[3][1:] == (2, 1, 1.0)
+
+
+def test_clustering_coefficients_square_is_zero(spark):
+    from fred_economic_data_pipeline_local_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    rows = _rows(clustering_coefficients(edges))
+    assert len(rows) == 4
+    assert all(r[2] == 0 and r[3] == 0.0 for r in rows)
