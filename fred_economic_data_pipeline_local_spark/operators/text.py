@@ -1009,3 +1009,129 @@ def bm25_topk(
         .agg(F.round(F.sum("__c"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+# ln(2) computed once in Python and shared as a literal with any SQL
+# mirror — no cross-engine libm divergence on the constant (the Benford/
+# Fellegi-Sunter shared-literal discipline).
+LN2: float = 0.6931471805599453
+
+
+def js_divergence_by_group(
+    df: DataFrame, group: str, text_col: str = "text"
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between each ``group``'s unigram
+    distribution p and the CORPUS distribution q — the
+    distribution-level drift/outlier screen for source mixing (symmetric
+    and bounded by ln 2, unlike KL, so sources are comparable).
+
+    The missing-token mass is closed-form: tokens absent from a source
+    have p = 0 and contribute 0.5·q·ln 2 each, so
+
+        JSD = sum over tokens IN the source of
+                0.5 p ln(2p/(p+q)) + 0.5 q ln(2q/(p+q))
+              + 0.5 ln 2 · (1 - coverage),
+        coverage = sum over tokens IN the source of q
+
+    — no outer join against the corpus vocabulary, ever. Plan shape:
+    one (group, token) count exchange; corpus token totals re-aggregate
+    that frame (never a second scan) and join back keyed by token; one
+    per-group rollup. p and q are ratios of exact integer counts; ln is
+    libm-rounded identically enough that the 6 dp output rounding
+    absorbs it (the entropy-family precedent); ln 2 is a shared literal.
+
+    Returns one row per group:
+    (group, n_tokens, vocab, coverage, jsd_nats).
+    """
+    cnt = (
+        df.select(
+            F.col(group),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .groupBy(group, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_g = cnt.groupBy(group).agg(F.sum("c").alias("__ng"))
+    corpus = cnt.groupBy("tok").agg(F.sum("c").alias("__ct"))
+    tot = corpus.agg(F.sum("__ct").alias("__n_all"))
+    j = (
+        cnt.join(corpus, "tok")
+        .join(F.broadcast(n_g), group)
+        .join(F.broadcast(tot))
+    )
+    p = F.col("c").cast("double") / F.col("__ng")
+    q = F.col("__ct").cast("double") / F.col("__n_all")
+    term = F.lit(0.5) * p * F.log(2 * p / (p + q)) + F.lit(0.5) * q * F.log(
+        2 * q / (p + q)
+    )
+    return (
+        j.groupBy(group)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(q).alias("__cov"),
+            F.sum(term).alias("__jin"),
+        )
+        .select(
+            group,
+            "n_tokens",
+            "vocab",
+            F.round(F.col("__cov"), 6).alias("coverage"),
+            F.round(
+                F.col("__jin")
+                + F.lit(0.5) * F.lit(LN2) * (1 - F.col("__cov")),
+                6,
+            ).alias("jsd_nats"),
+        )
+    )
+
+
+def readability_scores(
+    df: DataFrame,
+    group: str,
+    text_col: str = "text",
+    long_len: int = 7,
+) -> DataFrame:
+    """Per-``group`` readability profile built on the LIX index
+    (Björnsson 1968 — language-agnostic, syllable-free, so it is exactly
+    computable from deterministic counts):
+
+        LIX = words / sentences + 100 · long_words / words
+
+    with sentences = runs of ``[.!?]`` (min 1) and long words = tokens
+    of ``long_len``+ chars. The boilerplate/complexity screen a quality
+    gate reads next to the Gopher flags: very low = fragmentary/listy
+    text, very high = run-on machine text.
+
+    All per-document quantities are exact integers from one narrow
+    projection (regexp + split built-ins, JVM-side); per-group averages
+    of their exact ratios round 6 dp. Returns one row per group:
+    (group, n_docs, avg_words_per_sentence, long_word_share, avg_lix).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    n_long = F.size(
+        F.filter(toks, lambda x: F.length(x) >= F.lit(long_len))
+    )
+    per_doc = df.select(
+        F.col(group),
+        n_words.alias("__w"),
+        n_sent.alias("__s"),
+        n_long.alias("__l"),
+    )
+    wps = F.col("__w").cast("double") / F.col("__s")
+    lix = wps + 100 * F.col("__l").cast("double") / F.col("__w")
+    return per_doc.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(wps), 6).alias("avg_words_per_sentence"),
+        F.round(
+            F.sum("__l").cast("double") / F.sum("__w"), 6
+        ).alias("long_word_share"),
+        F.round(F.avg(lix), 6).alias("avg_lix"),
+    )

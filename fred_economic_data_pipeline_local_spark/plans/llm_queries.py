@@ -23,6 +23,7 @@ from ..operators.dedup import (
 )
 from ..operators.text import (
     LANG_MARKERS,
+    LN2,
     STOPWORDS_EN,
     bpe_ish_token_count,
     fingerprint,
@@ -2218,3 +2219,81 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(hapax / types.cast("double"), 6).alias("hapax_ratio"),
     )
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+ng AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g FROM cnt GROUP BY 1),
+corp AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_all FROM corp),
+j AS (
+  SELECT cnt.source, c,
+         CAST(c AS DOUBLE) / n_g AS p,
+         CAST(ct AS DOUBLE) / n_all AS q
+  FROM cnt JOIN corp USING (tok) JOIN ng USING (source) CROSS JOIN tot
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       round(sum(q), 6) AS coverage,
+       round(sum(0.5 * p * ln(2 * p / (p + q))
+                 + 0.5 * q * ln(2 * q / (p + q)))
+             + 0.5 * {LN2!r} * (1 - sum(q)), 6) AS jsd_nats
+FROM j GROUP BY source
+""",
+    description="Jensen-Shannon divergence (nats) between each "
+    "source's unigram distribution and the corpus distribution — the "
+    "symmetric, ln2-bounded drift/outlier screen for source mixing "
+    "(KL is unbounded and asymmetric, so sources aren't comparable); "
+    "the missing-token mass is closed-form 0.5·ln2·(1 - coverage), so "
+    "there is NO outer join against the corpus vocabulary; one "
+    "(source, token) exchange, corpus totals re-aggregated from it and "
+    "joined back keyed by token, ln2 a shared Python literal "
+    "(operators/text.py:js_divergence_by_group)",
+)
+def text_js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.text import js_divergence_by_group
+
+    docs = load_table(spark, "documents", sf_dir)
+    return js_divergence_by_group(docs, "source")
+
+
+@query(
+    "text_readability_scores",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) >= 7)) AS l
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(w AS DOUBLE) / s), 6) AS avg_words_per_sentence,
+       round(CAST(sum(l) AS DOUBLE) / sum(w), 6) AS long_word_share,
+       round(avg(CAST(w AS DOUBLE) / s + 100 * CAST(l AS DOUBLE) / w), 6)
+         AS avg_lix
+FROM per_doc GROUP BY source
+""",
+    description="LIX readability profile per source (Björnsson 1968: "
+    "words/sentence + 100·longwords/words — language-agnostic and "
+    "syllable-free, so exactly computable): the complexity/boilerplate "
+    "screen next to the Gopher flags — very low = fragmentary list "
+    "text, very high = run-on machine text; sentences = [.!?]+ runs "
+    "(min 1), long = 7+ chars, all counts exact integers from one "
+    "narrow JVM-side projection, per-source averages of exact ratios "
+    "(operators/text.py:readability_scores)",
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import readability_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return readability_scores(docs, "source")

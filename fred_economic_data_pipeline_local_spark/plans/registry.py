@@ -165,6 +165,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "forecast_conformal_intervals",
     "graph_degree_assortativity",
     "graph_clustering_topk",
+    "text_js_divergence_sources",
+    "text_readability_scores",
+    "dq_accepted_values_audit",
+    "linkage_golden_record",
+    "embedding_knn_accuracy",
     # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",

@@ -3549,3 +3549,187 @@ def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x").alias("src"), F.col("y").alias("dst"))
     )
     return clustering_coefficients(e, min_degree=2, topk=20)
+
+
+# Accepted-values contracts (dbt-style): the business-legal domain per
+# categorical column. events.event_type deliberately EXCLUDES 'error' —
+# error events are telemetry, not business events, so the audit counts
+# them as contract violations (a non-vacuous gate).
+_AV_RULES: list[tuple[str, str, str, list[str]]] = [
+    ("orders.o_orderstatus", "orders", "o_orderstatus", ["F", "O", "P"]),
+    (
+        "orders.o_orderpriority",
+        "orders",
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    ),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag", ["A", "N", "R"]),
+    ("lineitem.l_linestatus", "lineitem", "l_linestatus", ["F", "O"]),
+    (
+        "events.event_type",
+        "events",
+        "event_type",
+        ["view", "click", "purchase", "signup"],
+    ),
+    ("documents.lang", "documents", "lang", ["en", "de", "es", "fr", "zh"]),
+]
+
+
+def _av_sql(name: str, table: str, col: str, vals: list[str]) -> str:
+    inlist = ", ".join(f"'{v}'" for v in vals)
+    return f"""SELECT '{name}' AS rule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {col} IN ({inlist}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_violations,
+       round(CAST(sum(CASE WHEN {col} IN ({inlist}) THEN 0 ELSE 1 END)
+                  AS DOUBLE) / count(*), 6) AS violation_share,
+       sum(CASE WHEN {col} IN ({inlist}) THEN 0 ELSE 1 END) = 0 AS passes
+FROM {table}"""
+
+
+@query(
+    "dq_accepted_values_audit",
+    oracle="\nUNION ALL\n".join(_av_sql(*r) for r in _AV_RULES),
+    description="accepted-values audit (the dbt accepted_values test "
+    "shape) over six categorical contract columns: per rule the row "
+    "count, out-of-domain count (NULL counts as a violation — CASE "
+    "falls to ELSE), violation share, and pass flag; events.event_type "
+    "deliberately excludes 'error' so the gate is non-vacuous; one "
+    "map-combined aggregate per table, no joins — completes the "
+    "uniqueness / referential-integrity / freshness DQ quartet",
+)
+def dq_accepted_values_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    parts = []
+    for name, table, col, vals in _AV_RULES:
+        t = load_table(spark, table, sf_dir)
+        viol = F.when(F.col(col).isin(vals), 0).otherwise(1)
+        parts.append(
+            t.agg(
+                F.lit(name).alias("rule"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(viol).alias("n_violations"),
+                F.round(
+                    F.sum(viol).cast("double") / F.count(F.lit(1)), 6
+                ).alias("violation_share"),
+                (F.sum(viol) == 0).alias("passes"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# the SNM match-graph + components CTE prefix shared with
+# linkage_snm_clusters' oracle (same window/tolerance constants)
+_SNM_COMP_CTES = f"""
+r0 AS (
+  SELECT c_mktsegment AS blk, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS rn
+  FROM customer
+),
+e0 AS (
+  SELECT a.c_custkey AS x, b.c_custkey AS y
+  FROM r0 a JOIN r0 b
+    ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW}
+  WHERE abs(b.c_acctbal - a.c_acctbal) <= {_SNM_BAL_TOL!r}
+),
+e AS (SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+n AS (SELECT DISTINCT x AS node FROM e),
+w(node, lbl) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.y, w.lbl FROM w JOIN e ON e.x = w.node
+),
+comp AS (SELECT node, min(lbl) AS entity FROM w GROUP BY node)
+"""
+
+
+@query(
+    "linkage_golden_record",
+    oracle=f"""
+WITH RECURSIVE {_SNM_COMP_CTES},
+lab AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+         COALESCE(comp.entity, c.c_custkey) AS entity_id
+  FROM customer c LEFT JOIN comp ON c.c_custkey = comp.node
+),
+sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+       FROM lab GROUP BY 1),
+g AS (
+  SELECT lab.*, row_number() OVER (PARTITION BY entity_id
+                                   ORDER BY c_acctbal DESC, c_custkey)
+           AS rk
+  FROM lab
+)
+SELECT g.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(n_members) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_entities,
+       CAST(sum(n_members) - count(*) AS BIGINT) AS n_absorbed,
+       round(avg(c_acctbal), 6) AS avg_golden_bal
+FROM g JOIN sz USING (entity_id) WHERE rk = 1
+GROUP BY 1
+""",
+    description="survivorship (golden-record selection) on top of the "
+    "SNM entity clusters: per entity the canonical record is the "
+    "highest-balance member (custkey tiebreak — a deterministic "
+    "most-complete-record rule), reported per segment as entity/record/"
+    "absorption counts and the mean canonical balance — the master-"
+    "data step AFTER match+cluster that linkage pipelines actually "
+    "ship; clustering reuses the two-star component engine "
+    "(O(log n) rounds on chain-prone tolerance graphs), survivorship "
+    "is one per-entity window over the O(entities) labeled frame "
+    "(operators/linkage.py + operators/dedup.py)",
+)
+def linkage_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components_twostar
+    from ..operators.linkage import sorted_neighborhood_pairs
+
+    cust = load_table(spark, "customer", sf_dir)
+    pairs = sorted_neighborhood_pairs(
+        cust,
+        id_col="c_custkey",
+        block_col="c_mktsegment",
+        order_by=["c_acctbal"],
+        window=_SNM_WINDOW,
+        carry=["c_acctbal"],
+    )
+    edges = pairs.where(
+        F.abs(F.col("c_acctbal_b") - F.col("c_acctbal_a"))
+        <= F.lit(_SNM_BAL_TOL)
+    ).select("id_a", "id_b")
+    comp = connected_components_twostar(edges)
+    lab = (
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .join(comp, cust["c_custkey"] == comp["id"], "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.coalesce("component", "c_custkey").alias("entity_id"),
+        )
+    )
+    sz = lab.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    g = lab.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") == 1
+    )
+    return (
+        g.join(sz, "entity_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("n_members").alias("n_records"),
+            F.sum((F.col("n_members") > 1).cast("long")).alias(
+                "n_multi_entities"
+            ),
+            (F.sum("n_members") - F.count(F.lit(1))).alias("n_absorbed"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_golden_bal"),
+        )
+    )

@@ -1449,3 +1449,110 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_KNN_K = 5
+
+
+@query(
+    "embedding_knn_accuracy",
+    # the eval harness is definitionally a sample-vs-index compare: the
+    # test split (vec_id % 5 == 0) broadcasts against the train side;
+    # cosine is ROUNDED to 6 dp BEFORE ranking so the neighbor sets are
+    # engine-identical (unrounded last-ulp fold differences could flip
+    # a rank), with vec_id then label-ascending tiebreaks pinning both
+    # the neighbor list and the majority vote
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+           FROM embeddings),
+q AS (SELECT * FROM c WHERE vec_id % 5 = 0),
+t AS (SELECT * FROM c WHERE vec_id % 5 <> 0),
+nn AS (
+  SELECT q.vec_id AS qid, q.label AS true_label, t.label AS nb_label
+  FROM q JOIN t ON true
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round({_COS_SQL.replace('c.e', 't.e')}, 6) DESC, t.vec_id
+  ) <= {_KNN_K}
+),
+votes AS (
+  SELECT qid, true_label, nb_label, count(*) AS v
+  FROM nn GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT qid, true_label, nb_label AS pred_label
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY v DESC, nb_label) = 1
+)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0
+                      END) AS DOUBLE) / count(*), 6) AS accuracy
+FROM pred GROUP BY 1
+""",
+    description="k-NN classification accuracy of the embedding space "
+    "(5-NN majority vote, leave-out split vec_id % 5): per true label "
+    "the held-out count and the vote accuracy — the label-coherence "
+    "eval that tells you whether an embedding index is worth building "
+    "before any ANN work; cosine rounded 6 dp BEFORE ranking with "
+    "id/label tiebreaks so neighbor sets and votes are engine-exact; "
+    "the test split broadcasts against the train side (eval-on-sample "
+    "by construction — the production-scale analogue probes the IVF "
+    "index instead of brute force)",
+)
+def embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+    )
+    emb = emb.withColumn("__n", l2_norm(F.col("e")))
+    q = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("__n").alias("qn"),
+        F.col("label").alias("true_label"),
+    )
+    t = emb.where(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("tid"),
+        F.col("e").alias("te"),
+        F.col("__n").alias("tn"),
+        F.col("label").alias("nb_label"),
+    )
+    cos = F.round(
+        dot(F.col("qe"), F.col("te")) / (F.col("qn") * F.col("tn")), 6
+    )
+    w_nn = Window.partitionBy("qid").orderBy(
+        F.desc("__cos"), F.asc("tid")
+    )
+    nn = (
+        F.broadcast(q)
+        .join(t)
+        .select("qid", "true_label", "nb_label", "tid", cos.alias("__cos"))
+        .withColumn("__rk", F.row_number().over(w_nn))
+        .where(F.col("__rk") <= _KNN_K)
+    )
+    votes = nn.groupBy("qid", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.desc("__v"), F.asc("nb_label")
+    )
+    pred = (
+        votes.withColumn("__pk", F.row_number().over(w_vote))
+        .where(F.col("__pk") == 1)
+        .select("qid", "true_label", F.col("nb_label").alias("pred_label"))
+    )
+    correct = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(correct).alias("n_correct"),
+        F.round(
+            F.sum(correct).cast("double") / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )

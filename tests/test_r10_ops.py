@@ -261,3 +261,97 @@ def test_clustering_coefficients_square_is_zero(spark):
     rows = _rows(clustering_coefficients(edges))
     assert len(rows) == 4
     assert all(r[2] == 0 and r[3] == 0.0 for r in rows)
+
+
+# --- js_divergence_by_group ----------------------------------------------------
+
+
+def _py_jsd(p_counts: dict[str, int], q_counts: dict[str, int]) -> float:
+    """Definitional JSD(p || q) in nats over the FULL union vocabulary."""
+    np_, nq = sum(p_counts.values()), sum(q_counts.values())
+    out = 0.0
+    for tok in set(p_counts) | set(q_counts):
+        p = p_counts.get(tok, 0) / np_
+        q = q_counts.get(tok, 0) / nq
+        m = (p + q) / 2
+        if p:
+            out += 0.5 * p * math.log(p / m)
+        if q:
+            out += 0.5 * q * math.log(q / m)
+    return out
+
+
+def test_jsd_matches_definitional_full_vocabulary(spark):
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        js_divergence_by_group,
+    )
+
+    docs = [
+        ("a", "x x x y z"),
+        ("a", "x y y w"),
+        ("b", "p p q x"),
+        ("b", "q q z z z"),
+    ]
+    df = spark.createDataFrame(docs, "g string, text string")
+    corpus: dict[str, int] = {}
+    groups: dict[str, dict[str, int]] = {}
+    for g, text in docs:
+        gd = groups.setdefault(g, {})
+        for tok in text.split():
+            corpus[tok] = corpus.get(tok, 0) + 1
+            gd[tok] = gd.get(tok, 0) + 1
+    out = {r[0]: r for r in js_divergence_by_group(df, "g").collect()}
+    for g, cnts in groups.items():
+        assert out[g]["n_tokens"] == sum(cnts.values())
+        assert out[g]["vocab"] == len(cnts)
+        assert out[g]["jsd_nats"] == pytest.approx(
+            _py_jsd(cnts, corpus), abs=1e-6
+        )
+
+
+def test_jsd_identical_distribution_is_zero(spark):
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        js_divergence_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "a b c")], "g string, text string"
+    )
+    [row] = js_divergence_by_group(df, "g").collect()
+    # single group == corpus -> p = q everywhere -> JSD exactly 0
+    assert row["jsd_nats"] == pytest.approx(0.0, abs=1e-9)
+    assert row["coverage"] == pytest.approx(1.0, abs=1e-9)
+
+
+# --- readability_scores --------------------------------------------------------
+
+
+def test_readability_known_document(spark):
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        readability_scores,
+    )
+
+    # 8 whitespace tokens, 2 sentences; long (>= 7 chars) tokens are
+    # brownish, creature, "jumped." (punct attaches under whitespace
+    # tokenization), "lazybones!" -> 4 of 8
+    text = "the quick brownish creature jumped. over the lazybones!"
+    df = spark.createDataFrame([("g", text)], "g string, text string")
+    [row] = readability_scores(df, "g").collect()
+    assert row["n_docs"] == 1
+    assert row["avg_words_per_sentence"] == pytest.approx(4.0)
+    assert row["long_word_share"] == pytest.approx(0.5)
+    # LIX = 8/2 + 100 * 4/8 = 54
+    assert row["avg_lix"] == pytest.approx(54.0)
+
+
+def test_readability_no_terminator_counts_one_sentence(spark):
+    from fred_economic_data_pipeline_local_spark.operators.text import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "just four small words")], "g string, text string"
+    )
+    [row] = readability_scores(df, "g").collect()
+    assert row["avg_words_per_sentence"] == pytest.approx(4.0)
+    assert row["avg_lix"] == pytest.approx(4.0)
