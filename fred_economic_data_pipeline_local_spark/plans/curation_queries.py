@@ -2161,3 +2161,76 @@ def manifest_zone_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "lo", "hi", "n_rows", "n_overlapping")
         .localCheckpoint(eager=True)
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "curation_neyman_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2
+  FROM documents GROUP BY 1
+),
+v AS (
+  SELECT source, n_docs,
+         sqrt(greatest((CAST(sx2 AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx / n_docs)
+                       / (n_docs - 1), 0.0)) AS sd
+  FROM s WHERE n_docs > 1
+),
+t AS (SELECT sum(n_docs * sd) AS tw FROM v)
+SELECT source, n_docs,
+       round(sd, 6) AS sd_chars,
+       round(n_docs * sd / tw, 6) AS alloc_share,
+       round({_NEYMAN_BUDGET} * (n_docs * sd) / tw, 4) AS alloc_docs
+FROM v CROSS JOIN t
+""",
+    description="Neyman allocation of a {budget}-doc sampling budget "
+    "across sources: n_h x S_h proportional (the variance-optimal "
+    "stratified design — oversample heterogeneous strata, not big "
+    "ones); the stratum SD comes from EXACT integer sums (sum x, "
+    "sum x^2 are BIGINTs, so both engines take sqrt of the identical "
+    "rational) — one map-combined exchange, a 1-row total broadcast "
+    "back; the design readout a curation sampler consumes before "
+    "drawing (pairs with sample_stratified_lang / "
+    "sampling_effective_size)".format(budget=_NEYMAN_BUDGET),
+)
+def curation_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    x = F.col("n_chars")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sx2"),
+    )
+    var = (
+        F.col("__sx2").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sx") / F.col("n_docs")
+    ) / (F.col("n_docs") - 1)
+    v = s.where(F.col("n_docs") > 1).select(
+        "source",
+        "n_docs",
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("__sd"),
+    )
+    t = v.agg(F.sum(F.col("n_docs") * F.col("__sd")).alias("__tw"))
+    return v.join(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.round("__sd", 6).alias("sd_chars"),
+        F.round(
+            F.col("n_docs") * F.col("__sd") / F.col("__tw"), 6
+        ).alias("alloc_share"),
+        F.round(
+            F.lit(_NEYMAN_BUDGET)
+            * (F.col("n_docs") * F.col("__sd"))
+            / F.col("__tw"),
+            4,
+        ).alias("alloc_docs"),
+    )

@@ -2297,3 +2297,127 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return readability_scores(docs, "source")
+
+
+@query(
+    "dedup_lsh_recall",
+    # the eval is definitionally exact-vs-approx on a deterministic
+    # sample — an id-RANGE prefix (doc_id <= max*2 div 5, exact integer
+    # arithmetic in both engines), because a modulus sample keeps a
+    # near-dup pair only when BOTH endpoints land in it (~1/25 of
+    # pairs; measured vacuous at sf0.01, 0 of the 25 planted pairs):
+    # exact Jaccard pairs from the exported shingle sets, LSH
+    # candidates from the exported band index (prod's hot-bucket cap
+    # included), recall/precision from exact integer counts
+    oracle=f"""
+WITH sh AS (SELECT * FROM {export_sql('lsh_recall_shingles')}),
+bk AS (SELECT * FROM {export_sql('lsh_recall_banded')}),
+ex AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                     AS DOUBLE), 6) >= 0.5
+),
+hot AS (
+  SELECT band, bucket FROM bk GROUP BY band, bucket HAVING count(*) > 1000
+),
+bkf AS (SELECT bk.* FROM bk ANTI JOIN hot USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bkf a JOIN bkf b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+hit AS (SELECT * FROM cand SEMI JOIN ex USING (id_a, id_b)),
+n AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hits
+)
+SELECT n_exact, n_candidates, n_hits,
+       CASE WHEN n_exact > 0
+            THEN round(CAST(n_hits AS DOUBLE) / n_exact, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS recall,
+       CASE WHEN n_candidates > 0
+            THEN round(CAST(n_hits AS DOUBLE) / n_candidates, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS candidate_precision
+FROM n
+""",
+    description="measured recall of the MinHash LSH index against "
+    "ground truth: on the deterministic id-range eval sample, exact "
+    "Jaccard >= 0.5 pairs (brute self-join over the sample's shingle "
+    "sets — eval-on-sample is the methodology, never the corpus) vs "
+    "the banded candidates with prod's hot-bucket cap; recall and "
+    "pre-verify candidate precision from exact integer counts — the "
+    "'measure, don't guess' number that justifies the (bands, rows) "
+    "configuration at scale; both index tables exported, DuckDB "
+    "re-derives both sides (operators/dedup.py:minhash_banded)",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.dedup import minhash_banded, shingle_df
+
+    docs_all = load_table(spark, "documents", sf_dir)
+    cut = docs_all.agg(
+        F.expr("max(doc_id) * 2 div 5").alias("__cut")
+    )
+    docs = docs_all.join(F.broadcast(cut)).where(
+        F.col("doc_id") <= F.col("__cut")
+    )
+    sh = export_table(shingle_df(docs), "lsh_recall_shingles")
+    banded = export_table(
+        minhash_banded(docs, shingles=sh), "lsh_recall_banded"
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        6,
+    )
+    ex = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1000)
+        .select("band", "bucket")
+    )
+    bkf = banded.join(hot, ["band", "bucket"], "left_anti")
+    ba = bkf.select("band", "bucket", F.col("id").alias("id_a"))
+    bb = bkf.select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        ba.join(bb, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hit = cand.join(ex, ["id_a", "id_b"], "left_semi")
+    n_e = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_h = hit.agg(F.count(F.lit(1)).alias("n_hits"))
+    joined = F.broadcast(n_e).join(F.broadcast(n_c)).join(F.broadcast(n_h))
+    return joined.select(
+        "n_exact",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("candidate_precision"),
+    )

@@ -170,6 +170,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dq_accepted_values_audit",
     "linkage_golden_record",
     "embedding_knn_accuracy",
+    "curation_neyman_allocation",
+    "dedup_lsh_recall",
     # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",
