@@ -405,3 +405,204 @@ def resize_media(
             )
 
     return df.mapInPandas(_resize, _RESIZE_SCHEMA)
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+_PATTERN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("media", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def attach_pattern_media(
+    df: DataFrame, id_col: str = "doc_id", variant_every: int = 5
+) -> DataFrame:
+    """Materialize a deterministic grayscale PATTERN image per row plus,
+    for every ``variant_every``-th id, a HALF-RESOLUTION re-render of
+    the same continuous pattern under ``doc_id + 1_000_000`` — the
+    resized-re-upload scenario exact (md5) dedup is blind to and
+    perceptual hashing exists for.
+
+    The pattern is a sinusoid field sampled on normalized coordinates
+    (pixel value depends on (x+0.5)/W, (y+0.5)/H, not on raw pixel
+    indices), so two renders at different resolutions are the SAME
+    image content — geometry, not bytes. Rendering runs per Arrow batch
+    in ``mapInPandas`` (the codec edge); output is raw row-major
+    grayscale bytes with real (width, height) metadata.
+    """
+
+    def _render_one(np, i: int, scale: int):
+        w = max((32 + (i * 7) % 64) // scale, 4)
+        h = max((32 + (i * 13) % 64) // scale, 4)
+        # three LOW-frequency sinusoids (<= 3.5 cycles — pHash keeps
+        # only the top-left 8x8 DCT block, so the content must live in
+        # those frequencies; a first cut with ~8-cycle patterns hashed
+        # on leakage alone: 13-way collisions, variant Hamming up to
+        # 20). Base-5 digit mixtures give every id a distinct field:
+        # measured on 500 ids — 500 distinct hashes, unrelated median
+        # Hamming 32 (1/2391 pairs <= 7), variant median 2 (3% > 7).
+        y, x = np.mgrid[0:h, 0:w]
+        u, v = (x + 0.5) / w, (y + 0.5) / h
+        img = np.full((h, w), 128.0)
+        for k in range(3):
+            a = 1 + (i // 5 ** (2 * k)) % 5
+            b = 1 + (i // 5 ** (2 * k + 1)) % 5
+            p = ((i * (k + 3)) % 11) / 11.0
+            amp = (30, 50, 40)[k]
+            img = img + amp * np.sin(
+                2 * np.pi * (a * u * 0.7 + b * v * 0.7 + p)
+            )
+        return np.clip(img, 0, 255).astype(np.uint8), w, h
+
+    def _render(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, medias, ws, hs = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                img, w, h = _render_one(np, i, 1)
+                ids.append(i)
+                medias.append(img.tobytes())
+                ws.append(w)
+                hs.append(h)
+                if i % variant_every == 0:
+                    img2, w2, h2 = _render_one(np, i, 2)
+                    ids.append(i + 1_000_000)
+                    medias.append(img2.tobytes())
+                    ws.append(w2)
+                    hs.append(h2)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": medias, "width": ws, "height": hs}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _render, _PATTERN_SCHEMA
+    )
+
+
+def phash63(
+    df: DataFrame,
+    media_col: str = "media",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """63-bit DCT perceptual hash per image — the classic pHash pipeline
+    (2-D resample -> 2-D DCT-II -> low-frequency block -> median
+    threshold) run for real at the codec edge:
+
+      1. the row-major grayscale buffer (width x height metadata, the
+         decoder's output shape) nearest-resamples to a 32x32 grid —
+         a true 2-D resize, so re-renders of the same content at
+         different resolutions land on (nearly) the same grid;
+      2. orthonormal DCT-II via two matrix multiplies (numpy, inside
+         one Arrow ``mapInPandas`` batch — the only Python hop);
+      3. the top-left 8x8 coefficient block MINUS the DC term gives 63
+         AC coefficients; each bit = coefficient > median.
+
+    63 bits (not 64) is load-bearing: the MSB stays clear, the hash is
+    a NONNEGATIVE int64, and every downstream consumer (banding shifts,
+    XOR/bit_count Hamming) behaves identically under arithmetic and
+    logical shifts in any engine — the exported hash table needs no
+    unsigned-integer gymnastics in SQL.
+
+    The hash computation itself has no SQL mirror (DCT), so callers
+    export the (doc_id, phash) table and verify everything downstream
+    (banding, candidate join, Hamming verify) — the exported-index
+    pattern. Returns (doc_id, phash).
+    """
+
+    def _phash(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        n = 32
+        k = np.arange(n)
+        # orthonormal DCT-II basis
+        c = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+        )
+        c[0, :] = np.sqrt(1.0 / n)
+        for pdf in batches:
+            hashes = []
+            for raw, w, h in zip(
+                pdf["media"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                b = np.frombuffer(bytes(raw), dtype=np.uint8)
+                if b.size < w * h or w < 1 or h < 1:
+                    hashes.append(0)
+                    continue
+                img = b[: w * h].reshape(h, w)
+                yi = (np.arange(n) * h) // n
+                xi = (np.arange(n) * w) // n
+                grid = img[np.ix_(yi, xi)].astype(np.float64)
+                coef = (c @ grid @ c.T)[:8, :8].ravel()[1:]  # drop DC
+                med = float(np.median(coef))
+                bits = 0
+                for i, v in enumerate(coef):
+                    if v > med:
+                        bits |= 1 << i
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": hashes}
+            )
+
+    return df.select(
+        "doc_id", media_col, width_col, height_col
+    ).mapInPandas(_phash, _PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 7
+) -> DataFrame:
+    """Hamming-distance near-dup pairs over a (doc_id, phash) table via
+    multi-index banding: the 63-bit hash splits into 8 fixed bands
+    (7 x 8 bits + 1 x 7 bits); by pigeonhole, any pair within Hamming
+    distance 7 agrees EXACTLY on at least one band, so the banded
+    equi-join is a LOSSLESS candidate generator for
+    ``max_hamming <= 7`` — never an all-pairs compare — and each
+    candidate is verified with one XOR + bit_count. The same
+    index-then-verify shape as MinHash LSH, on bits instead of
+    shingles. Returns (id_a, id_b, hamming).
+    """
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), 8 * i).bitwiseAND(
+                F.lit(255 if i < 7 else 127).cast("long")
+            )
+            for i in range(8)
+        ]
+    )
+    bt = hashes.select(
+        "doc_id", "phash", F.posexplode(bands).alias("band", "bval")
+    )
+    a = bt.select(
+        "band", "bval",
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"),
+    )
+    b = bt.select(
+        "band", "bval",
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"),
+    )
+    ham = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).cast("int")
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -172,6 +172,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "embedding_knn_accuracy",
     "curation_neyman_allocation",
     "dedup_lsh_recall",
+    "multimodal_phash_dedup",
     # --- 4. round-4 freshness tail ---
     "curation_redact_pii",
     "embedding_hard_negatives",

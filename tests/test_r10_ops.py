@@ -355,3 +355,68 @@ def test_readability_no_terminator_counts_one_sentence(spark):
     [row] = readability_scores(df, "g").collect()
     assert row["avg_words_per_sentence"] == pytest.approx(4.0)
     assert row["avg_lix"] == pytest.approx(4.0)
+
+
+# --- phash63 / phash_neardup_pairs ----------------------------------------------
+
+
+def test_phash_banding_is_lossless_to_hamming_7(spark):
+    from fred_economic_data_pipeline_local_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    base = rng.getrandbits(63)
+    rows = [(0, base)]
+    # ids 1..7: flip exactly id bits at random positions (hamming == id)
+    for d in range(1, 8):
+        flipped = base
+        for pos in rng.sample(range(63), d):
+            flipped ^= 1 << pos
+        rows.append((d, flipped))
+    # id 8: flip 8 bits spread one per band -> outside the guarantee
+    flipped = base
+    for band in range(8):
+        flipped ^= 1 << (8 * band if band < 7 else 57)
+    rows.append((8, flipped))
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(df, max_hamming=7).collect()
+    }
+    # every hamming <= 7 pair with the base is found, with exact distance
+    for d in range(1, 8):
+        assert pairs[(0, d)] == d
+    assert (0, 8) not in pairs  # hamming 8: correctly outside the bound
+
+
+def test_phash_resize_robust_and_distinct(spark):
+    from fred_economic_data_pipeline_local_spark.operators.multimodal import (
+        attach_pattern_media,
+        phash63,
+    )
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(0, 50, 5)], "doc_id long"
+    )
+    hashes = {
+        r["doc_id"]: r["phash"]
+        for r in phash63(attach_pattern_media(ids, variant_every=5))
+        .collect()
+    }
+    originals = [h for i, h in hashes.items() if i < 1_000_000]
+    # every id renders a distinct field -> distinct hashes
+    assert len(set(originals)) == len(originals)
+    # half-resolution re-renders stay within the Hamming-7 dedup bound
+    # for (nearly) all planted pairs on this slice
+    close = sum(
+        1
+        for i, h in hashes.items()
+        if i >= 1_000_000
+        and bin(h ^ hashes[i - 1_000_000]).count("1") <= 7
+    )
+    n_variants = sum(1 for i in hashes if i >= 1_000_000)
+    assert n_variants == 10
+    assert close >= 9
