@@ -59,39 +59,90 @@ def get_query(name: str) -> QuerySpec:
 # registry match exactly, so adding a query without cataloguing it is a
 # test failure, not a silent reorder.
 #
-# Editorial reslot #6 (round 9, mandated by the round-8 verdict):
-# external consumers verify a fixed-size prefix of this catalog (50
-# entries), so the prefix carries the queries whose verification is
-# currently most valuable, in rotation priority:
-#   1. the ELEVEN r7/r8 driver hash-reds, root-caused by VERDICT r8 as
-#      oracle dtype drift (bare integer sum() -> DuckDB HUGEINT ->
-#      pandas float64 vs Spark int64) and fixed this round with
-#      CAST(... AS BIGINT) in the oracle SQL — NOT the shared-scratch
-#      contention theory rotations #4/#5 recorded (that hygiene is
-#      kept, but it was refuted: the reds stayed red under run-unique
-#      scratch, and the 11 reds were exactly the catalog's 11
-#      HUGEINT-emitting oracles). At the head until hash-green;
-#      tests/test_oracle_dtypes.py now pins the whole class.
-#   2. the round-9 additions, never driver-checked: sketch_hll_report,
-#      graph_personalized_pagerank, winsorize_approx_path,
-#      hybrid_rrf_retrieval, window_hll_distinct_users,
-#      similarity_ivf_recall, curation_mixture_allocation,
-#      stream_hll_ingest;
-#   3. code changed this round: graph_pagerank_topk (the adjacency is
-#      now eagerly checkpointed — ADVICE r8);
+# Editorial reslot #7 (round 10): external consumers verify a
+# fixed-size prefix of this catalog (50 entries), so the prefix
+# carries the queries whose verification is currently most valuable,
+# in rotation priority:
+#   1. the seven round-9 below-window additions (never driver-checked);
+#   2. the fourteen round-10 additions (never checked);
+#   3. code changed this round: chi2_priority_status — its chi2_total
+#      moved to the full-table identity sum(o^2/e) - N (the
+#      observed-cells-only sum silently drops empty contingency cells'
+#      mass; found via cramers_v's broken <= 1 bound), so the r9 green
+#      row predates the current formula;
 #   4. the round-4-dated rows (curation/embedding refresh + the TPC-H
-#      tail), promised since rotation #5 — the second-wave additions
-#      (block 2b below) displaced the q14-q22 slice and the round-5
-#      head below the window (never-checked beats re-check); those
-#      displaced rows head round 10's rotation;
-#   5. (displaced to round 10) the round-5 freshness head.
-# Everything demoted below the window is hash-green as of rounds 5-8
-# and remains covered by the identical local mirror
-# (tests/test_oracle_parity.py) every round. After this rotation no
-# entry's newest external row is older than round 5.
+#      tail), promised since rotation #5 and twice displaced by
+#      never-checked waves — all 22 finally in the window;
+#   5. the round-5 freshness head (6 of its 7; q5_nation_revenue
+#      yields its slot to the chi2 re-verification — it is untouched
+#      since r5 and mirrored locally every round).
+# The ENTIRE round-9 window (the 11 HUGEINT re-verifications, both
+# second-wave blocks, graph_pagerank_topk, profile_psi_lengths — all
+# hash-green in CORRECTNESS_r09) demotes directly below the window.
+# After this rotation no entry's newest driver row is older than
+# round 5, and only q5_nation_revenue + the long tail sit at r5-r8.
 CATALOG_ORDER: tuple[str, ...] = (
     # ===== verified window (first 50) =====
-    # --- 1. the 11 HUGEINT-fixed oracles (r7/r8 reds) ---
+    # --- 1. round-9 tail additions (never checked) ---
+    "similarity_ivf_ndcg",
+    "dq_uniqueness_audit",
+    "embedding_centroid_drift",
+    "dq_freshness_audit",
+    "lorenz_customer_spend",
+    "text_hapax_ratio",
+    "events_dow_seasonality",
+    # --- 2. round-10 additions (never checked) ---
+    "kruskal_wallis_qty_flag",
+    "cramers_v_pairs",
+    "abtest_conversion_ztest",
+    "forecast_conformal_intervals",
+    "graph_degree_assortativity",
+    "graph_clustering_topk",
+    "text_js_divergence_sources",
+    "text_readability_scores",
+    "dq_accepted_values_audit",
+    "linkage_golden_record",
+    "embedding_knn_accuracy",
+    "curation_neyman_allocation",
+    "dedup_lsh_recall",
+    "multimodal_phash_dedup",
+    # --- 3. code changed this round (chi2_total identity fix) ---
+    "chi2_priority_status",
+    # --- 4. round-4 freshness tail (promised since rotation #5) ---
+    "curation_redact_pii",
+    "embedding_hard_negatives",
+    "curation_quality_report",
+    "embedding_neardup_cosine",
+    "embedding_neardup_resolve",
+    "similarity_cosine_topk",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipping_delay",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    # --- 5. round-5 freshness head (q5_nation_revenue yields its
+    # slot to the chi2 re-verification) ---
+    "fred_silver_monthly",
+    "fred_gold_yearly",
+    "fred_dedup_append",
+    "fred_upsert_merge",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # ===== below the window =====
+    # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
+    "q5_nation_revenue",
     "manifest_zorder_range_read",
     "stream_lake_ingest",
     "manifest_rebucket_read",
@@ -103,7 +154,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "record_linkage_fs",
     "ks_test_doc_lengths",
     "text_entropy_by_source",
-    # --- 2. round-9 additions (never checked) ---
     "sketch_hll_report",
     "graph_personalized_pagerank",
     "winsorize_approx_path",
@@ -112,11 +162,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_ivf_recall",
     "curation_mixture_allocation",
     "stream_hll_ingest",
-    # --- 2b. round-9 second-wave additions (never checked; each new
-    # entry in the window displaces one round-4-dated row to the head
-    # of round 10's rotation — never-checked beats re-check) ---
     "auc_doc_length_lang",
-    "chi2_priority_status",
     "benford_order_prices",
     "gini_customer_spend",
     "spearman_quantity_price",
@@ -144,69 +190,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_novelty_rate",
     "markov_conditional_entropy",
     "dq_referential_integrity",
-    # --- 3. code changed this round ---
     "graph_pagerank_topk",
-    # --- 2c. last in-window slot (position 50); anything added after
-    # this point sits below the window and heads round 10's rotation ---
     "profile_psi_lengths",
-    # --- 2d. below the window (never checked -> head of round 10) ---
-    "similarity_ivf_ndcg",
-    "dq_uniqueness_audit",
-    "embedding_centroid_drift",
-    "dq_freshness_audit",
-    "lorenz_customer_spend",
-    "text_hapax_ratio",
-    "events_dow_seasonality",
-    # --- 2e. round-10 additions (never checked; window composition is
-    # finalized in the round-10 editorial reslot) ---
-    "kruskal_wallis_qty_flag",
-    "cramers_v_pairs",
-    "abtest_conversion_ztest",
-    "forecast_conformal_intervals",
-    "graph_degree_assortativity",
-    "graph_clustering_topk",
-    "text_js_divergence_sources",
-    "text_readability_scores",
-    "dq_accepted_values_audit",
-    "linkage_golden_record",
-    "embedding_knn_accuracy",
-    "curation_neyman_allocation",
-    "dedup_lsh_recall",
-    "multimodal_phash_dedup",
-    # --- 4. round-4 freshness tail ---
-    "curation_redact_pii",
-    "embedding_hard_negatives",
-    "curation_quality_report",
-    "embedding_neardup_cosine",
-    "embedding_neardup_resolve",
-    "similarity_cosine_topk",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipping_delay",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    # --- 5. round-5 freshness head ---
-    "fred_silver_monthly",
-    "fred_gold_yearly",
-    "fred_dedup_append",
-    "fred_upsert_merge",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    # ===== below the window: hash-green r5-r8, mirrored locally
-    # every round by tests/test_oracle_parity.py =====
+    # ===== hash-green r5-r8, mirrored locally every round by
+    # tests/test_oracle_parity.py =====
     "q9_product_type_profit",
     "q18_large_volume_customers",
     "text_token_counts",
