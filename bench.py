@@ -153,6 +153,23 @@ HEADLINE = [
     "similarity_ivf_ndcg",
     "text_novelty_rate",
     "embedding_silhouette_centroids",
+    # round-10 wave: rank ANOVA, association, A/B, conformal, graph
+    # structure, text distributions, DQ contract, survivorship,
+    # embedding eval, sampling design, LSH recall, perceptual dedup
+    "kruskal_wallis_qty_flag",
+    "cramers_v_pairs",
+    "abtest_conversion_ztest",
+    "forecast_conformal_intervals",
+    "graph_degree_assortativity",
+    "graph_clustering_topk",
+    "text_js_divergence_sources",
+    "text_readability_scores",
+    "dq_accepted_values_audit",
+    "linkage_golden_record",
+    "embedding_knn_accuracy",
+    "curation_neyman_allocation",
+    "dedup_lsh_recall",
+    "multimodal_phash_dedup",
 ]
 
 
