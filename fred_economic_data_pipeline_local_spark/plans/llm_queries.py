@@ -2421,3 +2421,114 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("candidate_precision"),
     )
+
+
+_DELTA_WORDS = sorted(set(STOPWORDS_EN))
+_DELTA_WORDS_SQL = ", ".join(f"'{w}'" for w in _DELTA_WORDS)
+
+
+@query(
+    "text_burrows_delta",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+nt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+fw AS (SELECT source, tok, count(*) AS c FROM toks
+       WHERE tok IN ({_DELTA_WORDS_SQL}) GROUP BY 1, 2),
+grid AS (
+  SELECT nt.source, w.tok, COALESCE(fw.c, 0) AS c, nt.n
+  FROM nt CROSS JOIN (SELECT unnest([{_DELTA_WORDS_SQL}]) AS tok) w
+  LEFT JOIN fw ON fw.source = nt.source AND fw.tok = w.tok
+),
+sh AS (SELECT source, tok, CAST(c AS DOUBLE) / n AS share FROM grid),
+st AS (SELECT tok, avg(share) AS mu, stddev_samp(share) AS sd
+       FROM sh GROUP BY 1),
+z AS (SELECT source, sh.tok, (share - mu) / sd AS z
+      FROM sh JOIN st USING (tok) WHERE sd > 0),
+d AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         round(avg(abs(a.z - b.z)), 6) AS delta,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_words, delta
+FROM d ORDER BY delta, source_a, source_b LIMIT 10
+""",
+    description="Burrows' Delta stylometry between sources: per-source "
+    "function-word frequency shares z-normalized across the source "
+    "population, delta = mean |z_a - z_b| per pair, ten most "
+    "similar-styled pairs — the authorship/template-provenance screen "
+    "('are these two feeds the same generator?') that unigram overlap "
+    "misses; the corpus reduces to a |sources| x |function words| grid "
+    "in one exchange, pair work is O(sources^2 x words) over that tiny "
+    "grid, TakeOrdered top-10; zero-variance words are dropped in both "
+    "engines (exact-zero is engine-stable on identical shares)",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: F401  (parity with others)
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    nt = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    fw = (
+        toks.where(F.col("tok").isin(_DELTA_WORDS))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    words = spark.createDataFrame(
+        [(w,) for w in _DELTA_WORDS], "tok string"
+    )
+    grid = (
+        nt.crossJoin(F.broadcast(words))
+        .join(fw, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (
+                F.coalesce("c", F.lit(0)).cast("double") / F.col("n")
+            ).alias("share"),
+        )
+    )
+    st = grid.groupBy("tok").agg(
+        F.avg("share").alias("mu"),
+        F.stddev_samp("share").alias("sd"),
+    )
+    z = (
+        grid.join(F.broadcast(st), "tok")
+        .where(F.col("sd") > 0)
+        .select(
+            "source",
+            "tok",
+            ((F.col("share") - F.col("mu")) / F.col("sd")).alias("z"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"),
+        "tok",
+        F.col("z").alias("__za"),
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        "tok",
+        F.col("z").alias("__zb"),
+    )
+    return (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.avg(F.abs(F.col("__za") - F.col("__zb"))), 6
+            ).alias("delta"),
+        )
+        .select("source_a", "source_b", "n_words", "delta")
+        .orderBy("delta", "source_a", "source_b")
+        .limit(10)
+    )

@@ -141,6 +141,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     # ===== below the window =====
+    # --- round-10 below-window additions (never checked -> head of
+    # round 11's rotation) ---
+    "text_burrows_delta",
+    "graph_modularity_brands",
+    "orders_open_backlog_daily",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

@@ -3733,3 +3733,105 @@ def linkage_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 6).alias("avg_golden_bal"),
         )
     )
+
+
+@query(
+    "graph_modularity_brands",
+    oracle=f"""
+WITH {_COPURCHASE_E},
+cls AS (SELECT p_partkey AS node, p_brand AS cls FROM part),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+dn AS (SELECT deg.node, d, cls FROM deg JOIN cls USING (node)),
+intra AS (
+  SELECT ca.cls, CAST(count(*) AS BIGINT) AS e_c
+  FROM e JOIN cls ca ON ca.node = e.x JOIN cls cb ON cb.node = e.y
+  WHERE ca.cls = cb.cls GROUP BY 1
+),
+dsum AS (SELECT cls, CAST(sum(d) AS BIGINT) AS d_c,
+                CAST(count(*) AS BIGINT) AS n_nodes
+         FROM dn GROUP BY 1),
+per AS (
+  SELECT dsum.cls AS brand, n_nodes, COALESCE(e_c, 0) AS intra_edges,
+         d_c,
+         CAST(COALESCE(e_c, 0) AS DOUBLE) / m.m
+           - (CAST(d_c AS DOUBLE) / (2 * m.m))
+             * (CAST(d_c AS DOUBLE) / (2 * m.m)) AS qc
+  FROM dsum LEFT JOIN intra USING (cls) CROSS JOIN m
+)
+SELECT brand, n_nodes, intra_edges, d_c AS degree_sum,
+       round(qc, 6) AS q_contrib,
+       (SELECT round(sum(qc), 6) FROM per) AS modularity
+FROM per
+""",
+    description="Newman modularity of the brand partition over the part "
+    "co-purchase graph: Q = sum_c (e_c/m - (d_c/2m)^2) — do brands form "
+    "real co-purchase communities or is the partition no better than "
+    "chance (Q ~ 0)? The partition-quality readout behind any "
+    "community/segment claim; per-brand contributions plus the total "
+    "(chi2 convention), all exact integer edge/degree counts, two "
+    "broadcast class joins — never a community-detection iteration",
+)
+def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("cls")
+    )
+    bkt = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    pa = bkt.select("ok", F.col("pk").alias("x"))
+    pb = bkt.select("ok", F.col("pk").alias("y"))
+    e = (
+        pa.join(pb, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("x", "y")
+    )
+    und = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("x").alias("node"), "d"
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    ca = part.select(F.col("node").alias("x"), F.col("cls").alias("__ca"))
+    cb = part.select(F.col("node").alias("y"), F.col("cls").alias("__cb"))
+    intra = (
+        e.join(F.broadcast(ca), "x")
+        .join(F.broadcast(cb), "y")
+        .where(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    dsum = (
+        deg.join(F.broadcast(part), "node")
+        .groupBy("cls")
+        .agg(
+            F.sum("d").alias("d_c"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )
+    half = F.col("d_c").cast("double") / (2 * F.col("m"))
+    per = (
+        dsum.join(intra, "cls", "left")
+        .join(F.broadcast(m))
+        .select(
+            F.col("cls").alias("brand"),
+            "n_nodes",
+            F.coalesce("e_c", F.lit(0)).alias("intra_edges"),
+            F.col("d_c").alias("degree_sum"),
+            (
+                F.coalesce("e_c", F.lit(0)).cast("double") / F.col("m")
+                - half * half
+            ).alias("__qc"),
+        )
+    )
+    tot = per.agg(F.round(F.sum("__qc"), 6).alias("modularity"))
+    return per.join(F.broadcast(tot)).select(
+        "brand",
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        F.round("__qc", 6).alias("q_contrib"),
+        "modularity",
+    )

@@ -1403,3 +1403,87 @@ def forecast_conformal_intervals(
     return conformal_backtest(
         d, "event_type", "eday", "revenue", period=7, alpha=0.1
     )
+
+
+@query(
+    "orders_open_backlog_daily",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS open_day
+  FROM orders
+),
+c AS (
+  SELECT l_orderkey AS o_orderkey,
+         max(epoch_us(l_shipdate) // 86400000000) AS close_day
+  FROM lineitem GROUP BY 1
+),
+span AS (SELECT o.o_orderkey, open_day, c.close_day
+         FROM o JOIN c USING (o_orderkey)),
+ev AS (
+  SELECT open_day AS eday, 1 AS opened, 0 AS closed FROM span
+  UNION ALL
+  SELECT close_day, 0, 1 FROM span
+),
+daily AS (
+  SELECT eday, CAST(sum(opened) AS BIGINT) AS n_opened,
+         CAST(sum(closed) AS BIGINT) AS n_closed
+  FROM ev GROUP BY 1
+)
+SELECT eday, n_opened, n_closed,
+       CAST(sum(n_opened - n_closed) OVER (ORDER BY eday
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM daily
+""",
+    description="daily open-order backlog: an order opens at its order "
+    "date and closes when its LAST line item ships; +1/-1 boundary "
+    "events collapse the fact tables to O(days) rows BEFORE the "
+    "running-sum window (the event-boundary identity — never a "
+    "day x open-orders interval join), the cumulative walk runs over "
+    "the bounded day domain; the WIP/lead-time monitor every "
+    "fulfillment dashboard ships, exact integer counts throughout; "
+    "orders with no line items (nothing ever shipped) are out of "
+    "scope by the inner join",
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = orders.select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias(
+            "open_day"
+        ),
+    )
+    c = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max(
+            F.expr("unix_micros(l_shipdate) div 86400000000")
+        ).alias("close_day")
+    )
+    span = o.join(c, "o_orderkey")
+    ev = span.select(
+        F.col("open_day").alias("eday"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionAll(
+        span.select(
+            F.col("close_day").alias("eday"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    daily = ev.groupBy("eday").agg(
+        F.sum("opened").alias("n_opened"),
+        F.sum("closed").alias("n_closed"),
+    )
+    w = Window.orderBy("eday").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "eday",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias(
+            "backlog"
+        ),
+    )
