@@ -608,3 +608,59 @@ def test_dq_audits_have_no_nested_loops(spark):
         plan = plan_of(spark, name)
         assert "BroadcastNestedLoopJoin" not in plan or name == "dq_freshness_audit", name
         assert "CartesianProduct" not in plan, name
+
+
+# --- round-10 operators --------------------------------------------------------
+
+
+def test_kruskal_wallis_never_globally_sorts_the_fact_table(spark):
+    """The rank statistic must come from the bounded-domain cell frame:
+    no Window/Sort over the raw lineitem rows — the only sort is the
+    O(|domain|) cumulative-midrank window."""
+    plan = plan_of(spark, "kruskal_wallis_qty_flag")
+    # partial+final aggregation collapses the fact scan before any sort
+    first_sort = plan.index("Sort") if "Sort" in plan else len(plan)
+    first_agg = plan.index("HashAggregate")
+    assert first_agg < first_sort or "Sort" not in plan
+
+
+def test_phash_candidates_are_equi_join_not_cartesian(spark):
+    plan = plan_of(spark, "multimodal_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the banded candidate join is a hash equi-join on (band, bval)
+    assert "band" in plan and "bval" in plan
+
+
+def test_knn_accuracy_broadcasts_the_query_split(spark):
+    plan = plan_of(spark, "embedding_knn_accuracy")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # eval-on-sample: the broadcast side is the test split, so the
+    # train side is never shuffled for the pair compare
+    assert "CartesianProduct" not in plan
+
+
+def test_assortativity_is_equi_joins_plus_one_aggregate(spark):
+    plan = plan_of(spark, "graph_degree_assortativity")
+    assert "CartesianProduct" not in plan
+    # the only keyless join is the final 1-row x 1-row combine of the
+    # corr aggregate with the node-count aggregate (O(1) broadcast);
+    # every data-bearing join is an equi-join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_backlog_window_runs_over_the_daily_aggregate(spark):
+    """The cumulative walk must consume the O(days) frame: the window's
+    input is the grouped daily counts, never raw orders/lineitem."""
+    plan = plan_of(spark, "orders_open_backlog_daily")
+    lines = plan.splitlines()
+    win_ix = next(i for i, l in enumerate(lines) if "Window" in l)
+    # an aggregate (the daily collapse) sits below the window
+    assert any("HashAggregate" in l for l in lines[win_ix:])
+
+
+def test_golden_record_survivorship_is_one_window_over_entities(spark):
+    plan = plan_of(spark, "linkage_golden_record")
+    # rank-1 survivorship: exactly one row_number window; no cartesian
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan

@@ -165,6 +165,28 @@ SHOWCASE = {
         "union+re-sum, and the probe join with the <= d*w-row counter "
         "matrix on the BROADCAST side (`BroadcastHashJoin`, LeftOuter)."
     ),
+    "multimodal_phash_dedup": (
+        "Perceptual-hash near-dup (round 10). Look for: ONE "
+        "`MapInPandas`/ArrowEvalPython stage (the DCT hash — the only "
+        "Python hop), the exported hash table re-entering as a parquet "
+        "scan, the banded candidate join as a hash EQUI-join on "
+        "(band, bval) — no CartesianProduct, no BroadcastNestedLoopJoin "
+        "on data-bearing sides — and the Hamming verify as a JVM-side "
+        "bit_count(xor) filter."
+    ),
+    "embedding_knn_accuracy": (
+        "k-NN eval harness (round 10). Look for: the test split "
+        "BROADCAST against the train side (eval-on-sample — the train "
+        "corpus is never shuffled for the pair compare), one "
+        "`Window row_number` per query id over the rounded cosine, and "
+        "the vote as a partial/final aggregate pair."
+    ),
+    "orders_open_backlog_daily": (
+        "Event-boundary backlog (round 10). Look for: the +1/-1 union "
+        "collapsing through a partial/final HashAggregate to O(days) "
+        "rows BEFORE the cumulative Window — the running sum's Sort "
+        "consumes the aggregate, never raw orders/lineitem."
+    ),
     "winsorize_order_prices": (
         "Winsorized mean (third wave). Look for: the percentile bounds "
         "computed behind ONE `Exchange hashpartitioning` with "
