@@ -146,6 +146,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_burrows_delta",
     "graph_modularity_brands",
     "orders_open_backlog_daily",
+    "embedding_mutual_knn_clusters",
+    "orders_fulfillment_sla",
+    "events_runs_test",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

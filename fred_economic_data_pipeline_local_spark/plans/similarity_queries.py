@@ -1556,3 +1556,123 @@ def embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(correct).cast("double") / F.count(F.lit(1)), 6
         ).alias("accuracy"),
     )
+
+
+@query(
+    "embedding_mutual_knn_clusters",
+    # kNN from 6-dp-rounded cosine (engine-identical ranking, id
+    # tiebreak), MUTUAL-kNN edges (the standard density trick: a one-way
+    # neighbor of a hub is not a cluster bond), components via the
+    # definitional recursive-CTE closure in the oracle vs the two-star
+    # contraction engine in Spark — same exact min-id labels
+    oracle=f"""
+WITH RECURSIVE
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      FROM embeddings),
+nn AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY round({_COS_SQL.replace('q.e', 'a.e').replace('c.e', 'b.e')}, 6)
+             DESC, b.vec_id
+  ) <= 3
+),
+mut AS (
+  SELECT n1.src AS x, n1.dst AS y FROM nn n1
+  SEMI JOIN nn n2 ON n2.src = n1.dst AND n2.dst = n1.src
+  WHERE n1.src < n1.dst
+),
+e AS (SELECT x, y FROM mut UNION ALL SELECT y, x FROM mut),
+n AS (SELECT DISTINCT x AS node FROM e),
+w(node, lbl) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.y, w.lbl FROM w JOIN e ON e.x = w.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM w GROUP BY node),
+lab AS (
+  SELECT c.vec_id, c.label,
+         COALESCE(comp.cluster_id, c.vec_id) AS cluster_id
+  FROM c LEFT JOIN comp ON c.vec_id = comp.node
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+       min(label) AS min_label
+FROM lab GROUP BY 1 HAVING count(*) > 1
+""",
+    description="mutual-kNN clustering of the embedding space: 3-NN by "
+    "6-dp-rounded cosine (engine-exact ranking, id tiebreaks), edges "
+    "kept only when BOTH endpoints nominate each other (the mutuality "
+    "filter that stops hub vectors fusing unrelated clusters), "
+    "connected components via the two-star contraction engine "
+    "(O(log n) rounds), multi-member clusters reported with label "
+    "purity — the unsupervised structure check against the stored "
+    "labels; the oracle re-derives everything definitionally incl. a "
+    "recursive-CTE closure (operators/dedup.py:"
+    "connected_components_twostar)",
+)
+def embedding_mutual_knn_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components_twostar
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+    )
+    emb = emb.withColumn("__n", l2_norm(F.col("e")))
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("ea"),
+        F.col("__n").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("e").alias("eb"),
+        F.col("__n").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    w_nn = Window.partitionBy("src").orderBy(
+        F.desc("__cos"), F.asc("dst")
+    )
+    nn = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("__cos"))
+        .withColumn("__rk", F.row_number().over(w_nn))
+        .where(F.col("__rk") <= 3)
+        .select("src", "dst")
+    )
+    rev = nn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mut = (
+        nn.join(rev, ["src", "dst"], "left_semi")
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    comp = connected_components_twostar(mut)
+    lab = (
+        emb.select("vec_id", "label")
+        .join(comp, emb["vec_id"] == comp["id"], "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("component", "vec_id").alias("cluster_id"),
+        )
+    )
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count_distinct("label").alias("n_labels"),
+            F.min("label").alias("min_label"),
+        )
+        .where(F.col("n_members") > 1)
+    )

@@ -1487,3 +1487,171 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "backlog"
         ),
     )
+
+
+@query(
+    "orders_fulfillment_sla",
+    oracle="""
+WITH span AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         CAST(epoch_us(max(l.l_shipdate)) // 86400000000
+              - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+           AS days_to_ship
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, epoch_us(o.o_orderdate) // 86400000000
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_30d,
+       round(CAST(sum(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS sla_30d_rate,
+       round(avg(CAST(days_to_ship AS DOUBLE)), 6) AS avg_days_to_ship
+FROM span GROUP BY 1
+""",
+    description="fulfillment SLA by order priority: days from order "
+    "date to the LAST line-item ship date per order (the honest "
+    "completion metric — first-ship flatters), 30-day SLA attainment "
+    "rate and mean lead time — the operations scorecard over the same "
+    "order-completion spans as orders_open_backlog_daily; one "
+    "map-combined per-order collapse then one per-priority rollup, "
+    "exact integer day arithmetic",
+)
+def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    span = (
+        orders.join(
+            li, li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias(
+                "__oday"
+            ),
+        )
+        .agg(
+            (
+                F.max(
+                    F.expr("unix_micros(l_shipdate) div 86400000000")
+                )
+                - F.col("__oday")
+            ).alias("days_to_ship")
+        )
+    )
+    within = (F.col("days_to_ship") <= 30).cast("long")
+    return span.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(within).alias("n_within_30d"),
+        F.round(
+            F.sum(within).cast("double") / F.count(F.lit(1)), 6
+        ).alias("sla_30d_rate"),
+        F.round(F.avg(F.col("days_to_ship").cast("double")), 6).alias(
+            "avg_days_to_ship"
+        ),
+    )
+
+
+@query(
+    "events_runs_test",
+    oracle=f"""
+WITH d AS ({_EPOCH_DAILY}),
+s AS (
+  SELECT event_type, eday,
+         revenue - lag(revenue) OVER (PARTITION BY event_type
+                                      ORDER BY eday) AS diff
+  FROM d
+),
+sg AS (
+  SELECT event_type, eday,
+         CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+  FROM s WHERE diff IS NOT NULL AND diff <> 0
+),
+ch AS (
+  SELECT event_type, sgn,
+         CASE WHEN sgn <> lag(sgn) OVER (PARTITION BY event_type
+                                         ORDER BY eday)
+              THEN 1 ELSE 0 END AS chg
+  FROM sg
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_down,
+         CAST(1 + sum(chg) AS BIGINT) AS n_runs
+  FROM ch GROUP BY 1
+),
+st AS (
+  SELECT event_type, n_up, n_down, n_runs,
+         2.0 * n_up * n_down / (n_up + n_down) + 1 AS mu,
+         2.0 * n_up * n_down
+           * (2.0 * n_up * n_down - n_up - n_down)
+           / (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)
+              * (n_up + n_down - 1)) AS v
+  FROM agg WHERE n_up > 0 AND n_down > 0
+)
+SELECT event_type, n_up, n_down, n_runs,
+       round(mu, 6) AS expected_runs,
+       round((n_runs - mu) / sqrt(v), 6) AS z_score
+FROM st
+""",
+    description="Wald-Wolfowitz runs test on the daily revenue "
+    "direction per event type: are up/down days random, trending "
+    "(too few runs, z << 0), or oscillating (too many, z >> 0)? The "
+    "randomness screen behind trusting any seasonal/trend model; runs "
+    "counted with one lag window over the O(days) sign series, the "
+    "statistic from four exact integer counts via the closed-form "
+    "mean/variance — nothing to simulate",
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("event_type").orderBy("eday")
+    s = d.select(
+        "event_type",
+        "eday",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("__diff"),
+    )
+    sg = s.where(
+        F.col("__diff").isNotNull() & (F.col("__diff") != 0)
+    ).select(
+        "event_type",
+        "eday",
+        F.when(F.col("__diff") > 0, 1).otherwise(-1).alias("__sgn"),
+    )
+    ch = sg.select(
+        "event_type",
+        "__sgn",
+        F.when(
+            F.col("__sgn") != F.lag("__sgn").over(w), 1
+        ).otherwise(0).alias("__chg"),
+    )
+    agg = ch.groupBy("event_type").agg(
+        F.sum((F.col("__sgn") == 1).cast("long")).alias("n_up"),
+        F.sum((F.col("__sgn") == -1).cast("long")).alias("n_down"),
+        (F.lit(1) + F.sum("__chg")).alias("n_runs"),
+    )
+    n1, n2 = F.col("n_up"), F.col("n_down")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    v = (
+        F.lit(2.0) * n1 * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.where((n1 > 0) & (n2 > 0)).select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((F.col("n_runs") - mu) / F.sqrt(v), 6).alias("z_score"),
+    )
