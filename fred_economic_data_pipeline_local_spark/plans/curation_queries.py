@@ -2234,3 +2234,106 @@ def curation_neyman_allocation(
             4,
         ).alias("alloc_docs"),
     )
+
+
+# streaming DQ monitor rules (events): accepted-values on event_type
+# (the contract excludes 'error' — telemetry, not business events) and
+# null business value on purchases
+_SDQ_ACCEPTED = ("view", "click", "purchase", "signup")
+
+
+def _sdq_counters(batch_df: DataFrame) -> DataFrame:
+    at = F.when(
+        F.col("event_type").isin(list(_SDQ_ACCEPTED)), 0
+    ).otherwise(1)
+    nv = (
+        (F.col("event_type") == "purchase") & F.col("value").isNull()
+    ).cast("long")
+    a = batch_df.agg(
+        F.lit("event_type_accepted").alias("rule"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(at).alias("n_violations"),
+    )
+    b = batch_df.agg(
+        F.lit("purchase_value_not_null").alias("rule"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_rows"
+        ),
+        F.sum(nv).alias("n_violations"),
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "stream_dq_ingest",
+    # the streamed ADDITIVE counters, drained over arbitrary micro-batch
+    # boundaries with txn-watermarked exactly-once, must equal the batch
+    # audit of the full corpus — so the oracle IS the batch audit over
+    # the raw fixture, the strongest possible check
+    oracle=f"""
+SELECT 'event_type_accepted' AS rule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type IN
+                ({", ".join(f"'{v}'" for v in _SDQ_ACCEPTED)})
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       round(CAST(sum(CASE WHEN event_type IN
+                  ({", ".join(f"'{v}'" for v in _SDQ_ACCEPTED)})
+                  THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6)
+         AS violation_share
+FROM events
+UNION ALL
+SELECT 'purchase_value_not_null',
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(sum(CASE WHEN event_type = 'purchase' AND value IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       round(CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+             6)
+FROM events
+""",
+    description="streaming DQ monitor: per micro-batch the accepted-"
+    "values and null-value violation counters ADD into a versioned "
+    "manifest table — counters are additive (NOT idempotent like HLL "
+    "register max), so exactly-once rides the txnAppId/txnVersion "
+    "watermark inside the same atomic commit that publishes the "
+    "totals; per batch the work is the batch's own 2-rule aggregate "
+    "plus an O(rules) read-add-overwrite, state never grows with the "
+    "corpus; the drained state must equal the batch audit of the full "
+    "corpus regardless of batch boundaries — the oracle IS that audit "
+    "(streaming/lake_ingest.py:stream_counter_merge)",
+)
+def stream_dq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.lakehouse import ManifestLakeTable
+    from ..streaming.lake_ingest import stream_counter_merge
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_dq_")
+    inbox = os.path.join(scratch, "inbox")
+    root = os.path.join(scratch, "counters")
+    bootstrap = ev.where(F.col("event_id") % 7 == 0)
+    arriving = ev.where(F.col("event_id") % 7 != 0)
+    arriving.repartition(4).write.parquet(inbox)
+    t = ManifestLakeTable(root, keys=["rule"], n_buckets=2)
+    t.overwrite(_sdq_counters(bootstrap))
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    stream_counter_merge(stream, t, _sdq_counters, app_id="stream_dq")
+    final = t.read(spark)
+    return final.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_rows"), 6
+        ).alias("violation_share"),
+    ).localCheckpoint(eager=True)

@@ -149,6 +149,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "embedding_mutual_knn_clusters",
     "orders_fulfillment_sla",
     "events_runs_test",
+    "stream_dq_ingest",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

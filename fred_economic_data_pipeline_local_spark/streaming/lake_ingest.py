@@ -200,3 +200,78 @@ def stream_cms_merge(
         with tempfile.TemporaryDirectory(prefix="cms_ingest_ckpt_") as ckpt:
             _run(ckpt)
     return applied["n"]
+
+
+def stream_counter_merge(
+    stream_df: DataFrame,
+    table: ManifestLakeTable,
+    counter_fn,
+    app_id: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Maintain ADDITIVE per-key counters under a stream: per
+    micro-batch, ``counter_fn(batch_df)`` reduces the batch to a tiny
+    (key..., counter...) frame whose non-key LONG columns are summed
+    into the table's running totals with one watermarked overwrite
+    commit. Returns the number of committed (non-replayed, non-empty)
+    batches.
+
+    The counter schema is the table's schema: every non-key column is
+    an additive LONG. Like the CMS counters (and unlike HLL's register
+    max), sums are NOT idempotent — a replayed batch would double-count
+    — so exactly-once rides the txnAppId/txnVersion watermark inside
+    the same atomic manifest flip that publishes the totals. Per batch
+    the work is the batch's own aggregate plus an O(keys) read-add-
+    overwrite; state never grows with the corpus. This is the streaming
+    shape of every monitoring gate (DQ violation counters, SLA
+    breaches, quarantine tallies).
+    """
+    from pyspark.sql import functions as F
+
+    applied = {"n": 0}
+    key_cols = list(table.keys)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if (
+            table.current_version() is not None
+            and table.txn().get(app_id, -1) >= int(batch_id)
+        ):
+            return
+        batch_counters = counter_fn(batch_df)
+        spark = batch_df.sparkSession
+        try:
+            current = table.read(spark)
+        except FileNotFoundError:
+            current = batch_counters.limit(0)
+        val_cols = [c for c in batch_counters.columns if c not in key_cols]
+        merged = (
+            current.unionByName(batch_counters)
+            .groupBy(*key_cols)
+            .agg(*[F.sum(c).alias(c) for c in val_cols])
+        )
+        if (
+            table.overwrite(
+                merged.localCheckpoint(eager=True),
+                txn=(app_id, int(batch_id)),
+            )
+            is not None
+        ):
+            applied["n"] += 1
+
+    def _run(ckpt: str) -> None:
+        q = (
+            stream_df.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if checkpoint_dir is not None:
+        _run(checkpoint_dir)
+    else:
+        with tempfile.TemporaryDirectory(prefix="ctr_ingest_ckpt_") as ckpt:
+            _run(ckpt)
+    return applied["n"]
