@@ -1676,3 +1676,89 @@ def embedding_mutual_knn_clusters(
         )
         .where(F.col("n_members") > 1)
     )
+
+
+_PQ_SUBD = 64 // _PQ_M
+
+
+@query(
+    "similarity_pq_distortion",
+    # quantization-error audit from the exported codebook + code table:
+    # DuckDB reconstructs every sub-vector's codeword and recomputes the
+    # per-subspace MSE / variance from the raw embeddings — the eval
+    # that says whether the compressed index is usable BEFORE recall
+    # numbers (high distortion_share in one subspace = that slice of
+    # the vector is effectively noise after compression)
+    oracle=f"""
+WITH cb AS (SELECT * FROM {export_sql('pq_distortion_codebook')}),
+cd AS (SELECT * FROM {export_sql('pq_distortion_codes')}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sub AS (
+  SELECT cd.id, cd.m, cb.j, cb.w,
+         c.e[cd.m * {_PQ_SUBD} + cb.j + 1] AS x
+  FROM cd JOIN cb ON cb.m = cd.m AND cb.c = cd.code
+          JOIN c ON c.vec_id = cd.id
+)
+SELECT m, CAST(count(DISTINCT id) AS BIGINT) AS n_vectors,
+       round(avg((x - w) * (x - w)), 6) AS mse,
+       round(avg(x * x) - avg(x) * avg(x), 6) AS var_x,
+       round(avg((x - w) * (x - w))
+             / (avg(x * x) - avg(x) * avg(x)), 6) AS distortion_share
+FROM sub GROUP BY m
+""",
+    description="product-quantization distortion audit: per subspace "
+    "the reconstruction MSE of the learned codewords against the raw "
+    "sub-vectors, the subspace variance, and their ratio (1 = the "
+    "subspace is pure noise after compression, near 0 = faithfully "
+    "coded) — the 'measure, don't guess' companion to "
+    "similarity_pq_topk that justifies (m_sub, k_codes) before any "
+    "recall run; one broadcast codebook join + one map-combined "
+    "per-subspace aggregate over the code table, the float column read "
+    "once (operators/similarity.py:pq_codebook, pq_codes)",
+)
+def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.similarity import pq_codebook, pq_codes
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = export_table(
+        pq_codebook(emb, m_sub=_PQ_M, k_codes=_PQ_K, dims=64),
+        "pq_distortion_codebook",
+    )
+    codes = export_table(
+        pq_codes(emb, cb, m_sub=_PQ_M, dims=64), "pq_distortion_codes"
+    )
+    e = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    sub = (
+        codes.join(
+            F.broadcast(
+                cb.select(
+                    "m", F.col("c").alias("code"), "j", "w"
+                )
+            ),
+            ["m", "code"],
+        )
+        .join(e, "id")
+        .select(
+            "id",
+            "m",
+            "w",
+            F.element_at(
+                "e",
+                (
+                    F.col("m") * _PQ_SUBD + F.col("j") + 1
+                ).cast("int"),
+            ).alias("x"),
+        )
+    )
+    err = (F.col("x") - F.col("w")) * (F.col("x") - F.col("w"))
+    var_x = F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")
+    return sub.groupBy("m").agg(
+        F.count_distinct("id").alias("n_vectors"),
+        F.round(F.avg(err), 6).alias("mse"),
+        F.round(var_x, 6).alias("var_x"),
+        F.round(F.avg(err) / var_x, 6).alias("distortion_share"),
+    )
