@@ -212,3 +212,68 @@ def apply_minmax_delta(
         base.join(F.broadcast(rkeys), rcond, "left_semi"), g, col
     )
     return fast.unionByName(recomputed)
+
+
+def materialize_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """Bootstrap the top-k materialized view ``apply_topk_delta``
+    maintains: the k rows with the largest ``order_col`` (key-column
+    ascending tiebreaks), carried as (key_cols..., order_col)."""
+    return (
+        df.select(*key_cols, order_col)
+        .orderBy(F.desc(order_col), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )
+
+
+def apply_topk_delta(
+    state: DataFrame,
+    feed: DataFrame,
+    base: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """Maintain a global top-k view through a pre-image change feed —
+    the recompute-on-invalidation rule specialized to ranking state:
+
+    - inserts / update-postimages FOLD: new rows merge with the current
+      k rows and the union re-cuts at k — O(k + |delta|), the corpus is
+      never touched (a new row either displaces the cut or doesn't);
+    - a delete / update-preimage whose KEY sits in the current top-k
+      invalidates the view: rows below the old cut may now qualify, and
+      that information exists only in the base — so (and only then) the
+      top-k recomputes from the post-change base as one
+      TakeOrderedAndProject. Deletes below the cut are ignored: they
+      cannot change membership.
+
+    The invalidation probe is an O(k) semi-join + ``isEmpty`` (limit-1
+    action) — the same touched-state gate ``apply_minmax_delta`` runs
+    per group, degenerate here because a global top-k is one group.
+    Like MIN/MAX, top-k is NOT maintainable from the feed alone under
+    deletes (Gupta-Mumick); the bounded auxiliary state (k rows) buys
+    the O(k + |delta|) common case.
+    """
+    signed = _signed(feed)
+    pre_keys = (
+        signed.where(F.col("__sign") == -1).select(*key_cols).distinct()
+    )
+    invalidated = not pre_keys.join(
+        state, key_cols, "left_semi"
+    ).isEmpty()
+    if invalidated:
+        return materialize_topk(base, key_cols, order_col, k)
+    ins = signed.where(F.col("__sign") == 1).select(*key_cols, order_col)
+    # non-invalidated path: every insert key is NEW (an update of a
+    # state key would have carried a matching preimage), so the union
+    # is duplicate-free by the feed contract
+    return materialize_topk(
+        state.select(*key_cols, order_col).unionByName(ins),
+        key_cols,
+        order_col,
+        k,
+    )

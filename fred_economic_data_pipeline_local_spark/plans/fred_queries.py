@@ -596,3 +596,80 @@ def manifest_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.overwrite(silver.where(m.between(3, 12)))
     return scd2_history(spark, table).localCheckpoint(eager=True)
+
+
+@query(
+    "manifest_incremental_topk",
+    # the oracle ranks the FINAL v2 state directly; the Spark side
+    # maintains the v0 top-20 through both feed hops — the v0->v1
+    # upsert's update-preimages hit keys inside the top-20 (doubled
+    # values re-rank the head), so the invalidation/recompute path is
+    # genuinely exercised; the v1->v2 hop folds or invalidates as the
+    # deletes fall
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+t AS (SELECT indicator, observation_year, observation_month, value
+      FROM silver WHERE observation_month <= 8),
+s AS (SELECT indicator, observation_year, observation_month,
+             round(value * 2, 6) AS value
+      FROM silver WHERE observation_month >= 5),
+merged AS (
+  SELECT COALESCE(s.indicator, t.indicator) AS indicator,
+         COALESCE(s.observation_year, t.observation_year)
+           AS observation_year,
+         COALESCE(s.observation_month, t.observation_month)
+           AS observation_month,
+         CASE WHEN s.indicator IS NOT NULL THEN s.value ELSE t.value END
+           AS value
+  FROM t FULL OUTER JOIN s
+    ON t.indicator = s.indicator
+   AND t.observation_year = s.observation_year
+   AND t.observation_month = s.observation_month),
+final AS (SELECT * FROM merged WHERE observation_month BETWEEN 3 AND 10)
+SELECT indicator, observation_year, observation_month, value
+FROM final
+ORDER BY value DESC, indicator, observation_year, observation_month
+LIMIT 20
+""",
+    description="top-k incremental view maintenance through the commit "
+    "log: inserts merge with the k materialized rows and re-cut "
+    "(O(k + delta), corpus untouched); a delete/update-preimage whose "
+    "key sits INSIDE the current top-k invalidates it and only then "
+    "does the view recompute from the post-change base (one "
+    "TakeOrderedAndProject) — like MIN/MAX, ranking state is not "
+    "feed-maintainable under deletes (Gupta-Mumick), and the k-row "
+    "auxiliary state buys the O(k + delta) common case; the "
+    "leaderboard/top-sellers view every serving layer materializes "
+    "(operators/ivm.py:apply_topk_delta)",
+)
+def manifest_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint: see fred_merge_into_lake
+    import tempfile
+
+    from ..operators.ivm import apply_topk_delta, materialize_topk
+    from ..sources.lakehouse import ManifestLakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value",
+        "observation_count",
+    )
+    target = silver.where(F.col("observation_month") <= 8)
+    source = silver.where(F.col("observation_month") >= 5).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    keys = ["indicator", "observation_year", "observation_month"]
+    src = ManifestLakeTable(
+        tempfile.mkdtemp(prefix="fred_ivm_topk_"), keys=keys, n_buckets=16
+    )
+    src.overwrite(target)                      # v0
+    src.merge_into(source)                     # v1: upserts
+    src.overwrite(                             # v2: true deletes
+        src.read(spark, 1).where(F.col("observation_month").between(3, 10))
+    )
+    view = materialize_topk(src.read(spark, 0), keys, "value", 20)
+    for hop in ((0, 1), (1, 2)):
+        feed = src.changes(spark, *hop, update_preimages=True)
+        view = apply_topk_delta(
+            view, feed, src.read(spark, hop[1]), keys, "value", 20
+        )
+    return view.localCheckpoint(eager=True)

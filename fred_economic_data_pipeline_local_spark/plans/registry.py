@@ -151,6 +151,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_runs_test",
     "stream_dq_ingest",
     "similarity_pq_distortion",
+    "manifest_incremental_topk",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

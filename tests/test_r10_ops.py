@@ -420,3 +420,70 @@ def test_phash_resize_robust_and_distinct(spark):
     n_variants = sum(1 for i in hashes if i >= 1_000_000)
     assert n_variants == 10
     assert close >= 9
+
+
+# --- apply_topk_delta ------------------------------------------------------------
+
+
+def _topk_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_topk_ivm_insert_folds_without_touching_base(spark):
+    from fred_economic_data_pipeline_local_spark.operators.ivm import (
+        apply_topk_delta,
+        materialize_topk,
+    )
+
+    base0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    state = materialize_topk(base0, ["k"], "v", 3)
+    assert _topk_rows(state) == [(7, 7.0), (8, 8.0), (9, 9.0)]
+    # insert one row above the cut, one below; base deliberately WRONG
+    # (empty) to prove the fold path never reads it
+    feed = spark.createDataFrame(
+        [(100, 8.5, "insert"), (200, 0.5, "insert")],
+        "k long, v double, _change_type string",
+    )
+    empty_base = base0.limit(0)
+    out = apply_topk_delta(state, feed, empty_base, ["k"], "v", 3)
+    assert _topk_rows(out) == [(8, 8.0), (9, 9.0), (100, 8.5)]
+
+
+def test_topk_ivm_delete_inside_topk_recomputes_from_base(spark):
+    from fred_economic_data_pipeline_local_spark.operators.ivm import (
+        apply_topk_delta,
+        materialize_topk,
+    )
+
+    base0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    state = materialize_topk(base0, ["k"], "v", 3)
+    feed = spark.createDataFrame(
+        [(9, 9.0, "delete")], "k long, v double, _change_type string"
+    )
+    base1 = base0.where("k <> 9")
+    out = apply_topk_delta(state, feed, base1, ["k"], "v", 3)
+    # 6 re-enters from below the old cut — only the base knows that
+    assert _topk_rows(out) == [(6, 6.0), (7, 7.0), (8, 8.0)]
+
+
+def test_topk_ivm_delete_below_cut_is_noop(spark):
+    from fred_economic_data_pipeline_local_spark.operators.ivm import (
+        apply_topk_delta,
+        materialize_topk,
+    )
+
+    base0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    state = materialize_topk(base0, ["k"], "v", 3)
+    feed = spark.createDataFrame(
+        [(0, 0.0, "delete")], "k long, v double, _change_type string"
+    )
+    # base deliberately WRONG (empty): a below-cut delete must not
+    # trigger the recompute path at all
+    out = apply_topk_delta(state, feed, base0.limit(0), ["k"], "v", 3)
+    assert _topk_rows(out) == [(7, 7.0), (8, 8.0), (9, 9.0)]
