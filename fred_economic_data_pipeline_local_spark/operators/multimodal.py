@@ -606,3 +606,120 @@ def phash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("media", BinaryType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+    ]
+)
+
+AUDIO_WINDOW = 256
+
+
+def attach_audio_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a deterministic int16 PCM payload per row — the
+    audio stand-in with CLOSED-FORM ground truth (the attach_png_media
+    discipline): ``8 + id % 8`` windows of :data:`AUDIO_WINDOW` samples;
+    window w is digital silence when ``(id + w) % 4 == 0``, otherwise a
+    full-scale square wave of amplitude ``1000 + (id % 50) * 100``
+    (alternating +A/-A each sample), little-endian int16 — so an oracle
+    can predict every window's RMS (square wave RMS is EXACTLY A; the
+    integer mean-of-squares is A^2 and sqrt(A^2) is exact in IEEE)
+    from id arithmetic alone, without seeing a byte. Synthesis runs per
+    Arrow batch in ``mapInPandas`` (the codec edge).
+    """
+
+    def _synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            medias, rates, ns = [], [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_win = 8 + i % 8
+                amp = 1000 + (i % 50) * 100
+                wave = np.empty(n_win * AUDIO_WINDOW, dtype=np.int16)
+                alt = np.where(
+                    np.arange(AUDIO_WINDOW) % 2 == 0, amp, -amp
+                ).astype(np.int16)
+                for w in range(n_win):
+                    s = w * AUDIO_WINDOW
+                    if (i + w) % 4 == 0:
+                        wave[s : s + AUDIO_WINDOW] = 0
+                    else:
+                        wave[s : s + AUDIO_WINDOW] = alt
+                medias.append(wave.astype("<i2").tobytes())
+                rates.append(16000)
+                ns.append(n_win * AUDIO_WINDOW)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": medias,
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _synth, _AUDIO_SCHEMA
+    )
+
+
+_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("win_idx", IntegerType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+    ]
+)
+
+
+def audio_window_energy(
+    df: DataFrame, media_col: str = "media", window: int = AUDIO_WINDOW
+) -> DataFrame:
+    """Frame int16 PCM into fixed windows and compute per-window RMS +
+    peak — the voice-activity/silence-trim primitive of every audio
+    ingest pipeline, run as real numpy work per Arrow batch. The mean
+    of squares uses int64 accumulation (exact for int16 inputs), so
+    RMS is ``sqrt`` of an exact rational — deterministic on any
+    engine/host. Trailing partial windows are dropped (frame semantics).
+    Returns (doc_id, win_idx, rms, peak).
+    """
+
+    def _energy(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, wins, rmss, peaks = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf[media_col]):
+                pcm = np.frombuffer(bytes(raw), dtype="<i2")
+                n_win = pcm.size // window
+                for w in range(n_win):
+                    seg = pcm[w * window : (w + 1) * window].astype(
+                        np.int64
+                    )
+                    ids.append(int(doc_id))
+                    wins.append(w)
+                    rmss.append(
+                        float(np.sqrt(np.sum(seg * seg) / window))
+                    )
+                    peaks.append(int(np.max(np.abs(seg))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(wins, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(
+        _energy, _ENERGY_SCHEMA
+    )

@@ -302,3 +302,55 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash63(attach_pattern_media(docs)), "multimodal_phash"
     )
     return phash_neardup_pairs(hashes, max_hamming=7)
+
+
+@query(
+    "multimodal_audio_energy",
+    # closed-form ground truth (the attach_png discipline): the PCM is
+    # synthesized from id arithmetic, so the oracle predicts every
+    # window's energy WITHOUT seeing a byte — silent windows are
+    # i ≡ (-id) mod 4, square-wave RMS is exactly the amplitude (the
+    # int64 mean-of-squares is A^2 and sqrt(A^2) is IEEE-exact)
+    oracle="""
+WITH d AS (SELECT DISTINCT doc_id FROM documents),
+w AS (
+  SELECT doc_id, 8 + doc_id % 8 AS n_windows,
+         (4 - doc_id % 4) % 4 AS r,
+         1000 + (doc_id % 50) * 100 AS amp
+  FROM d
+)
+SELECT doc_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST((n_windows - 1 - r) // 4 + 1 AS BIGINT) AS n_silent,
+       round(CAST((n_windows - 1 - r) // 4 + 1 AS DOUBLE) / n_windows, 6)
+         AS silence_share,
+       round(CAST(amp AS DOUBLE), 6) AS active_rms
+FROM w
+""",
+    description="audio windowed-energy analysis (the voice-activity / "
+    "silence-trim primitive): int16 PCM framed into 256-sample windows "
+    "with per-window RMS + peak computed as real numpy work in one "
+    "Arrow mapInPandas (int64 mean-of-squares — exact for int16, so "
+    "RMS is engine/host-deterministic), then a JVM-side per-document "
+    "rollup of silence share and active-window level; the synthetic "
+    "PCM has closed-form ground truth, so the oracle verifies the "
+    "whole decode->frame->energy pipeline from id arithmetic alone "
+    "(operators/multimodal.py:attach_audio_media, audio_window_energy)",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_audio_media, audio_window_energy
+
+    docs = load_table(spark, "documents", sf_dir)
+    en = audio_window_energy(attach_audio_media(docs))
+    return en.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum((F.col("rms") == 0).cast("long")).alias("n_silent"),
+        F.round(
+            F.sum((F.col("rms") == 0).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("silence_share"),
+        F.round(
+            F.avg(F.when(F.col("rms") > 0, F.col("rms"))), 6
+        ).alias("active_rms"),
+    )

@@ -152,6 +152,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "stream_dq_ingest",
     "similarity_pq_distortion",
     "manifest_incremental_topk",
+    "price_index_fisher",
+    "multimodal_audio_energy",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

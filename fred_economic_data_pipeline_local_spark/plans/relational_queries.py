@@ -3835,3 +3835,101 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__qc", 6).alias("q_contrib"),
         "modularity",
     )
+
+
+@query(
+    "price_index_fisher",
+    # unit prices derive from EXACT integer cents (round(ext*100) per
+    # row is the same long in both engines) over exact integral
+    # quantity sums, so every p*q product is the identical double; the
+    # index ratios round 6 dp. Matched-sample discipline: only parts
+    # traded in BOTH the base year and year t enter year t's basket.
+    oracle="""
+WITH py AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, l_partkey,
+         sum(l_quantity) AS q,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (SELECT yr, l_partkey, q, (rev_c / 100.0) / q AS up FROM py),
+b AS (SELECT min(yr) AS base_yr FROM p),
+pb AS (SELECT p.* FROM p CROSS JOIN b WHERE p.yr = b.base_yr),
+m AS (
+  SELECT t.yr, t.l_partkey, t.up AS p_t, t.q AS q_t,
+         pb.up AS p_0, pb.q AS q_0
+  FROM p t JOIN pb ON pb.l_partkey = t.l_partkey
+  CROSS JOIN b WHERE t.yr <> b.base_yr
+),
+ix AS (
+  SELECT yr, CAST(count(*) AS BIGINT) AS n_matched_parts,
+         sum(p_t * q_0) / sum(p_0 * q_0) AS laspeyres,
+         sum(p_t * q_t) / sum(p_0 * q_t) AS paasche
+  FROM m GROUP BY yr
+)
+SELECT yr, n_matched_parts,
+       round(laspeyres, 6) AS laspeyres,
+       round(paasche, 6) AS paasche,
+       round(sqrt(laspeyres * paasche), 6) AS fisher
+FROM ix
+""",
+    description="Fisher price index by ship year (the economic-series "
+    "operator a FRED-style pipeline publishes): Laspeyres (base-year "
+    "basket) and Paasche (current basket) from matched-sample unit "
+    "prices, Fisher = their geometric mean — base-period bias bracketed "
+    "from both sides; unit prices come from exact integer cents over "
+    "exact integral quantity sums (identical doubles in both engines), "
+    "one map-combined (year, part) collapse then a broadcast base-year "
+    "join — the fact table is read once",
+)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    py = li.groupBy(
+        F.year("l_shipdate").alias("yr"), "l_partkey"
+    ).agg(
+        F.sum("l_quantity").alias("q"),
+        F.sum(cents).alias("rev_c"),
+    )
+    p = py.select(
+        "yr",
+        "l_partkey",
+        "q",
+        ((F.col("rev_c") / 100.0) / F.col("q")).alias("up"),
+    )
+    b = p.agg(F.min("yr").alias("base_yr"))
+    pb = p.join(F.broadcast(b)).where(
+        F.col("yr") == F.col("base_yr")
+    ).select(
+        "l_partkey", F.col("up").alias("p_0"), F.col("q").alias("q_0")
+    )
+    m = (
+        p.join(F.broadcast(b))
+        .where(F.col("yr") != F.col("base_yr"))
+        .join(pb, "l_partkey")
+        .select(
+            "yr",
+            F.col("up").alias("p_t"),
+            F.col("q").alias("q_t"),
+            "p_0",
+            "q_0",
+        )
+    )
+    ix = m.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_matched_parts"),
+        (
+            F.sum(F.col("p_t") * F.col("q_0"))
+            / F.sum(F.col("p_0") * F.col("q_0"))
+        ).alias("__l"),
+        (
+            F.sum(F.col("p_t") * F.col("q_t"))
+            / F.sum(F.col("p_0") * F.col("q_t"))
+        ).alias("__p"),
+    )
+    return ix.select(
+        "yr",
+        "n_matched_parts",
+        F.round("__l", 6).alias("laspeyres"),
+        F.round("__p", 6).alias("paasche"),
+        F.round(F.sqrt(F.col("__l") * F.col("__p")), 6).alias("fisher"),
+    )
