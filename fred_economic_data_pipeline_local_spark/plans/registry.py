@@ -154,6 +154,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "manifest_incremental_topk",
     "price_index_fisher",
     "multimodal_audio_energy",
+    "price_index_chained",
+    "events_ccf_leadlag",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

@@ -3933,3 +3933,93 @@ def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__p", 6).alias("paasche"),
         F.round(F.sqrt(F.col("__l") * F.col("__p")), 6).alias("fisher"),
     )
+
+
+@query(
+    "price_index_chained",
+    # adjacent-year Fisher links chained by exp(sum(ln)) — the KM
+    # product-limit discipline (links are strictly positive); unit
+    # prices from exact integer cents as in price_index_fisher
+    oracle="""
+WITH py AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, l_partkey,
+         sum(l_quantity) AS q,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (SELECT yr, l_partkey, q, (rev_c / 100.0) / q AS up FROM py),
+m AS (
+  SELECT t.yr, t.l_partkey, t.up AS p_t, t.q AS q_t,
+         b.up AS p_0, b.q AS q_0
+  FROM p t JOIN p b ON b.l_partkey = t.l_partkey AND b.yr = t.yr - 1
+),
+lk AS (
+  SELECT yr, CAST(count(*) AS BIGINT) AS n_matched_parts,
+         sqrt((sum(p_t * q_0) / sum(p_0 * q_0))
+              * (sum(p_t * q_t) / sum(p_0 * q_t))) AS link
+  FROM m GROUP BY yr
+)
+SELECT yr, n_matched_parts,
+       round(link, 6) AS link_fisher,
+       round(exp(sum(ln(link)) OVER (ORDER BY yr
+             ROWS UNBOUNDED PRECEDING)), 6) AS chained_index
+FROM lk
+""",
+    description="chain-linked Fisher price index: adjacent-year links "
+    "from matched-sample unit prices (each year's basket compares to "
+    "its OWN previous year, so new/retired parts enter and leave the "
+    "basket gracefully — the fixed-base index silently shrinks its "
+    "matched sample), chained with the exp(sum(ln)) product-limit walk "
+    "over the O(years) link frame; this is how national statistics "
+    "offices actually publish price series — the natural second "
+    "economic-series operator after price_index_fisher",
+)
+def price_index_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    py = li.groupBy(
+        F.year("l_shipdate").alias("yr"), "l_partkey"
+    ).agg(
+        F.sum("l_quantity").alias("q"),
+        F.sum(cents).alias("rev_c"),
+    )
+    p = py.select(
+        "yr",
+        "l_partkey",
+        "q",
+        ((F.col("rev_c") / 100.0) / F.col("q")).alias("up"),
+    )
+    t = p.select(
+        "yr", "l_partkey",
+        F.col("up").alias("p_t"), F.col("q").alias("q_t"),
+    )
+    b = p.select(
+        (F.col("yr") + 1).alias("yr"), "l_partkey",
+        F.col("up").alias("p_0"), F.col("q").alias("q_0"),
+    )
+    m = t.join(b, ["yr", "l_partkey"])
+    lk = m.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_matched_parts"),
+        F.sqrt(
+            (
+                F.sum(F.col("p_t") * F.col("q_0"))
+                / F.sum(F.col("p_0") * F.col("q_0"))
+            )
+            * (
+                F.sum(F.col("p_t") * F.col("q_t"))
+                / F.sum(F.col("p_0") * F.col("q_t"))
+            )
+        ).alias("__link"),
+    )
+    w = Window.orderBy("yr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return lk.select(
+        "yr",
+        "n_matched_parts",
+        F.round("__link", 6).alias("link_fisher"),
+        F.round(F.exp(F.sum(F.log("__link")).over(w)), 6).alias(
+            "chained_index"
+        ),
+    )

@@ -1655,3 +1655,64 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 6).alias("expected_runs"),
         F.round((F.col("n_runs") - mu) / F.sqrt(v), 6).alias("z_score"),
     )
+
+
+@query(
+    "events_ccf_leadlag",
+    oracle=f"""
+WITH d AS ({_EPOCH_DAILY}),
+lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         a.revenue AS ra, b.revenue AS rb
+  FROM d a
+  CROSS JOIN lags l
+  JOIN d b ON b.event_type > a.event_type AND b.eday = a.eday + l.lag
+)
+SELECT type_a, type_b, CAST(lag AS INTEGER) AS lag,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(ra, rb), 6) AS ccf
+FROM pairs GROUP BY 1, 2, 3
+""",
+    description="lead-lag cross-correlation between event types' daily "
+    "revenue series (lags -3..+3): does one stream's movement predict "
+    "another's days later — the cause-or-coincidence screen behind any "
+    "cross-series claim; the fact table collapses to O(days x types) "
+    "once, the lag join is an integer-day equi-join (never a window "
+    "over raw events), one corr aggregate per (pair, lag)",
+)
+def events_ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    lags = F.broadcast(
+        ev.sparkSession.range(-3, 4).select(F.col("id").alias("lag"))
+    )
+    a = d.select(
+        F.col("event_type").alias("type_a"),
+        "eday",
+        F.col("revenue").alias("ra"),
+    )
+    b = d.select(
+        F.col("event_type").alias("type_b"),
+        F.col("eday").alias("__bd"),
+        F.col("revenue").alias("rb"),
+    )
+    pairs = (
+        a.crossJoin(lags)
+        .join(
+            b,
+            (F.col("type_b") > F.col("type_a"))
+            & (F.col("__bd") == F.col("eday") + F.col("lag")),
+        )
+    )
+    return pairs.groupBy("type_a", "type_b", F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("ra", "rb"), 6).alias("ccf"),
+    )
