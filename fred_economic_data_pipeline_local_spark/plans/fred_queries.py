@@ -673,3 +673,93 @@ def manifest_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             view, feed, src.read(spark, hop[1]), keys, "value", 20
         )
     return view.localCheckpoint(eager=True)
+
+
+@query(
+    "fred_vintage_revisions",
+    # the oracle derives both vintages from the silver expressions
+    # directly; the Spark side reads them as manifest VERSIONS (time
+    # travel) — the revision triangle FRED publishes as ALFRED: months
+    # 5-8 exist in both vintages with the value doubled in v1, so the
+    # revision is exactly (round(2v,6) - v), an exact double difference
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+v0 AS (SELECT indicator, observation_year, observation_month, value
+       FROM silver WHERE observation_month <= 8),
+v1m AS (SELECT indicator, observation_year, observation_month,
+               round(value * 2, 6) AS value
+        FROM silver WHERE observation_month >= 5),
+v1 AS (
+  SELECT COALESCE(s.indicator, t.indicator) AS indicator,
+         COALESCE(s.observation_year, t.observation_year)
+           AS observation_year,
+         COALESCE(s.observation_month, t.observation_month)
+           AS observation_month,
+         CASE WHEN s.indicator IS NOT NULL THEN s.value ELSE t.value END
+           AS value
+  FROM v0 t FULL OUTER JOIN v1m s
+    ON t.indicator = s.indicator
+   AND t.observation_year = s.observation_year
+   AND t.observation_month = s.observation_month
+),
+j AS (
+  SELECT v0.indicator, v1.value - v0.value AS rev
+  FROM v0 JOIN v1
+    ON v0.indicator = v1.indicator
+   AND v0.observation_year = v1.observation_year
+   AND v0.observation_month = v1.observation_month
+)
+SELECT indicator,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(CASE WHEN rev <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_revised,
+       round(avg(rev), 6) AS mean_revision,
+       round(avg(abs(rev)), 6) AS mean_abs_revision,
+       round(max(abs(rev)), 6) AS max_abs_revision
+FROM j GROUP BY 1
+""",
+    description="data-vintage revision analysis (FRED publishes exactly "
+    "this as ALFRED — how much did the first print move by the next "
+    "release?): vintage v0 and vintage v1 are MANIFEST VERSIONS read by "
+    "time travel from the same commit log the serving upsert writes, "
+    "joined on the observation key; per indicator the revised-count, "
+    "mean/mean-abs/max-abs revision — the trust metric every "
+    "economic-series consumer reads before acting on a fresh print; "
+    "one version join + one rollup, revisions are exact double "
+    "differences of 6-dp values",
+)
+def fred_vintage_revisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint: see fred_merge_into_lake
+    import tempfile
+
+    from ..sources.lakehouse import ManifestLakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value",
+        "observation_count",
+    )
+    target = silver.where(F.col("observation_month") <= 8)
+    source = silver.where(F.col("observation_month") >= 5).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    keys = ["indicator", "observation_year", "observation_month"]
+    src = ManifestLakeTable(
+        tempfile.mkdtemp(prefix="fred_vintage_"), keys=keys, n_buckets=16
+    )
+    src.overwrite(target)   # vintage 0: the first print
+    src.merge_into(source)  # vintage 1: the revised release
+    v0 = src.read(spark, 0).select(*keys, F.col("value").alias("__v0"))
+    v1 = src.read(spark, 1).select(*keys, F.col("value").alias("__v1"))
+    rev = (F.col("__v1") - F.col("__v0")).alias("__rev")
+    j = v0.join(v1, keys).select("indicator", rev)
+    return (
+        j.groupBy("indicator")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum((F.col("__rev") != 0).cast("long")).alias("n_revised"),
+            F.round(F.avg("__rev"), 6).alias("mean_revision"),
+            F.round(F.avg(F.abs("__rev")), 6).alias("mean_abs_revision"),
+            F.round(F.max(F.abs("__rev")), 6).alias("max_abs_revision"),
+        )
+        .localCheckpoint(eager=True)
+    )

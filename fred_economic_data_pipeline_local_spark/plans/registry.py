@@ -156,6 +156,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "multimodal_audio_energy",
     "price_index_chained",
     "events_ccf_leadlag",
+    "fred_vintage_revisions",
+    "tail_index_hill_prices",
+    "events_daily_peaks",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

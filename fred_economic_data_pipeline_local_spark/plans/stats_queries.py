@@ -769,3 +769,60 @@ def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") % 2,
         F.col("event_type") == "purchase",
     )
+
+
+_HILL_K = 100
+
+
+@query(
+    "tail_index_hill_prices",
+    oracle=f"""
+WITH r AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+           AS rn
+  FROM orders
+),
+thr AS (SELECT x AS x_thr FROM r WHERE rn = {_HILL_K} + 1),
+top AS (SELECT x FROM r WHERE rn <= {_HILL_K})
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       round((SELECT x_thr FROM thr), 2) AS threshold,
+       round(avg(ln(x / (SELECT x_thr FROM thr))), 6) AS hill_gamma,
+       round(1.0 / avg(ln(x / (SELECT x_thr FROM thr))), 6) AS tail_alpha
+FROM top
+""",
+    description="Hill estimator of the price distribution's tail index "
+    "(gamma = mean log-excess over the k+1-th order statistic, alpha = "
+    "1/gamma): alpha <= 2 means infinite variance — means/CIs over "
+    "such amounts are lies, and a 100 TB aggregate wants to know "
+    "BEFORE averaging; the k+1 top order statistics come from one "
+    "TakeOrdered (never a global sort), ties pinned by order key, "
+    "ln-ratios of identical doubles round 6",
+)
+def tail_index_hill_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    topk1 = (
+        orders.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.desc("x"), F.asc("o_orderkey"))
+        .limit(_HILL_K + 1)
+    )
+    w = Window.orderBy(F.desc("x"), F.asc("o_orderkey"))
+    ranked = topk1.select(
+        "x", F.row_number().over(w).alias("__rn")
+    )
+    thr = ranked.where(F.col("__rn") == _HILL_K + 1).select(
+        F.col("x").alias("__thr")
+    )
+    top = ranked.where(F.col("__rn") <= _HILL_K)
+    g = F.avg(F.log(F.col("x") / F.col("__thr")))
+    return (
+        top.join(F.broadcast(thr))
+        .agg(
+            F.lit(_HILL_K).cast("long").alias("k"),
+            F.round(F.min("__thr"), 2).alias("threshold"),
+            F.round(g, 6).alias("hill_gamma"),
+            F.round(F.lit(1.0) / g, 6).alias("tail_alpha"),
+        )
+    )

@@ -1716,3 +1716,54 @@ def events_ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.corr("ra", "rb"), 6).alias("ccf"),
     )
+
+
+@query(
+    "events_daily_peaks",
+    oracle=f"""
+WITH d AS ({_EPOCH_DAILY}),
+n AS (
+  SELECT event_type, eday, revenue,
+         lag(revenue) OVER (PARTITION BY event_type ORDER BY eday)
+           AS prv,
+         lead(revenue) OVER (PARTITION BY event_type ORDER BY eday)
+           AS nxt
+  FROM d
+)
+SELECT event_type, eday, revenue
+FROM n
+WHERE prv IS NOT NULL AND nxt IS NOT NULL
+  AND revenue > prv AND revenue > nxt
+""",
+    description="local-maximum peak detection over the daily revenue "
+    "series per event type (strictly above both neighbors; boundary "
+    "days excluded): the spike-inventory a monitoring pipeline feeds "
+    "into anomaly triage — comparisons are between exact 2-dp-rounded "
+    "aggregates, so membership is engine-exact (no threshold-times-"
+    "average boundary to sit on); one lag/lead window over the O(days) "
+    "aggregate",
+)
+def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("event_type").orderBy("eday")
+    n = d.select(
+        "event_type",
+        "eday",
+        "revenue",
+        F.lag("revenue").over(w).alias("__prv"),
+        F.lead("revenue").over(w).alias("__nxt"),
+    )
+    return n.where(
+        F.col("__prv").isNotNull()
+        & F.col("__nxt").isNotNull()
+        & (F.col("revenue") > F.col("__prv"))
+        & (F.col("revenue") > F.col("__nxt"))
+    ).select("event_type", "eday", "revenue")
