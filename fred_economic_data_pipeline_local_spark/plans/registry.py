@@ -159,6 +159,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "fred_vintage_revisions",
     "tail_index_hill_prices",
     "events_daily_peaks",
+    "similarity_ivf_recall_curve",
+    "market_hhi_suppliers",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

@@ -4023,3 +4023,55 @@ def price_index_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chained_index"
         ),
     )
+
+
+@query(
+    "market_hhi_suppliers",
+    # exact-cents revenue (the pareto_abc discipline: round(x*100) per
+    # row is the same long in both engines), shares are ratios of exact
+    # integers, HHI a sum of their squares rounded 6 dp
+    oracle="""
+WITH r AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (SELECT yr, CAST(sum(rev_c) AS BIGINT) AS tot FROM r GROUP BY 1)
+SELECT r.yr, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum((CAST(rev_c AS DOUBLE) / tot)
+                 * (CAST(rev_c AS DOUBLE) / tot)), 6) AS hhi,
+       round(1.0 / sum((CAST(rev_c AS DOUBLE) / tot)
+                       * (CAST(rev_c AS DOUBLE) / tot)), 6)
+         AS n_effective
+FROM r JOIN t USING (yr) GROUP BY r.yr
+""",
+    description="Herfindahl-Hirschman market concentration by ship "
+    "year: supplier revenue shares squared and summed (antitrust's "
+    "concentration statistic; 1/HHI = effective number of competitors) "
+    "— the market-structure reading of the same concentration story "
+    "gini_customer_spend tells for demand; one map-combined (year, "
+    "supplier) collapse, the O(years) totals broadcast back, exact "
+    "integer cents throughout",
+)
+def market_hhi_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    r = li.groupBy(
+        F.year("l_shipdate").alias("yr"), "l_suppkey"
+    ).agg(F.sum(cents).alias("rev_c"))
+    t = r.groupBy("yr").agg(F.sum("rev_c").alias("tot"))
+    share = F.col("rev_c").cast("double") / F.col("tot")
+    return (
+        r.join(F.broadcast(t), "yr")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(F.lit(1.0) / F.sum(share * share), 6).alias(
+                "n_effective"
+            ),
+        )
+    )

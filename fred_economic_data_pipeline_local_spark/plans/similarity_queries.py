@@ -1762,3 +1762,125 @@ def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_x, 6).alias("var_x"),
         F.round(F.avg(err) / var_x, 6).alias("distortion_share"),
     )
+
+
+_CURVE_PROBES = (1, 2, 4)
+
+
+def _ivf_curve_block(p: int) -> str:
+    return f"""
+cand_{p} AS (
+  SELECT pr.query_id, asg.id AS neighbor_id
+  FROM (SELECT * FROM {export_sql(f'ivf_curve_probes_{p}')}) pr
+  JOIN asg USING (cell)
+  WHERE pr.query_id <> asg.id
+),
+ivf_{p} AS (
+  SELECT cand_{p}.query_id, cand_{p}.neighbor_id
+  FROM cand_{p} JOIN c qc ON qc.vec_id = cand_{p}.query_id
+                JOIN c cc ON cc.vec_id = cand_{p}.neighbor_id
+  QUALIFY row_number() OVER (
+    PARTITION BY cand_{p}.query_id
+    ORDER BY round(list_dot_product(qc.e, cc.e) /
+                   (sqrt(list_dot_product(qc.e, qc.e)) *
+                    sqrt(list_dot_product(cc.e, cc.e))), 6) DESC,
+             cand_{p}.neighbor_id) <= {_K}
+),
+nc_{p} AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+           FROM cand_{p} GROUP BY query_id),
+h_{p} AS (SELECT ivf_{p}.query_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM ivf_{p} JOIN bf USING (query_id, neighbor_id)
+          GROUP BY ivf_{p}.query_id),
+r_{p} AS (
+  SELECT CAST({p} AS INTEGER) AS nprobe,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         round(avg(CAST(n_candidates AS DOUBLE)), 4) AS avg_candidates,
+         round(avg(CAST(coalesce(n_hits, 0) AS DOUBLE) / {_K}), 4)
+           AS avg_recall
+  FROM nc_{p} LEFT JOIN h_{p} USING (query_id)
+)"""
+
+
+@query(
+    "similarity_ivf_recall_curve",
+    # the TUNING curve, hash-verified: one shared cell assignment, one
+    # probe table per nprobe, recall@k and probed-candidate cost per
+    # setting — DuckDB re-derives every ranking from the exports
+    oracle="WITH asg AS (SELECT * FROM "
+    + export_sql("ivf_curve_assign")
+    + "),\nc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings),\n"
+    + f"""q AS (SELECT * FROM c WHERE vec_id < {_NQUERY}),
+bf AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(list_dot_product(q.e, c.e) /
+                   (sqrt(list_dot_product(q.e, q.e)) *
+                    sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+             neighbor_id) <= {_K}
+),"""
+    + ",".join(_ivf_curve_block(p) for p in _CURVE_PROBES)
+    + "\n"
+    + "\nUNION ALL\n".join(f"SELECT * FROM r_{p}" for p in _CURVE_PROBES),
+    description="recall-vs-nprobe tuning curve for the IVF index: one "
+    "shared cell assignment, probe tables at nprobe = 1/2/4, and per "
+    "setting the mean probed-candidate count (the work the setting "
+    "costs) next to the mean recall@k it buys — the artifact that "
+    "PICKS the production nprobe instead of guessing it; ground truth "
+    "is the brute-force top-k of the 5-query sample, every ranking "
+    "re-derived by DuckDB from the exported index tables "
+    "(operators/similarity.py:ivf_assign, ivf_probes, ivf_topk_from)",
+)
+def similarity_ivf_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import functools
+
+    from ..exports import export_table
+    from ..operators.similarity import ivf_assign, ivf_probes, ivf_topk_from
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < _NQUERY)
+    assign, cents = ivf_assign(emb, n_cells=8, dims=64, lloyd_iters=0)
+    assign = export_table(assign, "ivf_curve_assign")
+    bf = brute_force_topk(emb, queries, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    rows = []
+    for p in _CURVE_PROBES:
+        probes = export_table(
+            ivf_probes(queries, cents, nprobe=p), f"ivf_curve_probes_{p}"
+        )
+        ivf = ivf_topk_from(emb, queries, assign, probes, k=_K).select(
+            "query_id", "neighbor_id"
+        )
+        nc = (
+            probes.join(assign, "cell")
+            .where(F.col("query_id") != F.col("id"))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_candidates"))
+        )
+        h = ivf.join(bf, ["query_id", "neighbor_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        rows.append(
+            nc.join(h, "query_id", "left").agg(
+                F.lit(p).cast("int").alias("nprobe"),
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(
+                    F.avg(F.col("n_candidates").cast("double")), 4
+                ).alias("avg_candidates"),
+                F.round(
+                    F.avg(
+                        F.coalesce(F.col("n_hits"), F.lit(0)).cast(
+                            "double"
+                        )
+                        / _K
+                    ),
+                    4,
+                ).alias("avg_recall"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), rows)
