@@ -170,6 +170,30 @@ HEADLINE = [
     "curation_neyman_allocation",
     "dedup_lsh_recall",
     "multimodal_phash_dedup",
+    # round-10 second wave: stylometry, partition quality, backlog,
+    # SLA, runs test, streaming DQ, PQ/IVF evals, econ indices, audio,
+    # top-k IVM, vintages, tails, peaks, HHI.
+    # (embedding_mutual_knn_clusters is deliberately NOT benched: its
+    # ground-truth 3-NN is a brute-force all-pairs compare over the
+    # 5000-vector corpus at sf0.1 — an eval-harness cost, not a plan
+    # under tuning; the IVF curve entry carries the ANN story.)
+    "text_burrows_delta",
+    "graph_modularity_brands",
+    "orders_open_backlog_daily",
+    "orders_fulfillment_sla",
+    "events_runs_test",
+    "stream_dq_ingest",
+    "similarity_pq_distortion",
+    "manifest_incremental_topk",
+    "price_index_fisher",
+    "price_index_chained",
+    "multimodal_audio_energy",
+    "events_ccf_leadlag",
+    "fred_vintage_revisions",
+    "tail_index_hill_prices",
+    "events_daily_peaks",
+    "similarity_ivf_recall_curve",
+    "market_hhi_suppliers",
 ]
 
 
