@@ -2337,3 +2337,53 @@ def stream_dq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_violations").cast("double") / F.col("n_rows"), 6
         ).alias("violation_share"),
     ).localCheckpoint(eager=True)
+
+
+@query(
+    "curation_split_balance_chi2",
+    # chi2 via the full-table identity sum(o^2/e) - N (empty
+    # (split, lang) cells keep their mass) and Cramér's V — the same
+    # formulas as the stats-family entries, applied to the split audit
+    oracle=f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+c AS (SELECT split AS va, lang AS vb, count(*) AS n_obs
+      FROM s GROUP BY 1, 2),
+rm AS (SELECT va, CAST(sum(n_obs) AS BIGINT) AS rt FROM c GROUP BY 1),
+cm AS (SELECT vb, CAST(sum(n_obs) AS BIGINT) AS ct FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+             count(DISTINCT va) AS ka, count(DISTINCT vb) AS kb FROM c),
+x AS (
+  SELECT sum(CAST(n_obs AS DOUBLE) * n_obs
+             / (CAST(rt * ct AS DOUBLE) / t.n)) - max(t.n) AS chi2
+  FROM c JOIN rm USING (va) JOIN cm USING (vb) CROSS JOIN t
+)
+SELECT 'split_x_lang' AS pair, t.n,
+       CAST(t.ka AS INTEGER) AS ka, CAST(t.kb AS INTEGER) AS kb,
+       round(x.chi2, 6) AS chi2,
+       round(sqrt(x.chi2 / (t.n * CAST(least(t.ka - 1, t.kb - 1)
+                                       AS DOUBLE))), 6) AS cramers_v
+FROM t CROSS JOIN x
+""",
+    description="split-balance audit: chi-squared independence + "
+    "Cramér's V between the deterministic train/val/test assignment "
+    "and language — a content-hash split SHOULD be independent of "
+    "every label (V near 0); a nonzero V here means the eval split is "
+    "linguistically skewed and downstream eval numbers are biased; "
+    "reuses the split assigner and the full-table-identity association "
+    "engine (operators/curation.py:assign_split, "
+    "operators/stats.py:cramers_v)",
+)
+def curation_split_balance_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.curation import assign_split
+    from ..operators.stats import cramers_v
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cramers_v(assign_split(docs), "split", "lang", "split_x_lang")

@@ -2532,3 +2532,82 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("delta", "source_a", "source_b")
         .limit(10)
     )
+
+
+@query(
+    "dedup_bias_report",
+    # the report D is descriptive (kept ⊂ all, so the two samples are
+    # not independent and no alpha threshold applies) — exactly the
+    # right number for "did dedup skew the length distribution"
+    oracle=f"""
+WITH fp AS (SELECT *, {_FP_SQL} AS f FROM documents),
+kept AS (
+  SELECT doc_id, source, n_chars FROM fp
+  QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+),
+per AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+         round(CAST(count(k.doc_id) AS DOUBLE) / count(*), 6)
+           AS retention
+  FROM documents d LEFT JOIN kept k USING (doc_id) GROUP BY 1
+),
+cnt AS (
+  SELECT n_chars,
+         sum(CASE WHEN grp = 'all' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN grp = 'kept' THEN 1 ELSE 0 END) AS cb
+  FROM (SELECT 'all' AS grp, n_chars FROM documents
+        UNION ALL SELECT 'kept', n_chars FROM kept)
+  WHERE n_chars IS NOT NULL GROUP BY n_chars
+),
+tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM cnt),
+ecdf AS (
+  SELECT sum(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS fa,
+         sum(cb) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS fb
+  FROM cnt
+),
+ks AS (
+  SELECT round(max(abs(fa / n_a - fb / n_b)), 6) AS length_ks_d
+  FROM ecdf CROSS JOIN tot
+)
+SELECT per.source, per.n_docs, per.n_kept, per.retention, ks.length_ks_d
+FROM per CROSS JOIN ks
+""",
+    description="dedup bias audit — the check the dedup literature says "
+    "to run and pipelines skip: per-source retention under exact dedup "
+    "(does dedup silently defund one source?) plus the KS distance "
+    "between the corpus and survivor length distributions (does it skew "
+    "short/long?); descriptive D — kept is a subset of all, so no alpha "
+    "threshold applies; reuses the min-id dedup rule, the per-source "
+    "rollup, and the bounded-domain ECDF engine "
+    "(operators/robust.py:ks_two_sample)",
+)
+def dedup_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import ks_two_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = exact_dedup(docs)
+    per = (
+        docs.join(
+            kept.select("doc_id", F.lit(1).alias("__k")), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__k", F.lit(0))).alias("n_kept"),
+            F.round(
+                F.sum(F.coalesce("__k", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("retention"),
+        )
+    )
+    tagged = docs.select(
+        F.lit("all").alias("grp"), "n_chars"
+    ).unionByName(kept.select(F.lit("kept").alias("grp"), "n_chars"))
+    ks = ks_two_sample(tagged, "grp", "n_chars", "all", "kept").select(
+        F.col("d_stat").alias("length_ks_d")
+    )
+    return per.join(F.broadcast(ks)).select(
+        "source", "n_docs", "n_kept", "retention", "length_ks_d"
+    )

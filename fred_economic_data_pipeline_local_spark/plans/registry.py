@@ -161,6 +161,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_daily_peaks",
     "similarity_ivf_recall_curve",
     "market_hhi_suppliers",
+    "dedup_bias_report",
+    "curation_split_balance_chi2",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",
