@@ -2611,3 +2611,170 @@ def dedup_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.join(F.broadcast(ks)).select(
         "source", "n_docs", "n_kept", "retention", "length_ks_d"
     )
+
+
+@query(
+    "dedup_quality_resolve",
+    # survivorship for documents: same cluster derivation as
+    # dedup_ngram_components (recursive-CTE closure in the oracle,
+    # min-label propagation in the engine), but the kept doc is the
+    # HIGHEST-QUALITY member (score_linear, id tiebreak) — the
+    # production keep-rule; score parity is already proven by
+    # text_quality_score, ranking reuses the same expressions
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+        >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+sc AS (
+  SELECT doc_id AS id,
+         1.0 / (1.0 + exp(-(
+           CAST(list_sum(list_transform({_LTOKS_SQL},
+                x -> {_weight_case_sql()})) AS DOUBLE)
+           / greatest(CAST(len({_LTOKS_SQL}) AS DOUBLE), 1.0)))) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT comp.component, comp.id, sc.score,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY sc.score DESC, comp.id) AS rk,
+         count(*) OVER (PARTITION BY comp.component) AS n_members
+  FROM comp JOIN sc USING (id)
+)
+SELECT component, id AS keep_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       round(score, 6) AS keep_score
+FROM ranked WHERE rk = 1
+""",
+    description="quality-based survivorship over near-dup clusters: "
+    "the kept representative is the HIGHEST-scoring member under the "
+    "linear quality model (id tiebreak), not the arbitrary min-id — "
+    "the keep-rule an LLM-data pipeline actually ships (dedup should "
+    "delete the WORST copy); clusters from the 2-gram Jaccard pair "
+    "graph via min-label components, one score projection, one "
+    "per-cluster window over the O(cluster-members) frame "
+    "(operators/dedup.py:neardup_components, "
+    "operators/text.py:score_linear)",
+)
+def dedup_quality_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import neardup_components
+    from ..operators.text import score_linear
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.5)
+    comp = neardup_components(pairs)
+    sc = score_linear(docs, QUALITY_WEIGHTS).select(
+        F.col("id"), F.col("score").alias("__score")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("__score"), F.asc("id")
+    )
+    ws = Window.partitionBy("component")
+    ranked = (
+        comp.join(sc, "id")
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(ws))
+    )
+    return ranked.where(F.col("__rk") == 1).select(
+        "component",
+        F.col("id").alias("keep_id"),
+        F.col("__n").cast("long").alias("n_members"),
+        F.round("__score", 6).alias("keep_score"),
+    )
+
+
+@query(
+    "text_duplication_growth",
+    # bucket arithmetic is exact integers (doc_id * 10 div (max+1));
+    # "duplicate" = fingerprint first seen at a LOWER doc_id (ingestion
+    # order proxy), so the curve shows how dup mass grows as the corpus
+    # accretes — the capacity-planning number behind incremental dedup
+    oracle=f"""
+WITH fp AS (SELECT doc_id, {_FP_SQL} AS f FROM documents),
+fo AS (SELECT f, min(doc_id) AS first_id FROM fp GROUP BY 1),
+mx AS (SELECT max(doc_id) AS mxid FROM fp),
+b AS (
+  SELECT CAST(fp.doc_id * 10 // (mxid + 1) AS INTEGER) AS bucket,
+         CASE WHEN fp.doc_id > fo.first_id THEN 1 ELSE 0 END AS is_dup
+  FROM fp JOIN fo USING (f) CROSS JOIN mx
+),
+g AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(is_dup) AS BIGINT) AS n_dups
+  FROM b GROUP BY 1
+)
+SELECT bucket, n_docs, n_dups,
+       round(CAST(n_dups AS DOUBLE) / n_docs, 6) AS dup_share,
+       round(CAST(sum(n_dups) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / sum(n_docs) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING), 6) AS cum_dup_share
+FROM g
+""",
+    description="duplication growth curve: per ingestion decile (id "
+    "buckets as arrival-order proxy), the share of docs whose content "
+    "fingerprint was already seen earlier, plus the cumulative dup "
+    "share — dup mass GROWS superlinearly as a corpus accretes, and "
+    "this curve is the capacity/savings forecast behind running "
+    "incremental dedup at all; one fingerprint aggregate, one "
+    "first-seen join, a 10-row cumulative window",
+)
+def text_duplication_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    fo = fp.groupBy("f").agg(F.min("doc_id").alias("__first"))
+    mx = fp.agg(F.max("doc_id").alias("__mx"))
+    b = (
+        fp.join(fo, "f")
+        .join(F.broadcast(mx))
+        .select(
+            F.expr("doc_id * 10 div (__mx + 1)")
+            .cast("int")
+            .alias("bucket"),
+            (F.col("doc_id") > F.col("__first")).cast("int").alias(
+                "__dup"
+            ),
+        )
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__dup").alias("n_dups"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "bucket",
+        "n_docs",
+        "n_dups",
+        F.round(
+            F.col("n_dups").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_share"),
+        F.round(
+            F.sum("n_dups").over(w).cast("double")
+            / F.sum("n_docs").over(w),
+            6,
+        ).alias("cum_dup_share"),
+    )

@@ -163,6 +163,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "market_hhi_suppliers",
     "dedup_bias_report",
     "curation_split_balance_chi2",
+    "dedup_quality_resolve",
+    "text_duplication_growth",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",
