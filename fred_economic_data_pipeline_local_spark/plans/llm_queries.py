@@ -2778,3 +2778,4 @@ def text_duplication_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_dup_share"),
     )
+

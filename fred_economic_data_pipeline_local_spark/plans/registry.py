@@ -165,6 +165,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "curation_split_balance_chi2",
     "dedup_quality_resolve",
     "text_duplication_growth",
+    "supplier_scorecard",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

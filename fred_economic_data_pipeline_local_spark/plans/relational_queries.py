@@ -4075,3 +4075,65 @@ def market_hhi_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "supplier_scorecard",
+    # exact-cents revenue, integer counts, value-rank tiebroken by
+    # supplier key; top-20 by revenue with return-rate and share
+    oracle="""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_c,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot FROM r)
+SELECT l_suppkey, n_items,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       round(CAST(n_returned AS DOUBLE) / n_items, 6) AS return_share,
+       round(CAST(rev_c AS DOUBLE) / tot, 6) AS revenue_share
+FROM r CROSS JOIN t
+ORDER BY rev_c DESC, l_suppkey LIMIT 20
+""",
+    description="supplier scorecard top-20 by revenue: exact-cents "
+    "revenue, item count, return-flag rate (the quality signal next to "
+    "the volume signal), corpus revenue share — the vendor-management "
+    "readout joining what q15_top_supplier ranks with what the return "
+    "flags say about it; one map-combined per-supplier collapse, a "
+    "1-row total broadcast, TakeOrdered top-20",
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    r = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents).alias("__rev_c"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias(
+            "__n_ret"
+        ),
+    )
+    t = r.agg(F.sum("__rev_c").alias("__tot"))
+    return (
+        r.join(F.broadcast(t))
+        .select(
+            "l_suppkey",
+            "n_items",
+            (F.col("__rev_c").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.col("__n_ret").cast("double") / F.col("n_items"), 6
+            ).alias("return_share"),
+            F.round(
+                F.col("__rev_c").cast("double") / F.col("__tot"), 6
+            ).alias("revenue_share"),
+            F.col("__rev_c").alias("__rc"),
+        )
+        .orderBy(F.desc("__rc"), F.asc("l_suppkey"))
+        .limit(20)
+        .drop("__rc")
+    )
