@@ -166,6 +166,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_quality_resolve",
     "text_duplication_growth",
     "supplier_scorecard",
+    "nation_trade_balance",
+    "ols_price_on_size_by_brand",
     # --- the round-9 window, all hash-green in CORRECTNESS_r09 ---
     "q5_nation_revenue",
     "manifest_zorder_range_read",

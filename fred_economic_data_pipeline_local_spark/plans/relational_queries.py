@@ -4137,3 +4137,98 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("__rc")
     )
+
+
+@query(
+    "nation_trade_balance",
+    # exact-cents revenue on both sides; each side is one fact pass
+    # with broadcast dims, the balance an exact integer difference
+    oracle="""
+WITH exp AS (
+  SELECT n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS exp_c
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1
+),
+imp AS (
+  SELECT n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS imp_c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+)
+SELECT COALESCE(exp.nation, imp.nation) AS nation,
+       CAST(COALESCE(exp_c, 0) AS DOUBLE) / 100.0 AS exports,
+       CAST(COALESCE(imp_c, 0) AS DOUBLE) / 100.0 AS imports,
+       CAST(COALESCE(exp_c, 0) - COALESCE(imp_c, 0) AS DOUBLE) / 100.0
+         AS balance,
+       round(CAST(COALESCE(exp_c, 0) AS DOUBLE)
+             / greatest(CAST(COALESCE(imp_c, 0) AS DOUBLE), 1.0), 6)
+         AS coverage_ratio
+FROM exp FULL OUTER JOIN imp ON exp.nation = imp.nation
+""",
+    description="nation trade balance: revenue supplied BY each "
+    "nation's suppliers (exports) vs revenue ordered BY its customers "
+    "(imports), balance and export/import coverage ratio — the "
+    "macro-economic readout of the star schema a FRED-style dashboard "
+    "sits next to; two independent fact passes with broadcast "
+    "dimension chains (never a supplier x customer join), exact "
+    "integer cents, one tiny full-outer merge on the nation domain",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    exp = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == sup["s_suppkey"],
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("exp_c"))
+    )
+    imp = (
+        # orders is a FACT side — no broadcast hint; Catalyst/AQE picks
+        # (broadcast at fixture scale, shuffle join at 100 TB)
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("imp_c"))
+    )
+    e = F.coalesce("exp_c", F.lit(0))
+    i = F.coalesce("imp_c", F.lit(0))
+    return exp.join(imp, "nation", "full_outer").select(
+        "nation",
+        (e.cast("double") / 100.0).alias("exports"),
+        (i.cast("double") / 100.0).alias("imports"),
+        ((e - i).cast("double") / 100.0).alias("balance"),
+        F.round(
+            e.cast("double") / F.greatest(i.cast("double"), F.lit(1.0)),
+            6,
+        ).alias("coverage_ratio"),
+    )

@@ -826,3 +826,39 @@ def tail_index_hill_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) / g, 6).alias("tail_alpha"),
         )
     )
+
+
+@query(
+    "ols_price_on_size_by_brand",
+    oracle="""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n,
+       round(covar_samp(p_size, p_retailprice)
+             / var_samp(p_size), 6) AS slope,
+       round(avg(p_retailprice) - covar_samp(p_size, p_retailprice)
+             / var_samp(p_size) * avg(p_size), 6) AS intercept,
+       round(corr(p_size, p_retailprice)
+             * corr(p_size, p_retailprice), 6) AS r_squared
+FROM part GROUP BY 1
+""",
+    description="per-brand OLS regression of retail price on part size "
+    "(slope = cov/var, intercept from the means, r-squared = corr^2): "
+    "the classic cross-sectional fit the robust family (Theil-Sen, "
+    "Mann-Kendall) is compared against — one map-combined "
+    "covariance/variance aggregate per brand, no residual pass, no "
+    "driver math; engine covar/var/corr over identical doubles, "
+    "6 dp rounding absorbing co-moment order",
+)
+def ols_price_on_size_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    x = F.col("p_size").cast("double")
+    y = F.col("p_retailprice")
+    slope = F.covar_samp(x, y) / F.var_samp(x)
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg(y) - slope * F.avg(x), 6).alias("intercept"),
+        F.round(F.corr(x, y) * F.corr(x, y), 6).alias("r_squared"),
+    )
