@@ -194,6 +194,15 @@ HEADLINE = [
     "events_daily_peaks",
     "similarity_ivf_recall_curve",
     "market_hhi_suppliers",
+    # round-10 fourth wave: dedup audits + survivorship, split balance,
+    # trade/vendor economics, OLS baseline
+    "dedup_bias_report",
+    "curation_split_balance_chi2",
+    "dedup_quality_resolve",
+    "text_duplication_growth",
+    "supplier_scorecard",
+    "nation_trade_balance",
+    "ols_price_on_size_by_brand",
 ]
 
 
