@@ -573,6 +573,39 @@ def test_snm_pairs_are_equi_join_on_block_rank(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_snm_rank_is_distributed_not_per_block_window(spark):
+    """the SNM rank must never be a per-block window (parallelism
+    capped at n_blocks — a single-task sort of n/5 rows on the 5-segment
+    block key at 100 TB). Pin: a range-partition exchange is present
+    (the distributed sort) and every row_number Window in the plan is
+    keyed on SPARK_PARTITION_ID + block, never block alone."""
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.range(100).select(
+        # non-foldable single-valued block (a literal would be
+        # constant-folded out of the range-partition sort keys)
+        (F.col("id") % 1).cast("string").alias("blk"),
+        F.col("id"),
+        (F.col("id") % 7).alias("v"),
+    )
+    pairs = sorted_neighborhood_pairs(df, "id", "blk", ["v"], window=2)
+    plans = [pairs._jdf.queryExecution().executedPlan().toString(),
+             plan_of(spark, "linkage_sorted_neighborhood")]
+    for plan in plans:
+        assert "rangepartitioning(block" in plan
+        win_lines = [
+            l for l in plan.splitlines()
+            if "Window [row_number()" in l and "__lrn" in l
+        ]
+        assert win_lines  # the local-rank window exists...
+        for l in win_lines:  # ...and is never keyed on block alone
+            assert "__pid" in l, l
+
+
 def test_token_mi_broadcasts_corpus_marginals(spark):
     """the 1-row corpus marginal frame broadcasts back onto the
     per-token frame; the top-k cut is TakeOrdered, not a global sort."""
