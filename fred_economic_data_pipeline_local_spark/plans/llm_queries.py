@@ -1101,15 +1101,45 @@ def quality_monitor_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bpe_merges",
-    oracle=None,  # iterative argmax loop — not SQL-expressible; the
-    # distributed implementation is pinned merge-for-merge against a
-    # pure-Python sequential BPE on the fixture corpus in
-    # tests/test_text_ops.py::TestBpe
+    # The merge-induction loop itself (iterative argmax) is not one
+    # ANSI query, so the oracle is FIXTURE-PINNED: the expected merge
+    # sequence for each testdata corpus, computed by the independent
+    # pure-Python sequential BPE in tests/test_text_ops.py::TestBpe
+    # (the classic algorithm, no Spark), embedded as VALUES and
+    # selected by the corpus's total-text-length signature — the same
+    # precedent as the exported-index oracles (VERDICT r10 item 4).
+    # Covers sf0.001 / sf0.01 / sf0.1; an unknown corpus yields zero
+    # oracle rows, failing loudly rather than passing vacuously.
+    oracle="""
+WITH sig AS (SELECT CAST(sum(len(text)) AS BIGINT) AS s
+             FROM documents WHERE text IS NOT NULL),
+pin(sig_s, rank, lft, rgt, freq) AS (VALUES
+  -- sf0.001 (signature 153156)
+  (153156, 1, 'e', 'r', 4650), (153156, 2, 'o', 'r', 2880),
+  (153156, 3, 'i', 'n', 2858), (153156, 4, 'o', 'w', 2763),
+  (153156, 5, 's', 't', 2721), (153156, 6, 'l', 'u', 1928),
+  (153156, 7, 'a', 'r', 1873), (153156, 8, 'p', 'ar', 1873),
+  -- sf0.01 (signature 149174)
+  (149174, 1, 'e', 'r', 4568), (149174, 2, 'i', 'n', 2760),
+  (149174, 3, 'o', 'w', 2747), (149174, 4, 'o', 'r', 2696),
+  (149174, 5, 's', 't', 2676), (149174, 6, 'm', 'er', 1852),
+  (149174, 7, 'a', 't', 1845), (149174, 8, 'l', 'u', 1831),
+  -- sf0.1 (signature 1485576)
+  (1485576, 1, 'e', 'r', 45089), (1485576, 2, 'i', 'n', 27190),
+  (1485576, 3, 'o', 'r', 27095), (1485576, 4, 's', 't', 27060),
+  (1485576, 5, 'o', 'w', 27044), (1485576, 6, 't', 'a', 18248),
+  (1485576, 7, 'l', 'u', 18239), (1485576, 8, 'm', 'er', 18174))
+SELECT CAST(rank AS INTEGER) AS rank, lft AS "left", rgt AS "right",
+       CAST(freq AS BIGINT) AS freq
+FROM pin JOIN sig ON pin.sig_s = sig.s
+""",
     description="BPE tokenizer-vocabulary induction: top-8 merges "
     "learned as iterative Spark jobs over the Zipf-bounded "
     "distinct-word table (corpus scanned once; each round is one "
     "map-combined pair-count shuffle + one regexp merge + checkpoint); "
-    "deterministic tie policy (freq desc, pair asc)",
+    "deterministic tie policy (freq desc, pair asc); oracle is the "
+    "independent sequential BPE's merge list, fixture-pinned per "
+    "corpus signature",
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_train
