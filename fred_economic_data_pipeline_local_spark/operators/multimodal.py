@@ -472,6 +472,14 @@ def attach_pattern_media(
             ids, medias, ws, hs = [], [], [], []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
+                if i >= 1_000_000:
+                    # variant ids are doc_id + 1_000_000; an input id at
+                    # or past the offset would collide with a variant
+                    # and silently corrupt the planted-pair ground truth
+                    raise ValueError(
+                        f"attach_pattern_media: doc_id {i} >= 1_000_000 "
+                        "collides with the variant-id offset"
+                    )
                 img, w, h = _render_one(np, i, 1)
                 ids.append(i)
                 medias.append(img.tobytes())
@@ -520,7 +528,9 @@ def phash63(
     The hash computation itself has no SQL mirror (DCT), so callers
     export the (doc_id, phash) table and verify everything downstream
     (banding, candidate join, Hamming verify) — the exported-index
-    pattern. Returns (doc_id, phash).
+    pattern. Returns (doc_id, phash); phash is NULL for undecodable or
+    short buffers (a sentinel like 0 would alias all malformed images
+    into one mutual Hamming-0 duplicate group).
     """
 
     def _phash(batches: Iterator) -> Iterator:
@@ -539,10 +549,17 @@ def phash63(
             for raw, w, h in zip(
                 pdf["media"], pdf["width"], pdf["height"]
             ):
+                # undecodable/short buffer -> NULL hash, never a
+                # sentinel: hash 0 would make every malformed image a
+                # mutual Hamming-0 "duplicate" of every other one and a
+                # real dedup pass would merge/delete them
+                if raw is None or w is None or h is None:
+                    hashes.append(None)
+                    continue
                 w, h = int(w), int(h)
                 b = np.frombuffer(bytes(raw), dtype=np.uint8)
                 if b.size < w * h or w < 1 or h < 1:
-                    hashes.append(0)
+                    hashes.append(None)
                     continue
                 img = b[: w * h].reshape(h, w)
                 yi = (np.arange(n) * h) // n
@@ -556,7 +573,10 @@ def phash63(
                         bits |= 1 << i
                 hashes.append(bits)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "phash": hashes}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
             )
 
     return df.select(
@@ -575,8 +595,11 @@ def phash_neardup_pairs(
     ``max_hamming <= 7`` — never an all-pairs compare — and each
     candidate is verified with one XOR + bit_count. The same
     index-then-verify shape as MinHash LSH, on bits instead of
-    shingles. Returns (id_a, id_b, hamming).
+    shingles. NULL hashes (undecodable media, see phash63) are dropped
+    before banding — they carry no content signal and must never pair.
+    Returns (id_a, id_b, hamming).
     """
+    hashes = hashes.where(F.col("phash").isNotNull())
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col("phash"), 8 * i).bitwiseAND(

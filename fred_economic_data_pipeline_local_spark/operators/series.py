@@ -252,7 +252,11 @@ def conformal_backtest(
     window over raw events.
 
     Returns one row per key:
-    (key, n_cal, n_test, qhat, coverage, target_coverage).
+    (key, n_cal, n_test, qhat, coverage, target_coverage). A key whose
+    calibration slice is too small for the order statistic
+    (ceil((1 - alpha) * (n_cal + 1)) > n_cal) reports qhat = +inf and
+    coverage 1.0 — the split-conformal "not enough data" interval —
+    rather than disappearing from the output.
     """
     w_lag = Window.partitionBy(key).orderBy(time_col)
     resid = (
@@ -294,8 +298,17 @@ def conformal_backtest(
         .agg(F.min("__r").alias("qhat"))
     )
     test = tagged.where(~F.col("__is_cal"))
+    # a calibration slice too small for the order statistic
+    # (ceil((1-alpha)(n_cal+1)) > n_cal) yields no qhat row; the
+    # split-conformal convention is qhat = +inf — full coverage, the
+    # honest "not enough calibration data" interval — so the key is
+    # REPORTED with an infinite half-width, never silently dropped
+    # (left join + coalesce instead of an inner join)
     return (
-        test.join(F.broadcast(qhat), key)
+        test.join(F.broadcast(qhat), key, "left")
+        .withColumn(
+            "qhat", F.coalesce(F.col("qhat"), F.lit(float("inf")))
+        )
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("n_test"),

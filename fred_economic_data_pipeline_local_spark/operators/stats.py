@@ -112,9 +112,15 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     grand total are O(|A|) / O(|B|) / 1-row re-aggregations of the cell
     frame (never a second fact scan) and broadcast back. Everything
     downstream of the counts is exact integer arithmetic divided once —
-    deterministic across engines. Returns one row per observed cell:
-    (col_a, col_b, n_obs, expected, contrib, chi2_total, dof).
+    deterministic across engines. Rows with a NULL in either
+    categorical are excluded up front: groupBy would keep NULL as a
+    real contingency cell while count_distinct excludes it, so with
+    NULLs present the dof denominator would understate (a NULL
+    "category" isn't a category; callers who want it as one should
+    coalesce to an explicit label first). Returns one row per observed
+    cell: (col_a, col_b, n_obs, expected, contrib, chi2_total, dof).
     """
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n_obs"))
     row_m = cells.groupBy(col_a).agg(F.sum("n_obs").alias("__rt"))
     col_m = cells.groupBy(col_b).agg(F.sum("n_obs").alias("__ct"))
@@ -477,10 +483,14 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str, label: str) -> DataFrame:
     once. chi2 uses the full-table identity ``sum o^2 / e - N`` over the
     observed cells, so empty contingency cells (whose (0 - e)^2 / e mass
     an observed-cells-only sum drops) are included — without them V
-    loses its <= 1 bound. Returns ONE row: (pair, n, ka, kb, chi2,
-    cramers_v) with ``pair = label`` so per-pair results union into a
-    report.
+    loses its <= 1 bound. Rows with a NULL in either categorical are
+    excluded up front (groupBy would keep NULL as a cell while
+    count_distinct excludes it, understating min(ka-1, kb-1) and
+    letting V exceed 1 on nullable inputs). Returns ONE row:
+    (pair, n, ka, kb, chi2, cramers_v) with ``pair = label`` so
+    per-pair results union into a report.
     """
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n_obs"))
     row_m = cells.groupBy(col_a).agg(F.sum("n_obs").alias("__rt"))
     col_m = cells.groupBy(col_b).agg(F.sum("n_obs").alias("__ct"))

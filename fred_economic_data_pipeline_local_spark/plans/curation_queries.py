@@ -2353,7 +2353,8 @@ WITH s AS (
   FROM documents
 ),
 c AS (SELECT split AS va, lang AS vb, count(*) AS n_obs
-      FROM s GROUP BY 1, 2),
+      FROM s WHERE split IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2),
 rm AS (SELECT va, CAST(sum(n_obs) AS BIGINT) AS rt FROM c GROUP BY 1),
 cm AS (SELECT vb, CAST(sum(n_obs) AS BIGINT) AS ct FROM c GROUP BY 1),
 t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n,

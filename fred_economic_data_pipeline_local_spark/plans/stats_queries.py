@@ -61,7 +61,9 @@ def auc_doc_length_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH cells AS (
   SELECT o_orderpriority, o_orderstatus, count(*) AS n_obs
-  FROM orders GROUP BY 1, 2
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
 ),
 rm AS (SELECT o_orderpriority, CAST(sum(n_obs) AS BIGINT) AS rt
        FROM cells GROUP BY 1),
@@ -657,7 +659,8 @@ def kruskal_wallis_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cramers_ctes(tag: str, table: str, a: str, b: str) -> str:
     return f"""
 c_{tag} AS (SELECT {a} AS va, {b} AS vb, count(*) AS n_obs
-            FROM {table} GROUP BY 1, 2),
+            FROM {table}
+            WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2),
 rm_{tag} AS (SELECT va, CAST(sum(n_obs) AS BIGINT) AS rt
              FROM c_{tag} GROUP BY 1),
 cm_{tag} AS (SELECT vb, CAST(sum(n_obs) AS BIGINT) AS ct

@@ -1361,12 +1361,15 @@ qh AS (
   GROUP BY 1
 ),
 tst AS (
+  -- LEFT join + infinite fallback: a calibration slice too small for
+  -- the order statistic reports qhat = +inf (split-conformal
+  -- convention), never a dropped key
   SELECT tg.event_type,
          CAST(count(*) AS BIGINT) AS n_test,
-         CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT)
-           AS hits,
-         round(min(qhat), 4) AS qhat
-  FROM tg JOIN qh USING (event_type) WHERE NOT is_cal
+         CAST(sum(CASE WHEN r <= COALESCE(qhat, CAST('infinity' AS DOUBLE))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         round(min(COALESCE(qhat, CAST('infinity' AS DOUBLE))), 4) AS qhat
+  FROM tg LEFT JOIN qh USING (event_type) WHERE NOT is_cal
   GROUP BY 1
 )
 SELECT tst.event_type, n_cal, n_test, qhat,

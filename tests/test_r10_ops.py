@@ -487,3 +487,104 @@ def test_topk_ivm_delete_below_cut_is_noop(spark):
     # trigger the recompute path at all
     out = apply_topk_delta(state, feed, base0.limit(0), ["k"], "v", 3)
     assert _topk_rows(out) == [(7, 7.0), (8, 8.0), (9, 9.0)]
+
+
+# --- ADVICE r10 regression pins --------------------------------------------------
+
+
+def test_conformal_short_series_reports_inf_not_dropped(spark):
+    """A calibration slice too small for the order statistic
+    (ceil((1-alpha)(n_cal+1)) > n_cal) must report qhat = +inf with
+    full coverage — the split-conformal convention — never silently
+    drop the key from the output (ADVICE r10, operators/series.py)."""
+    from fred_economic_data_pipeline_local_spark.operators.series import (
+        conformal_backtest,
+    )
+
+    # 6 steps -> 5 residuals, cut keeps 4 in calibration;
+    # ceil(0.9 * 5) = 5 > 4 -> no order statistic exists
+    df = spark.createDataFrame(
+        [("short", i, float(i * i)) for i in range(6)]
+        # a healthy sibling key proves the join change is surgical
+        + [("long", i, float(i % 2)) for i in range(30)],
+        "k string, t long, v double",
+    )
+    got = {
+        r["k"]: r
+        for r in conformal_backtest(
+            df, "k", "t", "v", period=1, alpha=0.1
+        ).collect()
+    }
+    assert "short" in got  # the old inner join dropped this key
+    assert math.isinf(got["short"]["qhat"])
+    assert got["short"]["coverage"] == 1.0
+    assert got["long"]["qhat"] == 1.0 and got["long"]["coverage"] == 1.0
+
+
+def test_chi2_and_cramers_exclude_null_categories(spark):
+    """NULL in either categorical is excluded up front: mixing
+    groupBy's NULL cell with count_distinct's NULL exclusion understates
+    dof and can push V past 1 (ADVICE r10, operators/stats.py)."""
+    from fred_economic_data_pipeline_local_spark.operators.stats import (
+        chi2_independence,
+        cramers_v,
+    )
+
+    rows = [("x", "p")] * 10 + [("y", "q")] * 10
+    nulls = [(None, "p")] * 5 + [("x", None)] * 5
+    with_nulls = spark.createDataFrame(rows + nulls, "a string, b string")
+    clean = spark.createDataFrame(rows, "a string, b string")
+
+    [(pair, n, ka, kb, chi2, v)] = _rows(cramers_v(with_nulls, "a", "b", "t"))
+    [(_, n2, ka2, kb2, chi22, v2)] = _rows(cramers_v(clean, "a", "b", "t"))
+    assert (n, ka, kb, chi2, v) == (n2, ka2, kb2, chi22, v2)
+    assert v <= 1.0
+
+    got = _rows(chi2_independence(with_nulls, "a", "b"))
+    want = _rows(chi2_independence(clean, "a", "b"))
+    assert sorted(got) == sorted(want)
+
+
+def test_phash_null_for_undecodable_and_never_paired(spark):
+    """Undecodable/short media buffers hash to NULL (not sentinel 0,
+    which made every malformed image a mutual Hamming-0 duplicate) and
+    NULL hashes never enter banding (ADVICE r10, multimodal.py)."""
+    from fred_economic_data_pipeline_local_spark.operators.multimodal import (
+        phash63,
+        phash_neardup_pairs,
+    )
+
+    good = bytes(range(256)) * 4  # 32x32 decodable buffer
+    rows = [
+        (1, good, 32, 32),
+        (2, b"\x01\x02", 32, 32),  # short buffer
+        (3, None, 32, 32),  # missing media
+        (4, b"", 0, 0),  # degenerate dims
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, width int, height int"
+    )
+    hashes = {r["doc_id"]: r["phash"] for r in phash63(df).collect()}
+    assert hashes[1] is not None
+    assert hashes[2] is None and hashes[3] is None and hashes[4] is None
+    # the two malformed rows must NOT pair as Hamming-0 duplicates
+    hdf = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()],
+        "doc_id long, phash long",
+    )
+    assert phash_neardup_pairs(hdf, max_hamming=7).count() == 0
+
+
+def test_attach_pattern_media_rejects_variant_offset_collision(spark):
+    """doc_id at or past the 1M variant offset would collide with a
+    variant id and corrupt the planted ground truth — loud error, not
+    silent corruption (ADVICE r10, multimodal.py)."""
+    import pytest as _pytest
+
+    from fred_economic_data_pipeline_local_spark.operators.multimodal import (
+        attach_pattern_media,
+    )
+
+    df = spark.createDataFrame([(999_999,), (1_000_000,)], "doc_id long")
+    with _pytest.raises(Exception, match="1_000_000"):
+        attach_pattern_media(df).collect()
