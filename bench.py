@@ -282,6 +282,10 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
+        # the complete per-query map + delta_vs_prev always lives in the
+        # committed BENCH_FULL.json (round-stamped archives:
+        # BENCH_FULL_r{N}.json), whatever the tail capture truncates
+        "full": "BENCH_FULL.json",
         "queries": {q: round(t, 2) for q, t in timings.items()},
     }
     line = json.dumps(compact, separators=(",", ":"))
@@ -308,24 +312,35 @@ def main() -> None:
 
 
 def _prev_round_timings(sf: float) -> dict[str, float]:
-    """Per-query timings from the latest BENCH_r{N}.json at the same sf."""
+    """Per-query timings from the newest prior round at the same sf.
+
+    Two sources, merged newest-round-wins: the driver's recorded
+    BENCH_r{N}.json (its parsed map is tail-capture-limited to the
+    slowest ~56 queries) and the repo's committed round-stamped full
+    artifacts BENCH_FULL_r{N}.json (every query, 3 dp) — so
+    delta_vs_prev covers the FULL headline set, not just the head the
+    driver's 2,000-char tail happened to fit (VERDICT r10 item 7)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, dict] | None = None
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
+    candidates: list[tuple[int, bool, dict]] = []
+    for path in glob.glob(os.path.join(here, "BENCH_*r*.json")):
+        m = re.search(r"BENCH_(?:FULL_)?r(\d+)\.json$", path)
         if not m:
             continue
         try:
             with open(path) as fh:
-                parsed = json.load(fh).get("parsed") or {}
+                doc = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
+        parsed = doc.get("parsed") or doc  # driver record vs full artifact
         if parsed.get("sf") != sf or "queries" not in parsed:
             continue
-        n = int(m.group(1))
-        if best is None or n > best[0]:
-            best = (n, parsed["queries"])
-    return best[1] if best else {}
+        is_full = "FULL" in os.path.basename(path)
+        candidates.append((int(m.group(1)), is_full, parsed["queries"]))
+    if not candidates:
+        return {}
+    # newest round wins; within a round the full artifact wins
+    _, _, queries = max(candidates, key=lambda c: (c[0], c[1]))
+    return queries
 
 
 def _infer_sf(path: str) -> float:
