@@ -203,6 +203,14 @@ HEADLINE = [
     "supplier_scorecard",
     "nation_trade_balance",
     "ols_price_on_size_by_brand",
+    # round-11 wave: streak mining, ranking under uncertainty,
+    # exact-k sampling, tokenizer equity, TextRank, PIT features
+    "events_gaps_islands",
+    "supplier_ontime_wilson",
+    "sample_exact_k_per_group",
+    "text_tokenizer_fertility",
+    "text_textrank_keywords",
+    "scd2_point_in_time_features",
 ]
 
 

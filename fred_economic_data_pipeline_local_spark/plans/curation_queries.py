@@ -2388,3 +2388,64 @@ def curation_split_balance_chi2(
 
     docs = load_table(spark, "documents", sf_dir)
     return cramers_v(assign_split(docs), "split", "lang", "split_x_lang")
+
+
+_EXACT_K = 25
+_EXACT_K_SALT = "r11s1:"
+
+
+@query(
+    "sample_exact_k_per_group",
+    oracle=f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{_EXACT_K_SALT}' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rk AS INTEGER) AS draw_rank
+FROM r WHERE rk <= {_EXACT_K}
+""",
+    description="exact-k-per-group uniform sample without replacement: "
+    "rank every doc inside its language by a salted md5 of its id (a "
+    "hash both engines compute bit-identically — no exported state "
+    "needed) and keep the first k — the deterministic, re-runnable "
+    "analogue of ORDER BY random() LIMIT k per group that data-card "
+    "spot-check samples and labeling batches need; the plan is "
+    "TWO-PHASE top-k (per-partition local rank keyed on "
+    "(spark_partition_id, lang) prunes to k rows per partition, then a "
+    "global per-lang rank over the <= k * n_partitions survivors) so a "
+    "low-cardinality group key never serializes a full sort onto one "
+    "task — the same scale posture as the SNM distributed rank "
+    "(operators/linkage.py)",
+)
+def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).select("lang", "doc_id")
+    key = F.md5(
+        F.concat(F.lit(_EXACT_K_SALT), F.col("doc_id").cast("string"))
+    )
+    local = (
+        docs.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__key", key)
+        .withColumn(
+            "__lrk",
+            F.row_number().over(
+                W.partitionBy("__pid", "lang").orderBy("__key", "doc_id")
+            ),
+        )
+        .where(F.col("__lrk") <= _EXACT_K)
+    )
+    return (
+        local.withColumn(
+            "draw_rank",
+            F.row_number()
+            .over(W.partitionBy("lang").orderBy("__key", "doc_id"))
+            .cast("int"),
+        )
+        .where(F.col("draw_rank") <= _EXACT_K)
+        .select("lang", "doc_id", "draw_rank")
+    )

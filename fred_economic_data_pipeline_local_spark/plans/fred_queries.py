@@ -763,3 +763,98 @@ def fred_vintage_revisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "scd2_point_in_time_features",
+    # the oracle re-derives the effective-dated history as the same
+    # literal epoch algebra manifest_scd2_history's oracle proved, then
+    # replays the PIT visibility rule per version — fully independent
+    # of the engine's commit log and window derivation
+    oracle=f"""
+WITH silver AS ({_SILVER_ORACLE_BODY}),
+b AS (SELECT indicator, observation_year, observation_month AS m,
+             value FROM silver),
+hist AS (
+  SELECT indicator, observation_year, m, value, 0 AS vf, 1 AS vt
+  FROM b WHERE m <= 2
+  UNION ALL
+  SELECT indicator, observation_year, m, value, 0, NULL
+  FROM b WHERE m IN (3, 4)
+  UNION ALL
+  SELECT indicator, observation_year, m, value, 0, 0
+  FROM b WHERE m BETWEEN 5 AND 8
+  UNION ALL
+  SELECT indicator, observation_year, m, round(value * 2, 6), 1, 1
+  FROM b WHERE m BETWEEN 5 AND 10
+  UNION ALL
+  SELECT indicator, observation_year, m, value, 2, NULL
+  FROM b WHERE m BETWEEN 5 AND 12
+),
+v(av) AS (VALUES (0), (1), (2))
+SELECT CAST(v.av AS INTEGER) AS asof_version, indicator,
+       observation_year,
+       CAST(count(*) AS BIGINT) AS n_months,
+       round(sum(value), 6) AS sum_value
+FROM hist JOIN v ON hist.vf <= v.av
+                AND (hist.vt IS NULL OR v.av <= hist.vt)
+GROUP BY 1, 2, 3
+""",
+    description="point-in-time (as-of-version) feature extraction "
+    "against the SCD2 dimension — the feature-store correctness rule: "
+    "training rows must see the attribute values that were CURRENT at "
+    "their own time, never later backfills (label/feature leakage "
+    "otherwise); the effective-dated history comes from the commit "
+    "log (operators/scd.py:scd2_history over the same 3-commit "
+    "merge/overwrite sequence as manifest_scd2_history), each probe "
+    "version joins by epoch containment (valid_from <= v <= valid_to, "
+    "null = current) against a 3-row broadcast version frame, and "
+    "per-(version, indicator, year) visibility counts + value sums "
+    "verify every epoch boundary: v0 sees originals, v1 sees the "
+    "doubled 5-10 window, v2 sees the post-overwrite state with "
+    "months 1-2 deleted",
+)
+def scd2_point_in_time_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..operators.scd import scd2_history
+    from ..sources.lakehouse import ManifestLakeTable
+
+    silver = _silver(spark, sf_dir).select(
+        "indicator", "observation_year", "observation_month", "value",
+        "observation_count",
+    )
+    m = F.col("observation_month")
+    table = ManifestLakeTable(
+        tempfile.mkdtemp(prefix="fred_pit_"),
+        keys=["indicator", "observation_year", "observation_month"],
+        n_buckets=16,
+    )
+    table.overwrite(silver.where(m <= 8))
+    table.merge_into(
+        silver.where(m.between(5, 10)).withColumn(
+            "value", F.round(F.col("value") * 2, 6)
+        )
+    )
+    table.overwrite(silver.where(m.between(3, 12)))
+    hist = scd2_history(spark, table)
+    vers = spark.range(3).select(
+        F.col("id").cast("int").alias("asof_version")
+    )
+    visible = hist.crossJoin(F.broadcast(vers)).where(
+        (F.col("valid_from") <= F.col("asof_version"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("asof_version") <= F.col("valid_to"))
+        )
+    )
+    return (
+        visible.groupBy("asof_version", "indicator", "observation_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )

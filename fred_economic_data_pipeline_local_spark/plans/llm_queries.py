@@ -2809,3 +2809,183 @@ def text_duplication_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_dup_share"),
     )
 
+
+
+@query(
+    "text_tokenizer_fertility",
+    # same exported-merge-table machinery as text_bpe_token_counts:
+    # DuckDB independently re-applies the learned merges (recursive CTE
+    # + greedy fold over the distinct-word table) and recomputes the
+    # per-language aggregates from its own segmentation
+    oracle=f"""
+WITH RECURSIVE
+m AS (SELECT rank, l, r FROM {export_sql('text_bpe_merge_table')}),
+t AS (SELECT doc_id AS id, {_LTOKS_SQL} AS tk FROM documents),
+tok AS (SELECT id, unnest(tk) AS w FROM t),
+dw AS (SELECT DISTINCT w FROM tok),
+sym0 AS (SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') AS sym FROM dw),
+app AS (
+  SELECT w, sym, 0 AS k FROM sym0
+  UNION ALL
+  SELECT a.w,
+         list_reduce(string_split(a.sym, ' '),
+           (acc, x) -> CASE
+             WHEN x = m.r AND acc = m.l THEN m.l || m.r
+             WHEN x = m.r AND ends_with(acc, ' ' || m.l)
+               THEN substr(acc, 1, length(acc) - length(m.l)) || m.l || m.r
+             ELSE acc || ' ' || x END),
+         a.k + 1
+  FROM app a JOIN m ON m.rank = a.k + 1
+),
+fin AS (SELECT w, sym FROM app WHERE k = (SELECT count(*) FROM m)),
+cnt AS (SELECT w, CAST(len(string_split(sym, ' ')) AS INTEGER) AS nb FROM fin),
+agg AS (SELECT tok.id, CAST(sum(cnt.nb) AS INTEGER) AS n_bpe
+        FROM tok JOIN cnt ON tok.w = cnt.w GROUP BY tok.id)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(t.tk)) AS BIGINT) AS n_words,
+       CAST(sum(agg.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(sum(agg.n_bpe) / CAST(sum(len(t.tk)) AS DOUBLE), 6)
+         AS fertility,
+       round(sum(d.n_chars) / CAST(sum(agg.n_bpe) AS DOUBLE), 6)
+         AS chars_per_token
+FROM t JOIN agg ON t.id = agg.id
+JOIN documents d ON d.doc_id = t.id
+GROUP BY 1
+""",
+    description="tokenizer fertility by language: subword-per-word and "
+    "chars-per-subword ratios of the corpus-learned BPE, per lang — "
+    "THE tokenizer-equity eval for multilingual training data (a "
+    "tokenizer with fertility 2x on one language inflates its compute "
+    "share and shrinks its effective context); segmentation is the "
+    "same chained-regexp projection as text_bpe_token_counts (no "
+    "Python in the hot path), aggregates are map-combined; oracle "
+    "re-applies the exported merges and re-derives every ratio",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exports import export_table
+    from ..operators.text import bpe_tokenize, bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges, _ = bpe_train(docs, n_merges=8, min_freq=2)
+    export_table(
+        spark.createDataFrame(
+            [(i + 1, a, b) for i, (a, b, _) in enumerate(merges)],
+            "rank int, l string, r string",
+        ),
+        "text_bpe_merge_table",
+    )
+    tk = bpe_tokenize(docs, merges).select(
+        F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens"
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(tk, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars")
+                / F.sum("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _textrank_iter_sql(prev: str, cur: str) -> str:
+    # one damped PageRank step over the word graph (mirrors
+    # operators/graph.py:pagerank's per-iteration 8-dp rounding)
+    return f"""{cur} AS (
+  SELECT n.node,
+         round(0.15 / nn.n + 0.85 * coalesce(s.s, 0), 8) AS r
+  FROM wnodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / od.od) AS s
+    FROM wedges e
+    JOIN {prev} p ON e.src = p.node
+    JOIN od ON e.src = od.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+
+
+_TEXTRANK_ITERS = 5
+_TEXTRANK_SQL = (
+    f"""
+WITH t AS (SELECT doc_id AS id, {_LTOKS_SQL} AS tk FROM documents),
+adj AS (
+  SELECT tk[u.i] AS a, tk[u.i + 1] AS b
+  FROM t CROSS JOIN unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+),
+e0 AS (SELECT DISTINCT a AS src, b AS dst FROM adj WHERE a <> b),
+wedges AS (SELECT src, dst FROM e0
+           UNION SELECT dst AS src, src AS dst FROM e0),
+wnodes AS (SELECT DISTINCT src AS node FROM wedges),
+nn AS (SELECT count(*) AS n FROM wnodes),
+od AS (SELECT src, count(*) AS od FROM wedges GROUP BY src),
+r0 AS (SELECT node, round(1.0 / nn.n, 8) AS r
+       FROM wnodes CROSS JOIN nn),
+"""
+    + ",\n".join(
+        _textrank_iter_sql(f"r{i}", f"r{i + 1}")
+        for i in range(_TEXTRANK_ITERS)
+    )
+    + f"""
+SELECT node AS word, round(r, 6) AS rank FROM r{_TEXTRANK_ITERS}
+ORDER BY rank DESC, word
+LIMIT 20
+"""
+)
+
+
+@query(
+    "text_textrank_keywords",
+    oracle=_TEXTRANK_SQL,
+    description="TextRank keyword extraction (Mihalcea & Tarau, EMNLP "
+    "2004): PageRank over the word co-occurrence graph (undirected "
+    "distinct adjacent-token pairs), top-20 corpus keywords — the "
+    "unsupervised keyword baseline; the graph is Zipf-bounded (distinct "
+    "word pairs, not token instances), built with one map-combined "
+    "dedup, and the 5 fixed damped iterations reuse the engine's "
+    "pagerank kernel: adjacency shuffled once and checkpointed, each "
+    "iteration exchanges only (word, rank) pairs with per-iteration "
+    "8-dp rounding so the FP sums are deterministic across engines "
+    "(operators/graph.py:pagerank)",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+    from ..operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select(tokens(F.lower(F.col("text"))).alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    adj = tk.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("a"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    e0 = adj.where(F.col("a") != F.col("b")).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).distinct()
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    r = pagerank(edges, iterations=_TEXTRANK_ITERS)
+    return (
+        r.select(F.col("node").alias("word"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(20)
+    )

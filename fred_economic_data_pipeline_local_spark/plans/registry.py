@@ -76,10 +76,17 @@ def get_query(name: str) -> QuerySpec:
 #      fix + conformal infinite-qhat fix + phash NULL-hash fix touched
 #      chi2_priority_status, cramers_v_pairs,
 #      forecast_conformal_intervals and multimodal_phash_dedup;
-#   3. 17 round-5 freshness promotions — the entries whose newest
+#   3. 11 round-5 freshness promotions — the entries whose newest
 #      driver row is oldest (r5), led by q5_nation_revenue (promised
-#      since reslot #7) and the core TPC-H / dedup / text / curation
-#      entries other operators reuse most.
+#      since reslot #7) and the core TPC-H / dedup / text entries
+#      other operators reuse most;
+#   4. the 6 round-11 additions (gaps-and-islands streaks, Wilson
+#      reliability ranking, exact-k-per-group sampling, tokenizer
+#      fertility, TextRank keywords, SCD2 point-in-time features) —
+#      slotted into the window IMMEDIATELY so no new entry ever starts
+#      a never-driver-checked debt; they displace 6 of the round-5
+#      promotions (text_fingerprints .. asof_clicks_to_purchases) to
+#      the head of the below-window tail for the round-12 rotation.
 # The ENTIRE round-10 window (all 50 hash-green in CORRECTNESS_r10)
 # demotes directly below the window except the 5 entries re-slotted in
 # group 2. After this rotation, the below-window tail is mirrored
@@ -135,6 +142,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_token_counts",
     "text_quality_metrics",
     "text_language_id",
+    # --- 4. round-11 additions (verified in-window immediately — no
+    # never-checked debt) ---
+    "events_gaps_islands",
+    "supplier_ontime_wilson",
+    "sample_exact_k_per_group",
+    "text_tokenizer_fertility",
+    "text_textrank_keywords",
+    "scd2_point_in_time_features",
     "text_fingerprints",
     "sample_hash_deterministic",
     "sample_stratified_lang",

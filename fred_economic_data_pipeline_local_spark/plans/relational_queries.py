@@ -4219,3 +4219,92 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage_ratio"),
     )
+
+
+# Wilson 95% z pinned as one full-precision literal shared with the SQL
+# mirror (scipy.stats.norm.ppf(0.975) — no cross-engine inverse-normal
+# in the query path)
+_WILSON_Z = 1.959963984540054
+_ONTIME_DAYS = 30
+
+
+@query(
+    "supplier_ontime_wilson",
+    oracle=f"""
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_shipments,
+         CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                      CAST(l_shipdate AS DATE))
+                       <= {_ONTIME_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_on_time
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+w AS (
+  SELECT l_suppkey, n_shipments, n_on_time,
+         CAST(n_on_time AS DOUBLE) / n_shipments AS p,
+         CAST(n_shipments AS DOUBLE) AS n
+  FROM s
+)
+SELECT sup.s_suppkey, sup.s_name, n_shipments, n_on_time,
+       round(p, 6) AS ontime_rate,
+       round((p + {_WILSON_Z!r} * {_WILSON_Z!r} / (2 * n)
+              - {_WILSON_Z!r} * sqrt(p * (1 - p) / n
+                  + {_WILSON_Z!r} * {_WILSON_Z!r} / (4 * n * n)))
+             / (1 + {_WILSON_Z!r} * {_WILSON_Z!r} / n), 6)
+         AS wilson_lb
+FROM w JOIN supplier sup ON sup.s_suppkey = w.l_suppkey
+ORDER BY wilson_lb DESC, sup.s_suppkey
+LIMIT 20
+""",
+    description="supplier reliability ranked by the Wilson 95% lower "
+    "bound of the on-time-ship rate (shipped within 30 days of order "
+    "date) — the ranking-under-uncertainty correction to naive rate "
+    "sorting: a 3/3 supplier must NOT outrank a 96/100 one; one "
+    "fact-fact equi-join, map-combined counts per supplier, the "
+    "closed-form bound in whole-stage codegen (z pinned as a shared "
+    "full-precision literal), TakeOrdered top-20 — never a global sort",
+)
+def supplier_ontime_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name"
+    )
+    on_time = (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        <= _ONTIME_DAYS
+    ).cast("long")
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.sum(on_time).alias("n_on_time"),
+        )
+    )
+    p = F.col("n_on_time").cast("double") / F.col("n_shipments")
+    n = F.col("n_shipments").cast("double")
+    z = F.lit(_WILSON_Z)
+    wilson = (
+        p + z * z / (2 * n)
+        - z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (4 * n * n))
+    ) / (F.lit(1.0) + z * z / n)
+    return (
+        agg.join(broadcast(sup), agg["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_shipments",
+            "n_on_time",
+            F.round(p, 6).alias("ontime_rate"),
+            F.round(wilson, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.desc("wilson_lb"), F.asc("s_suppkey"))
+        .limit(20)
+    )

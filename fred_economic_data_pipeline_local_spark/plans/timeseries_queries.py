@@ -1770,3 +1770,59 @@ def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("revenue") > F.col("__prv"))
         & (F.col("revenue") > F.col("__nxt"))
     ).select("event_type", "eday", "revenue")
+
+
+@query(
+    "events_gaps_islands",
+    oracle="""
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS eday FROM events),
+r AS (
+  SELECT user_id, eday,
+         row_number() OVER (PARTITION BY user_id ORDER BY eday) AS rn
+  FROM d
+),
+s AS (SELECT user_id, eday - rn AS island,
+             CAST(count(*) AS BIGINT) AS len
+      FROM r GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM s GROUP BY 1
+ORDER BY longest_streak DESC, user_id
+LIMIT 20
+""",
+    description="gaps-and-islands streak mining: per user, consecutive "
+    "active-day runs via the classic rank-difference island key "
+    "(eday - row_number is constant exactly on a consecutive run), "
+    "then per-user streak stats and the top-20 longest streaks — the "
+    "engagement/retention workhorse every activity warehouse ships; "
+    "both windows are partitioned by the HIGH-cardinality user key "
+    "(never a low-cardinality block sort), the dedup and both "
+    "aggregations are map-combined, and the final cut is "
+    "TakeOrderedAndProject, not a global sort",
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("eday")
+    islands = days.withColumn(
+        "island", F.col("eday") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .orderBy(F.desc("longest_streak"), F.asc("user_id"))
+        .limit(20)
+    )
