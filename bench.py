@@ -211,6 +211,9 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "text_textrank_keywords",
     "scd2_point_in_time_features",
+    "events_max_drawdown",
+    "window_rolling_quantile_bands",
+    "events_markov_stationary",
 ]
 
 

@@ -76,17 +76,19 @@ def get_query(name: str) -> QuerySpec:
 #      fix + conformal infinite-qhat fix + phash NULL-hash fix touched
 #      chi2_priority_status, cramers_v_pairs,
 #      forecast_conformal_intervals and multimodal_phash_dedup;
-#   3. 11 round-5 freshness promotions — the entries whose newest
+#   3. 8 round-5 freshness promotions — the entries whose newest
 #      driver row is oldest (r5), led by q5_nation_revenue (promised
-#      since reslot #7) and the core TPC-H / dedup / text entries
-#      other operators reuse most;
-#   4. the 6 round-11 additions (gaps-and-islands streaks, Wilson
+#      since reslot #7) and the core TPC-H / dedup entries other
+#      operators reuse most;
+#   4. the 9 round-11 additions (gaps-and-islands streaks, Wilson
 #      reliability ranking, exact-k-per-group sampling, tokenizer
-#      fertility, TextRank keywords, SCD2 point-in-time features) —
-#      slotted into the window IMMEDIATELY so no new entry ever starts
-#      a never-driver-checked debt; they displace 6 of the round-5
-#      promotions (text_fingerprints .. asof_clicks_to_purchases) to
-#      the head of the below-window tail for the round-12 rotation.
+#      fertility, TextRank keywords, SCD2 point-in-time features, max
+#      drawdown, rolling quantile bands, Markov stationary
+#      distribution) — slotted into the window IMMEDIATELY so no new
+#      entry ever starts a never-driver-checked debt; they displace 9
+#      of the round-5 promotions (text_token_counts ..
+#      asof_clicks_to_purchases) to the head of the below-window tail
+#      for the round-12 rotation.
 # The ENTIRE round-10 window (all 50 hash-green in CORRECTNESS_r10)
 # demotes directly below the window except the 5 entries re-slotted in
 # group 2. After this rotation, the below-window tail is mirrored
@@ -139,9 +141,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_groups",
     "dedup_ngram_jaccard",
     "dedup_ngram_components",
-    "text_token_counts",
-    "text_quality_metrics",
-    "text_language_id",
     # --- 4. round-11 additions (verified in-window immediately — no
     # never-checked debt) ---
     "events_gaps_islands",
@@ -150,6 +149,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_tokenizer_fertility",
     "text_textrank_keywords",
     "scd2_point_in_time_features",
+    "events_max_drawdown",
+    "window_rolling_quantile_bands",
+    "events_markov_stationary",
+    # ===== below the window (displaced round-5 promotions re-queue
+    # first for the round-12 rotation) =====
+    "text_token_counts",
+    "text_quality_metrics",
+    "text_language_id",
     "text_fingerprints",
     "sample_hash_deterministic",
     "sample_stratified_lang",

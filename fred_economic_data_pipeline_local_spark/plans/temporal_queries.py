@@ -268,3 +268,121 @@ def markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight"),
         )
     )
+
+
+def _pi_iter_sql(prev: str, cur: str) -> str:
+    # one power-iteration step pi_next(j) = sum_i pi(i) P(i, j), 8-dp
+    # per-iteration rounding (the pagerank determinism convention)
+    return f"""{cur} AS (
+  SELECT p.next_type AS st, round(sum(pi.pi * p.p), 8) AS pi
+  FROM p JOIN {prev} pi ON p.event_type = pi.st
+  GROUP BY 1
+)"""
+
+
+_PI_ITERS = 5
+_MARKOV_PI_SQL = (
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (SELECT event_type, next_type, count(*) AS n FROM s
+      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(n) AS row_n FROM t GROUP BY 1),
+states AS (
+  SELECT event_type AS st FROM t
+  UNION SELECT next_type FROM t
+),
+p AS (
+  SELECT t.event_type, t.next_type, t.n / CAST(tot.row_n AS DOUBLE) AS p
+  FROM t JOIN tot USING (event_type)
+  UNION ALL
+  -- dangling state (no outgoing transition observed): self-loop so
+  -- probability mass is conserved through every iteration
+  SELECT st, st, 1.0 FROM states
+  WHERE st NOT IN (SELECT event_type FROM t)
+),
+nn AS (SELECT count(*) AS k FROM states),
+pi0 AS (SELECT st, round(1.0 / nn.k, 8) AS pi FROM states CROSS JOIN nn),
+"""
+    + ",\n".join(
+        _pi_iter_sql(f"pi{i}", f"pi{i + 1}") for i in range(_PI_ITERS)
+    )
+    + f"""
+SELECT st AS event_type, round(pi, 6) AS pi FROM pi{_PI_ITERS}
+ORDER BY pi DESC, event_type
+"""
+)
+
+
+@query(
+    "events_markov_stationary",
+    oracle=_MARKOV_PI_SQL,
+    description="stationary distribution of the first-order event-type "
+    "Markov chain by 5 fixed power iterations from uniform (dangling "
+    "states get a self-loop so mass is conserved) — where the session "
+    "flow settles if it runs forever, the long-run traffic mix behind "
+    "capacity planning and the steady-state baseline anomaly scores "
+    "compare against; the transition matrix is the same one-window "
+    "derivation as markov_event_transitions (O(types^2) cells), each "
+    "iteration is one broadcast join over the tiny cell frame with "
+    "8-dp per-iteration rounding so both engines iterate identical "
+    "doubles",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = t.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    states = (
+        t.select(F.col("event_type").alias("st"))
+        .union(t.select(F.col("next_type").alias("st")))
+        .distinct()
+    )
+    p = (
+        t.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            (F.col("n") / F.col("row_n").cast("double")).alias("p"),
+        )
+        .union(
+            states.join(
+                t.select("event_type").distinct(),
+                states["st"] == F.col("event_type"),
+                "left_anti",
+            ).select(
+                F.col("st").alias("event_type"),
+                F.col("st").alias("next_type"),
+                F.lit(1.0).alias("p"),
+            )
+        )
+        # the transition matrix is O(types^2) cells: materialize once,
+        # iterate against the local copy (the pagerank adjacency move)
+        .localCheckpoint(eager=True)
+    )
+    k = states.count()
+    pi = states.select(
+        "st", F.round(F.lit(1.0) / F.lit(float(k)), 8).alias("pi")
+    )
+    for _ in range(_PI_ITERS):
+        pi = (
+            p.join(F.broadcast(pi), p["event_type"] == pi["st"])
+            .groupBy(F.col("next_type").alias("st_next"))
+            .agg(F.round(F.sum(F.col("pi") * F.col("p")), 8).alias("pi"))
+            .select(F.col("st_next").alias("st"), "pi")
+        )
+    return (
+        pi.select(F.col("st").alias("event_type"), F.round("pi", 6).alias("pi"))
+        .orderBy(F.desc("pi"), F.asc("event_type"))
+    )

@@ -1826,3 +1826,131 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_streak"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@query(
+    "events_max_drawdown",
+    oracle="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS eday,
+         round(sum(value), 2) AS revenue
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, eday, revenue,
+         max(revenue) OVER (PARTITION BY event_type ORDER BY eday
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_peak
+  FROM d
+),
+dd AS (
+  SELECT event_type, eday, revenue, run_peak,
+         round((run_peak - revenue) / run_peak, 6) AS drawdown,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY (run_peak - revenue) / run_peak DESC,
+                                     eday) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM r
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       round(run_peak, 2) AS peak_revenue,
+       round(revenue, 2) AS trough_revenue,
+       eday AS trough_day, drawdown AS max_drawdown
+FROM dd WHERE rk = 1
+""",
+    description="maximum drawdown of each event type's daily-revenue "
+    "series: worst relative drop from the running peak, with the peak/"
+    "trough values and the (earliest) trough day — the risk statistic "
+    "monitoring and finance both use for 'how bad did it get'; one "
+    "running-max window + one ranking window over the O(days x types) "
+    "daily aggregate (the fact table collapses first, the raw corpus "
+    "never enters a window), drawdowns are ratios of 2-dp-rounded "
+    "aggregates so both engines rank identical doubles",
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("eday")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.withColumn("run_peak", F.max("revenue").over(w_run))
+    dd_raw = (F.col("run_peak") - F.col("revenue")) / F.col("run_peak")
+    w_rank = Window.partitionBy("event_type").orderBy(
+        dd_raw.desc(), F.asc("eday")
+    )
+    w_cnt = Window.partitionBy("event_type")
+    return (
+        r.withColumn("max_drawdown", F.round(dd_raw, 6))
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("n_days", F.count(F.lit(1)).over(w_cnt))
+        .where(F.col("__rk") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("run_peak", 2).alias("peak_revenue"),
+            F.round("revenue", 2).alias("trough_revenue"),
+            F.col("eday").alias("trough_day"),
+            "max_drawdown",
+        )
+    )
+
+
+@query(
+    "window_rolling_quantile_bands",
+    oracle="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS eday,
+         round(sum(value), 2) AS revenue
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, eday, revenue,
+       round(quantile_cont(revenue, 0.1) OVER w, 6) AS p10,
+       round(quantile_cont(revenue, 0.5) OVER w, 6) AS p50,
+       round(quantile_cont(revenue, 0.9) OVER w, 6) AS p90
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY eday
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    description="rolling 7-day P10/P50/P90 envelope per event type's "
+    "daily revenue — the robust monitoring band (a median band flags "
+    "level shifts a rolling MEAN smears, and the P10/P90 envelope is "
+    "the alert corridor); exact linearly-interpolated percentiles over "
+    "a 7-row frame of the O(days x types) daily aggregate, verified "
+    "bit-identical between Spark percentile() and DuckDB "
+    "quantile_cont() on the same 2-dp inputs; one key-partitioned "
+    "window, the corpus collapses before any sort",
+)
+def window_rolling_quantile_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("eday")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "event_type",
+        "eday",
+        "revenue",
+        F.round(F.percentile("revenue", F.lit(0.1)).over(w), 6).alias("p10"),
+        F.round(F.percentile("revenue", F.lit(0.5)).over(w), 6).alias("p50"),
+        F.round(F.percentile("revenue", F.lit(0.9)).over(w), 6).alias("p90"),
+    )

@@ -119,3 +119,58 @@ def test_pit_features_see_version_correct_values(spark):
     for (ind, y, v), r in by.items():
         if v == 2 and (ind, y, 1) in by:
             assert r["n_months"] <= by[(ind, y, 1)]["n_months"] + 2
+
+
+def test_max_drawdown_matches_pure_python(spark):
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    daily = {}
+    for r in (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    ):
+        daily.setdefault(r["event_type"], []).append((r["d"], r["v"]))
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["events_max_drawdown"](spark, SF_DIR).collect()
+    }
+    for et, series in daily.items():
+        series.sort()
+        peak, best = series[0][1], (0.0, series[0][0], series[0][1], series[0][1])
+        for d, v in series:
+            peak = max(peak, v)
+            dd = (peak - v) / peak
+            if dd > best[0]:
+                best = (dd, d, peak, v)
+        r = got[et]
+        assert abs(r["max_drawdown"] - round(best[0], 6)) < 1e-9
+        assert r["trough_day"] == best[1]
+        assert r["peak_revenue"] == round(best[2], 2)
+        assert r["trough_revenue"] == round(best[3], 2)
+        assert r["n_days"] == len(series)
+
+
+def test_rolling_bands_are_ordered_and_bracket_median(spark):
+    rows = all_queries()["window_rolling_quantile_bands"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["p10"] <= r["p50"] <= r["p90"]
+
+
+def test_markov_stationary_is_a_distribution(spark):
+    rows = all_queries()["events_markov_stationary"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["pi"] for r in rows)
+    # 5 iterations of 8-dp-rounded sums: mass conserved to rounding
+    assert abs(total - 1.0) < 1e-4
+    assert all(r["pi"] >= 0 for r in rows)
+    ranks = [r["pi"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
