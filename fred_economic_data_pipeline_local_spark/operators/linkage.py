@@ -102,6 +102,23 @@ def _distributed_block_rank(
     order_by: list[str],
     carry: list[str],
 ) -> DataFrame:
+    """Materialized per-block dense rank: ``_block_rank_plan`` built and
+    eagerly localCheckpoint'd (see that function's determinism note).
+    Returns (block, __id, __c_<carry>..., __rn)."""
+    return _block_rank_plan(
+        df, id_col=id_col, block_col=block_col, order_by=order_by,
+        carry=carry,
+    ).localCheckpoint(eager=True)
+
+
+def _block_rank_plan(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    order_by: list[str],
+    carry: list[str],
+    _freeze: bool = True,
+) -> DataFrame:
     """Per-block dense rank (1-based, ordered by ``order_by`` then
     ``id_col``) computed with parallelism INDEPENDENT of block
     cardinality. Returns (block, __id, __c_<carry>..., __rn).
@@ -117,9 +134,16 @@ def _distributed_block_rank(
 
     Determinism: the total order (block, *order_by, id) is strict (id
     is unique), so the global rank is independent of where the range
-    boundaries fall; and the two consumers of the ranged frame (counts
-    and the join input) share one exchange (Spark reuses identical
-    shuffle subplans), so they observe the same partitioning.
+    boundaries fall. The returned frame is MATERIALIZED (eager
+    localCheckpoint): spark_partition_id is only stable within one
+    physical execution — callers join two projections of this frame,
+    and without the checkpoint each projection re-executes the range
+    exchange, where AQE may coalesce the two instances differently and
+    hand the offset join inconsistent pids (observed at sf0.1 as a
+    ~8% pair-count inflation in sorted_neighborhood_pairs: probes
+    ranked by one execution, the join side by another). One
+    materialization also removes the duplicate rank computation the
+    old per-block-window version paid.
     """
     from pyspark.sql import Window as W
 
@@ -133,8 +157,21 @@ def _distributed_block_rank(
     )
     n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
     ranged = base.repartitionByRange(
-        n_parts, F.col("block"), *[F.col(c) for c in o_names], F.col("__id")
+        n_parts,
+        F.col("block"),
+        *[F.col(c) for c in o_names],
+        F.col("__id"),
     ).withColumn("__pid", F.spark_partition_id())
+    if _freeze:
+        # freeze __pid as DATA before anything consumes it: the
+        # local-rank window and the offset counts are two consumers,
+        # and two physical executions of the range exchange need not
+        # coalesce identically under AQE — observed at sf0.1 as a ~8%
+        # pair-count inflation when the probes side and the join side
+        # ranked against different pid layouts. The eager checkpoint
+        # makes every consumer read one materialization. (_freeze=False
+        # exists ONLY so tests can pin the pre-checkpoint plan shape.)
+        ranged = ranged.localCheckpoint(eager=True)
     local = ranged.withColumn(
         "__lrn",
         F.row_number().over(
@@ -152,14 +189,11 @@ def _distributed_block_rank(
         "block",
         F.coalesce(F.sum("__n").over(cum), F.lit(0)).alias("__off"),
     )
-    return (
-        local.join(F.broadcast(offsets), ["__pid", "block"])
-        .select(
-            "block",
-            "__id",
-            *[f"__c_{c}" for c in carry],
-            (F.col("__lrn") + F.col("__off")).cast("int").alias("__rn"),
-        )
+    return local.join(F.broadcast(offsets), ["__pid", "block"]).select(
+        "block",
+        "__id",
+        *[f"__c_{c}" for c in carry],
+        (F.col("__lrn") + F.col("__off")).cast("int").alias("__rn"),
     )
 
 

@@ -1630,7 +1630,12 @@ best AS (
   GROUP BY 1
 )
 SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-       p_partkey, p_name, round(c.supplycost, 4) AS supplycost
+       p_partkey, p_name,
+       -- explicit half-up: round()'s scale-multiply can land a 1-ulp
+       -- hair differently than Java BigDecimal on .XXXX5 edges (seen
+       -- at sf0.1); floor(x*1e4 + 0.5) is the same double arithmetic
+       -- in both engines (supplycost > 0, so floor == half-up)
+       floor(c.supplycost * 10000 + 0.5) / 10000 AS supplycost
 FROM part
 JOIN cost c ON c.partkey = p_partkey
 JOIN eu ON c.suppkey = s_suppkey
@@ -1683,7 +1688,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("supplycost", 4).alias("supplycost"),
+            # explicit half-up (floor(x*1e4 + 0.5)): engine-identical
+            # double arithmetic; see the oracle-side comment
+            (
+                F.floor(F.col("supplycost") * 10000 + F.lit(0.5)) / 10000
+            ).alias("supplycost"),
         )
     )
 

@@ -582,7 +582,7 @@ def test_snm_rank_is_distributed_not_per_block_window(spark):
     from pyspark.sql import functions as F
 
     from fred_economic_data_pipeline_local_spark.operators.linkage import (
-        sorted_neighborhood_pairs,
+        _block_rank_plan,
     )
 
     df = spark.range(100).select(
@@ -592,18 +592,22 @@ def test_snm_rank_is_distributed_not_per_block_window(spark):
         F.col("id"),
         (F.col("id") % 7).alias("v"),
     )
-    pairs = sorted_neighborhood_pairs(df, "id", "blk", ["v"], window=2)
-    plans = [pairs._jdf.queryExecution().executedPlan().toString(),
-             plan_of(spark, "linkage_sorted_neighborhood")]
-    for plan in plans:
-        assert "rangepartitioning(block" in plan
-        win_lines = [
-            l for l in plan.splitlines()
-            if "Window [row_number()" in l and "__lrn" in l
-        ]
-        assert win_lines  # the local-rank window exists...
-        for l in win_lines:  # ...and is never keyed on block alone
-            assert "__pid" in l, l
+    # _freeze=False exposes the pre-checkpoint logical shape (the
+    # production path eagerly checkpoints the ranged frame, which
+    # hides the exchange behind a Scan ExistingRDD)
+    ranked = _block_rank_plan(
+        df, id_col="id", block_col="blk", order_by=["v"], carry=[],
+        _freeze=False,
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(block" in plan
+    win_lines = [
+        l for l in plan.splitlines()
+        if "Window [row_number()" in l and "__lrn" in l
+    ]
+    assert win_lines  # the local-rank window exists...
+    for l in win_lines:  # ...and is never keyed on block alone
+        assert "__pid" in l, l
 
 
 def test_token_mi_broadcasts_corpus_marginals(spark):

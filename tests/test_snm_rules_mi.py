@@ -146,3 +146,30 @@ def test_token_mi_math(spark, tmp_path):
     assert got["aa"] == (2, 2, want_aa)
     # "zz": n11=1 n10=1 n01=1 n00=1 -> independent, MI = 0
     assert got["zz"] == (2, 1, 0.0)
+
+
+def test_snm_pair_count_exact_on_fixture(spark):
+    """Regression for the AQE pid-layout drift (round 11): without the
+    ranged-frame checkpoint, the probes and join sides could rank
+    against different physical executions and inflate the pair count
+    ~8% at sf0.1. The count must equal the closed form
+    sum_blocks(n_b * w - w(w+1)/2) exactly, every run."""
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = load_table(spark, "customer", "/root/testdata/sf0.001")
+    sizes = [
+        r["n"]
+        for r in cust.groupBy("c_mktsegment").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    ]
+    w = 3
+    want = sum(n * w - w * (w + 1) // 2 for n in sizes)
+    for _ in range(2):
+        pairs = sorted_neighborhood_pairs(
+            cust, "c_custkey", "c_mktsegment", ["c_acctbal"], window=w
+        )
+        assert pairs.count() == want
