@@ -27,10 +27,17 @@ candidate pairs. Neighborhood averages are then computed over the SAME
 candidate set, which is the approximation every production miner makes
 (x's k-NN list comes from the same ANN index that proposed the pairs).
 
-All ranking follows the repo-wide float discipline: cosines rounded to
-6 dp before any top-k, neighborhood averages rounded before the margin,
-the margin rounded before the final ranking, id tiebreaks everywhere —
-the DuckDB oracle reproduces every row by value.
+All ranking follows the repo-wide float discipline, hardened (round 11)
+to EXACT INTEGER MICRO-UNITS: each pair cosine is fixed to an integer
+``cos_u = floor(cos * 1e6 + 0.5)`` (identical double arithmetic in both
+engines — engine round() differs on .5e-6 edges), neighborhood
+background is carried as integer (sum_u, count) pairs, and the margin
+is ONE double division of exact integers
+``2 * ca * cb * cos_u / (sa * cb + sb * ca)`` — algebraically equal to
+cos / (avg_a/2 + avg_b/2) but with no order-sensitive float averaging
+anywhere (a float avg of the top-k cosines differed by 1 ulp between
+engines at sf0.1 and flipped a 6-dp rounding edge). Id tiebreaks on
+every ranking; the DuckDB oracle reproduces every row by value.
 """
 
 from __future__ import annotations
@@ -72,43 +79,59 @@ def margin_pairs(
             b.join(broadcast(a))
             .withColumn(
                 "cos_sim",
-                F.round(
-                    dot(F.col("__av"), F.col("__bv"))
-                    / (F.col("__an") * F.col("__bn")),
-                    6,
-                ),
+                dot(F.col("__av"), F.col("__bv"))
+                / (F.col("__an") * F.col("__bn")),
             )
             .select("a_id", "b_id", "cos_sim")
         )
 
+    # fix the pair cosine to integer micro-units once; every downstream
+    # quantity is integer arithmetic + one exact-input double division
+    pairs = pairs.withColumn(
+        "__cos_u",
+        F.floor(F.col("cos_sim") * 1_000_000 + F.lit(0.5)).cast("long"),
+    ).withColumn("cos_sim", F.col("__cos_u") / 1_000_000.0)
+
     # neighborhood background similarity per element, each side: the
-    # mean of its k best cosines (over the same pair/candidate set).
+    # k best cosines (over the same pair/candidate set), carried as
+    # exact (sum_u, count) integers — never a float average.
     # Window-rank -> filter -> tiny per-element aggregate; the joins
     # back onto the pair table are equi-joins on the pair's own keys.
-    w_a = Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), F.asc("b_id"))
-    w_b = Window.partitionBy("b_id").orderBy(F.desc("cos_sim"), F.asc("a_id"))
+    w_a = Window.partitionBy("a_id").orderBy(F.desc("__cos_u"), F.asc("b_id"))
+    w_b = Window.partitionBy("b_id").orderBy(F.desc("__cos_u"), F.asc("a_id"))
     nn_a = (
         pairs.withColumn("__rn", F.row_number().over(w_a))
         .where(F.col("__rn") <= k_nn)
         .groupBy("a_id")
-        .agg(F.round(F.avg("cos_sim"), 6).alias("__nn_a"))
+        .agg(
+            F.sum("__cos_u").alias("__sa"),
+            F.count(F.lit(1)).alias("__ca"),
+        )
     )
     nn_b = (
         pairs.withColumn("__rn", F.row_number().over(w_b))
         .where(F.col("__rn") <= k_nn)
         .groupBy("b_id")
-        .agg(F.round(F.avg("cos_sim"), 6).alias("__nn_b"))
+        .agg(
+            F.sum("__cos_u").alias("__sb"),
+            F.count(F.lit(1)).alias("__cb"),
+        )
+    )
+    # margin = cos / (avg_a/2 + avg_b/2) == 2*ca*cb*cos_u /
+    # (sa*cb + sb*ca): one double division of exact integers, then the
+    # engine-identical half-up fix to 6 dp
+    margin_raw = (
+        (F.lit(2) * F.col("__ca") * F.col("__cb") * F.col("__cos_u"))
+        .cast("double")
+        / (F.col("__sa") * F.col("__cb") + F.col("__sb") * F.col("__ca"))
+        .cast("double")
     )
     scored = (
         pairs.join(nn_a, "a_id")
         .join(nn_b, "b_id")
         .withColumn(
             "margin",
-            F.round(
-                F.col("cos_sim")
-                / (F.col("__nn_a") / 2.0 + F.col("__nn_b") / 2.0),
-                6,
-            ),
+            F.floor(margin_raw * 1_000_000 + F.lit(0.5)) / 1_000_000.0,
         )
     )
     w_fwd = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))

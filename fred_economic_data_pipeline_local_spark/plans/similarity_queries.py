@@ -956,30 +956,40 @@ _BITEXT_KNN = 4
     # the ratio margin, forward best-per-source mining, threshold gate —
     # with the shared float discipline (6-dp rounding before every
     # ranking, id tiebreaks).
+    # integer micro-unit discipline (see operators/bitext.py): cos_u =
+    # floor(cos*1e6 + 0.5) is engine-identical, neighborhoods carry
+    # exact (sum_u, count), and the margin is one double division of
+    # exact integers — no float average whose summation order can flip
+    # a rounding edge (the r11 sf0.1 sweep caught exactly that).
     oracle=f"""
 WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
            FROM embeddings WHERE label = 0),
 b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv
       FROM embeddings WHERE label = 1),
 p AS (SELECT a_id, b_id,
-             round(list_dot_product(av, bv) /
+             CAST(floor(list_dot_product(av, bv) /
                    (sqrt(list_dot_product(av, av)) *
-                    sqrt(list_dot_product(bv, bv))), 6) AS cos_sim
+                    sqrt(list_dot_product(bv, bv))) * 1000000 + 0.5)
+                  AS BIGINT) AS cos_u
       FROM b CROSS JOIN a),
-na AS (SELECT a_id, round(avg(cos_sim), 6) AS nn_a FROM (
-         SELECT a_id, cos_sim FROM p
+na AS (SELECT a_id, CAST(sum(cos_u) AS BIGINT) AS sa,
+              CAST(count(*) AS BIGINT) AS ca FROM (
+         SELECT a_id, cos_u FROM p
          QUALIFY row_number() OVER (
-           PARTITION BY a_id ORDER BY cos_sim DESC, b_id
+           PARTITION BY a_id ORDER BY cos_u DESC, b_id
          ) <= {_BITEXT_KNN})
        GROUP BY a_id),
-nb AS (SELECT b_id, round(avg(cos_sim), 6) AS nn_b FROM (
-         SELECT b_id, cos_sim FROM p
+nb AS (SELECT b_id, CAST(sum(cos_u) AS BIGINT) AS sb,
+              CAST(count(*) AS BIGINT) AS cb FROM (
+         SELECT b_id, cos_u FROM p
          QUALIFY row_number() OVER (
-           PARTITION BY b_id ORDER BY cos_sim DESC, a_id
+           PARTITION BY b_id ORDER BY cos_u DESC, a_id
          ) <= {_BITEXT_KNN})
        GROUP BY b_id),
-s AS (SELECT p.a_id, p.b_id, p.cos_sim,
-             round(p.cos_sim / (na.nn_a / 2.0 + nb.nn_b / 2.0), 6) AS margin
+s AS (SELECT p.a_id, p.b_id, p.cos_u / 1000000.0 AS cos_sim,
+             floor(CAST(2 * ca * cb * p.cos_u AS DOUBLE)
+                   / CAST(sa * cb + sb * ca AS DOUBLE)
+                   * 1000000 + 0.5) / 1000000.0 AS margin
       FROM p JOIN na USING (a_id) JOIN nb USING (b_id))
 SELECT a_id, b_id, cos_sim, margin FROM (
   SELECT * FROM s
