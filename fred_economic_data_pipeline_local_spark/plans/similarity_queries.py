@@ -136,17 +136,27 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-checked end to end
     oracle=f"""
 WITH t AS (SELECT * FROM {export_sql('ml_minhash_tables')}),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.idx AS ia, b.idx AS ib
-  FROM t a JOIN t b ON a.doc_id < b.doc_id
-  WHERE len(list_filter(generate_series(1, len(a.hs)),
-                        i -> a.hs[i] = b.hs[i])) > 0
+-- candidate generation as an EQUI-join on (hash-table index, value):
+-- identical semantics to "agree on >= 1 of the 8 hashes" (the
+-- OR-amplified approxSimilarityJoin), but O(collisions) instead of the
+-- all-pairs O(n^2) filter that blew the sweep budget at sf0.1
+e AS (
+  SELECT doc_id, u.i AS hi, hs[u.i] AS hv
+  FROM t CROSS JOIN unnest(generate_series(1, len(hs))) AS u(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM e a JOIN e b ON a.hi = b.hi AND a.hv = b.hv
+                   AND a.doc_id < b.doc_id
 ),
 d AS (
   SELECT id_a, id_b,
-         1 - CAST(len(list_intersect(ia, ib)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(ia, ib))) AS DOUBLE) AS jd
-  FROM pairs
+         1 - CAST(len(list_intersect(ta.idx, tb.idx)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(ta.idx, tb.idx)))
+                    AS DOUBLE) AS jd
+  FROM cand
+  JOIN t ta ON ta.doc_id = id_a
+  JOIN t tb ON tb.doc_id = id_b
 )
 SELECT id_a, id_b, round(1 - jd, 6) AS jaccard FROM d WHERE jd < 0.5
 """,
