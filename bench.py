@@ -214,6 +214,9 @@ HEADLINE = [
     "events_max_drawdown",
     "window_rolling_quantile_bands",
     "events_markov_stationary",
+    "events_periodogram",
+    "events_seasonal_decompose",
+    "privacy_k_anonymity",
 ]
 
 

@@ -2449,3 +2449,55 @@ def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("draw_rank") <= _EXACT_K)
         .select("lang", "doc_id", "draw_rank")
     )
+
+
+_KANON_K = 5
+
+_KANON_SQL = f"""
+SELECT c.c_nationkey,
+       c.c_mktsegment,
+       CAST(floor(c.c_acctbal / 1000.0) AS INTEGER) AS bal_band,
+       CAST(count(DISTINCT c.c_custkey) AS INTEGER) AS k_anonymity,
+       CAST(count(DISTINCT o.o_orderpriority) AS INTEGER) AS l_diversity,
+       (count(DISTINCT c.c_custkey) < {_KANON_K}
+        OR count(DISTINCT o.o_orderpriority) < 2) AS suppress
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=_KANON_SQL,
+    description="k-anonymity / l-diversity audit over the "
+    "quasi-identifier (nation, market segment, account-balance "
+    "thousand-band): the anonymity-set size k of every QI cell, the "
+    "diversity l of the sensitive order-priority attribute inside it, "
+    "and the suppression flag (k < 5 or l < 2) a privacy-preserving "
+    "release would apply — the release-side complement to "
+    "curation_redact_pii's content-side scrubbing, the audit a "
+    "training-data pipeline runs before publishing per-cohort "
+    "statistics; one join + one aggregation (both distinct-counts "
+    "ride the same shuffle), no per-cell anything",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderpriority"
+    )
+    j = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left"
+    )
+    k = F.count_distinct(F.col("c_custkey"))
+    ldiv = F.count_distinct(F.col("o_orderpriority"))
+    return j.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        k.cast("int").alias("k_anonymity"),
+        ldiv.cast("int").alias("l_diversity"),
+        ((k < _KANON_K) | (ldiv < 2)).alias("suppress"),
+    )

@@ -137,12 +137,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "q9_product_type_profit",
     "q3_shipping_priority",
     "q18_large_volume_customers",
-    "dedup_exact_keep_min",
     "dedup_groups",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_components",
     # --- 4. round-11 additions (verified in-window immediately — no
-    # never-checked debt) ---
+    # never-checked debt; wave 3 displaced three of the round-5 dedup
+    # promotions, which re-queue at the below-window head) ---
     "events_gaps_islands",
     "supplier_ontime_wilson",
     "sample_exact_k_per_group",
@@ -152,8 +150,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_max_drawdown",
     "window_rolling_quantile_bands",
     "events_markov_stationary",
+    "events_periodogram",
+    "events_seasonal_decompose",
+    "privacy_k_anonymity",
     # ===== below the window (displaced round-5 promotions re-queue
     # first for the round-12 rotation) =====
+    "dedup_exact_keep_min",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_components",
     "text_token_counts",
     "text_quality_metrics",
     "text_language_id",

@@ -1954,3 +1954,215 @@ def window_rolling_quantile_bands(
         F.round(F.percentile("revenue", F.lit(0.5)).over(w), 6).alias("p50"),
         F.round(F.percentile("revenue", F.lit(0.9)).over(w), 6).alias("p90"),
     )
+
+
+# --- Discrete-Fourier periodogram over daily event counts -------------
+#
+# Cross-engine trig is the determinism hazard (libm cos vs Java
+# Math.cos can differ in the last ulp), so the DFT basis is fixed at
+# import time as INTEGER micro-units: cu = round(cos(2*pi*r/p) * 1e6)
+# for r in [0, p).  Day index t only enters through t % p, so the
+# basis table is 54 rows for periods 2..10.  Both the Spark plan and
+# the DuckDB oracle consume the SAME integers, and every accumulation
+# below is exact integer arithmetic (see the query docstring), so the
+# two engines agree bit-for-bit before the single final division.
+_PGRAM_PERIODS = range(2, 11)
+
+
+def _pgram_basis() -> list[tuple[int, int, int, int]]:
+    import math
+
+    rows = []
+    for p in _PGRAM_PERIODS:
+        for r in range(p):
+            ang = 2.0 * math.pi * r / p
+            rows.append(
+                (p, r, round(math.cos(ang) * 1e6), round(math.sin(ang) * 1e6))
+            )
+    return rows
+
+
+_PGRAM_ROWS = _pgram_basis()
+_PGRAM_VALUES = ",\n       ".join(
+    f"({p}, {r}, {cu}, {su})" for p, r, cu, su in _PGRAM_ROWS
+)
+
+_PGRAM_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS eday,
+         count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT min(eday) AS d0 FROM d),
+s AS (
+  SELECT event_type, eday - m.d0 AS t, v,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         sum(v) OVER (PARTITION BY event_type) AS sv
+  FROM d CROSS JOIN m
+),
+basis(p, r, cu, su) AS (
+  VALUES {_PGRAM_VALUES}
+),
+-- w = n*v - sum(v): integer centering (n * (v - mean)), exact
+proj AS (
+  SELECT s.event_type, b.p,
+         sum((s.n_days * s.v - s.sv) * b.cu) AS pc,
+         sum((s.n_days * s.v - s.sv) * b.su) AS ps
+  FROM s JOIN basis b ON (s.t % b.p) = b.r
+  GROUP BY 1, 2
+),
+pw AS (
+  SELECT event_type, p,
+         CAST(pc AS DECIMAL(20, 0)) * CAST(pc AS DECIMAL(20, 0))
+         + CAST(ps AS DECIMAL(20, 0)) * CAST(ps AS DECIMAL(20, 0)) AS power
+  FROM proj
+),
+tot AS (SELECT event_type, sum(power) AS total FROM pw GROUP BY 1)
+SELECT pw.event_type,
+       CAST(pw.p AS INTEGER) AS period,
+       round(CAST(pw.power AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+         AS power_share,
+       CAST(row_number() OVER (PARTITION BY pw.event_type
+                               ORDER BY pw.power DESC, pw.p) AS INTEGER)
+         AS power_rank
+FROM pw JOIN tot USING (event_type)
+"""
+
+
+@query(
+    "events_periodogram",
+    oracle=_PGRAM_SQL,
+    description="discrete-Fourier periodogram of daily event counts at "
+    "candidate periods 2..10 days — which cycle dominates each event "
+    "type's arrival process, the spectral readout behind capacity "
+    "planning and the dow-seasonality entries; the cos/sin basis is "
+    "pinned as integer micro-units at import time (no cross-engine "
+    "libm trig), centering is the exact-integer w = n*v - sum(v), and "
+    "projections/powers stay exact (LONG sums, DECIMAL squares) so "
+    "both engines divide the same integers for the 6-dp share",
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    d0 = d.agg(F.min("eday").alias("d0"))
+    wt = Window.partitionBy("event_type")
+    s = (
+        d.join(F.broadcast(d0))
+        .select(
+            "event_type",
+            (F.col("eday") - F.col("d0")).alias("t"),
+            "v",
+            F.count(F.lit(1)).over(wt).alias("n_days"),
+            F.sum("v").over(wt).alias("sv"),
+        )
+    )
+    basis = spark.createDataFrame(
+        _PGRAM_ROWS, schema="p INT, r INT, cu LONG, su LONG"
+    )
+    w_expr = F.col("n_days") * F.col("v") - F.col("sv")
+    proj = (
+        s.join(F.broadcast(basis), (F.col("t") % F.col("p")) == F.col("r"))
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(w_expr * F.col("cu")).alias("pc"),
+            F.sum(w_expr * F.col("su")).alias("ps"),
+        )
+    )
+    dec = "decimal(20,0)"
+    pw = proj.select(
+        "event_type",
+        "p",
+        (
+            F.col("pc").cast(dec) * F.col("pc").cast(dec)
+            + F.col("ps").cast(dec) * F.col("ps").cast(dec)
+        ).alias("power"),
+    )
+    tot = pw.groupBy("event_type").agg(F.sum("power").alias("total"))
+    wr = Window.partitionBy("event_type").orderBy(F.desc("power"), F.asc("p"))
+    # the raw 20-digit power is NOT emitted: DECIMAL(38)->DOUBLE casts
+    # disagree at the last ulp between engines at sf0.1 magnitudes; the
+    # 6-dp share of an exact-integer ratio is the stable readout
+    return pw.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("p").cast("int").alias("period"),
+        F.round(
+            F.col("power").cast("double") / F.col("total").cast("double"), 6
+        ).alias("power_share"),
+        F.row_number().over(wr).cast("int").alias("power_rank"),
+    )
+
+
+_SEASONAL_SQL = """
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS eday,
+         count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, eday, v,
+         sum(v) OVER (PARTITION BY event_type ORDER BY eday
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+         count(*) OVER (PARTITION BY event_type ORDER BY eday
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+  FROM d
+),
+-- detrended in exact sevenths: dt = 7*v - sum7 = 7 * (v - trend)
+det AS (
+  SELECT event_type, eday % 7 AS dow, 7 * v - sum7 AS dt
+  FROM ma WHERE n7 = 7
+)
+SELECT event_type,
+       CAST(dow AS INTEGER) AS dow,
+       CAST(count(*) AS INTEGER) AS n_days,
+       round(sum(dt) / (7.0 * count(*)), 6) AS seasonal_effect
+FROM det
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle=_SEASONAL_SQL,
+    description="additive trend/seasonal decomposition of daily event "
+    "counts (STL-lite): trend is the centered 7-day moving average, "
+    "the day-of-week seasonal effect is the mean of the detrended "
+    "series per dow — how many extra events a weekday contributes "
+    "after removing the trend, the additive complement to "
+    "events_dow_seasonality's ratio index; detrending is kept in "
+    "exact integer sevenths (dt = 7*v - sum7) so both engines reach "
+    "the 6-dp effect through one identical final division",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("eday")
+        .rowsBetween(-3, 3)
+    )
+    ma = d.select(
+        "event_type",
+        "eday",
+        "v",
+        F.sum("v").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    det = ma.where(F.col("n7") == 7).select(
+        "event_type",
+        (F.col("eday") % 7).cast("int").alias("dow"),
+        (F.lit(7) * F.col("v") - F.col("sum7")).alias("dt"),
+    )
+    return det.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+        F.round(
+            F.sum("dt") / (F.lit(7.0) * F.count(F.lit(1))), 6
+        ).alias("seasonal_effect"),
+    ).select("event_type", "dow", "n_days", "seasonal_effect")
