@@ -217,6 +217,9 @@ HEADLINE = [
     "events_periodogram",
     "events_seasonal_decompose",
     "privacy_k_anonymity",
+    "graph_weighted_sssp",
+    "fifo_lot_allocation",
+    "attribution_position_based",
 ]
 
 

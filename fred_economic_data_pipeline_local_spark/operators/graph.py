@@ -442,3 +442,52 @@ def clustering_coefficients(
             F.desc("clustering_coeff"), F.asc("node")
         ).limit(topk)
     return out
+
+
+def weighted_sssp(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Hop-bounded single-source shortest paths over a weighted edge
+    list ``(src, dst, w)`` with INTEGER weights: Bellman-Ford
+    relaxation, ``rounds`` synchronous rounds (= paths of at most
+    ``rounds`` hops; pass both directions for undirected graphs).
+
+    Plan shape mirrors ``bfs_levels``/``pagerank``: the weighted
+    adjacency is materialized once up front, and each round exchanges
+    only the (node, dist) frontier state — one equi-join on the edge
+    source plus a min-combine, both map-side combinable. Distances
+    stay exact BIGINT arithmetic end to end (weights are integers by
+    contract), so the min() semantics are engine- and partitioning-
+    deterministic with nothing to round; lineage is truncated per
+    round the way every iterative kernel in this package does it.
+
+    At cluster scale the per-round shuffle is O(|frontier out-edges| +
+    |V|) — the textbook distributed Bellman-Ford; ``rounds`` bounds
+    work exactly the way the BFS depth cap does.
+
+    Returns (node, dist) for every node reachable within ``rounds``
+    hops, dist = exact minimum path weight.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).localCheckpoint()
+    dist = seeds.select(
+        "node", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

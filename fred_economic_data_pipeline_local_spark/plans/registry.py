@@ -132,14 +132,13 @@ CATALOG_ORDER: tuple[str, ...] = (
     "cramers_v_pairs",
     "forecast_conformal_intervals",
     "multimodal_phash_dedup",
-    # --- 3. round-5 freshness promotions (oldest driver rows) ---
+    # --- 3. round-5 freshness promotions (oldest driver rows; wave 3
+    # kept the two oldest-promised and re-queued the rest at the
+    # below-window head for round 12) ---
     "q5_nation_revenue",
     "q9_product_type_profit",
-    "q3_shipping_priority",
-    "q18_large_volume_customers",
-    "dedup_groups",
     # --- 4. round-11 additions (verified in-window immediately — no
-    # never-checked debt; wave 3 displaced three of the round-5 dedup
+    # never-checked debt; they displaced six of the round-5
     # promotions, which re-queue at the below-window head) ---
     "events_gaps_islands",
     "supplier_ontime_wilson",
@@ -153,8 +152,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_periodogram",
     "events_seasonal_decompose",
     "privacy_k_anonymity",
+    "graph_weighted_sssp",
+    "fifo_lot_allocation",
+    "attribution_position_based",
     # ===== below the window (displaced round-5 promotions re-queue
     # first for the round-12 rotation) =====
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
+    "dedup_groups",
     "dedup_exact_keep_min",
     "dedup_ngram_jaccard",
     "dedup_ngram_components",

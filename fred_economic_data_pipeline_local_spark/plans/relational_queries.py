@@ -4317,3 +4317,235 @@ def supplier_ontime_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wilson_lb"), F.asc("s_suppkey"))
         .limit(20)
     )
+
+
+_SSSP_SCALE = 10**15
+_SSSP_ROUNDS = 4
+
+_SSSP_SQL = f"""
+WITH RECURSIVE
+vol AS (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b,
+         sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS vol_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+),
+und AS (
+  SELECT a AS src, b AS dst, {_SSSP_SCALE} // vol_cents + 1 AS w FROM vol
+  UNION ALL
+  SELECT b AS src, a AS dst, {_SSSP_SCALE} // vol_cents + 1 AS w FROM vol
+),
+seed AS (SELECT min(n_nationkey) AS node FROM nation),
+walk(node, dist, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seed
+  UNION
+  SELECT u.dst, walk.dist + u.w, walk.hops + 1
+  FROM walk JOIN und u ON u.src = walk.node
+  WHERE walk.hops < {_SSSP_ROUNDS}
+)
+SELECT CAST(n.n_nationkey AS INTEGER) AS nationkey, n.n_name,
+       min(walk.dist) AS dist
+FROM walk JOIN nation n ON n.n_nationkey = walk.node
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "graph_weighted_sssp",
+    oracle=_SSSP_SQL,
+    description="hop-bounded weighted shortest paths over the nation "
+    "trade network: edge weight is inverse traded volume in exact "
+    "integer units (10^15 div volume-cents + 1 — heavier trade = "
+    "shorter distance), 4 synchronous Bellman-Ford relaxation rounds "
+    "from the smallest nation (operators/graph.py:weighted_sssp) — the "
+    "trade-proximity readout behind market-access ranking; the volume "
+    "aggregation is the only big shuffle (map-combined over lineitem), "
+    "the 25-node relaxation exchanges (node, dist) only, and distances "
+    "stay exact BIGINT so the oracle is the definitional <=4-hop "
+    "path-enumeration recursive CTE with nothing to round",
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import weighted_sssp
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    flows = (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              li["l_orderkey"] == orders["o_orderkey"])
+        .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(sup.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+    )
+    vol = (
+        flows.groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("vol_cents")
+        )
+    )
+    w = (F.expr(f"div({_SSSP_SCALE}, vol_cents)") + 1).alias("w")
+    und = vol.select(F.col("a").alias("src"), F.col("b").alias("dst"), w).union(
+        vol.select(F.col("b").alias("src"), F.col("a").alias("dst"), w)
+    )
+    seeds = nation.agg(F.min("n_nationkey").alias("node"))
+    dist = weighted_sssp(und, seeds, rounds=_SSSP_ROUNDS)
+    return dist.join(
+        broadcast(nation), dist["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_nationkey").cast("int").alias("nationkey"),
+        "n_name",
+        "dist",
+    )
+
+
+_FIFO_SQL = """
+WITH r AS (
+  SELECT l_partkey,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM lineitem WHERE l_returnflag <> 'R'
+),
+i AS (
+  SELECT l_partkey,
+         CAST(l_quantity AS BIGINT) AS qty,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+m AS (
+  SELECT i.l_partkey,
+         least(r.hi, i.hi) - greatest(r.hi - r.qty, i.hi - i.qty) AS ov,
+         (r.price_cents * 1000) // r.qty AS unit_milli
+  FROM i JOIN r ON i.l_partkey = r.l_partkey
+              AND r.hi - r.qty < i.hi AND i.hi - i.qty < r.hi
+),
+ma AS (
+  SELECT l_partkey,
+         CAST(count(*) AS INTEGER) AS n_lot_matches,
+         CAST(sum(ov) AS BIGINT) AS matched_qty,
+         CAST(sum(ov * unit_milli) AS BIGINT) AS alloc_milli
+  FROM m GROUP BY 1
+),
+it AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS issued_qty
+      FROM i GROUP BY 1)
+SELECT it.l_partkey,
+       it.issued_qty,
+       coalesce(ma.n_lot_matches, 0) AS n_lot_matches,
+       CAST(coalesce(ma.matched_qty, 0) AS BIGINT) AS matched_qty,
+       CAST(it.issued_qty - coalesce(ma.matched_qty, 0) AS BIGINT)
+         AS unfilled_qty,
+       -- exact half-up to cents in INTEGER arithmetic, then one
+       -- division: round(x/1e5, 2) hits .XX5 ulp edges cross-engine
+       ((coalesce(ma.alloc_milli, 0) + 500) // 1000) / 100.0 AS fifo_cost
+FROM it LEFT JOIN ma USING (l_partkey)
+"""
+
+
+@query(
+    "fifo_lot_allocation",
+    oracle=_FIFO_SQL,
+    description="FIFO lot matching via cumulative-interval alignment: "
+    "per part, returned quantities ('R' lineitems in shipdate order) "
+    "are allocated against supply lots (non-returned lineitems in "
+    "shipdate order) by overlapping the two exact cumulative-quantity "
+    "ranges — matched qty between lot r and issue i is the overlap of "
+    "[r.lo, r.hi) x [i.lo, i.hi) — the inventory-costing primitive "
+    "(COGS under FIFO) that otherwise needs a per-part procedural "
+    "loop; the lot join is an equi-join on the high-cardinality part "
+    "key with a residual range predicate (per-part groups are small, "
+    "so no interval index is needed at any scale), quantities and "
+    "prices stay exact integers (cents, floor-div milli-unit costs) "
+    "so both engines agree bit-for-bit before one final 2-dp division",
+)
+def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    wcum = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qty = F.col("l_quantity").cast("long")
+    base = li.select(
+        "l_partkey",
+        "l_returnflag",
+        qty.alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    r = (
+        base.where(F.col("l_returnflag") != "R")
+        .withColumn("hi", F.sum("qty").over(wcum))
+        .select(
+            F.col("l_partkey").alias("r_partkey"),
+            (F.col("hi") - F.col("qty")).alias("r_lo"),
+            F.col("hi").alias("r_hi"),
+            F.expr("div(price_cents * 1000, qty)").alias("unit_milli"),
+        )
+    )
+    i = (
+        base.where(F.col("l_returnflag") == "R")
+        .withColumn("hi", F.sum("qty").over(wcum))
+        .select(
+            "l_partkey",
+            "qty",
+            (F.col("hi") - F.col("qty")).alias("i_lo"),
+            F.col("hi").alias("i_hi"),
+        )
+    )
+    m = i.join(
+        r,
+        (F.col("l_partkey") == F.col("r_partkey"))
+        & (F.col("r_lo") < F.col("i_hi"))
+        & (F.col("i_lo") < F.col("r_hi")),
+    ).select(
+        "l_partkey",
+        (
+            F.least("r_hi", "i_hi") - F.greatest("r_lo", "i_lo")
+        ).alias("ov"),
+        "unit_milli",
+    )
+    ma = m.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lot_matches"),
+        F.sum("ov").alias("matched_qty"),
+        F.sum(F.col("ov") * F.col("unit_milli")).alias("alloc_milli"),
+    )
+    it = i.groupBy("l_partkey").agg(F.sum("qty").alias("issued_qty"))
+    matched = F.coalesce(F.col("matched_qty"), F.lit(0).cast("long"))
+    return it.join(ma, "l_partkey", "left").select(
+        "l_partkey",
+        "issued_qty",
+        F.coalesce(F.col("n_lot_matches"), F.lit(0)).alias("n_lot_matches"),
+        matched.alias("matched_qty"),
+        (F.col("issued_qty") - matched).alias("unfilled_qty"),
+        # exact half-up to integer cents, then ONE division (the
+        # floor(x + 0.5) idiom: round(milli/1e5, 2) has .XX5 edges)
+        (
+            F.expr("div(coalesce(alloc_milli, 0L) + 500, 1000)") / 100.0
+        ).alias("fifo_cost"),
+    )

@@ -2166,3 +2166,112 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dt") / (F.lit(7.0) * F.count(F.lit(1))), 6
         ).alias("seasonal_effect"),
     ).select("event_type", "dow", "n_days", "seasonal_effect")
+
+
+_ATTR_LOOKBACK_US = 24 * 3600 * 1000000
+
+_ATTR_SQL = f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS t_id, user_id, event_type AS channel, epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.p_id, t.channel, t.t_us, t.t_id,
+         count(*) OVER (PARTITION BY p.p_id) AS n,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY t.t_us, t.t_id) AS rn
+  FROM p JOIN t ON p.user_id = t.user_id
+              AND t.t_us < p.p_us
+              AND t.t_us >= p.p_us - {_ATTR_LOOKBACK_US}
+),
+c AS (
+  SELECT p_id, channel,
+         CASE
+           WHEN n = 1 THEN 1000000
+           WHEN n = 2 THEN 500000
+           WHEN rn = 1 OR rn = n THEN 400000
+           ELSE 200000 // (n - 2)
+                + CASE WHEN rn - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END
+         END AS credit_micro
+  FROM j
+)
+SELECT channel,
+       CAST(count(DISTINCT p_id) AS INTEGER) AS n_purchases,
+       CAST(count(*) AS INTEGER) AS n_touches,
+       round(CAST(sum(credit_micro) AS BIGINT) / 1000000.0, 6)
+         AS attributed_credit
+FROM c GROUP BY 1
+"""
+
+
+@query(
+    "attribution_position_based",
+    oracle=_ATTR_SQL,
+    description="position-based (U-shaped) multi-touch attribution: "
+    "every purchase distributes one unit of credit over the view/click "
+    "touches in its 24 h lookback — 40% to the first touch, 40% to the "
+    "last, 20% split across the middle — the marketing-mix readout "
+    "last-touch attribution (stream_click_attribution) systematically "
+    "biases toward bottom-funnel channels; credits are EXACT integer "
+    "micro-units (the 20% middle share is floor-divided with the "
+    "remainder assigned to the earliest middles, so every purchase "
+    "sums to exactly 1e6) and the engines agree bit-for-bit before "
+    "one final division; the touch join is an equi-join on the "
+    "high-cardinality user id with the lookback as a residual "
+    "predicate, so pair volume is bounded by touches-per-24h, not "
+    "touches-per-user",
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    us = F.expr("unix_micros(ts)")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        us.alias("p_us"),
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        us.alias("t_us"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - _ATTR_LOOKBACK_US),
+    )
+    wp = Window.partitionBy("p_id")
+    j = j.select(
+        "p_id",
+        "channel",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number()
+        .over(wp.orderBy("t_us", "t_id"))
+        .alias("rn"),
+    )
+    n, rn = F.col("n"), F.col("rn")
+    credit = (
+        F.when(n == 1, F.lit(1000000))
+        .when(n == 2, F.lit(500000))
+        .when((rn == 1) | (rn == n), F.lit(400000))
+        .otherwise(
+            F.expr("div(200000, n - 2)")
+            + F.when(rn - 1 <= F.expr("200000 % (n - 2)"), 1).otherwise(0)
+        )
+    )
+    return (
+        j.select("p_id", "channel", credit.alias("credit_micro"))
+        .groupBy("channel")
+        .agg(
+            F.count_distinct(F.col("p_id")).cast("int").alias("n_purchases"),
+            F.count(F.lit(1)).cast("int").alias("n_touches"),
+            F.round(F.sum("credit_micro") / 1000000.0, 6).alias(
+                "attributed_credit"
+            ),
+        )
+    )
