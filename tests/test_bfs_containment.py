@@ -82,3 +82,38 @@ def test_containment_blocks_and_threshold(spark):
         "doc_id long, text string, source string",
     )
     assert _rows(ngram_containment_pairs(df, shingle_k=2, threshold=0.5)) == []
+
+
+def _wedges(spark, triples):
+    und = triples + [(b, a, w) for a, b, w in triples]
+    return spark.createDataFrame(und, "src long, dst long, w long")
+
+
+def test_weighted_sssp_prefers_cheap_detour_over_direct_edge(spark):
+    from fred_economic_data_pipeline_local_spark.operators.graph import (
+        weighted_sssp,
+    )
+
+    # direct 0-2 costs 10; detour 0-1-2 costs 2+3=5; 2-3 extends to 9
+    edges = _wedges(spark, [(0, 2, 10), (0, 1, 2), (1, 2, 3), (2, 3, 4)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = dict(_rows(weighted_sssp(edges, seeds, rounds=4)))
+    assert got == {0: 0, 1: 2, 2: 5, 3: 9}
+
+
+def test_weighted_sssp_hop_bound_truncates_long_cheap_paths(spark):
+    from fred_economic_data_pipeline_local_spark.operators.graph import (
+        weighted_sssp,
+    )
+
+    # 2-hop bound: direct 0-2 (10) wins because the cheaper 3-hop
+    # chain 0-10-11-2 (1+1+1) exceeds the bound; node 3 rides the
+    # direct edge (0-2-3 = 11), node 4 needs 3 hops and is absent
+    edges = _wedges(
+        spark,
+        [(0, 2, 10), (0, 10, 1), (10, 11, 1), (11, 2, 1), (2, 3, 1),
+         (3, 4, 1)],
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = dict(_rows(weighted_sssp(edges, seeds, rounds=2)))
+    assert got[2] == 10 and got[3] == 11 and got[11] == 2 and 4 not in got
