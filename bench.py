@@ -220,6 +220,8 @@ HEADLINE = [
     "graph_weighted_sssp",
     "fifo_lot_allocation",
     "attribution_position_based",
+    "orders_littles_law",
+    "similarity_rbo_quantized",
 ]
 
 

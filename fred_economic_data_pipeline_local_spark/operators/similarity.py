@@ -1344,3 +1344,65 @@ def centroid_silhouette_report(
             F.round(F.avg("__s"), 6).alias("avg_silhouette"),
         )
     )
+
+
+def quantized_rank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by the cosine of int8 codes WITHOUT exact rescoring:
+    (query_id, neighbor_id, approx_rank), k rows per query.
+
+    The candidate phase of ``quantized_topk`` exposed as its own
+    ranking — what an index-quality eval needs when the question is
+    "how does the COMPRESSED ranking order candidates" rather than
+    "what does the rescored pipeline return". Same exploded
+    integer-dot plan (codes only, exact arithmetic, bit-identical
+    across engines); ranks tie-break on neighbor id.
+    """
+
+    def codes_ex(df_in: DataFrame, id_out: str, code_out: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        _, codes = int8_codes(v)
+        return df_in.select(
+            F.col(id_col).alias(id_out), codes.alias("__cd")
+        ).select(id_out, F.posexplode("__cd").alias("__i", code_out))
+
+    c_ex = codes_ex(corpus, "neighbor_id", "__cc").localCheckpoint()
+    q_ex = codes_ex(queries, "query_id", "__qc").localCheckpoint()
+    c_norm = (
+        c_ex.groupBy("neighbor_id")
+        .agg(F.sqrt(F.sum(F.col("__cc") * F.col("__cc"))).alias("__cn"))
+        .where(F.col("__cn") > 0)
+    )
+    q_norm = (
+        q_ex.groupBy("query_id")
+        .agg(F.sqrt(F.sum(F.col("__qc") * F.col("__qc"))).alias("__qn"))
+        .where(F.col("__qn") > 0)
+    )
+    dp = (
+        c_ex.join(broadcast(q_ex), "__i")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("__cc") * F.col("__qc")).alias("__dp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    return (
+        dp.join(c_norm, "neighbor_id")
+        .join(broadcast(q_norm), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("__dp") / (F.col("__qn") * F.col("__cn"))).alias(
+                "approx_cos"
+            ),
+        )
+        .withColumn("approx_rank", F.row_number().over(w))
+        .where(F.col("approx_rank") <= k)
+        .select("query_id", "neighbor_id", "approx_rank")
+    )

@@ -128,10 +128,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "linkage_golden_record",
     "linkage_sorted_neighborhood",
     "text_bpe_merges",
-    "chi2_priority_status",
-    "cramers_v_pairs",
     "forecast_conformal_intervals",
     "multimodal_phash_dedup",
+    # (chi2_priority_status / cramers_v_pairs re-queued below the
+    # window by wave-3 batch 3: their round-11 hardening is
+    # edge-case-only — fixture results unchanged, locally mirrored
+    # green — so the slots go to the two new never-checked entries)
     # --- 3. round-5 freshness promotions (oldest driver rows; wave 3
     # kept the two oldest-promised and re-queued the rest at the
     # below-window head for round 12) ---
@@ -155,8 +157,13 @@ CATALOG_ORDER: tuple[str, ...] = (
     "graph_weighted_sssp",
     "fifo_lot_allocation",
     "attribution_position_based",
-    # ===== below the window (displaced round-5 promotions re-queue
-    # first for the round-12 rotation) =====
+    "orders_littles_law",
+    "similarity_rbo_quantized",
+    # ===== below the window (displaced round-5 promotions and the
+    # two edge-case-hardened stats entries re-queue first for the
+    # round-12 rotation) =====
+    "chi2_priority_status",
+    "cramers_v_pairs",
     "q3_shipping_priority",
     "q18_large_volume_customers",
     "dedup_groups",

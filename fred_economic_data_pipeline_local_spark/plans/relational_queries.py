@@ -4549,3 +4549,136 @@ def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(coalesce(alloc_milli, 0L) + 500, 1000)") / 100.0
         ).alias("fifo_cost"),
     )
+
+
+_LITTLE_SQL = """
+WITH o AS (
+  SELECT o.o_orderkey, o.o_orderdate AS start_d,
+         min(l.l_shipdate) AS end_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT DISTINCT date_trunc('month', start_d) AS m_start,
+         date_trunc('month', start_d) + INTERVAL 1 MONTH AS m_next
+  FROM o
+),
+arr AS (
+  SELECT date_trunc('month', start_d) AS m_start,
+         CAST(count(*) AS BIGINT) AS n_arrivals,
+         CAST(sum(date_diff('day', start_d, end_d)) AS BIGINT) AS ship_days
+  FROM o GROUP BY 1
+),
+wip AS (
+  SELECT m.m_start,
+         CAST(sum(date_diff('day',
+                  greatest(o.start_d, CAST(m.m_start AS DATE)),
+                  least(o.end_d, CAST(m.m_next AS DATE)))) AS BIGINT)
+           AS wip_days
+  FROM m JOIN o ON o.start_d < m.m_next AND o.end_d > m.m_start
+  GROUP BY 1
+),
+dim AS (
+  SELECT m_start, date_diff('day', CAST(m_start AS DATE),
+                            CAST(m_next AS DATE)) AS days_in_month
+  FROM m
+)
+SELECT strftime(arr.m_start, '%Y-%m') AS month,
+       CAST(arr.n_arrivals AS INTEGER) AS n_arrivals,
+       round(arr.n_arrivals / CAST(dim.days_in_month AS DOUBLE), 6)
+         AS lambda_per_day,
+       round(arr.ship_days / CAST(arr.n_arrivals AS DOUBLE), 6) AS w_days,
+       round(coalesce(wip.wip_days, 0) / CAST(dim.days_in_month AS DOUBLE), 6)
+         AS l_avg_wip,
+       round(coalesce(wip.wip_days, 0)
+             / CAST(nullif(arr.ship_days, 0) AS DOUBLE), 6) AS littles_ratio
+FROM arr JOIN dim USING (m_start)
+LEFT JOIN wip USING (m_start)
+"""
+
+
+@query(
+    "orders_littles_law",
+    oracle=_LITTLE_SQL,
+    description="Little's law audit per order month: arrival rate "
+    "lambda (orders/day), mean time-in-system W (orderdate to first "
+    "ship), and measured average WIP L from exact day-overlap of each "
+    "order's open interval with the month — L = lambda*W only in "
+    "steady state, so littles_ratio (which algebraically reduces to "
+    "wip_days/ship_days, a ratio of two exact integer day-sums) reads "
+    "out ramp-up/drain-down months; the queueing-theory sanity check "
+    "behind backlog dashboards (orders_open_backlog_daily gives the "
+    "instantaneous curve, this gives the conservation-law audit); the "
+    "month dimension is a tiny broadcast side against the orders "
+    "interval table, everything integer until three final divisions",
+)
+def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = (
+        orders.select("o_orderkey", F.col("o_orderdate").alias("start_d"))
+        .join(
+            li.select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "start_d")
+        .agg(F.min("l_shipdate").alias("end_d"))
+    )
+    m = o.select(
+        F.date_trunc("month", "start_d").alias("m_start")
+    ).distinct().select(
+        "m_start", F.expr("m_start + INTERVAL 1 MONTH").alias("m_next")
+    )
+    arr = o.groupBy(
+        F.date_trunc("month", "start_d").alias("m_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.sum(F.datediff("end_d", "start_d")).cast("long").alias("ship_days"),
+    )
+    wip = (
+        o.join(
+            broadcast(m),
+            (F.col("start_d") < F.col("m_next"))
+            & (F.col("end_d") > F.col("m_start")),
+        )
+        .groupBy("m_start")
+        .agg(
+            F.sum(
+                F.datediff(
+                    F.least("end_d", F.col("m_next").cast("date")),
+                    F.greatest("start_d", F.col("m_start").cast("date")),
+                )
+            )
+            .cast("long")
+            .alias("wip_days")
+        )
+    )
+    dim = m.select(
+        "m_start",
+        F.datediff(
+            F.col("m_next").cast("date"), F.col("m_start").cast("date")
+        ).alias("days_in_month"),
+    )
+    wd = F.coalesce(F.col("wip_days"), F.lit(0).cast("long"))
+    return (
+        arr.join(broadcast(dim), "m_start")
+        .join(wip, "m_start", "left")
+        .select(
+            F.date_format("m_start", "yyyy-MM").alias("month"),
+            F.col("n_arrivals").cast("int").alias("n_arrivals"),
+            F.round(
+                F.col("n_arrivals") / F.col("days_in_month").cast("double"), 6
+            ).alias("lambda_per_day"),
+            F.round(
+                F.col("ship_days") / F.col("n_arrivals").cast("double"), 6
+            ).alias("w_days"),
+            F.round(wd / F.col("days_in_month").cast("double"), 6).alias(
+                "l_avg_wip"
+            ),
+            F.round(
+                wd
+                / F.nullif(F.col("ship_days"), F.lit(0)).cast("double"),
+                6,
+            ).alias("littles_ratio"),
+        )
+    )

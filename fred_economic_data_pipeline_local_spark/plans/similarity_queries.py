@@ -1904,3 +1904,144 @@ def similarity_ivf_recall_curve(
             )
         )
     return functools.reduce(lambda a, b: a.unionByName(b), rows)
+
+
+# --- Rank-biased overlap between the exact and compressed rankings ----
+#
+# RBO (Webber, Moffat & Zobel, TOIS 2010), truncated at depth k with
+# persistence p: sum over depths d of p^(d-1) * |A_d intersect B_d| / d.
+# A common item with ranks (ra, rb) enters every depth d >= max(ra, rb),
+# so its total contribution is coef[m] = sum_{d=m..k} p^(d-1)/d — fixed
+# at import time as INTEGER pico-units shared verbatim by both engines
+# (the periodogram basis-pinning move), making per-query RBO an exact
+# BIGINT sum normalized by one final division.
+_RBO_P = 0.9
+
+
+def _rbo_coef_u() -> list[int]:
+    w = [round(_RBO_P ** (d - 1) / d * 1e12) for d in range(1, _K + 1)]
+    return [sum(w[m - 1:]) for m in range(1, _K + 1)]
+
+
+_RBO_COEF_U = _rbo_coef_u()
+_RBO_NORM_U = sum(_RBO_COEF_U)
+_RBO_COEF_SQL = ", ".join(str(c) for c in _RBO_COEF_U)
+
+_RBO_SQL = f"""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+q AS (SELECT * FROM c WHERE vec_id % 5 = 0),
+corp AS (SELECT * FROM c WHERE vec_id % 5 <> 0),
+a AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round({_COS_SQL}, 6) DESC, c.vec_id)
+           AS ra
+  FROM q JOIN corp c ON true
+  QUALIFY ra <= {_K}
+),
+m8 AS (SELECT vec_id, e,
+              list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+       FROM c),
+q8 AS (SELECT vec_id, CAST(list_transform(e, x -> CASE WHEN scale > 0
+                  THEN CAST(floor(x / scale + 0.5) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE[]) AS cd
+       FROM m8),
+b AS (
+  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY qq.vec_id
+           ORDER BY list_dot_product(qq.cd, cc.cd)
+                    / (sqrt(list_dot_product(qq.cd, qq.cd))
+                       * sqrt(list_dot_product(cc.cd, cc.cd))) DESC,
+                    cc.vec_id) AS rb
+  FROM q8 qq JOIN q8 cc
+    ON qq.vec_id % 5 = 0 AND cc.vec_id % 5 <> 0
+  WHERE list_dot_product(qq.cd, qq.cd) > 0
+    AND list_dot_product(cc.cd, cc.cd) > 0
+  QUALIFY rb <= {_K}
+),
+per AS (
+  SELECT a.query_id,
+         CAST(sum(([{_RBO_COEF_SQL}])[greatest(a.ra, b.rb)]) AS BIGINT)
+           AS rbo_u
+  FROM a JOIN b USING (query_id, neighbor_id)
+  GROUP BY 1
+),
+pq AS (
+  SELECT q.vec_id AS query_id, q.label,
+         coalesce(per.rbo_u, 0) AS rbo_u
+  FROM q LEFT JOIN per ON per.query_id = q.vec_id
+)
+SELECT label,
+       CAST(count(*) AS INTEGER) AS n_queries,
+       round(CAST(sum(rbo_u) AS BIGINT)
+             / (count(*) * {_RBO_NORM_U}.0), 6) AS mean_rbo,
+       round(min(rbo_u) / {_RBO_NORM_U}.0, 6) AS min_rbo
+FROM pq GROUP BY 1
+"""
+
+
+@query(
+    "similarity_rbo_quantized",
+    oracle=_RBO_SQL,
+    description="rank-biased overlap (Webber-Moffat-Zobel RBO, p=0.9, "
+    "truncated at k=10) between the exact cosine ranking and the "
+    "int8-compressed ranking, per label over a 1/5 query split — the "
+    "top-weighted agreement metric recall@k can't give (recall treats "
+    "rank 1 and rank 10 the same; RBO decays geometrically, which is "
+    "what matters when only the first few neighbors are ever shown): "
+    "the go/no-go number for serving the 4x-smaller compressed index "
+    "without rescoring; per-item contributions are pinned integer "
+    "pico-unit coefficients (the periodogram basis move) so per-query "
+    "RBO is an exact BIGINT sum, and the compressed ranking orders "
+    "exact integer code dots (bit-identical across engines)",
+)
+def similarity_rbo_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import quantized_rank_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    a = brute_force_topk(corpus, queries, k=_K)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    a = a.select(
+        "query_id", "neighbor_id", F.row_number().over(wa).alias("ra")
+    )
+    b = quantized_rank_topk(corpus, queries, k=_K).withColumnRenamed(
+        "approx_rank", "rb"
+    )
+    coef = F.array(*[F.lit(c) for c in _RBO_COEF_U])
+    per = (
+        a.join(b, ["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            F.element_at(
+                coef, F.greatest(F.col("ra"), F.col("rb")).cast("int")
+            ).alias("c_u"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("c_u").alias("rbo_u"))
+    )
+    pq = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(per, "query_id", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("rbo_u"), F.lit(0).cast("long")).alias("rbo_u"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return pq.groupBy("label").agg(
+        n.cast("int").alias("n_queries"),
+        F.round(F.sum("rbo_u") / (n * F.lit(float(_RBO_NORM_U))), 6).alias(
+            "mean_rbo"
+        ),
+        F.round(F.min("rbo_u") / F.lit(float(_RBO_NORM_U)), 6).alias(
+            "min_rbo"
+        ),
+    )
