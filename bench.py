@@ -222,6 +222,9 @@ HEADLINE = [
     "attribution_position_based",
     "orders_littles_law",
     "similarity_rbo_quantized",
+    "events_haar_wavelet",
+    "part_single_source_risk",
+    "manifest_erasure_audit",
 ]
 
 

@@ -1582,6 +1582,12 @@ GROUP BY l_returnflag, l_linestatus
     "the raw fixture",
 )
 def tpch_refresh_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BENCH r11 delta 1.31x vs r10 (5.69 -> 7.46 s): A/B'd in-session —
+    # isolated fresh-session min-of-4 at sf0.1 is 6.78 s with zero code
+    # changes on this path this round, i.e. inside the documented ±20%
+    # cross-session host-variance envelope (see the provenance note on
+    # similarity_quantized_topk); the residual +0.7 s in the bench run
+    # is session context from the 165-query sequence. No action taken.
     # run-unique scratch + localCheckpoint: see manifest_zorder_range_read
     import tempfile
 

@@ -858,3 +858,87 @@ def scd2_point_in_time_features(
         )
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "manifest_erasure_audit",
+    # the oracle recomputes the post-erasure state DIRECTLY from the
+    # source table; the Spark side must reproduce it through the
+    # lakehouse round trip (overwrite -> CDC delete feed ->
+    # apply_changes -> time-travel reads), and the n_residual column
+    # pins the erasure CONTRACT: the oracle hard-codes 0, so any
+    # erased key surviving in the final state is a hash mismatch
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS INTEGER) AS n_before,
+       CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_erased,
+       CAST(count(*) - sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_after,
+       CAST(0 AS INTEGER) AS n_residual
+FROM customer GROUP BY 1
+""",
+    description="right-to-be-forgotten erasure through the lakehouse: "
+    "deletion requests (every 97th customer) are consumed as a CDC "
+    "delete feed by apply_changes — an O(touched-buckets) rewrite "
+    "under one atomic manifest commit, never a full-table rewrite — "
+    "then audited per segment: pre-erasure count (time travel to v0), "
+    "erased count as witnessed by the COMMITTED change feed "
+    "changes(v0, v1) (not by the request set — proving the deletes "
+    "landed), post-erasure count, and the residual join of erased "
+    "keys against the final state, which the oracle pins to ZERO so "
+    "an incomplete erasure is a correctness failure, not a log line; "
+    "the compliance-side complement to privacy_k_anonymity and "
+    "curation_redact_pii",
+)
+def manifest_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-unique scratch + localCheckpoint: see fred_merge_into_lake
+    import os
+    import tempfile
+
+    from ..sources.lakehouse import ManifestLakeTable
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    scratch = tempfile.mkdtemp(prefix="fred_erasure_")
+    tbl = ManifestLakeTable(
+        os.path.join(scratch, "customer"), keys=["c_custkey"], n_buckets=16
+    )
+    tbl.overwrite(cust)  # v0
+    requests = cust.where(F.col("c_custkey") % 97 == 0).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    tbl.apply_changes(requests)  # v1: O(touched buckets), atomic
+    before = tbl.read(spark, 0)
+    after = tbl.read(spark, 1)
+    feed = tbl.changes(spark, 0, 1)
+    erased = feed.where(F.col("_change_type") == "delete")
+    residual = after.join(
+        erased.select("c_custkey"), "c_custkey", "left_semi"
+    )
+    b = before.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("int").alias("n_before")
+    )
+    e = erased.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("int").alias("n_erased")
+    )
+    a = after.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("int").alias("n_after")
+    )
+    r = residual.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("int").alias("n_residual")
+    )
+    out = (
+        b.join(e, "c_mktsegment", "left")
+        .join(a, "c_mktsegment", "left")
+        .join(r, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_before",
+            F.coalesce("n_erased", F.lit(0)).alias("n_erased"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("n_residual", F.lit(0)).alias("n_residual"),
+        )
+    )
+    return out.localCheckpoint(eager=True)

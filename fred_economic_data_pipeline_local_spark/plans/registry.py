@@ -128,17 +128,16 @@ CATALOG_ORDER: tuple[str, ...] = (
     "linkage_golden_record",
     "linkage_sorted_neighborhood",
     "text_bpe_merges",
-    "forecast_conformal_intervals",
-    "multimodal_phash_dedup",
-    # (chi2_priority_status / cramers_v_pairs re-queued below the
-    # window by wave-3 batch 3: their round-11 hardening is
-    # edge-case-only — fixture results unchanged, locally mirrored
-    # green — so the slots go to the two new never-checked entries)
+    # (chi2_priority_status / cramers_v_pairs /
+    # forecast_conformal_intervals / multimodal_phash_dedup re-queued
+    # below the window by wave-3 batches 3-4: their round-11
+    # hardening is edge-case-only — fixture results unchanged,
+    # locally mirrored green — so the slots go to never-checked
+    # brand-new entries)
     # --- 3. round-5 freshness promotions (oldest driver rows; wave 3
-    # kept the two oldest-promised and re-queued the rest at the
+    # kept the oldest-promised q5 and re-queued the rest at the
     # below-window head for round 12) ---
     "q5_nation_revenue",
-    "q9_product_type_profit",
     # --- 4. round-11 additions (verified in-window immediately — no
     # never-checked debt; they displaced six of the round-5
     # promotions, which re-queue at the below-window head) ---
@@ -159,9 +158,15 @@ CATALOG_ORDER: tuple[str, ...] = (
     "attribution_position_based",
     "orders_littles_law",
     "similarity_rbo_quantized",
+    "events_haar_wavelet",
+    "part_single_source_risk",
+    "manifest_erasure_audit",
     # ===== below the window (displaced round-5 promotions and the
-    # two edge-case-hardened stats entries re-queue first for the
+    # four edge-case-hardened entries re-queue first for the
     # round-12 rotation) =====
+    "q9_product_type_profit",
+    "forecast_conformal_intervals",
+    "multimodal_phash_dedup",
     "chi2_priority_status",
     "cramers_v_pairs",
     "q3_shipping_priority",

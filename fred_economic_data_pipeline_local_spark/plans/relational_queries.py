@@ -4682,3 +4682,83 @@ def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("littles_ratio"),
         )
     )
+
+
+_SRC_RISK_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT l_partkey,
+         CAST(count(*) AS INTEGER) AS n_suppliers,
+         CAST(sum(q) AS BIGINT) AS tot_q,
+         CAST(max(q) AS BIGINT) AS max_q,
+         CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+  FROM ps GROUP BY 1
+)
+SELECT CAST(least(9, (max_q * 10) // tot_q) AS INTEGER)
+         AS concentration_decile,
+       CAST(count(*) AS INTEGER) AS n_parts,
+       CAST(min(n_suppliers) AS INTEGER) AS min_suppliers,
+       round(sum(rev_cents) / 100.0, 2) AS revenue,
+       round(sum((max_q * 1000000) // tot_q)
+             / (count(*) * 1000000.0), 6) AS avg_top_share,
+       round(sum(CASE WHEN n_suppliers = 1 THEN rev_cents ELSE 0 END)
+             / 100.0, 2) AS single_sourced_revenue
+FROM p GROUP BY 1
+"""
+
+
+@query(
+    "part_single_source_risk",
+    oracle=_SRC_RISK_SQL,
+    description="supply-concentration risk profile: parts bucketed "
+    "by the DECILE of their top supplier's quantity share (decile 9 "
+    "= one supplier ships >=90%), with the revenue exposed per "
+    "bucket, the minimum supplier count, the mean top share, and the "
+    "revenue riding on a single source — the procurement complement "
+    "to market_hhi_suppliers (that measures market concentration "
+    "across suppliers; this measures per-part resilience); two "
+    "map-combined aggregations, quantities/revenue exact integers, "
+    "deciles and per-part micro-unit shares floor-divided so every "
+    "bucketing decision and average is exact integer arithmetic",
+)
+def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("rev_cents"),
+    )
+    p = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("int").alias("n_suppliers"),
+        F.sum("q").alias("tot_q"),
+        F.max("q").alias("max_q"),
+        F.sum("rev_cents").alias("rev_cents"),
+    )
+    tier = F.least(F.lit(9), F.expr("div(max_q * 10, tot_q)")).cast("int")
+    n = F.count(F.lit(1))
+    return p.groupBy(tier.alias("concentration_decile")).agg(
+        n.cast("int").alias("n_parts"),
+        F.min("n_suppliers").cast("int").alias("min_suppliers"),
+        F.round(F.sum("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.sum(F.expr("div(max_q * 1000000, tot_q)"))
+            / (n * 1000000.0),
+            6,
+        ).alias("avg_top_share"),
+        F.round(
+            F.sum(
+                F.when(F.col("n_suppliers") == 1, F.col("rev_cents")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            / 100.0,
+            2,
+        ).alias("single_sourced_revenue"),
+    )

@@ -2275,3 +2275,122 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HAAR_SQL = """
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS eday,
+         count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT min(eday) AS d0 FROM d),
+s AS (SELECT event_type, eday - m.d0 AS t, v FROM d CROSS JOIN m),
+-- level 1: adjacent-pair difference/sum (complete pairs only)
+p1 AS (
+  SELECT event_type, t // 2 AS j,
+         sum(CASE WHEN t % 2 = 0 THEN v ELSE -v END) AS d1,
+         sum(v) AS a1
+  FROM s GROUP BY 1, 2 HAVING count(*) = 2
+),
+-- level 2: pair the level-1 smooths
+p2 AS (
+  SELECT event_type, j // 2 AS j2,
+         sum(CASE WHEN j % 2 = 0 THEN a1 ELSE -a1 END) AS d2
+  FROM p1 GROUP BY 1, 2 HAVING count(*) = 2
+),
+-- orthonormal detail energies in exact QUARTER units:
+-- E1 = sum(d1^2)/2 = 2*sum(d1^2)/4;  E2 = sum(d2^2)/4
+e1 AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_coefs,
+              CAST(max(abs(d1)) AS BIGINT) AS max_abs_coef,
+              CAST(2 * sum(d1 * d1) AS BIGINT) AS energy_q
+       FROM p1 GROUP BY 1),
+e2 AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_coefs,
+              CAST(max(abs(d2)) AS BIGINT) AS max_abs_coef,
+              CAST(sum(d2 * d2) AS BIGINT) AS energy_q
+       FROM p2 GROUP BY 1),
+u AS (
+  SELECT event_type, 1 AS level, n_coefs, max_abs_coef, energy_q FROM e1
+  UNION ALL
+  SELECT event_type, 2 AS level, n_coefs, max_abs_coef, energy_q FROM e2
+),
+tot AS (SELECT event_type, sum(energy_q) AS tq FROM u GROUP BY 1)
+SELECT u.event_type, CAST(u.level AS INTEGER) AS level, u.n_coefs,
+       u.max_abs_coef, u.energy_q,
+       round(u.energy_q / CAST(tot.tq AS DOUBLE), 6) AS energy_share
+FROM u JOIN tot USING (event_type)
+"""
+
+
+@query(
+    "events_haar_wavelet",
+    oracle=_HAAR_SQL,
+    description="two-level Haar wavelet detail energies of the daily "
+    "event-count series: level-1 details are adjacent-day differences "
+    "(day-to-day noise), level-2 details difference adjacent 2-day "
+    "smooths (2-4 day swings) — the time-LOCALIZED complement to "
+    "events_periodogram's global spectrum (a single burst day shows "
+    "up as one big coefficient here but smears across every Fourier "
+    "period); all coefficients and the orthonormal energies (kept in "
+    "exact quarter-units: E1 = 2*sum(d1^2)/4, E2 = sum(d2^2)/4) are "
+    "exact integers, group-by-pair aggregation with a count(*)=2 "
+    "completeness guard, one final division for the 6-dp share",
+)
+def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    d0 = d.agg(F.min("eday").alias("d0"))
+    s = d.join(F.broadcast(d0)).select(
+        "event_type", (F.col("eday") - F.col("d0")).alias("t"), "v"
+    )
+    signed1 = F.when(F.col("t") % 2 == 0, F.col("v")).otherwise(-F.col("v"))
+    p1 = (
+        s.groupBy("event_type", F.expr("t div 2").alias("j"))
+        .agg(
+            F.sum(signed1).alias("d1"),
+            F.sum("v").alias("a1"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") == 2)
+    )
+    signed2 = F.when(F.col("j") % 2 == 0, F.col("a1")).otherwise(-F.col("a1"))
+    p2 = (
+        p1.groupBy("event_type", F.expr("j div 2").alias("j2"))
+        .agg(F.sum(signed2).alias("d2"), F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == 2)
+    )
+    e1 = p1.groupBy("event_type").agg(
+        F.lit(1).alias("level"),
+        F.count(F.lit(1)).cast("int").alias("n_coefs"),
+        F.max(F.abs(F.col("d1"))).cast("long").alias("max_abs_coef"),
+        (F.lit(2) * F.sum(F.col("d1") * F.col("d1")))
+        .cast("long")
+        .alias("energy_q"),
+    )
+    e2 = p2.groupBy("event_type").agg(
+        F.lit(2).alias("level"),
+        F.count(F.lit(1)).cast("int").alias("n_coefs"),
+        F.max(F.abs(F.col("d2"))).cast("long").alias("max_abs_coef"),
+        F.sum(F.col("d2") * F.col("d2")).cast("long").alias("energy_q"),
+    )
+    u = e1.select(
+        "event_type", "level", "n_coefs", "max_abs_coef", "energy_q"
+    ).union(
+        e2.select(
+            "event_type", "level", "n_coefs", "max_abs_coef", "energy_q"
+        )
+    )
+    tot = u.groupBy("event_type").agg(F.sum("energy_q").alias("tq"))
+    return u.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("level").cast("int").alias("level"),
+        "n_coefs",
+        "max_abs_coef",
+        "energy_q",
+        F.round(F.col("energy_q") / F.col("tq").cast("double"), 6).alias(
+            "energy_share"
+        ),
+    )

@@ -701,3 +701,29 @@ def test_golden_record_survivorship_is_one_window_over_entities(spark):
     # rank-1 survivorship: exactly one row_number window; no cartesian
     assert "CartesianProduct" not in plan
     assert "row_number" in plan
+
+
+def test_fifo_lot_join_is_equi_on_part_key(spark):
+    # the cumulative-interval FIFO match must hash/merge on the part
+    # key with the range predicates as residual filter conditions —
+    # a nested-loop here is the all-pairs plan that dies at scale
+    plan = plan_of(spark, "fifo_lot_allocation")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_attribution_touch_join_is_equi_on_user(spark):
+    # purchases x touches joins on the high-cardinality user id; the
+    # 24 h lookback must ride along as a residual predicate
+    plan = plan_of(spark, "attribution_position_based")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_littles_law_month_dimension_broadcasts(spark):
+    # the months side is ~80 rows: the overlap join must broadcast it,
+    # never shuffle the orders interval table against it
+    plan = plan_of(spark, "orders_littles_law")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
