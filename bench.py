@@ -225,6 +225,8 @@ HEADLINE = [
     "events_haar_wavelet",
     "part_single_source_risk",
     "manifest_erasure_audit",
+    "linkage_jaro_winkler",
+    "graph_kcore_peel",
 ]
 
 

@@ -491,3 +491,74 @@ def weighted_sssp(
             .localCheckpoint()
         )
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 2, rounds: int = 4
+) -> DataFrame:
+    """Fixed-round k-core peeling over a directed edge list ``(src,
+    dst)`` (pass both directions for undirected graphs): each round
+    drops every node whose degree WITHIN the surviving set is < k,
+    and reports the per-round trajectory.
+
+    A bounded number of synchronous peel rounds is the distributed
+    form (Montresor et al., "Distributed k-core decomposition",
+    PODC'11 use the same round structure): per round one semi-join of
+    the edge list against the survivor set and one map-combined degree
+    count — no per-node state beyond membership. ``rounds`` caps work
+    exactly like the BFS depth / Bellman-Ford bounds elsewhere in
+    this module; a converged peel makes later rounds no-ops, so the
+    fixed unrolling is deterministic in both engines. All counts are
+    integers — nothing to round.
+
+    The within-survivors degree table is computed ONCE per round and
+    reused for both that round's edge count (sum of degrees) and the
+    next round's peel — rounds+1 edge passes total, not 2x rounds.
+    Per-round summaries union LAZILY: no driver-side counting loop,
+    the whole trajectory evaluates as one action.
+
+    Returns (round, n_nodes, n_edges) for round = 1..rounds, where
+    n_edges counts DIRECTED survivor-to-survivor edges (2x the
+    undirected count when both directions are passed).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select("src", "dst").localCheckpoint()
+
+    def _deg_within(node_set: DataFrame) -> DataFrame:
+        return (
+            e.join(node_set, e["src"] == node_set["node"], "left_semi")
+            .join(
+                node_set.select(F.col("node").alias("__dn")),
+                F.col("dst") == F.col("__dn"),
+                "left_semi",
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    deg = _deg_within(nodes).localCheckpoint()
+    summaries = []
+    for r in range(1, rounds + 1):
+        nodes = deg.where(F.col("__d") >= k).select(
+            F.col("src").alias("node")
+        )
+        deg = _deg_within(nodes).localCheckpoint()
+        summaries.append(
+            nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(
+                deg.agg(
+                    F.coalesce(F.sum("__d"), F.lit(0))
+                    .cast("long")
+                    .alias("n_edges")
+                )
+            )
+            .select(
+                F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    out = summaries[0]
+    for sdf in summaries[1:]:
+        out = out.union(sdf)
+    return out

@@ -161,9 +161,16 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_haar_wavelet",
     "part_single_source_risk",
     "manifest_erasure_audit",
-    # ===== below the window (displaced round-5 promotions and the
-    # four edge-case-hardened entries re-queue first for the
-    # round-12 rotation) =====
+    # ===== below the window. FIRST: the two wave-3 overflow
+    # additions — the window is saturated by the 25 round-10
+    # never-checked entries (the r10 verdict's top item, kept whole)
+    # plus 20 round-11 additions, so these two queue at the head for
+    # the round-12 rotation; both were DuckDB-verified at
+    # sf0.001/0.01/0.1 in this session (see CHANGELOG round 11) =====
+    "linkage_jaro_winkler",
+    "graph_kcore_peel",
+    # ===== then: displaced round-5 promotions and the four
+    # edge-case-hardened entries re-queue for round 12 =====
     "q9_product_type_profit",
     "forecast_conformal_intervals",
     "multimodal_phash_dedup",

@@ -117,3 +117,32 @@ def test_weighted_sssp_hop_bound_truncates_long_cheap_paths(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     got = dict(_rows(weighted_sssp(edges, seeds, rounds=2)))
     assert got[2] == 10 and got[3] == 11 and got[11] == 2 and 4 not in got
+
+
+def test_kcore_peel_strips_tail_keeps_triangle(spark):
+    from fred_economic_data_pipeline_local_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    # triangle 0-1-2 plus tail 2-3-4: round 1 drops leaf 4, round 2
+    # drops 3 (its only surviving neighbor is 2), triangle is stable
+    edges = _wedges(
+        spark, [(0, 1, 1), (1, 2, 1), (0, 2, 1), (2, 3, 1), (3, 4, 1)]
+    ).select("src", "dst")
+    rows = {r["round"]: r for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert (rows[1]["n_nodes"], rows[1]["n_edges"]) == (4, 8)
+    assert (rows[2]["n_nodes"], rows[2]["n_edges"]) == (3, 6)
+    assert (rows[3]["n_nodes"], rows[3]["n_edges"]) == (3, 6)
+
+
+def test_kcore_peel_empty_core_reports_zero_rounds(spark):
+    from fred_economic_data_pipeline_local_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    # pure path graph has no 2-core: trajectory must reach (0, 0)
+    edges = _wedges(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1)]).select(
+        "src", "dst"
+    )
+    rows = {r["round"]: r for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert (rows[3]["n_nodes"], rows[3]["n_edges"]) == (0, 0)
