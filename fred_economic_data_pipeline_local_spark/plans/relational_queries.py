@@ -3050,7 +3050,12 @@ JOIN r b ON a.block = b.block
         AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW}
 """,
     description="sorted-neighborhood candidate generation (Hernandez-"
-    "Stolfo SNM): within each segment, pair every customer with its 3 "
+    "Stolfo SNM) — BENCH r11 note: 0.28 s (r10) -> ~0.7 s, the cost "
+    "of the round-11 correctness fix that eagerly freezes __pid "
+    "before consumers (AQE could re-coalesce re-executions of the "
+    "range exchange differently, inflating pair counts ~8%); the "
+    "checkpoint is the price of a deterministic rank layout and "
+    "stays: within each segment, pair every customer with its 3 "
     "nearest neighbors in account-balance sort order — O(n * w) pairs "
     "by construction; the Spark plan explodes rank+offset probe keys "
     "so candidates come from a pure EQUI-join on (block, rank), no "
