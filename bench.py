@@ -227,6 +227,8 @@ HEADLINE = [
     "manifest_erasure_audit",
     "linkage_jaro_winkler",
     "graph_kcore_peel",
+    "events_seasonal_anomalies",
+    "revenue_bridge_price_volume",
 ]
 
 

@@ -169,6 +169,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     # sf0.001/0.01/0.1 in this session (see CHANGELOG round 11) =====
     "linkage_jaro_winkler",
     "graph_kcore_peel",
+    "events_seasonal_anomalies",
+    "revenue_bridge_price_volume",
     # ===== then: displaced round-5 promotions and the four
     # edge-case-hardened entries re-queue for round 12 =====
     "q9_product_type_profit",

@@ -4928,3 +4928,125 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
     edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst"))
     return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_BRIDGE_Y0, _BRIDGE_Y1 = 1997, 1998
+
+_BRIDGE_SQL = f"""
+WITH y AS (
+  SELECT l_partkey,
+         CAST(year(l_shipdate) AS INTEGER) AS yr,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({_BRIDGE_Y0}, {_BRIDGE_Y1})
+  GROUP BY 1, 2
+),
+y0 AS (SELECT l_partkey, q AS q0, r AS r0 FROM y WHERE yr = {_BRIDGE_Y0}),
+y1 AS (SELECT l_partkey, q AS q1, r AS r1 FROM y WHERE yr = {_BRIDGE_Y1}),
+j AS (
+  SELECT coalesce(y0.l_partkey, y1.l_partkey) AS l_partkey,
+         y0.q0, y0.r0, y1.q1, y1.r1
+  FROM y0 FULL OUTER JOIN y1 USING (l_partkey)
+),
+-- unit prices as exact integer micro-cents (floor-div convention);
+-- price/volume effects only on parts traded in BOTH years
+eff AS (
+  SELECT j.l_partkey, p.p_brand,
+         coalesce(j.r1, 0) - coalesce(j.r0, 0) AS d_rev,
+         CASE WHEN j.q0 IS NOT NULL AND j.q1 IS NOT NULL THEN
+           ((j.r1 * 1000000) // j.q1 - (j.r0 * 1000000) // j.q0) * j.q1
+         ELSE 0 END AS price_eff_u,
+         CASE WHEN j.q0 IS NOT NULL AND j.q1 IS NOT NULL THEN
+           ((j.r0 * 1000000) // j.q0) * (j.q1 - j.q0)
+         ELSE 0 END AS volume_eff_u,
+         CASE WHEN j.q0 IS NULL THEN j.r1 ELSE 0 END AS new_rev,
+         CASE WHEN j.q1 IS NULL THEN -j.r0 ELSE 0 END AS exit_rev
+  FROM j JOIN part p ON p.p_partkey = j.l_partkey
+)
+SELECT p_brand,
+       round(CAST(sum(d_rev) AS BIGINT) / 100.0, 2) AS delta_revenue,
+       round(CAST(sum(price_eff_u) AS BIGINT) / 100000000.0, 2)
+         AS price_effect,
+       round(CAST(sum(volume_eff_u) AS BIGINT) / 100000000.0, 2)
+         AS volume_effect,
+       round(CAST(sum(new_rev) AS BIGINT) / 100.0, 2) AS new_parts_revenue,
+       round(CAST(sum(exit_rev) AS BIGINT) / 100.0, 2)
+         AS exited_parts_revenue
+FROM eff GROUP BY 1
+"""
+
+
+@query(
+    "revenue_bridge_price_volume",
+    oracle=_BRIDGE_SQL,
+    description="year-over-year revenue bridge per brand "
+    f"({_BRIDGE_Y0} -> {_BRIDGE_Y1}): the waterfall decomposition of "
+    "revenue change into price effect ((u1-u0)*q1), volume effect "
+    "(u0*(q1-q0)), new-part revenue, and exited-part revenue — the "
+    "FP&A variance analysis behind every 'why did revenue move' "
+    "review; per-part unit prices are exact integer micro-cents "
+    "(floor-div convention) so both engines decompose identical "
+    "integers, one per-year map-combined aggregate + a full outer "
+    "join on the high-cardinality part key + a broadcast brand "
+    "lookup, four final divisions",
+)
+def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    y = (
+        li.where(
+            F.year("l_shipdate").isin(_BRIDGE_Y0, _BRIDGE_Y1)
+        )
+        .groupBy(
+            "l_partkey", F.year("l_shipdate").cast("int").alias("yr")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("r"),
+        )
+    )
+    y0 = y.where(F.col("yr") == _BRIDGE_Y0).select(
+        "l_partkey", F.col("q").alias("q0"), F.col("r").alias("r0")
+    )
+    y1 = y.where(F.col("yr") == _BRIDGE_Y1).select(
+        "l_partkey", F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    j = y0.join(y1, "l_partkey", "full_outer")
+    both = F.col("q0").isNotNull() & F.col("q1").isNotNull()
+    u0 = F.expr("div(r0 * 1000000, q0)")
+    u1 = F.expr("div(r1 * 1000000, q1)")
+    zero = F.lit(0).cast("long")
+    eff = j.join(
+        broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        (
+            F.coalesce(F.col("r1"), zero) - F.coalesce(F.col("r0"), zero)
+        ).alias("d_rev"),
+        F.when(both, (u1 - u0) * F.col("q1")).otherwise(zero).alias(
+            "price_eff_u"
+        ),
+        F.when(both, u0 * (F.col("q1") - F.col("q0"))).otherwise(zero).alias(
+            "volume_eff_u"
+        ),
+        F.when(F.col("q0").isNull(), F.col("r1")).otherwise(zero).alias(
+            "new_rev"
+        ),
+        F.when(F.col("q1").isNull(), -F.col("r0")).otherwise(zero).alias(
+            "exit_rev"
+        ),
+    )
+    return eff.groupBy("p_brand").agg(
+        F.round(F.sum("d_rev") / 100.0, 2).alias("delta_revenue"),
+        F.round(F.sum("price_eff_u") / 100000000.0, 2).alias("price_effect"),
+        F.round(F.sum("volume_eff_u") / 100000000.0, 2).alias(
+            "volume_effect"
+        ),
+        F.round(F.sum("new_rev") / 100.0, 2).alias("new_parts_revenue"),
+        F.round(F.sum("exit_rev") / 100.0, 2).alias("exited_parts_revenue"),
+    )

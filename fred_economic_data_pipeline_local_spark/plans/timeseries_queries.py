@@ -2394,3 +2394,116 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy_share"
         ),
     )
+
+
+# Residual units: dt = 7v - sum7 is exact in sevenths; subtracting the
+# dow mean needs /cnt_dow, so residuals are rescaled by 2520/cnt
+# (2520 = lcm(1..10) — integer for any dow day-count <= 10), keeping
+# EVERYTHING through the MAD comparison in exact integer 7*2520ths.
+_ANOM_LCM = 2520
+
+_SEAS_ANOM_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS eday,
+         count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, eday, v,
+         sum(v) OVER (PARTITION BY event_type ORDER BY eday
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+         count(*) OVER (PARTITION BY event_type ORDER BY eday
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+  FROM d
+),
+det AS (
+  SELECT event_type, eday, eday % 7 AS dow, 7 * v - sum7 AS dt
+  FROM ma WHERE n7 = 7
+),
+g AS (
+  SELECT event_type, dow,
+         sum(dt) AS sum_dt, count(*) AS cnt
+  FROM det GROUP BY 1, 2
+),
+r AS (
+  SELECT det.event_type, det.eday,
+         (det.dt * g.cnt - g.sum_dt) * ({_ANOM_LCM} // g.cnt) AS e
+  FROM det JOIN g ON det.event_type = g.event_type AND det.dow = g.dow
+),
+m AS (
+  SELECT event_type, median(abs(e)) AS mad FROM r GROUP BY 1
+)
+SELECT r.event_type, CAST(r.eday AS BIGINT) AS eday,
+       CAST(r.e AS BIGINT) AS residual_u,
+       round(r.e / nullif(m.mad, 0), 4) AS mad_ratio
+FROM r JOIN m USING (event_type)
+WHERE abs(r.e) > 3 * m.mad
+"""
+
+
+@query(
+    "events_seasonal_anomalies",
+    oracle=_SEAS_ANOM_SQL,
+    description="seasonal anomaly days: daily event counts detrended "
+    "(centered 7-day MA) AND deseasonalized (dow effect removed), "
+    "then flagged where the residual exceeds 3x the per-type median "
+    "absolute deviation — the robust alert that survives both trend "
+    "drift and weekly rhythm, which raw-count thresholds "
+    "(events_volume_anomaly) and pure MAD screens "
+    "(anomaly_mad_outliers) false-positive on; residuals stay EXACT "
+    "integers (detrending in sevenths, dow-mean removal rescaled by "
+    "lcm(1..10)/cnt) so the MAD and the 3x comparison are "
+    "engine-identical, with one 4-dp ratio division at the end",
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("eday").rowsBetween(-3, 3)
+    )
+    det = (
+        d.select(
+            "event_type",
+            "eday",
+            "v",
+            F.sum("v").over(w7).alias("sum7"),
+            F.count(F.lit(1)).over(w7).alias("n7"),
+        )
+        .where(F.col("n7") == 7)
+        .select(
+            "event_type",
+            "eday",
+            (F.col("eday") % 7).alias("dow"),
+            (F.lit(7) * F.col("v") - F.col("sum7")).alias("dt"),
+        )
+    )
+    g = det.groupBy("event_type", "dow").agg(
+        F.sum("dt").alias("sum_dt"), F.count(F.lit(1)).alias("cnt")
+    )
+    r = det.join(F.broadcast(g), ["event_type", "dow"]).select(
+        "event_type",
+        "eday",
+        (
+            (F.col("dt") * F.col("cnt") - F.col("sum_dt"))
+            * F.expr(f"div({_ANOM_LCM}, cnt)")
+        ).alias("e"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.expr("percentile(abs(e), 0.5)").alias("mad")
+    )
+    return (
+        r.join(F.broadcast(m), "event_type")
+        .where(F.abs(F.col("e")) > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            F.col("eday").cast("long").alias("eday"),
+            F.col("e").cast("long").alias("residual_u"),
+            F.round(
+                F.col("e") / F.nullif(F.col("mad"), F.lit(0.0)), 4
+            ).alias("mad_ratio"),
+        )
+    )
