@@ -4940,7 +4940,10 @@ WITH y AS (
          CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
               AS BIGINT) AS r
   FROM lineitem
-  WHERE year(l_shipdate) IN ({_BRIDGE_Y0}, {_BRIDGE_Y1})
+  -- range form, not year() IN (...): comparable to the column, so the
+  -- parquet scan can prune row groups on l_shipdate min/max stats
+  WHERE l_shipdate >= TIMESTAMP '{_BRIDGE_Y0}-01-01'
+    AND l_shipdate < TIMESTAMP '{_BRIDGE_Y1 + 1}-01-01'
   GROUP BY 1, 2
 ),
 y0 AS (SELECT l_partkey, q AS q0, r AS r0 FROM y WHERE yr = {_BRIDGE_Y0}),
@@ -4996,8 +4999,16 @@ def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
     y = (
+        # range predicate (pushable to parquet min/max row-group stats),
+        # not year() IN (...) (an expression over the column, unpushable)
         li.where(
-            F.year("l_shipdate").isin(_BRIDGE_Y0, _BRIDGE_Y1)
+            (F.col("l_shipdate") >= F.lit(f"{_BRIDGE_Y0}-01-01").cast(
+                "timestamp"
+            ))
+            & (
+                F.col("l_shipdate")
+                < F.lit(f"{_BRIDGE_Y1 + 1}-01-01").cast("timestamp")
+            )
         )
         .groupBy(
             "l_partkey", F.year("l_shipdate").cast("int").alias("yr")
