@@ -727,3 +727,44 @@ def test_littles_law_month_dimension_broadcasts(spark):
     plan = plan_of(spark, "orders_littles_law")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaro_winkler_candidates_never_cross_join(spark):
+    # the JW kernel runs on SNM-blocked candidates: the plan must show
+    # equi-joins only (rank+offset probe keys), and the Python stage
+    # must be Arrow-batched (ArrowEvalPython/MapInPandas), never a
+    # row-at-a-time PythonUDF over a nested-loop pair space
+    plan = plan_of(spark, "linkage_jaro_winkler")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_kcore_peel_summary_joins_are_one_row_crosses_only(spark):
+    # the per-round membership semi-joins run EAGERLY into the
+    # localCheckpoints, so the final plan shows only the summary
+    # assembly: the deliberate 1-row x 1-row (n_nodes x n_edges)
+    # crosses per round — and nothing else may join at all (a
+    # CartesianProduct over real data would mean the peel leaked into
+    # the summary plan). The semi-join semantics themselves are pinned
+    # by the constructed-graph tests in test_bfs_containment.py.
+    plan = plan_of(spark, "graph_kcore_peel")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 4  # 1 per round
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_revenue_bridge_pushes_year_range_and_broadcasts_part(spark):
+    plan = plan_of(spark, "revenue_bridge_price_volume")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushable range,
+    assert "LessThan(l_shipdate" in plan            # not year() IN
+    assert "BroadcastHashJoin" in plan              # brand lookup side
+    assert plan.count("HashAggregate") >= 4         # partial+final x2
+
+
+def test_weighted_sssp_exchanges_node_dist_only(spark):
+    # per-round state is (node, dist): no wide rows through the
+    # iterative exchanges, no nested-loop relaxation
+    plan = plan_of(spark, "graph_weighted_sssp")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
