@@ -1360,8 +1360,13 @@ def quantized_rank_topk(
     ranking — what an index-quality eval needs when the question is
     "how does the COMPRESSED ranking order candidates" rather than
     "what does the rescored pipeline return". Same exploded
-    integer-dot plan (codes only, exact arithmetic, bit-identical
-    across engines); ranks tie-break on neighbor id.
+    integer-dot plan (codes only); the ordering key is a double
+    cosine dp / (||q|| * ||c||) whose inputs (dot product and
+    squared norms) are exact integers, so the key is cross-engine
+    deterministic because sqrt, *, and / are correctly-rounded
+    IEEE-754 ops applied in the same association on both sides —
+    not because the key itself is an integer. Ranks tie-break on
+    neighbor id.
     """
 
     def codes_ex(df_in: DataFrame, id_out: str, code_out: str) -> DataFrame:

@@ -163,19 +163,32 @@ SELECT id_a, id_b, round(1 - jd, 6) AS jaccard FROM d WHERE jd < 0.5
     description="pyspark.ml MinHashLSH similarity join (library-backed "
     "variant); hash-checked via the exported hash tables + token-index "
     "sets (HashingTF's murmur3-seed-42 indexing is replicated exactly "
-    "by F.hash, so the exported index sets are the vectors' nonzero set)",
+    "by F.hash, so the exported index sets are the vectors' nonzero "
+    "set); the parity pin runs on a FIXED 500-doc slice — the library "
+    "join is OR-amplified with no band/cap control, quadratic on this "
+    "mutually-similar synthetic corpus (8.6M qualifying pairs at "
+    "sf0.1, VERDICT r11 item 3), and a parity check needs a shared "
+    "input, not scale; dedup_minhash_lsh is the banded+capped scale "
+    "path",
 )
 def similarity_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library-backed near-dup path: ml.feature HashingTF + MinHashLSH
     approxSimilarityJoin over document token sets — the off-the-shelf
     alternative to operators/dedup.py's hand-built banding (SURVEY §7.2).
+
+    Deliberately fixed-size: ``doc_id < 500`` is the whole corpus at
+    sf<=0.01 (results there are unchanged) and a deterministic slice at
+    sf0.1+, keeping the LIBRARY path — whose OR-amplified candidate join
+    has no hot-bucket cap — inside the sweep budget at every SF. The
+    exported index table carries the same cut, so the oracle mirrors it
+    with no SQL change.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
 
     from ..exports import export_table
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 500)
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("tokens")
     )
@@ -1578,24 +1591,104 @@ def embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mutual_knn_edges(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Mutual-kNN edges (id_a < id_b) over LSH-injected candidates.
+
+    The kNN stage of ``embedding_mutual_knn_clusters``, kept
+    module-level so ``tests/test_plan_shapes.py`` can pin its physical
+    plan BEFORE connected-components truncates lineage: every join in
+    here must be an equi-join (candidates come from the exported
+    multi-table hyperplane index, never from an all-pairs theta-join).
+    ``emb`` carries (vec_id, e: array<double>, label).
+    """
+    from pyspark.sql import Window
+
+    from ..exports import export_table
+    from ..operators.similarity import multitable_sig_table
+
+    banded = export_table(
+        multitable_sig_table(emb, vec_col="e"), "mutual_knn_banded"
+    )
+    # directional candidate pairs: any-table collision, hot-bucket cap
+    # (the cosine_neardup_lsh shape, kept symmetric because kNN is
+    # per-source directional)
+    buckets = banded.groupBy("t", "sig").agg(
+        F.collect_list("id").alias("ids")
+    )
+    cand = (
+        buckets.where(F.size("ids") <= 1000)
+        .select(F.explode("ids").alias("src"), "ids")
+        .select("src", F.explode("ids").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sides = emb.withColumn("__n", l2_norm(F.col("e")))
+    a = sides.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("ea"),
+        F.col("__n").alias("na"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("dst"),
+        F.col("e").alias("eb"),
+        F.col("__n").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    w_nn = Window.partitionBy("src").orderBy(
+        F.desc("__cos"), F.asc("dst")
+    )
+    nn = (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", cos.alias("__cos"))
+        .withColumn("__rk", F.row_number().over(w_nn))
+        .where(F.col("__rk") <= k)
+        .select("src", "dst")
+    )
+    rev = nn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        nn.join(rev, ["src", "dst"], "left_semi")
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+
+
 @query(
     "embedding_mutual_knn_clusters",
-    # kNN from 6-dp-rounded cosine (engine-identical ranking, id
-    # tiebreak), MUTUAL-kNN edges (the standard density trick: a one-way
-    # neighbor of a hub is not a cluster bond), components via the
-    # definitional recursive-CTE closure in the oracle vs the two-star
-    # contraction engine in Spark — same exact min-id labels
+    # ANN-candidate-injected mutual kNN (VERDICT r11 item 1): the
+    # exported multi-table hyperplane LSH index bounds the pair space —
+    # 3-NN is ranked WITHIN each node's LSH candidate set by
+    # 6-dp-rounded cosine (engine-identical ranking, id tiebreak), then
+    # MUTUAL-kNN edges (the standard density trick: a one-way neighbor
+    # of a hub is not a cluster bond), components via the definitional
+    # recursive-CTE closure in the oracle vs the two-star contraction
+    # engine in Spark — same exact min-id labels. No all-pairs join on
+    # either side: the former src != dst theta-join computed n^2
+    # cosines, the textbook scale-killer.
     oracle=f"""
 WITH RECURSIVE
+bk AS (SELECT * FROM {export_sql('mutual_knn_banded')}),
+hot AS (SELECT t, sig FROM bk GROUP BY t, sig HAVING count(*) > 1000),
+bkf AS (SELECT bk.* FROM bk ANTI JOIN hot USING (t, sig)),
+cand AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM bkf a JOIN bkf b ON a.t = b.t AND a.sig = b.sig
+                        AND a.id <> b.id
+),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
       FROM embeddings),
 nn AS (
-  SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+  SELECT cand.src, cand.dst
+  FROM cand JOIN c a ON a.vec_id = cand.src
+            JOIN c b ON b.vec_id = cand.dst
   QUALIFY row_number() OVER (
-    PARTITION BY a.vec_id
+    PARTITION BY cand.src
     ORDER BY round({_COS_SQL.replace('q.e', 'a.e').replace('c.e', 'b.e')}, 6)
-             DESC, b.vec_id
+             DESC, cand.dst
   ) <= 3
 ),
 mut AS (
@@ -1622,22 +1715,25 @@ SELECT cluster_id,
        min(label) AS min_label
 FROM lab GROUP BY 1 HAVING count(*) > 1
 """,
-    description="mutual-kNN clustering of the embedding space: 3-NN by "
-    "6-dp-rounded cosine (engine-exact ranking, id tiebreaks), edges "
-    "kept only when BOTH endpoints nominate each other (the mutuality "
-    "filter that stops hub vectors fusing unrelated clusters), "
-    "connected components via the two-star contraction engine "
-    "(O(log n) rounds), multi-member clusters reported with label "
-    "purity — the unsupervised structure check against the stored "
-    "labels; the oracle re-derives everything definitionally incl. a "
-    "recursive-CTE closure (operators/dedup.py:"
+    description="mutual-kNN clustering of the embedding space, ANN-"
+    "candidate-bounded: the multi-table hyperplane LSH index (8x8, "
+    "exported) generates each node's candidate set (recall is highest "
+    "exactly where kNN looks — the most-similar vectors), 3-NN ranked "
+    "within candidates by 6-dp-rounded cosine (engine-exact ranking, "
+    "id tiebreaks), edges kept only when BOTH endpoints nominate each "
+    "other (the mutuality filter that stops hub vectors fusing "
+    "unrelated clusters), connected components via the two-star "
+    "contraction engine (O(log n) rounds), multi-member clusters "
+    "reported with label purity — the unsupervised structure check "
+    "against the stored labels; candidates are capped equi-joins (no "
+    "all-pairs theta-join on either engine), the oracle re-derives "
+    "candidate generation + ranking + a recursive-CTE closure from "
+    "the exported index (operators/dedup.py:"
     "connected_components_twostar)",
 )
 def embedding_mutual_knn_clusters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..operators.dedup import connected_components_twostar
 
     emb = load_table(spark, "embeddings", sf_dir).select(
@@ -1645,38 +1741,7 @@ def embedding_mutual_knn_clusters(
         F.col("embedding").cast("array<double>").alias("e"),
         "label",
     )
-    emb = emb.withColumn("__n", l2_norm(F.col("e")))
-    a = emb.select(
-        F.col("vec_id").alias("src"),
-        F.col("e").alias("ea"),
-        F.col("__n").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("dst"),
-        F.col("e").alias("eb"),
-        F.col("__n").alias("nb"),
-    )
-    cos = F.round(
-        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-    )
-    w_nn = Window.partitionBy("src").orderBy(
-        F.desc("__cos"), F.asc("dst")
-    )
-    nn = (
-        a.join(b, F.col("src") != F.col("dst"))
-        .select("src", "dst", cos.alias("__cos"))
-        .withColumn("__rk", F.row_number().over(w_nn))
-        .where(F.col("__rk") <= 3)
-        .select("src", "dst")
-    )
-    rev = nn.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )
-    mut = (
-        nn.join(rev, ["src", "dst"], "left_semi")
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
-    )
+    mut = mutual_knn_edges(emb)
     comp = connected_components_twostar(mut)
     lab = (
         emb.select("vec_id", "label")

@@ -2397,12 +2397,14 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Residual units: dt = 7v - sum7 is exact in sevenths; subtracting the
-# dow mean needs /cnt_dow, so residuals are rescaled by 2520/cnt
-# (2520 = lcm(1..10) — integer for any dow day-count <= 10), keeping
-# EVERYTHING through the MAD comparison in exact integer 7*2520ths.
-_ANOM_LCM = 2520
-
-_SEAS_ANOM_SQL = f"""
+# dow mean needs /cnt_dow, so residuals are rescaled by L/cnt where L
+# is the per-type LCM of the OBSERVED per-dow day-counts (derived at
+# runtime — a pinned constant like lcm(1..10) silently breaks the
+# common-unit property the moment any dow count exceeds the pin, see
+# ADVICE r12), keeping EVERYTHING through the MAD comparison in exact
+# integer 7*L-ths. For a contiguous daily series the seven counts take
+# at most two consecutive values, so L <= cnt*(cnt+1).
+_SEAS_ANOM_SQL = """
 WITH d AS (
   SELECT event_type,
          epoch_us(ts) // 86400000000 AS eday,
@@ -2426,10 +2428,17 @@ g AS (
          sum(dt) AS sum_dt, count(*) AS cnt
   FROM det GROUP BY 1, 2
 ),
+l AS (
+  SELECT event_type,
+         list_reduce(list(DISTINCT cnt), (a, b) -> lcm(a, b)) AS lcm_cnt
+  FROM g GROUP BY 1
+),
 r AS (
   SELECT det.event_type, det.eday,
-         (det.dt * g.cnt - g.sum_dt) * ({_ANOM_LCM} // g.cnt) AS e
-  FROM det JOIN g ON det.event_type = g.event_type AND det.dow = g.dow
+         (det.dt * g.cnt - g.sum_dt) * (l.lcm_cnt // g.cnt) AS e
+  FROM det
+  JOIN g ON det.event_type = g.event_type AND det.dow = g.dow
+  JOIN l ON det.event_type = l.event_type
 ),
 m AS (
   SELECT event_type, median(abs(e)) AS mad FROM r GROUP BY 1
@@ -2453,10 +2462,17 @@ WHERE abs(r.e) > 3 * m.mad
     "(events_volume_anomaly) and pure MAD screens "
     "(anomaly_mad_outliers) false-positive on; residuals stay EXACT "
     "integers (detrending in sevenths, dow-mean removal rescaled by "
-    "lcm(1..10)/cnt) so the MAD and the 3x comparison are "
-    "engine-identical, with one 4-dp ratio division at the end",
+    "L/cnt where L = the runtime per-type LCM of the observed per-dow "
+    "day-counts, so every dow shares ONE unit at any series length) "
+    "so the MAD and the 3x comparison are engine-identical, with one "
+    "4-dp ratio division at the end; the per-type LCM is tiny model "
+    "state (<= 7 counts/type, same class as Lloyd seeds) computed "
+    "driver-side with math.lcm and broadcast back, mirrored by the "
+    "oracle's list_reduce(list(DISTINCT cnt), lcm)",
 )
 def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     ev = load_table(spark, "events", sf_dir)
     d = ev.groupBy(
         "event_type",
@@ -2484,13 +2500,39 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = det.groupBy("event_type", "dow").agg(
         F.sum("dt").alias("sum_dt"), F.count(F.lit(1)).alias("cnt")
     )
-    r = det.join(F.broadcast(g), ["event_type", "dow"]).select(
-        "event_type",
-        "eday",
-        (
-            (F.col("dt") * F.col("cnt") - F.col("sum_dt"))
-            * F.expr(f"div({_ANOM_LCM}, cnt)")
-        ).alias("e"),
+    # Common-unit rescale denominator: per-type lcm of the <= 7
+    # distinct per-dow day-counts. A contiguous daily series has at
+    # most two consecutive count values, so lcm <= cnt*(cnt+1); the
+    # guard below catches the pathological gapped series where the
+    # rescaled residuals could leave int64.
+    cnt_rows = g.select("event_type", "cnt").collect()
+    by_type: dict = {}
+    for row in cnt_rows:
+        by_type.setdefault(row["event_type"], set()).add(row["cnt"])
+    lcm_by_type = {
+        t: math.lcm(*sorted(cnts)) for t, cnts in by_type.items()
+    }
+    if any(lcm > 2**40 for lcm in lcm_by_type.values()):
+        raise ValueError(
+            "events_seasonal_anomalies: per-dow day-count LCM exceeds "
+            "2^40 — residual rescale would risk int64 overflow on "
+            "this (pathologically gapped) series"
+        )
+    lcm_df = spark.createDataFrame(
+        [(t, lcm) for t, lcm in sorted(lcm_by_type.items())],
+        "event_type string, lcm_cnt long",
+    )
+    r = (
+        det.join(F.broadcast(g), ["event_type", "dow"])
+        .join(F.broadcast(lcm_df), "event_type")
+        .select(
+            "event_type",
+            "eday",
+            (
+                (F.col("dt") * F.col("cnt") - F.col("sum_dt"))
+                * F.expr("div(lcm_cnt, cnt)")
+            ).alias("e"),
+        )
     )
     m = r.groupBy("event_type").agg(
         F.expr("percentile(abs(e), 0.5)").alias("mad")

@@ -768,3 +768,31 @@ def test_weighted_sssp_exchanges_node_dist_only(spark):
     plan = plan_of(spark, "graph_weighted_sssp")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mutual_knn_stage_has_no_theta_join(spark):
+    # VERDICT r11 item 1: the kNN stage must rank within LSH-injected
+    # candidates — every join an equi-join, never the old src != dst
+    # all-pairs theta-join. Pinned on the edge-stage plan directly
+    # (the full entry's CC loop truncates lineage via localCheckpoint,
+    # which would hide the kNN stage from the final plan).
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.plans.similarity_queries import (
+        mutual_knn_edges,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+    )
+    plan = (
+        mutual_knn_edges(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
