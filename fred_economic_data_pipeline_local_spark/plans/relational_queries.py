@@ -3160,26 +3160,31 @@ _snm_entity_sf: str | None = None
 
 def _build_snm_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCER: run the full SNM linkage pipeline and export the
-    labeled entity table; returns the read-back frame."""
+    labeled entity table; returns the read-back frame.
+
+    Components come from ``snm_tolerance_components`` — the SNM
+    tolerance graph has interval structure (any window edge implies
+    its consecutive-rank sub-edges; IEEE-rigorous, see the operator
+    docstring), so entity labels are ONE segmented gaps-and-islands
+    pass instead of the 9-round two-star contraction the sf0.1 chain
+    graph used to need (28 s -> ~4 s of this entry's bench time). The
+    definitional recursive-closure oracle below is UNCHANGED: every
+    hash-green round re-proves the equivalence; the generic CC engine
+    keeps its own pins (tests/test_components.py) and its consumers
+    (mutual-kNN, near-dup resolve) where no sort-key structure exists.
+    """
     global _snm_entity_sf
     from ..exports import export_table
-    from ..operators.dedup import connected_components_twostar
-    from ..operators.linkage import sorted_neighborhood_pairs
+    from ..operators.linkage import snm_tolerance_components
 
     cust = load_table(spark, "customer", sf_dir)
-    pairs = sorted_neighborhood_pairs(
+    comp = snm_tolerance_components(
         cust,
         id_col="c_custkey",
         block_col="c_mktsegment",
-        order_by=["c_acctbal"],
-        window=_SNM_WINDOW,
-        carry=["c_acctbal"],
+        order_col="c_acctbal",
+        tol=_SNM_BAL_TOL,
     )
-    edges = pairs.where(
-        F.abs(F.col("c_acctbal_b") - F.col("c_acctbal_a"))
-        <= F.lit(_SNM_BAL_TOL)
-    ).select("id_a", "id_b")
-    comp = connected_components_twostar(edges)
     lab = (
         cust.select("c_custkey", "c_mktsegment", "c_acctbal")
         .join(comp, cust["c_custkey"] == comp["id"], "left")
@@ -3243,22 +3248,22 @@ FROM sel
 """,
     description="end-to-end entity resolution: SNM blocking (window-3 "
     "balance-sorted neighbors per segment) -> match rule (balance "
-    "within 50) -> connected-component entity ids via min-label "
-    "propagation (O(diameter) rounds, exact zero-change fixpoint) -> "
-    "every customer labeled with its entity and cluster size "
-    "(singletons = own id); the composition a dedup/linkage pipeline "
-    "actually ships, each stage already proven separately "
-    "(operators/linkage.py + operators/dedup.py:neardup_components); "
-    "the oracle re-derives the whole pipeline definitionally with a "
-    "recursive-CTE transitive closure",
+    "within 50) -> connected-component entity ids in ONE segmented "
+    "gaps-and-islands pass (the tolerance graph has interval "
+    "structure: every window edge implies its consecutive-rank "
+    "sub-edges because IEEE subtraction rounds monotonically, so "
+    "components are exactly the maximal adjacent-gap<=tol runs — no "
+    "iterative contraction; operators/linkage.py:"
+    "snm_tolerance_components) -> every customer labeled with its "
+    "entity and cluster size (singletons = own id); the composition "
+    "a dedup/linkage pipeline actually ships; the oracle re-derives "
+    "the whole pipeline definitionally with a recursive-CTE "
+    "transitive closure over the WINDOWED match graph, so every "
+    "hash-green round re-proves the islands/closure equivalence",
 )
 def linkage_snm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # two-star components, NOT neardup_components: tolerance-rule match
-    # graphs are chain-prone (at sf0.1 one 3,000-customer path per
-    # segment — O(diameter) propagation blew its round cap; two-star
-    # contraction labels it in O(log n) rounds regardless of id
-    # placement). This entry is the PRODUCER of the exported entity
-    # index (_build_snm_entities); linkage_golden_record consumes it.
+    # This entry is the PRODUCER of the exported entity index
+    # (_build_snm_entities); linkage_golden_record consumes it.
     labeled = _build_snm_entities(spark, sf_dir).select(
         "c_custkey", "entity_id"
     )

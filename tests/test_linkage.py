@@ -75,3 +75,101 @@ def test_blocking_join_is_equi_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- snm_tolerance_components: islands == two-star CC of the SNM graph ---
+
+
+def _snm_cc_reference(spark, df, tol, window):
+    """Definitional reference: SNM candidate pairs -> tolerance match
+    edges -> generic two-star contraction (the engine the islands pass
+    replaced)."""
+    from fred_economic_data_pipeline_local_spark.operators.dedup import (
+        connected_components_twostar,
+    )
+    from fred_economic_data_pipeline_local_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    pairs = sorted_neighborhood_pairs(
+        df,
+        id_col="id",
+        block_col="blk",
+        order_by=["bal"],
+        window=window,
+        carry=["bal"],
+    )
+    edges = pairs.where(
+        F.abs(F.col("bal_b") - F.col("bal_a")) <= F.lit(tol)
+    ).select("id_a", "id_b")
+    comp = connected_components_twostar(edges)
+    return (
+        df.select("id")
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    )
+
+
+def test_tolerance_components_match_twostar_on_adversarial_cases(spark):
+    from fred_economic_data_pipeline_local_spark.operators.linkage import (
+        snm_tolerance_components,
+    )
+
+    rows = [
+        # block 1: a chain 0,40,80,120 (each adjacent gap 40 <= 50, so
+        # ONE component although ends differ by 120) + a far singleton
+        (10, 1, 0.0),
+        (3, 1, 40.0),
+        (7, 1, 80.0),
+        (1, 1, 120.0),
+        (99, 1, 500.0),
+        # block 2: exact-boundary gap (50.0 merges; 50.01 breaks)
+        (20, 2, 100.0),
+        (21, 2, 150.0),
+        (22, 2, 200.01),
+        # block 3: ties (gap 0) and duplicate balances across a break
+        (30, 3, 7.25),
+        (31, 3, 7.25),
+        (32, 3, 7.25),
+        (33, 3, 300.0),
+        (34, 3, 300.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "bal"])
+    got = snm_tolerance_components(
+        df, id_col="id", block_col="blk", order_col="bal", tol=50.0
+    )
+    ref = _snm_cc_reference(spark, df, tol=50.0, window=3)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    # spot-pin the semantics, not just the equivalence
+    lab = {r["id"]: r["component"] for r in got.collect()}
+    assert lab[10] == lab[3] == lab[7] == lab[1] == 1  # min id of chain
+    assert lab[99] == 99
+    assert lab[20] == lab[21] == 20  # 50.0 gap: inclusive merge
+    assert lab[22] == 22  # 50.01 gap: break
+    assert lab[30] == lab[31] == lab[32] == 30
+    assert lab[33] == lab[34] == 33
+
+
+def test_tolerance_components_match_twostar_on_fixture(spark):
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.linkage import (
+        snm_tolerance_components,
+    )
+
+    from .conftest import SF_DIR
+
+    cust = load_table(spark, "customer", SF_DIR).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("blk"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    got = snm_tolerance_components(
+        cust, id_col="id", block_col="blk", order_col="bal", tol=50.0
+    )
+    ref = _snm_cc_reference(spark, cust, tol=50.0, window=3)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
