@@ -68,18 +68,26 @@ def get_query(name: str) -> QuerySpec:
 #      — see CORRECTNESS_SUPPLEMENT_r12.json);
 #      events_seasonal_anomalies additionally had its residual rescale
 #      re-derived from the runtime per-dow day-counts (ADVICE r12);
-#   2. the 2 entries whose code changed in round 12:
+#   2. the 4 entries whose code or oracle changed in round 12:
 #      embedding_mutual_knn_clusters (the last all-pairs theta-join
 #      replaced by exported-LSH candidate injection — VERDICT r11
-#      item 1) and similarity_ml_minhash_pairs (the library-parity pin
+#      item 1), similarity_ml_minhash_pairs (the library-parity pin
 #      bounded to a fixed 500-doc slice so the uncapped OR-amplified
-#      library join completes at every SF — VERDICT r11 item 3);
-#   3. ALL 44 entries whose newest driver row still dates to round 5 —
-#      the entire oldest freshness tail retires at once (computed from
-#      CORRECTNESS_r01..r11; after this round no entry's newest row is
-#      older than round 6, beating the two-rotation schedule the
-#      verdict set).
-# 4 + 2 + 44 = exactly 50. The ENTIRE round-11 window (all 50
+#      library join completes at every SF — VERDICT r11 item 3),
+#      linkage_snm_clusters (entity labels now ONE gaps-and-islands
+#      pass — the SNM tolerance graph has interval structure — 28 s
+#      -> ~3 s at sf0.1, VERDICT r11 item 6; oracle unchanged), and
+#      skyline_orders_price_date (oracle re-derived from
+#      per-price-group maxima, O(n log n) where the NOT-EXISTS mark
+#      join blew the sf0.1 sweep budget — VERDICT r11 item 2);
+#   3. 42 of the 44 entries whose newest driver row still dates to
+#      round 5 — the oldest freshness tail (computed from
+#      CORRECTNESS_r01..r11); tumbling_window_events and
+#      window_range_trailing_30d yield their slots to the two extra
+#      changed entries and re-queue at the below-window head for
+#      round 13 (both are locally mirrored green every round and in
+#      the sf0.1 sweep).
+# 4 + 4 + 42 = exactly 50. The ENTIRE round-11 window (all 50
 # hash-green in CORRECTNESS_r11) demotes directly below the window in
 # its prior order; the 47-entry round-6 tail is the natural round-13
 # promotion pool. The below-window tail remains mirrored locally every
@@ -91,9 +99,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "graph_kcore_peel",
     "events_seasonal_anomalies",
     "revenue_bridge_price_volume",
-    # --- 2. code changed in round 12 ---
+    # --- 2. code or oracle changed in round 12 ---
     "embedding_mutual_knn_clusters",
     "similarity_ml_minhash_pairs",
+    "linkage_snm_clusters",
+    "skyline_orders_price_date",
     # --- 3. the full round-5 freshness tail (44 entries) ---
     "asof_clicks_to_purchases",
     "cohort_weekly_retention",
@@ -137,10 +147,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_token_counts",
     "text_unigram_logprob",
     "text_winnow_fingerprints",
+    # ===== below the window: the two deferred round-5 promotions
+    # (head of the round-13 rotation), then the demoted round-11
+    # window, then the prior sections in reslot-#8 order =====
     "tumbling_window_events",
     "window_range_trailing_30d",
-    # ===== below the window: the demoted round-11 window, then
-    # the prior sections in reslot-#8 order =====
     "text_burrows_delta",
     "graph_modularity_brands",
     "orders_open_backlog_daily",
@@ -165,7 +176,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "supplier_scorecard",
     "nation_trade_balance",
     "ols_price_on_size_by_brand",
-    "linkage_snm_clusters",
     "linkage_golden_record",
     "linkage_sorted_neighborhood",
     "text_bpe_merges",
@@ -264,7 +274,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "spearman_quantity_price",
     "ewma_user_values",
     "acf_event_type_daily",
-    "skyline_orders_price_date",
     "assoc_rules_parts",
     "text_token_mi_lang",
     "graph_bfs_levels",

@@ -220,25 +220,41 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skyline_orders_price_date",
-    # the oracle is the DEFINITION (O(n^2) dominance anti-join, DuckDB
-    # runs it as an IEJoin); the Spark side is the distributed
-    # sort-prune plan — the hash gate pins plan == definition
+    # oracle: dominance re-derived ALGEBRAICALLY from per-price-group
+    # date maxima — p is dominated iff a strictly-higher price level's
+    # running max date reaches p's date (A) or p's own price level has
+    # a later date (B); (A or B) is exactly the "(>=, >=, one strict)"
+    # dominance definition split on the price comparison. O(n log n)
+    # in DuckDB where the old NOT-EXISTS mark join was O(n^2) (blew
+    # the 240 s sf0.1 sweep budget, VERDICT r11 item 2/3); verified
+    # row-identical to the quadratic definition at sf0.01, and still
+    # INDEPENDENT of the engine's distributed sort-prune plan
     oracle="""
-SELECT o_orderkey, round(o_totalprice, 2) AS price,
-       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
-FROM orders o
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders d
-  WHERE d.o_totalprice >= o.o_totalprice
-    AND d.o_orderdate >= o.o_orderdate
-    AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate > o.o_orderdate)
+WITH pg AS (
+  SELECT o_totalprice AS price, max(o_orderdate) AS mxd
+  FROM orders GROUP BY 1
+),
+run AS (
+  SELECT price, mxd,
+         max(mxd) OVER (ORDER BY price DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mxd_above
+  FROM pg
 )
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+FROM orders o JOIN run r ON r.price = o.o_totalprice
+WHERE (r.mxd_above IS NULL OR r.mxd_above < o.o_orderdate)
+  AND r.mxd <= o.o_orderdate
 """,
     description="2-D skyline: orders no other order beats on BOTH "
     "total price and recency (Pareto frontier, ties kept) — local "
     "per-partition sort-prune then a global pass over the tiny "
-    "survivor set, never the O(n^2) dominance self-join the oracle "
-    "definitionally runs (operators/stats.py:pareto_frontier_2d)",
+    "survivor set, never an O(n^2) dominance self-join; the oracle "
+    "re-derives dominance from per-price-group date maxima (a "
+    "different algebra than the engine's sort-prune, pinned "
+    "row-identical to the quadratic definition) "
+    "(operators/stats.py:pareto_frontier_2d)",
 )
 def skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import pareto_frontier_2d
