@@ -62,6 +62,10 @@ HEADLINE = [
     "similarity_quantized_topk",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
+    # round 12: both sf0.1-viable for the first time (LSH candidate
+    # injection / fixed parity slice) — measured from day one
+    "embedding_mutual_knn_clusters",
+    "similarity_ml_minhash_pairs",
     "text_bpe_merges",
     "fred_merge_into_lake",
     "fred_merge_into_manifest",

@@ -66,6 +66,27 @@ DEFAULT_QUERIES = [
     "semdedup_cluster_prune",
     "manifest_scd2_history",
     "embedding_power_iteration",
+    # round-11 wave-3 additions (VERDICT r11 item 7: extend the
+    # shuffle evidence to the new entries)
+    "events_periodogram",
+    "events_seasonal_decompose",
+    "privacy_k_anonymity",
+    "graph_weighted_sssp",
+    "fifo_lot_allocation",
+    "attribution_position_based",
+    "orders_littles_law",
+    "similarity_rbo_quantized",
+    "events_haar_wavelet",
+    "part_single_source_risk",
+    "manifest_erasure_audit",
+    "linkage_jaro_winkler",
+    "graph_kcore_peel",
+    "events_seasonal_anomalies",
+    "revenue_bridge_price_volume",
+    # round-12 rewrites (the plans whose shuffle profile changed)
+    "embedding_mutual_knn_clusters",
+    "linkage_snm_clusters",
+    "skyline_orders_price_date",
 ]
 
 
