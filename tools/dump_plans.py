@@ -216,11 +216,26 @@ SHOWCASE = {
         "64-row exported component table (collect_list SinglePartition "
         "is the only exchange, over 64 rows)."
     ),
+    "skyline_orders_price_date": (
+        "2-D skyline (round 12). Look for: the distributed sort-prune — "
+        "per-partition local frontier first (a Window over "
+        "`spark_partition_id`), then the global pass over the tiny "
+        "survivor set; the orders scan read once, no O(n^2) self-join "
+        "anywhere (the DuckDB oracle side was de-quadratified the same "
+        "round via per-price-group maxima)."
+    ),
     # bloom_pruned_join_revenue is deliberately not showcased: its
     # defining feature is a 2,048-element array LITERAL in the filter
     # condition (16 KB of plan text that would swamp this file); the
     # plan shape — codegen'd `*(1) Filter`, zero exchanges, no join
     # node before the real join — is pinned in tests/test_bloom.py.
+    # linkage_snm_clusters / embedding_mutual_knn_clusters are not
+    # showcased: their final plans read back eagerly-materialized
+    # stages (exported entity index / localCheckpointed CC frames), so
+    # the interesting stages never appear in the final explain — they
+    # are pinned directly instead (test_plan_shapes.py:
+    # test_mutual_knn_stage_has_no_theta_join; tests/test_linkage.py
+    # equivalence pins for the islands pass).
 }
 
 
