@@ -598,3 +598,65 @@ def test_mixture_allocation_conserves_and_stays_within_one_seat(
     for r in out:
         lo = int(r["quota"])  # floor of the (rounded-6dp) quota
         assert r["n_alloc"] in (lo, lo + 1), (r, budget)
+
+
+snm_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # id (dedup'd below)
+        st.integers(min_value=0, max_value=2),  # block
+        st.floats(0, 500, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=snm_rows, tol=st.floats(1, 120, allow_nan=False))
+@settings(**_SETTINGS)
+def test_snm_islands_match_union_find_of_window_graph(spark, rows, tol):
+    """snm_tolerance_components == union-find over the DEFINITIONAL
+    window graph (edge iff rank distance <= w and |gap| <= tol) on
+    randomized inputs — the independent-reference proof of the
+    interval-structure argument, for any window >= 1 (w=3 here)."""
+    from fred_economic_data_pipeline_local_spark.operators.linkage import (
+        snm_tolerance_components,
+    )
+
+    uniq = {}
+    for i, b, v in rows:
+        uniq[i] = (b, v)
+    data = [(i, b, v) for i, (b, v) in sorted(uniq.items())]
+
+    parent = {i: i for i, _, _ in data}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    w = 3
+    by_block: dict = {}
+    for i, b, v in data:
+        by_block.setdefault(b, []).append((v, i))
+    for members in by_block.values():
+        members.sort()
+        for r in range(len(members)):
+            for s in range(r + 1, min(r + w + 1, len(members))):
+                if abs(members[s][0] - members[r][0]) <= tol:
+                    union(members[r][1], members[s][1])
+    expect = {i: find(i) for i, _, _ in data}
+
+    df = spark.createDataFrame(data, "id long, blk int, bal double")
+    got = {
+        r["id"]: r["component"]
+        for r in snm_tolerance_components(
+            df, id_col="id", block_col="blk", order_col="bal", tol=tol
+        ).collect()
+    }
+    assert got == expect
