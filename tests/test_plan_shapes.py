@@ -780,7 +780,7 @@ def test_mutual_knn_stage_has_no_theta_join(spark):
 
     from fred_economic_data_pipeline_local_spark.catalog import load_table
     from fred_economic_data_pipeline_local_spark.plans.similarity_queries import (
-        mutual_knn_edges,
+        _mutual_knn_scored,
     )
 
     emb = load_table(spark, "embeddings", SF_DIR).select(
@@ -788,11 +788,80 @@ def test_mutual_knn_stage_has_no_theta_join(spark):
         F.col("embedding").cast("array<double>").alias("e"),
         "label",
     )
+    # the PRE-checkpoint scoring plan (the expensive stage):
+    # _mutual_knn_nn checkpoints this frame before mirror+rank, which
+    # would hide the candidate/cosine joins from later executed plans
     plan = (
-        mutual_knn_edges(emb)
+        _mutual_knn_scored(emb)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mutual_knn_candidates_cover_true_3nn(spark):
+    # The candidate-bounded eval is only meaningful if the LSH index
+    # actually covers the true 3-NN graph: the self-sizing index
+    # (planes = log2(n/128), 16 tables) measured 0.91 recall on this
+    # fixture where the old near-dup tuning (8x8) measured 0.13 — the
+    # fixture's nearest neighbors sit at cosine ~0.3-0.6, far below
+    # the >=0.9 regime 8-bit signatures target. Deterministic hashes
+    # make the number exact per fixture; 0.85 leaves slack only for
+    # fixture regeneration.
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        multitable_sig_table,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.withColumn("__n", l2_norm(F.col("e")))
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("ea"),
+        F.col("__n").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("e").alias("eb"),
+        F.col("__n").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
+    exact = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("__cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where("rk <= 3")
+        .select("src", "dst")
+    )
+    n = emb.count()
+    planes = max(4, math.ceil(math.log2(max(n, 1) / 128)))
+    banded = multitable_sig_table(
+        emb.select("vec_id", "e"), planes=planes, tables=16, vec_col="e"
+    )
+    cand = (
+        banded.groupBy("t", "sig")
+        .agg(F.collect_list("id").alias("ids"))
+        .where(F.size("ids") <= 1000)
+        .select(F.explode("ids").alias("src"), "ids")
+        .select("src", F.explode("ids").alias("dst"))
+        .where("src != dst")
+        .distinct()
+    )
+    n_exact = exact.count()
+    n_hit = exact.join(cand, ["src", "dst"], "left_semi").count()
+    assert n_exact > 0
+    assert n_hit / n_exact >= 0.85, f"3-NN candidate recall {n_hit / n_exact:.3f}"
