@@ -510,20 +510,32 @@ def cosine_neardup_lsh(
     is the regime near-DUP detection cares about. All tables * planes
     dot products run as one pass of codegen'd sum-aggregates (the same
     explode shape as minhash signatures); candidate generation groups
-    each bucket's ids and double-explodes pairs (one exchange, no
-    self-join), with ``bucket_cap`` dropping degenerate buckets (e.g.
-    all-zero vectors). ``banded`` (optional): a precomputed/persisted
-    (id, t, sig) table from ``multitable_sig_table`` — the
-    oracle-export / persisted-index hook.
+    each bucket's ids and double-explodes pairs, with ``bucket_cap``
+    dropping degenerate buckets (e.g. all-zero vectors) COUNT-FIRST:
+    a partial-aggregated count + broadcast anti-join of hot (t, sig)
+    keys runs BEFORE any list aggregation (the minhash_lsh_pairs /
+    ngram df_cap shape), so a degenerate mega-bucket never
+    materializes its full id array in one aggregation buffer — the
+    single-task blowout the cap exists to prevent. Every surviving
+    list is bounded by ``bucket_cap``. ``banded`` (optional): a
+    precomputed/persisted (id, t, sig) table from
+    ``multitable_sig_table`` — the oracle-export / persisted-index
+    hook.
     """
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     if banded is None:
         banded = multitable_sig_table(emb, planes, tables, id_col, vec_col)
-    buckets = banded.groupBy("t", "sig").agg(F.collect_list("id").alias("ids"))
     if bucket_cap is not None:
-        buckets = buckets.where(F.size("ids") <= bucket_cap)
+        hot = (
+            banded.groupBy("t", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > bucket_cap)
+            .select("t", "sig")
+        )
+        banded = banded.join(F.broadcast(hot), ["t", "sig"], "left_anti")
+    buckets = banded.groupBy("t", "sig").agg(F.collect_list("id").alias("ids"))
     cand = (
         buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select("id_a", F.explode("ids").alias("id_b"))

@@ -1650,13 +1650,24 @@ def _mutual_knn_scored(emb: DataFrame) -> DataFrame:
         multitable_sig_table(emb, planes=planes, tables=16, vec_col="e"),
         "mutual_knn_banded",
     )
-    # any-table collision, hot-bucket cap (the cosine_neardup_lsh shape)
-    buckets = banded.groupBy("t", "sig").agg(
+    # any-table collision, hot-bucket cap COUNT-FIRST (the
+    # cosine_neardup_lsh / minhash_lsh_pairs shape, and the exact shape
+    # the oracle uses: hot AS (... HAVING count(*) > 1000) then ANTI
+    # JOIN): a degenerate mega-bucket is dropped by a partial-agg count
+    # + broadcast anti-join BEFORE any list aggregation, so no single
+    # aggregation buffer ever holds an uncapped id array
+    hot = (
+        banded.groupBy("t", "sig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1000)
+        .select("t", "sig")
+    )
+    kept = banded.join(F.broadcast(hot), ["t", "sig"], "left_anti")
+    buckets = kept.groupBy("t", "sig").agg(
         F.collect_list("id").alias("ids")
     )
     cand = (
-        buckets.where(F.size("ids") <= 1000)
-        .select(F.explode("ids").alias("src"), "ids")
+        buckets.select(F.explode("ids").alias("src"), "ids")
         .select("src", F.explode("ids").alias("dst"))
         .where(F.col("src") < F.col("dst"))
         .distinct()

@@ -865,3 +865,66 @@ def test_mutual_knn_candidates_cover_true_3nn(spark):
     n_hit = exact.join(cand, ["src", "dst"], "left_semi").count()
     assert n_exact > 0
     assert n_hit / n_exact >= 0.85, f"3-NN candidate recall {n_hit / n_exact:.3f}"
+
+
+def test_lsh_hot_bucket_cap_counts_before_any_list_aggregation(spark):
+    # VERDICT r12 item 1: the bucket cap must be COUNT-FIRST. The old
+    # shape (collect_list then size(ids) <= cap) materialized a
+    # degenerate mega-bucket's entire id array in one aggregation
+    # buffer before the cap dropped it — a single-task memory blowout
+    # at 100 TB. The fixed shape pre-aggregates counts, anti-joins hot
+    # (t, sig) keys, and only then collect_lists, so every list is
+    # bounded by the cap. Pinned structurally: executed plans print
+    # top-down (downstream first), so the collect_list aggregate must
+    # appear BEFORE the LeftAnti join in the string — i.e. the
+    # anti-join (and its count aggregate) executes upstream of the
+    # list aggregation. Behavior: 1200 identical vectors collide into
+    # one >cap bucket per table and must emit zero pairs, while two
+    # orthogonal-direction near-dups still pair.
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.operators.similarity import (
+        cosine_neardup_lsh,
+    )
+
+    mega = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1200)]
+    good = [(9001, [0.0, 1.0, 0.0, 0.001]), (9002, [0.0, 1.0, 0.001, 0.0])]
+    emb = spark.createDataFrame(
+        mega + good, "vec_id: long, embedding: array<double>"
+    )
+    out = cosine_neardup_lsh(emb, threshold=0.9, bucket_cap=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert plan.index("collect_list") < plan.index("LeftAnti"), (
+        "the hot-bucket anti-join must execute BEFORE (= print after) "
+        "the collect_list aggregation"
+    )
+    rows = {(r.id_a, r.id_b) for r in out.collect()}
+    assert all(a >= 9001 and b >= 9001 for a, b in rows), rows
+    assert (9001, 9002) in rows
+
+
+def test_mutual_knn_cap_counts_before_any_list_aggregation(spark):
+    # same pin for the mutual-kNN candidate stage (the other flagged
+    # collect_list-before-cap site): count-first anti-join upstream of
+    # the list aggregation in the PRE-checkpoint scored plan
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.plans.similarity_queries import (
+        _mutual_knn_scored,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+    )
+    plan = (
+        _mutual_knn_scored(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert plan.index("collect_list") < plan.index("LeftAnti")
