@@ -1290,13 +1290,11 @@ def connected_components_twostar(
         .distinct()
         .localCheckpoint()
     )
-    if E.isEmpty():
-        if stats is not None:
-            stats["rounds"] = 0
-            stats["n_parts"] = 1
-        return E.select(
-            F.col("u").alias("id"), F.col("v").alias("component")
-        )
+    # one count action covers both the empty-edge early return (the
+    # old separate isEmpty() job) and the exchange sizing below, and
+    # the sizing formula itself handles n_prev=0 (-> 1 partition), so
+    # the stats semantics stay uniform across both paths (ADVICE r12)
+    n_prev = E.count()
 
     def _large(e: DataFrame) -> DataFrame:
         n = e.unionByName(
@@ -1330,7 +1328,6 @@ def connected_components_twostar(
             .distinct()
         )
 
-    n_prev = E.count()
     # Size the per-round exchanges off the EDGE COUNT, not the input's
     # partition count: the explicit repartition below bypasses AQE
     # coalescing, and a 2k-edge mutual-kNN graph inheriting 32 shuffle
@@ -1344,6 +1341,12 @@ def connected_components_twostar(
     )
     if stats is not None:
         stats["n_parts"] = n_parts
+    if n_prev == 0:
+        if stats is not None:
+            stats["rounds"] = 0
+        return E.select(
+            F.col("u").alias("id"), F.col("v").alias("component")
+        )
     for rounds in range(1, max_iters + 1):
         nxt = _small(_large(E)).repartition(n_parts, "u").localCheckpoint()
         # fixpoint = set equality; both frames are DISTINCT, so equal

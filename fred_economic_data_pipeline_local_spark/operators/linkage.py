@@ -252,12 +252,25 @@ def snm_tolerance_components(
         (F.col("__rn") + 1).alias("__rn"),
         F.col(val).alias("__prev"),
     )
+    # NULL/NaN keys break UNCONDITIONALLY (ADVICE r12): the definitional
+    # window graph produces no edge for a NULL/NaN key (NULL arithmetic
+    # is NULL; NaN - x is NaN, never <= tol), so such rows must be
+    # singletons — the old NULL-compares-falsy path silently fused them
+    # into the preceding island. Equivalence survives because Spark's
+    # sort order puts NULLs first and NaNs last: bad-key rows are never
+    # BETWEEN two real keys in rank order, so the reals remain one
+    # contiguous run where the IEEE interval-structure argument applies
+    # unchanged, and breaking on either side of a bad key isolates it.
+    bad_a = F.col(val).isNull() | F.isnan(F.col(val).cast("double"))
+    bad_p = F.isnan(F.col("__prev").cast("double"))
     brk = ranked.join(prev, ["block", "__rn"], "left").select(
         "block",
         "__id",
         "__rn",
         F.when(
-            F.col("__prev").isNull()
+            F.col("__prev").isNull()  # rank 1 OR prev key NULL
+            | bad_a
+            | bad_p
             | (F.col(val) - F.col("__prev") > F.lit(tol)),
             F.lit(1),
         )

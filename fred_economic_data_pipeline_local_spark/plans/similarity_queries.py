@@ -176,19 +176,26 @@ def similarity_ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin over document token sets — the off-the-shelf
     alternative to operators/dedup.py's hand-built banding (SURVEY §7.2).
 
-    Deliberately fixed-size: ``doc_id < 500`` is the whole corpus at
-    sf<=0.01 (results there are unchanged) and a deterministic slice at
-    sf0.1+, keeping the LIBRARY path — whose OR-amplified candidate join
-    has no hot-bucket cap — inside the sweep budget at every SF. The
-    exported index table carries the same cut, so the oracle mirrors it
-    with no SQL change.
+    Deliberately fixed-size: the slice is the 500 SMALLEST doc_ids —
+    the whole corpus at sf<=0.01 (results there are unchanged) and a
+    deterministic slice at sf0.1+, keeping the LIBRARY path — whose
+    OR-amplified candidate join has no hot-bucket cap — inside the
+    sweep budget at every SF. Derived from the data rather than a
+    ``doc_id < 500`` literal (ADVICE r12): a regenerated corpus with
+    offset or hashed ids gets the same-sized slice instead of a
+    silently empty parity pin. On the current dense-0-based fixtures
+    the two are identical, so hashes are unchanged. The exported index
+    table carries the same cut, so the oracle mirrors it with no SQL
+    change.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
 
     from ..exports import export_table
 
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 500)
+    all_docs = load_table(spark, "documents", sf_dir)
+    slice_ids = all_docs.select("doc_id").orderBy("doc_id").limit(500)
+    docs = all_docs.join(F.broadcast(slice_ids), "doc_id", "left_semi")
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("tokens")
     )

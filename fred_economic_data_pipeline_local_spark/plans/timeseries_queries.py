@@ -2498,26 +2498,39 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = det.groupBy("event_type", "dow").agg(
-        F.sum("dt").alias("sum_dt"), F.count(F.lit(1)).alias("cnt")
+        F.sum("dt").alias("sum_dt"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(F.abs("dt")).alias("__mx"),
     )
     # Common-unit rescale denominator: per-type lcm of the <= 7
     # distinct per-dow day-counts. A contiguous daily series has at
     # most two consecutive count values, so lcm <= cnt*(cnt+1); the
-    # guard below catches the pathological gapped series where the
-    # rescaled residuals could leave int64.
-    cnt_rows = g.select("event_type", "cnt").collect()
+    # guard below checks the FULL rescaled-residual bound
+    # max|dt*cnt - sum_dt| * (lcm/cnt) < 2^63 (ADVICE r12) — the old
+    # LCM-only 2^40 cutoff left the (dt*cnt - sum_dt) factor
+    # unchecked — using exact arbitrary-precision Python ints on the
+    # <= 7-rows/type collected aggregate (same model-state class as
+    # Lloyd seeds).
+    cnt_rows = g.select("event_type", "dow", "cnt", "sum_dt", "__mx").collect()
     by_type: dict = {}
     for row in cnt_rows:
         by_type.setdefault(row["event_type"], set()).add(row["cnt"])
     lcm_by_type = {
         t: math.lcm(*sorted(cnts)) for t, cnts in by_type.items()
     }
-    if any(lcm > 2**40 for lcm in lcm_by_type.values()):
-        raise ValueError(
-            "events_seasonal_anomalies: per-dow day-count LCM exceeds "
-            "2^40 — residual rescale would risk int64 overflow on "
-            "this (pathologically gapped) series"
+    for row in cnt_rows:
+        lcm = lcm_by_type[row["event_type"]]
+        bound = (row["__mx"] * row["cnt"] + abs(row["sum_dt"])) * (
+            lcm // row["cnt"]
         )
+        if bound >= 2**63:
+            raise ValueError(
+                "events_seasonal_anomalies: rescaled residual bound "
+                f"{bound} for type {row['event_type']!r} dow "
+                f"{row['dow']} exceeds int64 — the per-dow day-count "
+                "LCM of this (pathologically gapped) series is too "
+                "large for the exact-integer rescale"
+            )
     lcm_df = spark.createDataFrame(
         [(t, lcm) for t, lcm in sorted(lcm_by_type.items())],
         "event_type string, lcm_cnt long",

@@ -173,3 +173,36 @@ def test_tolerance_components_match_twostar_on_fixture(spark):
     ref = _snm_cc_reference(spark, cust, tol=50.0, window=3)
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+def test_tolerance_components_null_nan_keys_are_singletons(spark):
+    # ADVICE r12: a NULL/NaN order key has NO edge in the definitional
+    # window graph (NULL arithmetic is NULL; NaN - x is NaN, never
+    # <= tol), so such rows must come out singletons — the old
+    # NULL-compares-falsy break silently fused them into the preceding
+    # island. Spark sorts NULLs first and NaNs last, so bad keys never
+    # sit between two reals and the islands equivalence is preserved.
+    from fred_economic_data_pipeline_local_spark.operators.linkage import (
+        snm_tolerance_components,
+    )
+
+    rows = [
+        (1, 1, None),
+        (2, 1, None),
+        (3, 1, 10.0),
+        (4, 1, 20.0),
+        (5, 1, float("nan")),
+        (6, 1, float("nan")),
+        (7, 2, float("nan")),
+        (8, 2, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id: long, blk: long, bal: double")
+    got = snm_tolerance_components(
+        df, id_col="id", block_col="blk", order_col="bal", tol=50.0
+    )
+    ref = _snm_cc_reference(spark, df, tol=50.0, window=3)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    lab = {r["id"]: r["component"] for r in got.collect()}
+    assert lab[3] == lab[4] == 3       # the only real edge
+    for single in (1, 2, 5, 6, 7, 8):
+        assert lab[single] == single, (single, lab)
