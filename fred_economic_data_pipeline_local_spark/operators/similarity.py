@@ -489,6 +489,85 @@ def multitable_sig_table(
     ).select("id", "ts.t", "ts.sig")
 
 
+def bucket_cosine_pairs(
+    with_vec: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """All within-bucket UNORDERED pair cosines (src < dst, RAW double)
+    via an Arrow ``applyInPandas`` kernel — the scoring engine for the
+    LSH candidate paths.
+
+    Bit-identical to the JVM expression ``dot(a,b)/(l2(a)*l2(b))`` with
+    sequential-fold dots: the kernel accumulates one DIMENSION at a
+    time (``acc += A[:, k] * B[:, k]``), so every double add/multiply
+    happens in exactly the order (and therefore with exactly the IEEE
+    rounding) of ``F.aggregate``'s sequential fold, while numpy
+    vectorizes over the PAIR axis — ~100x less per-element overhead
+    than Catalyst higher-order functions, which allocate a zipped
+    array per pair and fold it element-by-element. Norms use the same
+    per-dimension accumulation; sqrt/divide are correctly rounded
+    unary/binary ops, so the quotient is bit-identical too.
+
+    Scale shape: one task per bucket group, pair loops chunked (32k
+    pairs x dims per temp) so a cap-sized bucket (1000 members,
+    ~500k pairs) peaks ~32 MB per task rather than pairs x dims x 16
+    bytes. Callers must cap buckets COUNT-FIRST upstream. A pair
+    colliding in multiple tables is emitted once per table with
+    bit-identical cosine — dedupe downstream with ``.distinct()``.
+
+    Input: (bucket_cols..., id_col, vec_col: array<double>).
+    Output: (src long, dst long, __cos double), raw (un-rounded).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+                "__cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if m < 2:
+            return empty
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+        d = V.shape[1]
+        nrm = np.zeros(m)
+        for k in range(d):
+            c = V[:, k]
+            nrm += c * c
+        nrm = np.sqrt(nrm)
+        iu, ju = np.triu_indices(m, 1)
+        chunks = []
+        step = 32768
+        for s in range(0, len(iu), step):
+            ii, jj = iu[s : s + step], ju[s : s + step]
+            A, B = V[ii], V[jj]
+            acc = np.zeros(len(ii))
+            for k in range(d):
+                acc += A[:, k] * B[:, k]
+            cos = acc / (nrm[ii] * nrm[jj])
+            chunks.append(
+                pd.DataFrame(
+                    {
+                        "src": np.minimum(ids[ii], ids[jj]).astype("int64"),
+                        "dst": np.maximum(ids[ii], ids[jj]).astype("int64"),
+                        "__cos": cos,
+                    }
+                )
+            )
+        return pd.concat(chunks, ignore_index=True)
+
+    return with_vec.groupBy(*bucket_cols).applyInPandas(
+        kernel, "src long, dst long, __cos double"
+    )
+
+
 def cosine_neardup_lsh(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -904,10 +904,12 @@ def test_lsh_hot_bucket_cap_counts_before_any_list_aggregation(spark):
     assert (9001, 9002) in rows
 
 
-def test_mutual_knn_cap_counts_before_any_list_aggregation(spark):
+def test_mutual_knn_cap_counts_before_any_bucket_materialization(spark):
     # same pin for the mutual-kNN candidate stage (the other flagged
-    # collect_list-before-cap site): count-first anti-join upstream of
-    # the list aggregation in the PRE-checkpoint scored plan
+    # collect_list-before-cap site): the count-first anti-join must run
+    # upstream of the per-bucket Arrow scoring kernel in the
+    # PRE-checkpoint scored plan (plans print top-down, downstream
+    # first), and no uncapped list aggregation may exist anywhere
     from pyspark.sql import functions as F
 
     from fred_economic_data_pipeline_local_spark.catalog import load_table
@@ -927,4 +929,8 @@ def test_mutual_knn_cap_counts_before_any_list_aggregation(spark):
         .toString()
     )
     assert "LeftAnti" in plan
-    assert plan.index("collect_list") < plan.index("LeftAnti")
+    assert "collect_list" not in plan
+    assert plan.index("FlatMapGroupsInPandas") < plan.index("LeftAnti"), (
+        "the hot-bucket anti-join must execute BEFORE (= print after) "
+        "the per-bucket scoring kernel"
+    )
