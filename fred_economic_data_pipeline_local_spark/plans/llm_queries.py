@@ -270,11 +270,15 @@ ed AS (
   SELECT id + 1000000 AS id, substr(v, 1, 38) || 'zq' AS v
   FROM base WHERE id % 7 = 0
 ),
-s AS (SELECT * FROM base UNION ALL SELECT * FROM ed)
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(levenshtein(a.v, b.v) AS INTEGER) AS edit_dist
-FROM s a JOIN s b ON a.id < b.id
-WHERE abs(len(a.v) - len(b.v)) <= 3 AND levenshtein(a.v, b.v) <= 3
+s AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM ed),
+-- levenshtein computed ONCE per length-band pair (the WHERE+SELECT
+-- double evaluation was the whole oracle cost at sf0.1)
+d AS (
+  SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.v, b.v) AS ed
+  FROM s a JOIN s b ON a.id < b.id
+  WHERE abs(len(a.v) - len(b.v)) <= 3
+)
+SELECT id_a, id_b, CAST(ed AS INTEGER) AS edit_dist FROM d WHERE ed <= 3
 """,
     description="typo-level near-dup: PassJoin segment-pigeonhole "
     "edit-distance self-join (levenshtein <= 3) over 40-char document "
@@ -331,18 +335,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_components",
+    # sh/pairs/edges AS MATERIALIZED: DuckDB inlines multiply-referenced
+    # CTEs (sh twice via the self-join, pairs twice via edges' branches,
+    # edges on every recursive iteration), re-running the quadratic
+    # exact-Jaccard join each time — 138 s -> 41 s at sf0.1 measured
     oracle=f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh AS MATERIALIZED (
   SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
   FROM documents
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b
   FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -508,18 +516,21 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_neardup_resolve",
+    # AS MATERIALIZED on the multiply-referenced CTEs: see
+    # dedup_ngram_components (DuckDB otherwise re-runs the quadratic
+    # Jaccard join per reference / per recursive iteration)
     oracle=f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh AS MATERIALIZED (
   SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
   FROM documents
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b
   FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -852,18 +863,20 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_components",
+    # AS MATERIALIZED: pairs is referenced FOUR times here (edges' two
+    # branches + scope's two arms) — see dedup_ngram_components
     oracle=f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh AS MATERIALIZED (
   SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
   FROM documents
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b
   FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -2676,18 +2689,18 @@ def dedup_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production keep-rule; score parity is already proven by
     # text_quality_score, ranking reuses the same expressions
     oracle=f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh AS MATERIALIZED (
   SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
   FROM documents
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b
   FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
         >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -2697,7 +2710,7 @@ reach AS (
   UNION
   SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
 ),
-comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+comp AS MATERIALIZED (SELECT id, min(r) AS component FROM reach GROUP BY id),
 sc AS (
   SELECT doc_id AS id,
          1.0 / (1.0 + exp(-(
