@@ -838,22 +838,22 @@ list_distinct(list_transform(
 @query(
     "curation_split_leakage",
     oracle=f"""
-WITH RECURSIVE corpus AS (
+WITH RECURSIVE corpus AS MATERIALIZED (
   SELECT doc_id, text, source FROM documents
   UNION ALL
   SELECT doc_id + 100000, text || ' v2', source
   FROM documents WHERE doc_id % 50 = 0
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id AS id, source AS block, {_LEAK_SHINGLES} AS s FROM corpus
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b
   FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs

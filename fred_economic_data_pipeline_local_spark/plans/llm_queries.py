@@ -175,18 +175,23 @@ list_distinct(list_transform(
 
 
 # shared by the postings-join and prefix-filtered (PPJoin) forms: both
-# compute the SAME exact result set — one oracle proves both
+# compute the SAME exact result set — one oracle proves both.
+# sh AS MATERIALIZED (self-joined twice) and the jaccard computed ONCE
+# per pair in a derived CTE instead of re-evaluating the quadratic
+# list_intersect/list_concat in both SELECT and WHERE — ~2x the whole
+# oracle cost at sf0.1 (the sweep-budget headroom item, VERDICT r12 #5)
 _NGRAM_JACCARD_ORACLE = f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id AS id, source AS block, {_SHINGLES_SQL} AS s
   FROM documents
+),
+j AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
 )
-SELECT a.id AS id_a, b.id AS id_b,
-       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
-FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
 """
 
 
@@ -261,10 +266,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_edit_distance",
+    # deterministic 2/5 corpus cut (doc_id % 5 < 2, the dedup_lsh_recall
+    # sample-bounding pattern): the oracle is a BRUTE-FORCE all-pairs
+    # levenshtein whose cost floor on the full sf0.1 corpus is ~96 s of
+    # pure DP (measured; a lossless q-gram-lemma prefilter was A/B'd at
+    # 104 s — DuckDB list ops cost more than they prune) — the cut keeps
+    # the blocking-losslessness pin (2.6M verified pairs at sf0.1) at
+    # ~16% of the quadratic cost. Spark side carries the same cut.
     oracle="""
 WITH base AS (
   SELECT doc_id AS id, substr(text, 1, 40) AS v
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id % 5 < 2
 ),
 ed AS (
   SELECT id + 1000000 AS id, substr(v, 1, 38) || 'zq' AS v
@@ -293,7 +305,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import edit_distance_neardup
 
     docs = load_table(spark, "documents", sf_dir)
-    base = docs.where(F.col("text").isNotNull()).select(
+    base = docs.where(
+        F.col("text").isNotNull() & (F.col("doc_id") % 5 < 2)
+    ).select(
         F.col("doc_id").alias("id"), F.substring("text", 1, 40).alias("v")
     )
     edited = base.where(F.col("id") % 7 == 0).select(

@@ -3218,19 +3218,19 @@ def _snm_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # walk; per-component state is size^2 over tiny match clusters)
     oracle=f"""
 WITH RECURSIVE
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT c_mktsegment AS blk, c_custkey, c_acctbal,
          row_number() OVER (PARTITION BY c_mktsegment
                             ORDER BY c_acctbal, c_custkey) AS rn
   FROM customer
 ),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT a.c_custkey AS x, b.c_custkey AS y
   FROM r0 a JOIN r0 b
     ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW}
   WHERE abs(b.c_acctbal - a.c_acctbal) <= {_SNM_BAL_TOL!r}
 ),
-e AS (SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+e AS MATERIALIZED (SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
 n AS (SELECT DISTINCT x AS node FROM e),
 w(node, lbl) AS (
   SELECT node, node FROM n

@@ -582,16 +582,16 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup_resolve",
     oracle="""
-WITH RECURSIVE c AS (
+WITH RECURSIVE c AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM c a JOIN c b ON a.vec_id < b.vec_id
   WHERE list_dot_product(a.e, b.e) /
         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs
