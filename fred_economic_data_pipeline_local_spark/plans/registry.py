@@ -59,52 +59,105 @@ def get_query(name: str) -> QuerySpec:
 # registry match exactly, so adding a query without cataloguing it is a
 # test failure, not a silent reorder.
 #
-# Editorial reslot #9 (round 12): external consumers verify a
-# fixed-size prefix of this catalog (50 entries). This rotation is the
-# freshness-debt payoff the r11 verdict asked for (items 4 and 7):
-#   1. the 4 entries that have NEVER had a driver CORRECTNESS row
-#      (the round-11 post-bench wave-3 stragglers; each judge-verified
-#      green at sf0.01 AND sf0.1, and re-gated at three SFs this round
-#      — see CORRECTNESS_SUPPLEMENT_r12.json);
-#      events_seasonal_anomalies additionally had its residual rescale
-#      re-derived from the runtime per-dow day-counts (ADVICE r12);
-#   2. the 4 entries whose code or oracle changed in round 12:
-#      embedding_mutual_knn_clusters (the last all-pairs theta-join
-#      replaced by exported-LSH candidate injection — VERDICT r11
-#      item 1), similarity_ml_minhash_pairs (the library-parity pin
-#      bounded to a fixed 500-doc slice so the uncapped OR-amplified
-#      library join completes at every SF — VERDICT r11 item 3),
-#      linkage_snm_clusters (entity labels now ONE gaps-and-islands
-#      pass — the SNM tolerance graph has interval structure — 28 s
-#      -> ~3 s at sf0.1, VERDICT r11 item 6; oracle unchanged), and
-#      skyline_orders_price_date (oracle re-derived from
-#      per-price-group maxima, O(n log n) where the NOT-EXISTS mark
-#      join blew the sf0.1 sweep budget — VERDICT r11 item 2);
-#   3. 42 of the 44 entries whose newest driver row still dates to
-#      round 5 — the oldest freshness tail (computed from
-#      CORRECTNESS_r01..r11); tumbling_window_events and
-#      window_range_trailing_30d yield their slots to the two extra
-#      changed entries and re-queue at the below-window head for
-#      round 13 (both are locally mirrored green every round and in
-#      the sf0.1 sweep).
-# 4 + 4 + 42 = exactly 50. The ENTIRE round-11 window (all 50
-# hash-green in CORRECTNESS_r11) demotes directly below the window in
-# its prior order; the 47-entry round-6 tail is the natural round-13
-# promotion pool. The below-window tail remains mirrored locally every
-# round by tests/test_oracle_parity.py.
+# Editorial reslot #10 (round 13): external consumers verify a
+# fixed-size prefix of this catalog (50 entries). Composition:
+#   1. the two round-5 deferred promotions (tumbling_window_events,
+#      window_range_trailing_30d) at the head — VERDICT r12 item 2;
+#      after their driver rows land, no entry's newest driver row
+#      predates round 6 and the freshness program completes;
+#   2. the 14 entries whose code or oracle changed in round 13 (each
+#      re-gated locally at sf0.001 + sf0.01 before this reslot; the
+#      hash-identical-by-construction oracle materializations also at
+#      sf0.1): the count-first hot-bucket caps and the Arrow
+#      per-bucket cosine kernel (embedding_mutual_knn_clusters 19.1
+#      -> 11.8 s, embedding_neardup_lsh), the data-derived 500-doc
+#      parity slice (similarity_ml_minhash_pairs), NULL/NaN-singleton
+#      islands (linkage_snm_clusters), the full-product overflow
+#      guard (events_seasonal_anomalies), AS MATERIALIZED hygiene on
+#      the recursive-closure dedup-family oracles (sweep heaviest
+#      184 -> 53 s), and the 2/5-cut edit-distance brute force
+#      (103 -> 27 s);
+#   3. 34 of the 43 remaining round-6 freshness-tail entries
+#      (alphabetical; the 9 leftovers — text_compression_ratio through
+#      window_ntile_percent_rank — head the round-14 promotion pool
+#      with the round-7 tail behind them).
+# 2 + 14 + 34 = exactly 50. The ENTIRE round-12 window (all 50
+# hash-green in CORRECTNESS_r12) demotes below the window in its prior
+# order. The below-window tail remains mirrored locally every round by
+# tests/test_oracle_parity.py.
 CATALOG_ORDER: tuple[str, ...] = (
-    # ===== verified window (first 50) =====
-    # --- 1. never driver-checked (wave-3 stragglers, r11) ---
-    "linkage_jaro_winkler",
-    "graph_kcore_peel",
-    "events_seasonal_anomalies",
-    "revenue_bridge_price_volume",
-    # --- 2. code or oracle changed in round 12 ---
+    # ===== verified window (first 50) — editorial reslot #10 (round 13) =====
+    # 1. the two round-5 deferred promotions (VERDICT r12 item 2: after
+    #    these, no entry's newest driver row predates round 6 — the
+    #    freshness program completes):
+    "tumbling_window_events",
+    "window_range_trailing_30d",
+    # 2. entries whose code or oracle changed in round 13:
+    #    count-first LSH bucket caps + the Arrow per-bucket cosine
+    #    kernel (embedding_mutual_knn_clusters, embedding_neardup_lsh),
+    #    the data-derived 500-doc parity slice (similarity_ml_minhash_
+    #    pairs), NULL/NaN-singleton islands (linkage_snm_clusters), the
+    #    full-product overflow guard (events_seasonal_anomalies), the
+    #    AS MATERIALIZED oracle hygiene on the recursive-closure dedup
+    #    family, and the 2/5-cut edit-distance brute force — every one
+    #    re-gated locally at sf0.001 AND sf0.01 (and the materialization
+    #    changes at sf0.1) before this reslot:
     "embedding_mutual_knn_clusters",
+    "embedding_neardup_lsh",
     "similarity_ml_minhash_pairs",
     "linkage_snm_clusters",
+    "events_seasonal_anomalies",
+    "dedup_ngram_components",
+    "dedup_neardup_resolve",
+    "dedup_incremental_components",
+    "dedup_quality_resolve",
+    "dedup_edit_distance",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
+    "curation_split_leakage",
+    "embedding_neardup_resolve",
+    # 3. 34 of the 43 remaining round-6 freshness-tail entries
+    #    (alphabetical; the 9 left over head the round-14 pool):
+    "anti_join_customers_no_recent_orders",
+    "approx_aggregates_lineitem",
+    "correlated_subquery_max_per_cust",
+    "cube_status_priority",
+    "curation_shuffle_assignment",
+    "decontam_embedding_hits",
+    "dedup_incremental_minhash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_kmeans_assign",
+    "embedding_outlier_zscores",
+    "embedding_quantize_int8",
+    "events_volume_anomaly",
+    "explode_token_frequency",
+    "from_json_typed_props",
+    "grouping_sets_region_segment",
+    "multimodal_decode_meta",
+    "multimodal_feature_topk",
+    "multimodal_frame_sample",
+    "multimodal_resize_decode",
+    "outer_join_order_counts",
+    "percentile_order_prices",
+    "pivot_priority_by_status",
+    "profile_incremental_documents",
+    "quality_monitor_windows",
+    "rollup_region_nation_customers",
+    "scalar_subquery_above_avg",
+    "semi_join_customers_with_orders",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "similarity_ml_brp_neighbors",
+    "similarity_quantized_topk",
+    "snapshot_diff_counts",
+    "text_bigram_logprob",
+    # ===== below the window: the 9 round-6 leftovers + everything
+    # else, demoted in prior (reslot-#9) order =====
+    "linkage_jaro_winkler",
+    "graph_kcore_peel",
+    "revenue_bridge_price_volume",
     "skyline_orders_price_date",
-    # --- 3. the full round-5 freshness tail (44 entries) ---
     "asof_clicks_to_purchases",
     "cohort_weekly_retention",
     "curation_job_split_counts",
@@ -114,12 +167,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "decontam_ngram_hits",
     "dedup_exact_keep_min",
     "dedup_groups",
-    "dedup_incremental_components",
     "dedup_incremental_ingest",
-    "dedup_neardup_resolve",
-    "dedup_ngram_components",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_prefix",
     "dedup_span_overlap",
     "domain_cap_filter",
     "embedding_centroid_prune",
@@ -147,11 +195,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_token_counts",
     "text_unigram_logprob",
     "text_winnow_fingerprints",
-    # ===== below the window: the two deferred round-5 promotions
-    # (head of the round-13 rotation), then the demoted round-11
-    # window, then the prior sections in reslot-#8 order =====
-    "tumbling_window_events",
-    "window_range_trailing_30d",
     "text_burrows_delta",
     "graph_modularity_brands",
     "orders_open_backlog_daily",
@@ -171,7 +214,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "market_hhi_suppliers",
     "dedup_bias_report",
     "curation_split_balance_chi2",
-    "dedup_quality_resolve",
     "text_duplication_growth",
     "supplier_scorecard",
     "nation_trade_balance",
@@ -225,7 +267,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "embedding_hard_negatives",
     "curation_quality_report",
     "embedding_neardup_cosine",
-    "embedding_neardup_resolve",
     "similarity_cosine_topk",
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -380,48 +421,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_topk_ngrams",
     "text_vocab_coverage",
     "text_compression_ratio",
-    "text_bigram_logprob",
     "text_langid_confusion",
     "window_ntile_percent_rank",
-    "decontam_embedding_hits",
-    "snapshot_diff_counts",
-    "curation_split_leakage",
-    "curation_shuffle_assignment",
-    "quality_monitor_windows",
-    "events_volume_anomaly",
-    "profile_incremental_documents",
-    "dedup_minhash_lsh",
-    "dedup_incremental_minhash",
-    "dedup_simhash",
-    "dedup_edit_distance",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize_decode",
-    "multimodal_feature_topk",
-    "embedding_neardup_lsh",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "similarity_quantized_topk",
-    "similarity_ml_brp_neighbors",
-    "embedding_outlier_zscores",
-    "embedding_quantize_int8",
-    "embedding_kmeans_assign",
-    "approx_aggregates_lineitem",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_no_recent_orders",
-    "outer_join_order_counts",
     "union_all_lake_layers",
     "topk_orders_by_price",
-    "rollup_region_nation_customers",
-    "cube_status_priority",
-    "from_json_typed_props",
-    "percentile_order_prices",
-    "pivot_priority_by_status",
     "unpivot_lineitem_measures",
-    "grouping_sets_region_segment",
-    "explode_token_frequency",
-    "scalar_subquery_above_avg",
-    "correlated_subquery_max_per_cust",
 )
 
 
