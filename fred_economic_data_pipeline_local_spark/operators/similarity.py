@@ -551,13 +551,24 @@ def bucket_cosine_pairs(
             acc = np.zeros(len(ii))
             for k in range(d):
                 acc += A[:, k] * B[:, k]
-            cos = acc / (nrm[ii] * nrm[jj])
+            den = nrm[ii] * nrm[jj]
+            # SQL division semantics, NOT IEEE: both Spark and DuckDB
+            # return NULL for double x/0 (probed — ANSI behavior),
+            # where numpy would give inf/NaN. A zero-norm vector (all
+            # zeros, or components so small every square underflows)
+            # must therefore yield NULL cosine, exactly like the JVM
+            # expression this kernel replaces.
+            zero = den == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / den
+            vals = pd.array(cos, dtype="Float64")
+            vals[zero] = pd.NA
             chunks.append(
                 pd.DataFrame(
                     {
                         "src": np.minimum(ids[ii], ids[jj]).astype("int64"),
                         "dst": np.maximum(ids[ii], ids[jj]).astype("int64"),
-                        "__cos": cos,
+                        "__cos": vals,
                     }
                 )
             )
