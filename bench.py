@@ -236,6 +236,38 @@ HEADLINE = [
 ]
 
 
+def _calibration_probes(spark) -> dict[str, float]:
+    """Fixed, data-independent probes that price THIS session's host:
+    a codegen scan+agg and a shuffle-heavy exchange, min of REPS each.
+    Two consecutive rounds (r12, r13) produced driver-vs-builder stamp
+    conflicts of 1.2-1.3x that took a worktree A/B to adjudicate —
+    pure host-session tax, invisible because nothing in the artifact
+    priced the session. These probes do: the ratio of this run's probe
+    cost to the previous round's divides out the session, turning the
+    stamp conflict into a recorded divisor (``session_tax``)."""
+    probes = {
+        "scan_agg": lambda: spark.range(20_000_000)
+        .selectExpr("id % 997 as k", "id as v")
+        .groupBy("k")
+        .sum("v")
+        .count(),
+        "shuffle": lambda: spark.range(4_000_000)
+        .selectExpr("id % 400000 as k", "cast(id as double) as v")
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+        .count(),
+    }
+    out = {}
+    for name, fn in probes.items():
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn()
+            reps.append(time.perf_counter() - t0)
+        out[name] = round(min(reps), 3)
+    return out
+
+
 def main() -> None:
     from fred_economic_data_pipeline_local_spark.plans import all_queries
     from fred_economic_data_pipeline_local_spark.session import get_spark
@@ -249,6 +281,9 @@ def main() -> None:
     # the first measured query reflects query cost, not session boot.
     spark.range(1_000_000).selectExpr("id % 32 as k", "id as v").groupBy("k").count().count()
     spark.read.parquet("/root/testdata/sf0.001/region.parquet").count()
+
+    cal_first = _calibration_probes(spark)
+    print(f"# calibration(first): {cal_first}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -281,6 +316,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    cal_last = _calibration_probes(spark)
+    print(f"# calibration(last): {cal_last}", file=sys.stderr)
+    calibration = {
+        "first": cal_first,
+        "last": cal_last,
+        # the session's probe floor: min over the run (host noise only
+        # adds time); first-vs-last disagreement >1.3x flags drift
+        # WITHIN the run (a co-tenant arrived mid-bench)
+        "min": {
+            k: round(min(cal_first[k], cal_last[k]), 3) for k in cal_first
+        },
+    }
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -289,8 +336,9 @@ def main() -> None:
         "sf": sf,
         "reps": REPS,
         "stat": "min",
+        "calibration": calibration,
     }
-    prev = _prev_round_timings(sf)
+    prev, prev_cal = _prev_round_record(sf)
     if prev:
         # ratio current/previous per query — regressions (>1) are visible
         # round-over-round without diffing BENCH files by hand
@@ -299,6 +347,28 @@ def main() -> None:
             for q, t in timings.items()
             if q in prev and prev[q] > 0
         }
+    if prev_cal:
+        # session_tax: how much slower THIS host session prices the
+        # fixed probes vs the previous round's session (geomean of the
+        # probe ratios). Reading rule (README): divide every raw
+        # delta_vs_prev by session_tax before judging a regression —
+        # delta_vs_prev_normalized carries that precomputed.
+        ratios = [
+            calibration["min"][k] / prev_cal["min"][k]
+            for k in calibration["min"]
+            if prev_cal.get("min", {}).get(k, 0) > 0
+        ]
+        if ratios:
+            tax = 1.0
+            for r in ratios:
+                tax *= r
+            tax = tax ** (1.0 / len(ratios))
+            out["session_tax"] = round(tax, 3)
+            if "delta_vs_prev" in out:
+                out["delta_vs_prev_normalized"] = {
+                    q: round(d / tax, 2)
+                    for q, d in out["delta_vs_prev"].items()
+                }
     # Full artifact (3-dp timings + delta_vs_prev) goes to a file and an
     # earlier stdout line; the FINAL line is a compact subset kept well
     # under the driver's 2,000-char tail capture (BENCH_r07 went
@@ -312,6 +382,12 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
+        "calibration": calibration["min"],
+        **(
+            {"session_tax": out["session_tax"]}
+            if "session_tax" in out
+            else {}
+        ),
         # the complete per-query map + delta_vs_prev always lives in the
         # committed BENCH_FULL.json (round-stamped archives:
         # BENCH_FULL_r{N}.json), whatever the tail capture truncates
@@ -341,8 +417,9 @@ def main() -> None:
     spark.stop()
 
 
-def _prev_round_timings(sf: float) -> dict[str, float]:
-    """Per-query timings from the newest prior round at the same sf.
+def _prev_round_record(sf: float) -> tuple[dict[str, float], dict]:
+    """Per-query timings (and calibration block, when the prior round
+    recorded one) from the newest prior round at the same sf.
 
     Two sources, merged newest-round-wins: the driver's recorded
     BENCH_r{N}.json (its parsed map is tail-capture-limited to the
@@ -365,12 +442,12 @@ def _prev_round_timings(sf: float) -> dict[str, float]:
         if parsed.get("sf") != sf or "queries" not in parsed:
             continue
         is_full = "FULL" in os.path.basename(path)
-        candidates.append((int(m.group(1)), is_full, parsed["queries"]))
+        candidates.append((int(m.group(1)), is_full, parsed))
     if not candidates:
-        return {}
+        return {}, {}
     # newest round wins; within a round the full artifact wins
-    _, _, queries = max(candidates, key=lambda c: (c[0], c[1]))
-    return queries
+    _, _, parsed = max(candidates, key=lambda c: (c[0], c[1]))
+    return parsed["queries"], parsed.get("calibration") or {}
 
 
 def _infer_sf(path: str) -> float:

@@ -561,8 +561,14 @@ def bucket_cosine_pairs(
             zero = den == 0.0
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = acc / den
-            vals = pd.array(cos, dtype="Float64")
-            vals[zero] = pd.NA
+            # mask EXPLICITLY (FloatingArray(values, mask)) rather than
+            # pd.array(cos, dtype="Float64"), which coerces EVERY NaN to
+            # NA: a genuinely-NaN cosine (NaN component, or inf/inf from
+            # overflowing norms) must stay NaN — both the JVM fold and
+            # DuckDB propagate it — while ONLY den==0 becomes NULL
+            vals = pd.arrays.FloatingArray(
+                np.ascontiguousarray(cos, dtype=np.float64), zero
+            )
             chunks.append(
                 pd.DataFrame(
                     {

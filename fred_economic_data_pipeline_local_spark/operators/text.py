@@ -926,12 +926,13 @@ def unigram_drift(
         F.round(p_old, 6).alias("p_old"),
         F.round(p_new * F.log(p_new / p_old), 6).alias("contribution"),
     )
-    w = Window.orderBy(F.desc(F.abs(F.col("contribution"))), F.asc("token"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= top_n)
-        .drop("__rn")
-    )
+    # top-n as TakeOrderedAndProject: the old row_number() OVER
+    # (ORDER BY ...) filter pushed the whole Zipf-bounded vocabulary
+    # through one WindowExec task — orderBy().limit() plans a
+    # per-partition heap + driver merge, identical row set
+    return scored.orderBy(
+        F.desc(F.abs(F.col("contribution"))), F.asc("token")
+    ).limit(top_n)
 
 
 def bm25_topk(

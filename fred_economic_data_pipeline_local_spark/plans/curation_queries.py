@@ -1114,16 +1114,15 @@ FROM documents"""
     "precisely to avoid that pass)",
 )
 def profile_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..operators.profile import dd_merge, dd_quantiles, dd_sketch
+    from ..operators.rank import ordered_prefix
 
     alpha = 0.01
     qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     docs = load_table(spark, "documents", sf_dir)
-    vals = docs.select(F.col("n_chars").cast("double").alias("v")).where(
-        F.col("v").isNotNull()
-    )
+    vals = docs.select(
+        F.col("n_chars").cast("double").alias("v"), "doc_id"
+    ).where(F.col("v").isNotNull())
     # two ingest snapshots, profiled independently, merged O(buckets)
     old = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
@@ -1133,14 +1132,24 @@ def profile_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ests = dd_quantiles(merged, qs, alpha)
     # exact-rank certification pass (gate only): value at the same
-    # rank rule the sketch answers, floor(q*(n-1)) + 1
-    ranked = vals.select(
-        "v", F.row_number().over(Window.orderBy("v")).alias("r")
-    )
-    cert = ests.withColumn(
-        "rank", F.floor(F.col("q") * (F.col("n_values") - 1)) + 1
-    ).join(
-        F.broadcast(ranked.withColumnRenamed("r", "rank")), "rank"
+    # rank rule the sketch answers, floor(q*(n-1)) + 1. The rank comes
+    # from the two-pass ordered_prefix (range partition + local rank +
+    # broadcast offsets) — the old row_number() OVER (ORDER BY v)
+    # single-partitioned the whole corpus — and the join broadcasts the
+    # 7-row quantile frame onto the distributed ranked values, never
+    # the reverse. Value-at-rank is tie-insensitive, but doc_id makes
+    # the order strict anyway (the primitive's determinism contract).
+    ranked = ordered_prefix(
+        vals, [("v", True), ("doc_id", True)], carry=["v"]
+    ).withColumnRenamed("__rn", "rank")
+    cert = ranked.join(
+        F.broadcast(
+            ests.withColumn(
+                "rank",
+                F.floor(F.col("q") * (F.col("n_values") - 1)) + 1,
+            )
+        ),
+        "rank",
     )
     ok = F.abs(F.col("est") - F.col("v")) <= (
         F.lit(alpha) * F.abs(F.col("v")) + F.lit(1e-9)

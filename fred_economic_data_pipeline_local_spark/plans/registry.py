@@ -59,51 +59,91 @@ def get_query(name: str) -> QuerySpec:
 # registry match exactly, so adding a query without cataloguing it is a
 # test failure, not a silent reorder.
 #
-# Editorial reslot #10 (round 13): external consumers verify a
+# Editorial reslot #11 (round 14): external consumers verify a
 # fixed-size prefix of this catalog (50 entries). Composition:
-#   1. the two round-5 deferred promotions (tumbling_window_events,
-#      window_range_trailing_30d) at the head — VERDICT r12 item 2;
-#      after their driver rows land, no entry's newest driver row
-#      predates round 6 and the freshness program completes;
-#   2. the 14 entries whose code or oracle changed in round 13 (each
-#      re-gated locally at sf0.001 + sf0.01 before this reslot; the
-#      hash-identical-by-construction oracle materializations also at
-#      sf0.1): the count-first hot-bucket caps and the Arrow
-#      per-bucket cosine kernel (embedding_mutual_knn_clusters 19.1
-#      -> 11.8 s, embedding_neardup_lsh), the data-derived 500-doc
-#      parity slice (similarity_ml_minhash_pairs), NULL/NaN-singleton
-#      islands (linkage_snm_clusters), the full-product overflow
-#      guard (events_seasonal_anomalies), AS MATERIALIZED hygiene on
-#      the recursive-closure dedup-family oracles (sweep heaviest
-#      184 -> 53 s), and the 2/5-cut edit-distance brute force
-#      (103 -> 27 s);
-#   3. 34 of the 43 remaining round-6 freshness-tail entries
-#      (alphabetical; the 9 leftovers — text_compression_ratio through
-#      window_ntile_percent_rank — head the round-14 promotion pool
-#      with the round-7 tail behind them).
-# 2 + 14 + 34 = exactly 50. The ENTIRE round-12 window (all 50
-# hash-green in CORRECTNESS_r12) demotes below the window in its prior
+#   1. the 9 round-6 leftovers (text_compression_ratio ..
+#      window_ntile_percent_rank, alphabetical) — after their driver
+#      rows land, the freshness floor advances to round 7 (VERDICT r13
+#      item 4);
+#   2. the 7 entries whose code changed in round 14 (each re-gated
+#      locally at sf0.001 + sf0.01 + sf0.1 before this reslot, hashes
+#      unchanged by construction): the two-pass exact-rank rewrites of
+#      the three r13 perf-weak entries (calibration_length_deciles,
+#      lorenz_customer_spend, profile_quantile_sketch's cert pass —
+#      operators/rank.py), the pareto_abc_parts prefix-sum rewrite,
+#      the text_unigram_drift TakeOrdered top-n, and the cosine
+#      kernel's explicit NaN mask (ADVICE r13: NaN must propagate,
+#      only den==0 is NULL) touching embedding_mutual_knn_clusters
+#      and embedding_neardup_lsh. (window_ntile_percent_rank was also
+#      rewritten onto the blocked two-pass rank — it sits in group 1.)
+#   3. the alphabetical head (34 of 41) of the round-7 freshness tail
+#      (the 7 left over — text_cms_heavy_hitters through
+#      window_rolling_mean — head the round-15 promotion pool; the
+#      round-7 tail is 43 entries, but profile_quantile_sketch and
+#      text_unigram_drift already sit in group 2).
+# 9 + 7 + 34 = exactly 50. The ENTIRE round-13 window (all 50
+# hash-green in CORRECTNESS_r13) demotes below the window in its prior
 # order. The below-window tail remains mirrored locally every round by
 # tests/test_oracle_parity.py.
 CATALOG_ORDER: tuple[str, ...] = (
-    # ===== verified window (first 50) — editorial reslot #10 (round 13) =====
-    # 1. the two round-5 deferred promotions (VERDICT r12 item 2: after
-    #    these, no entry's newest driver row predates round 6 — the
-    #    freshness program completes):
-    "tumbling_window_events",
-    "window_range_trailing_30d",
-    # 2. entries whose code or oracle changed in round 13:
-    #    count-first LSH bucket caps + the Arrow per-bucket cosine
-    #    kernel (embedding_mutual_knn_clusters, embedding_neardup_lsh),
-    #    the data-derived 500-doc parity slice (similarity_ml_minhash_
-    #    pairs), NULL/NaN-singleton islands (linkage_snm_clusters), the
-    #    full-product overflow guard (events_seasonal_anomalies), the
-    #    AS MATERIALIZED oracle hygiene on the recursive-closure dedup
-    #    family, and the 2/5-cut edit-distance brute force — every one
-    #    re-gated locally at sf0.001 AND sf0.01 (and the materialization
-    #    changes at sf0.1) before this reslot:
+    # ===== verified window (first 50) — editorial reslot #11 (round 14) =====
+    # 1. the 9 round-6 leftovers (freshness floor -> round 7):
+    "text_compression_ratio",
+    "text_langid_confusion",
+    "text_tfidf_top_terms",
+    "text_topk_ngrams",
+    "text_vocab_coverage",
+    "topk_orders_by_price",
+    "union_all_lake_layers",
+    "unpivot_lineitem_measures",
+    "window_ntile_percent_rank",
+    # 2. entries whose code changed in round 14 (see header):
+    "calibration_length_deciles",
+    "lorenz_customer_spend",
+    "profile_quantile_sketch",
+    "pareto_abc_parts",
+    "text_unigram_drift",
     "embedding_mutual_knn_clusters",
     "embedding_neardup_lsh",
+    # 3. alphabetical head of the round-7 freshness tail:
+    "array_functions_tokens",
+    "bitext_margin_pairs",
+    "case_when_price_bands",
+    "cast_coercion_values",
+    "cross_join_region_pairs",
+    "curation_adaptive_quality_gate",
+    "date_functions_orders",
+    "decontam_embedding_hits_lsh",
+    "distinct_parts_per_flag",
+    "embedding_kcenter_coreset",
+    "embedding_label_stats",
+    "embedding_norms",
+    "except_all_nation_multiset",
+    "except_orders_without_items",
+    "gap_fill_forward_monthly",
+    "histogram_order_prices",
+    "intersect_all_nation_multiset",
+    "intersect_shared_nations",
+    "interval_join_shipments",
+    "json_extract_props",
+    "null_functions_events",
+    "null_safe_join_event_kinds",
+    "profile_table_lineitem",
+    "range_join_price_bands",
+    "similarity_incremental_pq",
+    "similarity_ivfpq_topk",
+    "similarity_pq_topk",
+    "skew_salted_agg_quantities",
+    "skew_salted_join_revenue",
+    "stats_aggregates_lineitem",
+    "stream_click_attribution",
+    "string_agg_region_nations",
+    "string_functions_parts",
+    "text_bpe_token_counts",
+    # ===== below the window: the 7 round-7 leftovers + everything
+    # else, demoted in prior (reslot-#10) order =====
+    "tumbling_window_events",
+    "window_range_trailing_30d",
     "similarity_ml_minhash_pairs",
     "linkage_snm_clusters",
     "events_seasonal_anomalies",
@@ -116,8 +156,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard_prefix",
     "curation_split_leakage",
     "embedding_neardup_resolve",
-    # 3. 34 of the 43 remaining round-6 freshness-tail entries
-    #    (alphabetical; the 9 left over head the round-14 pool):
     "anti_join_customers_no_recent_orders",
     "approx_aggregates_lineitem",
     "correlated_subquery_max_per_cust",
@@ -152,8 +190,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_quantized_topk",
     "snapshot_diff_counts",
     "text_bigram_logprob",
-    # ===== below the window: the 9 round-6 leftovers + everything
-    # else, demoted in prior (reslot-#9) order =====
     "linkage_jaro_winkler",
     "graph_kcore_peel",
     "revenue_bridge_price_volume",
@@ -250,7 +286,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dq_uniqueness_audit",
     "embedding_centroid_drift",
     "dq_freshness_audit",
-    "lorenz_customer_spend",
     "text_hapax_ratio",
     "events_dow_seasonality",
     "kruskal_wallis_qty_flag",
@@ -325,7 +360,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "survival_user_lifetime",
     "weighted_median_price",
     "sampling_effective_size",
-    "calibration_length_deciles",
     "mann_kendall_trend",
     "theil_sen_trend",
     "forecast_seasonal_naive_mape",
@@ -363,7 +397,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_jaccard_source_pairs",
     "events_trend_slope",
     "customer_rfm_segments",
-    "pareto_abc_parts",
     "manifest_zone_report",
     "graph_link_prediction",
     "events_user_ltv_decay",
@@ -379,53 +412,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "window_cumulative_user_value",
     "window_frame_first_last",
     "window_rank_customers",
-    "gap_fill_forward_monthly",
-    "stream_click_attribution",
-    "range_join_price_bands",
-    "interval_join_shipments",
     "union_nations_of_parties",
-    "except_orders_without_items",
-    "intersect_shared_nations",
-    "except_all_nation_multiset",
-    "intersect_all_nation_multiset",
-    "distinct_parts_per_flag",
-    "case_when_price_bands",
-    "cast_coercion_values",
-    "date_functions_orders",
-    "string_functions_parts",
-    "null_functions_events",
-    "cross_join_region_pairs",
-    "null_safe_join_event_kinds",
-    "skew_salted_join_revenue",
-    "skew_salted_agg_quantities",
-    "histogram_order_prices",
-    "stats_aggregates_lineitem",
-    "string_agg_region_nations",
-    "array_functions_tokens",
-    "embedding_norms",
-    "embedding_label_stats",
-    "profile_table_lineitem",
-    "json_extract_props",
-    "text_bpe_token_counts",
-    "decontam_embedding_hits_lsh",
-    "similarity_pq_topk",
-    "similarity_ivfpq_topk",
-    "similarity_incremental_pq",
-    "bitext_margin_pairs",
-    "embedding_kcenter_coreset",
-    "text_unigram_drift",
-    "curation_adaptive_quality_gate",
-    "profile_quantile_sketch",
     "text_cms_heavy_hitters",
-    "text_tfidf_top_terms",
-    "text_topk_ngrams",
-    "text_vocab_coverage",
-    "text_compression_ratio",
-    "text_langid_confusion",
-    "window_ntile_percent_rank",
-    "union_all_lake_layers",
-    "topk_orders_by_price",
-    "unpivot_lineitem_measures",
 )
 
 

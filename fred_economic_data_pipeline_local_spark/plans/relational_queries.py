@@ -828,20 +828,47 @@ SELECT c_custkey, c_mktsegment,
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """,
-    description="ranking window surface: ntile / percent_rank / cume_dist "
-    "(partitioned window — no single-partition global sort)",
+    description="ranking window surface: ntile / percent_rank / "
+    "cume_dist — computed from the two-pass blocked exact rank "
+    "(operators/rank.py), not the built-in partitioned window: 5 "
+    "market segments means 5 window tasks each sorting O(customers/5) "
+    "rows, the same single-task class the unpartitioned global forms "
+    "have. The (c_acctbal, c_custkey) order is strict, so rank == "
+    "row_number, percent_rank = (rn-1)/(n-1) (0.0 at n=1), cume_dist "
+    "= rn/n — bit-identical doubles to the built-ins",
 )
 def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.rank import _ntile_from_rank, ordered_prefix
 
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     cust = load_table(spark, "customer", sf_dir)
-    return cust.select(
+    r = ordered_prefix(
+        cust,
+        [("c_acctbal", True), ("c_custkey", True)],
+        carry=["c_custkey"],
+        block=["c_mktsegment"],
+    )
+    n = r.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("__n_seg"))
+    r = r.join(F.broadcast(n), "c_mktsegment")
+    q = _ntile_from_rank(
+        r,
+        4,
+        "__n_seg",
+        ["c_custkey", "c_mktsegment", "__rn", "__n_seg"],
+        "quartile",
+    )
+    pct = F.when(F.col("__n_seg") == 1, F.lit(0.0)).otherwise(
+        (F.col("__rn") - 1).cast("double")
+        / (F.col("__n_seg") - 1).cast("double")
+    )
+    return q.select(
         "c_custkey",
         "c_mktsegment",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.col("quartile").cast("int").alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(
+            F.col("__rn").cast("double") / F.col("__n_seg").cast("double"),
+            6,
+        ).alias("cume"),
     )
 
 
@@ -2816,13 +2843,21 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_c"))
     tot = rev.agg(F.sum("rev_c").alias("t"))
-    w = (
-        Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = rev.join(F.broadcast(tot)).select(
+    # cumulative revenue via the two-pass ordered_prefix (range
+    # partition desc by revenue + local running sum + broadcast
+    # offsets): exact long-cent adds regroup associatively, so the
+    # share is bit-identical to the unpartitioned cumulative window
+    # this replaces — which would single-partition the O(parts) domain
+    from ..operators.rank import ordered_prefix
+
+    cum = ordered_prefix(
+        rev,
+        [("rev_c", False), ("l_partkey", True)],
+        carry=["rev_c"],
+        sums=["rev_c"],
+    ).join(F.broadcast(tot)).select(
         "rev_c",
-        (F.sum("rev_c").over(w).cast("double") / F.col("t")).alias(
+        (F.col("__cum_rev_c").cast("double") / F.col("t")).alias(
             "cum_share"
         ),
     )
@@ -3472,13 +3507,23 @@ FROM d CROSS JOIN t
 def lorenz_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..operators.rank import exact_ntile
+
     orders = load_table(spark, "orders", sf_dir)
     totals = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("x")
     )
-    r = totals.select(
-        "x",
-        F.ntile(10).over(Window.orderBy("x", "o_custkey")).alias("decile"),
+    # the decile assignment over O(customers) rows uses the two-pass
+    # exact_ntile (range partition + local rank + broadcast offsets) —
+    # a global ntile would single-partition every customer, the shape
+    # this file's own customer_rfm_segments pin refuses; only the
+    # 10-row decile frame below ever enters an unpartitioned window
+    r = exact_ntile(
+        totals,
+        10,
+        [("x", True), ("o_custkey", True)],
+        carry=["x"],
+        tile_col="decile",
     )
     d = r.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -447,14 +447,25 @@ FROM d GROUP BY decile
     "WHERE the feature separates, not just whether",
 )
 def calibration_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # equal-count deciles WITHOUT the textbook global ntile, which
+    # funnels every corpus row through one WindowExec task (the shape
+    # customer_rfm_segments' pin refuses): exact_ntile range-partitions
+    # on (n_chars, doc_id), ranks locally per partition slice, and
+    # lifts to global ranks via a broadcast O(n_partitions) offset
+    # frame — bit-identical bucket assignment, no single-task sort
+    from ..operators.rank import exact_ntile
 
     docs = load_table(spark, "documents", sf_dir)
-    w = Window.orderBy("n_chars", "doc_id")
-    d = docs.select(
-        "n_chars",
-        (F.col("lang") == "en").cast("long").alias("pos"),
-        F.ntile(10).over(w).alias("decile"),
+    d = exact_ntile(
+        docs.select(
+            "n_chars",
+            "doc_id",
+            (F.col("lang") == "en").cast("long").alias("pos"),
+        ),
+        10,
+        [("n_chars", True), ("doc_id", True)],
+        carry=["n_chars", "pos"],
+        tile_col="decile",
     )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),

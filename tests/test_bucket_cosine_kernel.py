@@ -60,6 +60,14 @@ def test_kernel_bit_identical_to_jvm_fold(spark):
     rows.append((0, 900, rows[0][2]))
     rows.append((1, 901, [0.0] * dims))
     rows.append((1, 902, [5e-324 * (i + 1) for i in range(dims)]))
+    # non-finite inputs: a NaN component poisons every cosine it
+    # touches to NaN (NOT NULL — only den==0 is NULL), and a vector
+    # whose squared norm overflows to inf gives den=inf: cos is 0.0
+    # against a finite partner, NaN (inf/inf) against another
+    # overflowing one — all propagated identically by the JVM fold
+    rows.append((2, 903, [float("nan")] + [1.0] * (dims - 1)))
+    rows.append((2, 904, [1e300] * dims))
+    rows.append((2, 905, [-1e300] * dims))
 
     df = spark.createDataFrame(rows, "b: long, id: long, v: array<double>")
     got = {
@@ -70,6 +78,13 @@ def test_kernel_bit_identical_to_jvm_fold(spark):
         (r.src, r.dst): r["__cos"] for r in _jvm_scored(spark, rows, dims).collect()
     }
     assert set(got) == set(want)
+    # the fixture must exercise ALL THREE outcome classes, or the
+    # NaN/NULL branches below silently stop testing anything
+    assert any(w is None for w in want.values())
+    assert any(
+        isinstance(w, float) and np.isnan(w) for w in want.values()
+    )
+    assert any(isinstance(w, float) and not np.isnan(w) for w in want.values())
     for k in want:
         g, w = got[k], want[k]
         if w is None:
@@ -77,6 +92,8 @@ def test_kernel_bit_identical_to_jvm_fold(spark):
             # the kernel masks zero denominators to NULL to match
             assert g is None, (k, g, w)
         elif isinstance(w, float) and np.isnan(w):
+            # reachable: bucket 2's NaN-component and inf-norm vectors
+            # (the 5e-324 denormals underflow to den==0 -> NULL instead)
             assert g is not None and np.isnan(g), (k, g, w)
         else:
             # BIT identity, not approx: the kernel's whole claim

@@ -627,11 +627,110 @@ def test_psi_buckets_by_broadcast_edges(spark):
 
 
 def test_lorenz_reduces_customers_before_decile_walk(spark):
-    """per-customer totals aggregate BEFORE ntile; the cumulative walk
-    runs on the 10-row decile frame, never the fact table."""
+    """per-customer totals aggregate BEFORE the decile assignment, the
+    decile assignment is the two-pass exact_ntile (every rank window
+    __pid-keyed, no built-in global ntile over O(customers)), and the
+    only unpartitioned cumulative windows run over the 10-row decile
+    frame or the O(n_partitions) offset frame."""
     plan = plan_of(spark, "lorenz_customer_spend")
     assert plan.count("HashAggregate") >= 2
-    assert "Exchange hashpartitioning(o_custkey" in plan
+    _assert_no_unpartitioned_rank_over_data(
+        plan, bounded_markers=("decile#",)
+    )
+    # the per-customer aggregate and the range exchange live BEHIND
+    # the eager checkpoint in the final plan, so pin the pre-freeze
+    # shape directly: totals aggregate on o_custkey FIRST, then the
+    # range exchange on (x, o_custkey) — never a fact-table rank
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.operators.rank import (
+        ordered_prefix_plan,
+    )
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+
+    totals = (
+        load_table(spark, "orders", SF_DIR)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+    )
+    pre = (
+        ordered_prefix_plan(
+            totals, [("x", True), ("o_custkey", True)], carry=["x"],
+            _freeze=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning(o_custkey" in pre
+    assert "rangepartitioning(x" in pre
+    agg_pos = pre.index("Exchange hashpartitioning(o_custkey")
+    rng_pos = pre.index("rangepartitioning(x")
+    # plan strings print top-down, so the range exchange (downstream)
+    # appears BEFORE its upstream aggregate exchange
+    assert rng_pos < agg_pos
+
+
+def _assert_no_unpartitioned_rank_over_data(
+    plan: str, bounded_markers: tuple[str, ...] = ()
+) -> None:
+    """The exact-rank rewrite contract (operators/rank.py): no built-in
+    global ntile anywhere; every row_number window keyed on __pid; any
+    unpartitioned running-sum window runs only over a bounded side
+    frame — the O(n_partitions) __pid offset frame or an explicitly
+    named bounded domain (e.g. the 10-row decile frame)."""
+    assert "ntile(" not in plan
+    for l in plan.splitlines():
+        if "Window [row_number()" in l:
+            assert "__pid" in l, l
+        elif "Window [sum(" in l:
+            assert "__pid" in l or any(
+                m in l for m in bounded_markers
+            ), l
+
+
+def test_calibration_deciles_never_single_partition_the_corpus(spark):
+    """the shape the r13 verdict flagged: global ntile over RAW corpus
+    rows. Now exact_ntile — rank windows __pid-keyed, the only
+    unpartitioned window is the offset frame."""
+    _assert_no_unpartitioned_rank_over_data(
+        plan_of(spark, "calibration_length_deciles")
+    )
+
+
+def test_quantile_sketch_cert_pass_is_two_pass_rank(spark):
+    """the exact-rank certification gate ranks via ordered_prefix
+    (__pid-keyed), and the 7-row quantile frame broadcasts onto the
+    distributed ranked values — never the reverse. The remaining
+    unpartitioned cum window is the sketch's O(buckets) walk."""
+    plan = plan_of(spark, "profile_quantile_sketch")
+    _assert_no_unpartitioned_rank_over_data(
+        plan, bounded_markers=("sign#",)
+    )
+    assert "BroadcastExchange" in plan
+
+
+def test_window_ntile_percent_rank_never_sorts_a_segment_on_one_task(spark):
+    """5 market segments = 5 single-task sorts of O(customers/5) rows
+    under the built-in partitioned window; the blocked two-pass rank
+    replaces it — no built-in ntile/percent_rank/cume_dist nodes, every
+    row_number window keyed on (__pid, segment)."""
+    plan = plan_of(spark, "window_ntile_percent_rank")
+    assert "ntile(" not in plan
+    assert "percent_rank(" not in plan
+    assert "cume_dist(" not in plan
+    for l in plan.splitlines():
+        if "Window [row_number()" in l:
+            assert "__pid" in l, l
+
+
+def test_pareto_cumulative_share_is_two_pass_prefix_sum(spark):
+    """cumulative revenue share over O(parts) runs through
+    ordered_prefix: the running sum window is __pid-keyed, offsets are
+    broadcast — no unpartitioned window ever sees the parts domain."""
+    _assert_no_unpartitioned_rank_over_data(
+        plan_of(spark, "pareto_abc_parts")
+    )
 
 
 def test_dq_audits_have_no_nested_loops(spark):
