@@ -598,6 +598,18 @@ def phash_neardup_pairs(
     shingles. NULL hashes (undecodable media, see phash63) are dropped
     before banding — they carry no content signal and must never pair.
     Returns (id_a, id_b, hamming).
+
+    Scale shape (r14): the band join runs over DISTINCT hashes, not
+    rows — re-uploaded/copied media collapse to one hash first, so
+    band buckets (and the quadratic-in-bucket candidate space) are
+    bounded by content DIVERSITY, not corpus size; id pairs expand
+    only at output, which is the true result's own size. The 16x
+    scale-trend corpus measured the row-banded form at 38.8x
+    wall-clock growth, entirely duplicated-content bucket inflation
+    (the result itself grew 72x). Equal-hash pairs (hamming 0) come
+    from a per-hash-group self-join directly; cross-hash candidates
+    cannot be capped — the pigeonhole losslessness is the point — but
+    distinct-hash buckets no longer grow with duplication.
     """
     hashes = hashes.where(F.col("phash").isNotNull())
     bands = F.array(
@@ -608,27 +620,41 @@ def phash_neardup_pairs(
             for i in range(8)
         ]
     )
-    bt = hashes.select(
-        "doc_id", "phash", F.posexplode(bands).alias("band", "bval")
-    )
-    a = bt.select(
-        "band", "bval",
-        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"),
-    )
-    b = bt.select(
-        "band", "bval",
-        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"),
-    )
+    dh = hashes.select("phash").distinct()
+    bt = dh.select("phash", F.posexplode(bands).alias("band", "bval"))
+    a = bt.select("band", "bval", F.col("phash").alias("ph_a"))
+    b = bt.select("band", "bval", F.col("phash").alias("ph_b"))
     ham = F.bit_count(
         F.col("ph_a").bitwiseXOR(F.col("ph_b"))
     ).cast("int")
-    return (
+    hpairs = (
         a.join(b, ["band", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("ph_a") < F.col("ph_b"))
+        .select("ph_a", "ph_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    ma = hashes.select(
+        F.col("phash").alias("ph_a"), F.col("doc_id").alias("__ia")
+    )
+    mb = hashes.select(
+        F.col("phash").alias("ph_b"), F.col("doc_id").alias("__ib")
+    )
+    cross = hpairs.join(ma, "ph_a").join(mb, "ph_b").select(
+        F.least("__ia", "__ib").alias("id_a"),
+        F.greatest("__ia", "__ib").alias("id_b"),
+        "hamming",
+    )
+    same = (
+        ma.join(mb, F.col("ph_a") == F.col("ph_b"))
+        .where(F.col("__ia") < F.col("__ib"))
+        .select(
+            F.col("__ia").alias("id_a"),
+            F.col("__ib").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 _AUDIO_SCHEMA = StructType(

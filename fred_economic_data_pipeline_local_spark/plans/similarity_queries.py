@@ -1598,6 +1598,17 @@ def embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mutual-kNN index width: 16 tables measures 0.90/0.93 true-3-NN
+# candidate recall at sf0.001/sf0.1 (pin floor 0.85,
+# tests/test_plan_shapes.py). The r13 verdict asked whether fewer
+# tables buys headroom now that scoring is kernel-cheap: the r14 A/B
+# (tools/ab_knn_tables.py) measured tables=12 at 0.822 (sf0.001) /
+# 0.835 (sf0.01) / 0.861 (sf0.1) recall for 10.8 -> 9.0 s at sf0.1 —
+# BELOW the pin floor on the pin's own fixture, so 16 stays
+# (tables=10: 0.813 at sf0.1, strictly worse).
+_MUTUAL_KNN_TABLES = 16
+
+
 def mutual_knn_edges(emb: DataFrame, k: int = 3) -> DataFrame:
     """Mutual-kNN edges (id_a < id_b) over LSH-injected candidates.
 
@@ -1661,7 +1672,9 @@ def _mutual_knn_scored(emb: DataFrame) -> DataFrame:
     n = emb.count()
     planes = max(4, math.ceil(math.log2(max(n, 1) / 128)))
     banded = export_table(
-        multitable_sig_table(emb, planes=planes, tables=16, vec_col="e"),
+        multitable_sig_table(
+            emb, planes=planes, tables=_MUTUAL_KNN_TABLES, vec_col="e"
+        ),
         "mutual_knn_banded",
     )
     # any-table collision, hot-bucket cap COUNT-FIRST (the

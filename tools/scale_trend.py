@@ -57,18 +57,27 @@ ENTRIES = [
 
 
 def main() -> None:
-    scaled = (
+    """argv: [points] [out_json] [reps] [entries]
+
+    ``points`` is a comma list of ``dir:mult`` pairs (default the r13
+    form ``.scale_corpus/x4:4``); each entry is timed at sf0.1 (base)
+    and every point, min-of-reps, growth ratios per point. ``entries``
+    (comma list) overrides ENTRIES — used by the r14 run to focus the
+    16x point on the 5 heaviest + one text + one multimodal entry.
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    points_arg = (
         sys.argv[1]
         if len(sys.argv) > 1
-        else os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".scale_corpus",
-            "x4",
-        )
+        else os.path.join(repo, ".scale_corpus", "x4") + ":4"
     )
-    mult = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
-    out_path = sys.argv[3] if len(sys.argv) > 3 else "SCALE_TREND_r13.json"
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    points = []
+    for part in points_arg.split(","):
+        d, _, m = part.rpartition(":")
+        points.append((d, float(m)))
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_TREND.json"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    entries = sys.argv[4].split(",") if len(sys.argv) > 4 else ENTRIES
     base = "/root/testdata/sf0.1"
 
     from fred_economic_data_pipeline_local_spark.plans import all_queries
@@ -76,33 +85,36 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-trend")
     qs = all_queries()
-    # warm reader/codegen/python workers on both dirs
+    # warm reader/codegen/python workers on every dir
     qs["q1_pricing_summary"](spark, base).collect()
-    qs["q1_pricing_summary"](spark, scaled).collect()
+    for d, _ in points:
+        qs["q1_pricing_summary"](spark, d).collect()
+
+    def timed(name: str, d: str) -> tuple[float, int]:
+        best, n_rows = None, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n_rows = len(qs[name](spark, d).collect())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), n_rows
 
     results: dict[str, dict] = {}
-    for name in ENTRIES:
+    for name in entries:
         row: dict = {}
-        for tag, d in (("base_s", base), ("scaled_s", scaled)):
-            best, n_rows = None, None
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                n_rows = len(qs[name](spark, d).collect())
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            row[tag] = round(best, 3)
-            row[tag.replace("_s", "_rows")] = n_rows
-        row["growth"] = round(row["scaled_s"] / max(row["base_s"], 1e-9), 2)
+        row["base_s"], row["base_rows"] = timed(name, base)
+        for d, m in points:
+            tag = f"x{m:g}"
+            row[f"{tag}_s"], row[f"{tag}_rows"] = timed(name, d)
+            row[f"growth_{tag}"] = round(
+                row[f"{tag}_s"] / max(row["base_s"], 1e-9), 2
+            )
         results[name] = row
-        print(
-            f"{name}: {row['base_s']} -> {row['scaled_s']} s "
-            f"({row['growth']}x at {mult}x data)"
-        )
+        print(f"{name}: {row}")
 
     artifact = {
-        "mult": mult,
+        "points": [{"dir": d, "mult": m} for d, m in points],
         "base": base,
-        "scaled": scaled,
         "reps": reps,
         "stat": "min",
         "queries": results,
