@@ -65,7 +65,7 @@ def get_query(name: str) -> QuerySpec:
 #      window_ntile_percent_rank, alphabetical) — after their driver
 #      rows land, the freshness floor advances to round 7 (VERDICT r13
 #      item 4);
-#   2. the 7 entries whose code changed in round 14 (each re-gated
+#   2. the 8 entries whose code changed in round 14 (each re-gated
 #      locally at sf0.001 + sf0.01 + sf0.1 before this reslot, hashes
 #      unchanged by construction): the two-pass exact-rank rewrites of
 #      the three r13 perf-weak entries (calibration_length_deciles,
@@ -74,14 +74,17 @@ def get_query(name: str) -> QuerySpec:
 #      the text_unigram_drift TakeOrdered top-n, and the cosine
 #      kernel's explicit NaN mask (ADVICE r13: NaN must propagate,
 #      only den==0 is NULL) touching embedding_mutual_knn_clusters
-#      and embedding_neardup_lsh. (window_ntile_percent_rank was also
-#      rewritten onto the blocked two-pass rank — it sits in group 1.)
-#   3. the alphabetical head (34 of 41) of the round-7 freshness tail
-#      (the 7 left over — text_cms_heavy_hitters through
-#      window_rolling_mean — head the round-15 promotion pool; the
-#      round-7 tail is 43 entries, but profile_quantile_sketch and
-#      text_unigram_drift already sit in group 2).
-# 9 + 7 + 34 = exactly 50. The ENTIRE round-13 window (all 50
+#      and embedding_neardup_lsh, and the distinct-hash banding
+#      rewrite of multimodal_phash_dedup (the 16x scale-trend find).
+#      (window_ntile_percent_rank was also rewritten onto the blocked
+#      two-pass rank — it sits in group 1.)
+#   3. the alphabetical head (33 of 41) of the round-7 freshness tail
+#      (the 8 left over — text_bpe_token_counts and
+#      text_cms_heavy_hitters through window_rolling_mean — head the
+#      round-15 promotion pool; the round-7 tail is 43 entries, but
+#      profile_quantile_sketch and text_unigram_drift already sit in
+#      group 2).
+# 9 + 8 + 33 = exactly 50. The ENTIRE round-13 window (all 50
 # hash-green in CORRECTNESS_r13) demotes below the window in its prior
 # order. The below-window tail remains mirrored locally every round by
 # tests/test_oracle_parity.py.
@@ -99,6 +102,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "window_ntile_percent_rank",
     # 2. entries whose code changed in round 14 (see header):
     "calibration_length_deciles",
+    "multimodal_phash_dedup",
     "lorenz_customer_spend",
     "profile_quantile_sketch",
     "pareto_abc_parts",
@@ -139,9 +143,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "stream_click_attribution",
     "string_agg_region_nations",
     "string_functions_parts",
-    "text_bpe_token_counts",
     # ===== below the window: the 7 round-7 leftovers + everything
     # else, demoted in prior (reslot-#10) order =====
+    "text_bpe_token_counts",
     "tumbling_window_events",
     "window_range_trailing_30d",
     "similarity_ml_minhash_pairs",
@@ -279,7 +283,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "part_single_source_risk",
     "manifest_erasure_audit",
     "forecast_conformal_intervals",
-    "multimodal_phash_dedup",
     "chi2_priority_status",
     "cramers_v_pairs",
     "similarity_ivf_ndcg",

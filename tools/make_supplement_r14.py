@@ -27,6 +27,8 @@ CHANGED = [
     # cosine-kernel explicit NaN mask (ADVICE r13)
     "embedding_mutual_knn_clusters",
     "embedding_neardup_lsh",
+    # distinct-hash banding (the 16x scale-trend find)
+    "multimodal_phash_dedup",
 ]
 
 
