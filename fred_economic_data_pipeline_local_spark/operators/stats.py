@@ -19,13 +19,17 @@ log10(1 + 1/d)) are computed ONCE in Python and shared as literals with
 the SQL mirror — the same no-libm-divergence discipline as the
 Fellegi-Sunter weights in operators/linkage.py.
 
-Scale notes. AUC/Spearman rank within (group) or (group, value)
-partitions — the sort is the per-group shuffle any rank statistic needs
-and parallelizes across groups; chi-squared reduces the fact table to
-O(|A| x |B|) cells in one map-combined exchange; Benford reduces to 9
-rows; Gini's within-group prefix scan runs on per-entity aggregates
-(customers, not line items), already orders of magnitude smaller than
-the fact table.
+Scale notes. The rank statistics never put an O(rows-per-group) domain
+through a per-group WindowExec task (group cardinality here is tiny —
+languages, return flags, market segments — so a partitioned built-in
+window would be a handful of single-task sorts of the whole corpus):
+AUC and Spearman collapse the fact table to its per-(group, value)
+SUPPORT first (one map-combined exchange; midranks depend only on the
+tie group) and take exact tie-count prefix sums through the blocked
+two-pass rank (``operators/rank.py:ordered_prefix``); Gini ranks
+per-entity totals the same two-pass way. Chi-squared reduces the fact
+table to O(|A| x |B|) cells in one map-combined exchange; Benford
+reduces to 9 rows.
 """
 
 from __future__ import annotations
@@ -51,30 +55,49 @@ def rank_auc(
     so the positive-midrank sum is an order-independent double and the
     whole statistic is engine-deterministic without rounding tricks.
 
-    Plan shape: one per-group sort (the rank window) with the tie count
-    riding a sibling window over (group, score) — Catalyst shares the
-    exchange; then one map-combined aggregate per group. Groups with an
-    empty class are dropped (AUC undefined). Returns one row per group:
-    (group, n_pos, n_neg, auc).
+    Plan shape: the midrank depends only on the (group, score) TIE
+    GROUP, and the statistic only needs the midrank-weighted positive
+    count per tie group — so the fact table collapses to its
+    per-(group, score) support (one map-combined exchange: tie count +
+    positive count per cell) and min-ranks come from exact tie-count
+    prefix sums through the blocked two-pass rank
+    (``operators/rank.py:ordered_prefix``), never a per-group
+    WindowExec over O(rows-per-group) (group cardinality is tiny here
+    — a handful of sources/languages — so the old partitioned rank
+    window was a few single-task sorts of the whole corpus). Each
+    midrank*pos_count term is an exact multiple of 0.5 times an
+    integer, so the sum stays order-independent under the extra
+    regrouping. Groups with an empty class are dropped (AUC
+    undefined). Returns one row per group: (group, n_pos, n_neg, auc).
     """
-    w_rank = Window.partitionBy(group).orderBy(score)
-    w_tie = Window.partitionBy(group, score)
-    ranked = df.select(
-        F.col(group),
-        label.cast("long").alias("__pos"),
-        (
-            F.rank().over(w_rank)
-            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
-        ).alias("__midrank"),
+    from .rank import ordered_prefix
+
+    support = df.groupBy(F.col(group), F.col(score).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(label.cast("long")).alias("__posc"),
     )
-    n_pos = F.sum("__pos")
-    n_neg = F.sum(F.lit(1) - F.col("__pos"))
+    pref = ordered_prefix(
+        support,
+        [("__v", True)],
+        carry=["__cnt", "__posc"],
+        sums=["__cnt"],
+        block=[group],
+    )
+    # rank() of a tie group = inclusive cumulative count - tie count + 1
+    midrank = (
+        F.col("__cum___cnt").cast("double")
+        - F.col("__cnt")
+        + F.lit(1)
+        + (F.col("__cnt") - F.lit(1)) / F.lit(2.0)
+    )
+    n_pos = F.sum("__posc")
+    n_neg = F.sum(F.col("__cnt") - F.col("__posc"))
     return (
-        ranked.groupBy(group)
+        pref.groupBy(group)
         .agg(
             n_pos.alias("n_pos"),
             n_neg.alias("n_neg"),
-            F.sum(F.col("__midrank") * F.col("__pos")).alias("__rank_pos"),
+            F.sum(midrank * F.col("__posc")).alias("__rank_pos"),
         )
         .where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .select(
@@ -229,18 +252,25 @@ def gini_by_group(
     rank orders by (total, entity) so ties break deterministically.
 
     Plan shape: one map-combined exchange to per-entity totals (the big
-    reduction), then a per-group sort over the ALREADY-AGGREGATED
-    entity frame — orders of magnitude smaller than the fact table —
-    and one final per-group aggregate. Returns one row per group:
+    reduction), then the blocked two-pass rank
+    (``operators/rank.py:ordered_prefix``) over the entity frame — the
+    entity domain is O(customers), which still grows with the corpus,
+    and group cardinality is tiny (segments), so the old per-group
+    built-in window was a few single-task sorts of ALL entities — and
+    one final per-group aggregate. Returns one row per group:
     (group, n_entities, total_value, gini).
     """
+    from .rank import ordered_prefix
+
     totals = df.groupBy(group, entity).agg(
         F.round(F.sum(value), 2).alias("__x")
     )
-    w = Window.partitionBy(group).orderBy("__x", entity)
-    ranked = totals.select(
-        group, F.col("__x"), F.row_number().over(w).alias("__i")
-    )
+    ranked = ordered_prefix(
+        totals,
+        [("__x", True), (entity, True)],
+        carry=["__x"],
+        block=[group],
+    ).withColumnRenamed("__rn", "__i")
     n = F.count(F.lit(1))
     return ranked.groupBy(group).agg(
         n.alias("n_entities"),
@@ -265,25 +295,42 @@ def spearman_corr(
     only cross-engine float risk is the final Pearson reduction, rounded
     to 6 dp in both engines.
 
-    Plan shape: two rank windows sharing the per-group partition
-    exchange, then one map-combined corr aggregate. Returns one row per
-    group: (group, n, spearman_rho).
+    Plan shape: midranks depend only on the (group, value) TIE GROUP,
+    so each axis collapses to its per-(group, value) support (one
+    map-combined exchange each; O(distinct values) rows, not
+    O(corpus)), min-ranks come from exact tie-count prefix sums
+    through the blocked two-pass rank
+    (``operators/rank.py:ordered_prefix``), and the per-value midranks
+    equi-join back onto the fact rows for the corr aggregate — never a
+    per-group WindowExec over O(rows-per-group) (group cardinality is
+    tiny here — return flags — so the old partitioned rank window was
+    a few single-task sorts of the whole fact table). Join keys must
+    be non-null (rank columns here are NOT NULL fact columns).
+    Returns one row per group: (group, n, spearman_rho).
     """
-    wx = Window.partitionBy(group).orderBy(col_x)
-    wy = Window.partitionBy(group).orderBy(col_y)
-    tx = Window.partitionBy(group, col_x)
-    ty = Window.partitionBy(group, col_y)
-    ranked = df.select(
-        F.col(group),
-        (
-            F.rank().over(wx)
-            + (F.count(F.lit(1)).over(tx) - F.lit(1)) / F.lit(2.0)
-        ).alias("__rx"),
-        (
-            F.rank().over(wy)
-            + (F.count(F.lit(1)).over(ty) - F.lit(1)) / F.lit(2.0)
-        ).alias("__ry"),
-    )
+    from .rank import ordered_prefix
+
+    ranked = df.select(group, col_x, col_y)
+    for col, out in ((col_x, "__rx"), (col_y, "__ry")):
+        support = df.groupBy(F.col(group), F.col(col)).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        pref = ordered_prefix(
+            support,
+            [(col, True)],
+            carry=[col, "__cnt"],
+            sums=["__cnt"],
+            block=[group],
+        )
+        midrank = (
+            F.col("__cum___cnt").cast("double")
+            - F.col("__cnt")
+            + F.lit(1)
+            + (F.col("__cnt") - F.lit(1)) / F.lit(2.0)
+        )
+        ranked = ranked.join(
+            pref.select(group, col, midrank.alias(out)), [group, col]
+        )
     return ranked.groupBy(group).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("__rx", "__ry"), 6).alias("spearman_rho"),

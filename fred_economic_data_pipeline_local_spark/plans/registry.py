@@ -65,26 +65,32 @@ def get_query(name: str) -> QuerySpec:
 #      window_ntile_percent_rank, alphabetical) — after their driver
 #      rows land, the freshness floor advances to round 7 (VERDICT r13
 #      item 4);
-#   2. the 8 entries whose code changed in round 14 (each re-gated
+#   2. the 11 entries whose code changed in round 14 (each re-gated
 #      locally at sf0.001 + sf0.01 + sf0.1 before this reslot, hashes
 #      unchanged by construction): the two-pass exact-rank rewrites of
 #      the three r13 perf-weak entries (calibration_length_deciles,
 #      lorenz_customer_spend, profile_quantile_sketch's cert pass —
 #      operators/rank.py), the pareto_abc_parts prefix-sum rewrite,
-#      the text_unigram_drift TakeOrdered top-n, and the cosine
+#      the text_unigram_drift TakeOrdered top-n, the cosine
 #      kernel's explicit NaN mask (ADVICE r13: NaN must propagate,
 #      only den==0 is NULL) touching embedding_mutual_knn_clusters
-#      and embedding_neardup_lsh, and the distinct-hash banding
-#      rewrite of multimodal_phash_dedup (the 16x scale-trend find).
+#      and embedding_neardup_lsh, the distinct-hash banding
+#      rewrite of multimodal_phash_dedup (the 16x scale-trend find),
+#      and the low-cardinality-group rank-statistic rewrites of
+#      auc_doc_length_lang / gini_customer_spend /
+#      spearman_quantity_price (support-collapsed two-pass midranks —
+#      the same single-task family the r13 verdict flagged, found by
+#      this round's own pin audit).
 #      (window_ntile_percent_rank was also rewritten onto the blocked
 #      two-pass rank — it sits in group 1.)
-#   3. the alphabetical head (33 of 41) of the round-7 freshness tail
-#      (the 8 left over — text_bpe_token_counts and
-#      text_cms_heavy_hitters through window_rolling_mean — head the
-#      round-15 promotion pool; the round-7 tail is 43 entries, but
-#      profile_quantile_sketch and text_unigram_drift already sit in
-#      group 2).
-# 9 + 8 + 33 = exactly 50. The ENTIRE round-13 window (all 50
+#   3. the alphabetical head (30 of 41) of the round-7 freshness tail
+#      (the 11 left over — stream_click_attribution,
+#      string_agg_region_nations, string_functions_parts,
+#      text_bpe_token_counts and text_cms_heavy_hitters through
+#      window_rolling_mean — head the round-15 promotion pool; the
+#      round-7 tail is 43 entries, but profile_quantile_sketch and
+#      text_unigram_drift already sit in group 2).
+# 9 + 11 + 30 = exactly 50. The ENTIRE round-13 window (all 50
 # hash-green in CORRECTNESS_r13) demotes below the window in its prior
 # order. The below-window tail remains mirrored locally every round by
 # tests/test_oracle_parity.py.
@@ -109,6 +115,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_unigram_drift",
     "embedding_mutual_knn_clusters",
     "embedding_neardup_lsh",
+    "auc_doc_length_lang",
+    "gini_customer_spend",
+    "spearman_quantity_price",
     # 3. alphabetical head of the round-7 freshness tail:
     "array_functions_tokens",
     "bitext_margin_pairs",
@@ -140,11 +149,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "skew_salted_agg_quantities",
     "skew_salted_join_revenue",
     "stats_aggregates_lineitem",
+    # ===== below the window: the 10 round-7 leftovers + everything
+    # else, demoted in prior (reslot-#10) order =====
     "stream_click_attribution",
     "string_agg_region_nations",
     "string_functions_parts",
-    # ===== below the window: the 7 round-7 leftovers + everything
-    # else, demoted in prior (reslot-#10) order =====
     "text_bpe_token_counts",
     "tumbling_window_events",
     "window_range_trailing_30d",
@@ -347,10 +356,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_ivf_recall",
     "curation_mixture_allocation",
     "stream_hll_ingest",
-    "auc_doc_length_lang",
     "benford_order_prices",
-    "gini_customer_spend",
-    "spearman_quantity_price",
     "ewma_user_values",
     "acf_event_type_daily",
     "assoc_rules_parts",

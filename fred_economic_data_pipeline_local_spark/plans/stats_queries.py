@@ -44,9 +44,12 @@ HAVING sum(pos) > 0 AND sum(1 - pos) > 0
     description="rank-based (Mann-Whitney) AUC with midrank tie "
     "correction: per source, how well document length separates "
     "English from non-English docs — the screen that tells a curation "
-    "pipeline whether a candidate quality feature carries signal; one "
-    "per-group rank window + one map-combined aggregate, midranks are "
-    "exact halves so the statistic is engine-deterministic "
+    "pipeline whether a candidate quality feature carries signal; the "
+    "corpus collapses to its per-(source, length) tie-group support "
+    "and min-ranks come from tie-count prefix sums through the "
+    "blocked two-pass rank (r14 — the old per-group rank window was a "
+    "few single-task sorts of the whole corpus), midranks are exact "
+    "halves so the statistic is engine-deterministic "
     "(operators/stats.py:rank_auc)",
 )
 def auc_doc_length_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,9 +174,11 @@ FROM ranked GROUP BY 1
     "market segment (rank formula over ascending per-customer totals) "
     "— the corpus-concentration screen a source-mixing policy reads; "
     "the fact table reduces to per-customer totals FIRST (one "
-    "map-combined exchange), the per-group sort runs on the already-"
-    "aggregated entity frame, totals rounded 2 dp before ranking per "
-    "the house float-sum discipline (operators/stats.py:gini_by_group)",
+    "map-combined exchange), the rank is the blocked two-pass form "
+    "over the entity frame (r14 — O(customers) under ~5 segments made "
+    "the old per-group window a few single-task sorts of ALL "
+    "entities), totals rounded 2 dp before ranking per the house "
+    "float-sum discipline (operators/stats.py:gini_by_group)",
 )
 def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import gini_by_group
@@ -206,10 +211,13 @@ FROM r GROUP BY 1
 """,
     description="Spearman rank correlation (midrank tie correction, "
     "scipy-equivalent) between quantity and extended price per return "
-    "flag: two rank windows sharing one per-group exchange, then a "
-    "map-combined corr aggregate; monotone-association screen that "
-    "Pearson-on-values misses under nonlinearity "
-    "(operators/stats.py:spearman_corr)",
+    "flag: each axis collapses to its per-(flag, value) tie-group "
+    "support, min-ranks come from tie-count prefix sums through the "
+    "blocked two-pass rank, and the midranks equi-join back for the "
+    "map-combined corr aggregate (r14 — the old per-flag rank windows "
+    "single-task-sorted the whole fact table under 3 flags); "
+    "monotone-association screen that Pearson-on-values misses under "
+    "nonlinearity (operators/stats.py:spearman_corr)",
 )
 def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import spearman_corr

@@ -516,14 +516,12 @@ def test_rrf_fusion_joins_are_broadcast(spark):
 
 
 def test_rank_stats_single_corpus_exchange(spark):
-    """rank_auc / spearman / gini / ewma / burstiness: the fact table
-    shuffles ONCE on the group key — the (group, value) tie windows
-    are satisfied by the coarser hash(group) clustering (Catalyst
-    re-sorts, never re-exchanges), and everything downstream is
-    O(groups) or map-combined."""
+    """ewma / burstiness rank within HIGH-cardinality user_id
+    partitions (domain per task is the per-user history, bounded by
+    user activity, not corpus size): the fact table shuffles ONCE on
+    the group key and everything downstream is O(groups) or
+    map-combined."""
     for name, key in (
-        ("auc_doc_length_lang", "source"),
-        ("spearman_quantity_price", "l_returnflag"),
         ("ewma_user_values", "user_id"),
         ("interarrival_burstiness", "user_id"),
     ):
@@ -532,16 +530,68 @@ def test_rank_stats_single_corpus_exchange(spark):
         assert f"Exchange hashpartitioning({key}" in plan, name
 
 
+def test_auc_spearman_rank_on_collapsed_support_two_pass(spark):
+    """auc / spearman group by LOW-cardinality keys (sources, return
+    flags), so a per-group rank window would be a few single-task
+    sorts of the whole corpus — the r13-verdict shape. Both now
+    collapse to the per-(group, value) tie-group support and take
+    tie-count prefix sums through the blocked two-pass rank: no
+    built-in rank()/ntile nodes anywhere, every window __pid-keyed,
+    and the support aggregate (partial+final) runs before any rank."""
+    for name in ("auc_doc_length_lang", "spearman_quantity_price"):
+        plan = plan_of(spark, name)
+        _assert_no_unpartitioned_rank_over_data(plan)
+        assert "rank(" not in plan, name  # no built-in rank windows
+        assert plan.count("HashAggregate") >= 2, name
+
+
 def test_gini_reduces_entities_before_ranking(spark):
-    """per-entity totals aggregate BEFORE the rank window: the window
-    input is the (group, entity) frame, so the sort never sees the
-    fact table; partial aggregation rides the first exchange."""
+    """per-entity totals aggregate BEFORE any ranking, and the rank
+    itself is the blocked two-pass form — the entity domain is
+    O(customers) under ~5 segments, so the old per-group built-in
+    window was a handful of single-task sorts of ALL entities."""
     plan = plan_of(spark, "gini_customer_spend")
-    # partial+final for the entity totals, then the window's exchange
-    assert plan.count("HashAggregate") >= 2
-    assert "Exchange hashpartitioning(c_mktsegment" in plan
+    _assert_no_unpartitioned_rank_over_data(plan)
+    assert "rank(" not in plan
     # dimension side broadcast, never a shuffled fact-dim join
     assert "BroadcastHashJoin" in plan
+    # the pre-freeze shape (behind the eager checkpoint in the final
+    # plan): per-entity totals aggregate, THEN the range exchange on
+    # (block, total, entity) — never a fact-table rank
+    from pyspark.sql import functions as F
+
+    from fred_economic_data_pipeline_local_spark.catalog import load_table
+    from fred_economic_data_pipeline_local_spark.operators.rank import (
+        ordered_prefix_plan,
+    )
+
+    orders = load_table(spark, "orders", SF_DIR)
+    cust = load_table(spark, "customer", SF_DIR).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    totals = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("__x"))
+    )
+    pre = (
+        ordered_prefix_plan(
+            totals,
+            [("__x", True), ("o_custkey", True)],
+            carry=["__x"],
+            block=["c_mktsegment"],
+            _freeze=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning(c_mktsegment" in pre
+    agg_pos = pre.index("Exchange hashpartitioning(c_mktsegment")
+    range_pos = pre.index("rangepartitioning(c_mktsegment")
+    # physical plans print top-down: the range exchange (later stage)
+    # appears ABOVE the totals aggregate's hash exchange
+    assert range_pos < agg_pos
 
 
 def test_skyline_prunes_locally_before_global_pass(spark):

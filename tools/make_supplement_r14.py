@@ -29,6 +29,12 @@ CHANGED = [
     "embedding_neardup_lsh",
     # distinct-hash banding (the 16x scale-trend find)
     "multimodal_phash_dedup",
+    # low-cardinality-group rank statistics: support-collapsed
+    # two-pass midranks (the r13 single-task window family, found by
+    # the r14 pin audit)
+    "auc_doc_length_lang",
+    "gini_customer_spend",
+    "spearman_quantity_price",
 ]
 
 
