@@ -1688,21 +1688,29 @@ GROUP BY 1, 2
     "per-doc corpus-unigram logprob (the cheap LM screen) ntile'd into "
     "head/middle/tail WITHIN each language — the per-lang split is the "
     "recipe's point (one global cutoff would gut low-resource "
-    "languages); one window over (lang, logprob) after the two "
-    "Zipf-bounded logprob shuffles, per-bucket stats map-combined",
+    "languages); the per-lang thirds come from the blocked two-pass "
+    "exact_ntile after the two Zipf-bounded logprob shuffles (r14 — "
+    "languages are few, so the old built-in per-lang ntile was a "
+    "handful of single-task sorts of every document), per-bucket "
+    "stats map-combined",
 )
 def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..operators.rank import exact_ntile
     from ..operators.text import unigram_logprob
 
     docs = load_table(spark, "documents", sf_dir)
     lp = unigram_logprob(docs)
     j = docs.select(F.col("doc_id").alias("id"), "lang").join(lp, "id")
-    w = Window.partitionBy("lang").orderBy(F.desc("logprob"), F.asc("id"))
+    t = exact_ntile(
+        j,
+        3,
+        [("logprob", False), ("id", True)],
+        carry=["logprob"],
+        block=["lang"],
+    )
     labels = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
-    b = j.withColumn(
-        "bucket", F.element_at(labels, F.ntile(3).over(w))
+    b = t.withColumn(
+        "bucket", F.element_at(labels, F.col("__tile").cast("int"))
     )
     return b.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -65,7 +65,7 @@ def get_query(name: str) -> QuerySpec:
 #      window_ntile_percent_rank, alphabetical) — after their driver
 #      rows land, the freshness floor advances to round 7 (VERDICT r13
 #      item 4);
-#   2. the 11 entries whose code changed in round 14 (each re-gated
+#   2. the 13 entries whose code changed in round 14 (each re-gated
 #      locally at sf0.001 + sf0.01 + sf0.1 before this reslot, hashes
 #      unchanged by construction): the two-pass exact-rank rewrites of
 #      the three r13 perf-weak entries (calibration_length_deciles,
@@ -80,17 +80,22 @@ def get_query(name: str) -> QuerySpec:
 #      auc_doc_length_lang / gini_customer_spend /
 #      spearman_quantity_price (support-collapsed two-pass midranks —
 #      the same single-task family the r13 verdict flagged, found by
-#      this round's own pin audit).
+#      this round's own pin audit), plus weighted_median_price
+#      (tie-group-support cumulative weights + exact integer
+#      ceil-division row counts) and curation_perplexity_buckets
+#      (per-lang thirds via the blocked exact_ntile) from the same
+#      audit's second pass over LOW-CARDINALITY partitioned windows.
 #      (window_ntile_percent_rank was also rewritten onto the blocked
 #      two-pass rank — it sits in group 1.)
-#   3. the alphabetical head (30 of 41) of the round-7 freshness tail
-#      (the 11 left over — stream_click_attribution,
+#   3. the alphabetical head (28 of 41) of the round-7 freshness tail
+#      (the 13 left over — skew_salted_join_revenue,
+#      stats_aggregates_lineitem, stream_click_attribution,
 #      string_agg_region_nations, string_functions_parts,
 #      text_bpe_token_counts and text_cms_heavy_hitters through
 #      window_rolling_mean — head the round-15 promotion pool; the
 #      round-7 tail is 43 entries, but profile_quantile_sketch and
 #      text_unigram_drift already sit in group 2).
-# 9 + 11 + 30 = exactly 50. The ENTIRE round-13 window (all 50
+# 9 + 13 + 28 = exactly 50. The ENTIRE round-13 window (all 50
 # hash-green in CORRECTNESS_r13) demotes below the window in its prior
 # order. The below-window tail remains mirrored locally every round by
 # tests/test_oracle_parity.py.
@@ -118,6 +123,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "auc_doc_length_lang",
     "gini_customer_spend",
     "spearman_quantity_price",
+    "weighted_median_price",
+    "curation_perplexity_buckets",
     # 3. alphabetical head of the round-7 freshness tail:
     "array_functions_tokens",
     "bitext_margin_pairs",
@@ -147,10 +154,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_ivfpq_topk",
     "similarity_pq_topk",
     "skew_salted_agg_quantities",
+    # ===== below the window: the 12 round-7 leftovers + everything
+    # else, demoted in prior (reslot-#10) order =====
     "skew_salted_join_revenue",
     "stats_aggregates_lineitem",
-    # ===== below the window: the 10 round-7 leftovers + everything
-    # else, demoted in prior (reslot-#10) order =====
     "stream_click_attribution",
     "string_agg_region_nations",
     "string_functions_parts",
@@ -367,7 +374,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "interarrival_burstiness",
     "stream_cms_ingest",
     "survival_user_lifetime",
-    "weighted_median_price",
     "sampling_effective_size",
     "mann_kendall_trend",
     "theil_sen_trend",
@@ -389,7 +395,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "manifest_scd2_history",
     "stream_event_dedup",
     "embedding_power_iteration",
-    "curation_perplexity_buckets",
     "multimodal_frame_dedup",
     "tpch_refresh_pricing",
     "dq_expectations_orders",

@@ -369,34 +369,59 @@ GROUP BY l_returnflag
     description="quantity-weighted median price per return flag (lower "
     "weighted median: smallest value whose cumulative weight crosses "
     "half the total) — the robust center a plain median misses when "
-    "rows carry unequal mass; one per-group sort carries both the "
-    "cumulative and total weight windows, weights are integral-valued "
-    "doubles so every cumulative sum is exact",
+    "rows carry unequal mass; the fact table collapses to its "
+    "per-(flag, price, quantity) tie-group support and the cumulative "
+    "weight comes from exact long prefix sums through the blocked "
+    "two-pass rank (r14 — the old per-flag running-sum window pushed "
+    "the whole fact table through 3 single-task sorts); within a tie "
+    "group of m identical (price, quantity=q) rows the j-th row's "
+    "cumulative weight is base + j*q, so the at-or-after ROW count is "
+    "recovered exactly with integer ceil-division — bit-identical to "
+    "the row-level window definition the oracle keeps",
 )
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.rank import ordered_prefix
 
     li = load_table(spark, "lineitem", sf_dir)
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_quantity")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("l_returnflag")
-    c = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.sum("l_quantity").over(wc).alias("cw"),
-        F.sum("l_quantity").over(wt).alias("tw"),
-    )
-    return (
-        c.where(F.col("cw") >= F.col("tw") / 2)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows_at_or_after"),
-            F.round(F.min("v"), 2).alias("weighted_median"),
-            F.round(F.first("tw"), 2).alias("total_weight"),
+    sup = (
+        li.groupBy(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("v"),
+            F.col("l_quantity").cast("long").alias("q"),
         )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn("gw", F.col("q") * F.col("m"))
+    )
+    pref = ordered_prefix(
+        sup,
+        [("v", True), ("q", True)],
+        carry=["v", "q", "m", "gw"],
+        sums=["gw"],
+        block=["l_returnflag"],
+    )
+    tot = sup.groupBy("l_returnflag").agg(F.sum("gw").alias("tw"))
+    j = (
+        pref.join(F.broadcast(tot), "l_returnflag")
+        # 2*cw_j >= tw with cw_j = base + j*q (all exact longs):
+        # smallest such j is ceil((tw - 2*base) / (2*q))
+        .withColumn("__num", F.col("tw") - 2 * (F.col("__cum_gw") - F.col("gw")))
+        .withColumn(
+            "__jmin",
+            F.when(F.col("__num") <= 0, F.lit(0)).otherwise(
+                F.expr("(__num + 2*q - 1) div (2*q)")
+            ),
+        )
+        .withColumn(
+            "__cnt",
+            F.col("m")
+            - F.least(F.greatest(F.col("__jmin") - 1, F.lit(0)), F.col("m")),
+        )
+        .where(F.col("__cnt") > 0)
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum("__cnt").alias("n_rows_at_or_after"),
+        F.round(F.min("v"), 2).alias("weighted_median"),
+        F.round(F.first(F.col("tw").cast("double")), 2).alias("total_weight"),
     )
 
 

@@ -783,6 +783,28 @@ def test_pareto_cumulative_share_is_two_pass_prefix_sum(spark):
     )
 
 
+def test_weighted_median_two_pass_over_tie_group_support(spark):
+    """the cumulative-weight walk runs over the (flag, price, qty)
+    tie-group support through ordered_prefix, never a per-flag
+    running-sum window over raw lineitem (3 flags = 3 single-task
+    sorts of the fact table); the row-level at-or-after count is
+    recovered with exact integer ceil-division."""
+    plan = plan_of(spark, "weighted_median_price")
+    _assert_no_unpartitioned_rank_over_data(plan)
+    for l in plan.splitlines():
+        if "Window [sum(" in l:
+            assert "__pid" in l, l
+
+
+def test_perplexity_buckets_ntile_is_blocked_two_pass(spark):
+    """per-lang head/middle/tail via exact_ntile: no built-in ntile
+    node (languages are few — the old per-lang ntile single-task
+    sorted every document), every rank window __pid-keyed."""
+    _assert_no_unpartitioned_rank_over_data(
+        plan_of(spark, "curation_perplexity_buckets")
+    )
+
+
 def test_dq_audits_have_no_nested_loops(spark):
     """every RI relation is one broadcast left join on a unique parent
     key; uniqueness/freshness are pure aggregates."""

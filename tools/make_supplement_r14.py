@@ -35,6 +35,8 @@ CHANGED = [
     "auc_doc_length_lang",
     "gini_customer_spend",
     "spearman_quantity_price",
+    "weighted_median_price",
+    "curation_perplexity_buckets",
 ]
 
 
