@@ -50,6 +50,13 @@ def main() -> None:
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]"
         )
         .config("spark.sql.shuffle.partitions", "32")
+        # harness capacity, not semantics: one JVM hosts all 322
+        # entries back-to-back, which no real driver session does —
+        # size the heap for the sweep's cumulative footprint
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_SWEEP_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,6 +87,16 @@ def main() -> None:
         results[name] = {"status": status, "sec": dt}
         print(f"[{i}/{len(CATALOG_ORDER)}] {name}: {status} ({dt}s)", flush=True)
         spark.catalog.clearCache()
+        # release py4j refs so the ContextCleaner can drop the finished
+        # query's broadcasts / localCheckpoint blocks — a 322-entry
+        # sweep otherwise accumulates them in the single local-mode
+        # heap until it OOMs (observed at entry 278 once the two-pass
+        # rank entries added eager checkpoint storage)
+        import gc
+
+        gc.collect()
+        if i % 50 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     ok = sum(1 for r in results.values() if r["status"] == "ok")
     summary = {
