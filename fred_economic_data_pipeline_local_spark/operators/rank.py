@@ -5,40 +5,104 @@ The textbook forms — ``row_number()/ntile(k) OVER (ORDER BY ...)`` and
 (or low-cardinality) PARTITION BY — funnel every row of the domain
 through one WindowExec task: the single-task killer at 100 TB, and the
 exact shape this repo's own plan pins refuse elsewhere
-(``customer_rfm_segments``, ``kruskal_wallis_qty_flag``). This module
-is the reusable two-pass replacement, the global-order generalization
-of the per-block rank in ``operators/linkage.py:_block_rank_plan``:
+(``customer_rfm_segments``, ``kruskal_wallis_qty_flag``).
 
-  1. ``repartitionByRange(block, order)`` — the distributed sort; each
-     (block-contiguous run of the) total order occupies a contiguous
-     run of partitions.
-  2. ``row_number()/sum() OVER (PARTITION BY (spark_partition_id,
-     block) ORDER BY order)`` — local ranks / local prefix sums; every
-     task touches only its own slice.
-  3. per-(partition, block) (count, sum) totals -> exclusive running
-     offsets per block over the O(n_partitions + n_blocks)-row side
-     frame, broadcast-joined back: ``global = local + offset``.
+This module is the two-pass replacement. The r14 form derived its
+bucket id from ``repartitionByRange`` + ``spark_partition_id()``, which
+is only stable within one physical execution — the offsets join reads
+the bucketed frame twice, so the frame had to be frozen with an eager
+``localCheckpoint`` (~0.3-0.8 s fixed cost per call at sf0.1, and at
+100 TB an O(data) executor-storage materialization that also truncates
+lineage, killing mid-query fault tolerance). The r15 form replaces the
+physical partition id with a bucket id computed FROM THE DATA:
 
-No task ever sees more than one partition's rows; the only
-single-partition window runs over the offsets frame (a cluster
-constant + block count, not a data size).
+    __pid = µkey(first order column)
 
-Determinism contract: callers must pass a STRICT total order within
-each block (include a unique tiebreak column) — then the global rank
-is independent of where the sampled range boundaries fall.
-``spark_partition_id`` is frozen as data via an eager
-``localCheckpoint`` before fan-out (two physical executions of the
-range exchange need not coalesce identically under AQE — the same
-~8%-inflation failure ``linkage.py:_block_rank_plan`` documents).
-Prefix-summed columns should be integer-typed: integer addition is
-associative, so the (local-sum + offset) regrouping is EXACTLY the
-sequential fold; float sums would see reassociated adds.
+where ``µkey`` is a deterministic, monotone log-scale quantization
+(~256 buckets per e-fold of magnitude, with sentinel keys for NULL,
+NaN and ±inf at the ends Spark's own sort order puts them). Because
+``µkey`` is a pure function of the value — Spark's ``log`` is
+``java.lang.StrictMath.log`` in both the interpreted and codegen paths
+(verified against the 4.1.2 catalyst jar), the scale factor is a power
+of two (exact multiply), and ``floor``/IEEE casts are monotone — every
+re-execution of any subtree reproduces identical buckets, so there is
+NOTHING TO FREEZE: no checkpoint, no materialization, full lineage.
+
+Monotonicity (why the rank is exact): ``a < b`` implies ``µkey(a) <=
+µkey(b)``, so rows that tie on the first order column share a bucket
+(ordered inside it by the remaining order columns), and rows in
+earlier buckets order strictly before rows in later ones — the same
+contiguity ``repartitionByRange`` gave, without its sampling pass,
+its exchange, or its physical-execution dependence.
+
+Three stages, none of which concentrates data on one task:
+
+  1. local ranks / local running sums per ``(__pid, block)`` window —
+     ONE hash exchange of the data; distinct µkeys per block number in
+     the hundreds-to-thousands (value-range-bounded), 20-100x the
+     shuffle partition count, so the exchange spreads well (guide
+     §2.5) and each task sees one value-band slice.
+  2. per-(__pid, block) (count, sums) totals — a map-combined
+     aggregate whose exchange carries O(µkeys x blocks) rows.
+  3. exclusive running offsets over that bounded side frame (the only
+     unpartitioned-per-block window, value-range-bounded, never
+     data-sized), broadcast-joined back: ``global = local + offset``.
+
+Contracts (unchanged from r14): callers pass a STRICT total order
+within each block (include a unique tiebreak column); prefix-summed
+columns must be integer-typed (integer addition is associative, so
+(local sum + offset) is EXACTLY the sequential fold). New contract:
+the FIRST order column must be numeric (the µkey quantization domain)
+— every catalog caller orders first on a count/price/score/logprob.
+
+Skew note: a single first-column value whose tie group dominates the
+frame cannot be split across buckets (µkey is a function of the
+value); catalog callers rank DISTINCT support tuples or per-entity
+totals, where that degenerate mass cannot arise.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# µkey constants. _MU_SCALE is a power of two (exact multiply keeps
+# the quantization monotone); 256 buckets per e-fold bounds distinct
+# finite µkeys by 256·ln(max/min) per sign — a few thousand for real
+# data, independent of row count.
+_MU_SCALE = 256.0
+_MU_CLAMP = 1 << 30   # only ±inf reach it (finite |log·scale| < 2e5)
+_MU_POS_BASE = 1 << 31
+_MU_NULL = -(1 << 62)  # Spark: nulls first (asc) / last (desc) — the
+_MU_NAN = 1 << 62      # lowest key serves both; NaN sorts greatest
+
+
+def _mu_key(col: str) -> Column:
+    """Deterministic monotone (non-strict) long quantization of a
+    numeric column: null < -inf < negatives < 0 < positives < +inf
+    < NaN, ~256 distinct keys per e-fold of magnitude."""
+    d = F.col(col).cast("double")
+    pos = F.lit(_MU_POS_BASE) + F.least(
+        F.floor(F.log(d) * _MU_SCALE).cast("long"), F.lit(_MU_CLAMP)
+    )
+    neg = F.lit(-_MU_POS_BASE) - F.least(
+        F.floor(F.log(-d) * _MU_SCALE).cast("long"), F.lit(_MU_CLAMP)
+    )
+    return (
+        F.when(F.col(col).isNull(), F.lit(_MU_NULL))
+        .when(F.isnan(d), F.lit(_MU_NAN))
+        .when(d > 0.0, pos)
+        .when(d < 0.0, neg)
+        .otherwise(F.lit(0))
+    )
+
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def _sort_cols(order_by: list[tuple[str, bool]]) -> list[Column]:
@@ -47,45 +111,85 @@ def _sort_cols(order_by: list[tuple[str, bool]]) -> list[Column]:
     ]
 
 
-def ordered_prefix_plan(
+def ordered_prefix(
     df: DataFrame,
     order_by: list[tuple[str, bool]],
     carry: list[str],
     sums: list[str] = (),
     block: list[str] = (),
-    n_partitions: int | None = None,
-    _freeze: bool = True,
+    block_total_col: str | None = None,
+    reuse_input: bool | None = None,
 ) -> DataFrame:
-    """Lazy plan for :func:`ordered_prefix` (``_freeze=False`` exists
-    ONLY so tests can pin the pre-checkpoint plan shape)."""
+    """Exact 1-based rank (and optional inclusive prefix sums) under
+    ``order_by`` — ``[(col, ascending)]``, which must be a strict total
+    order within each block — with parallelism independent of both data
+    size and block cardinality. With ``block`` columns the rank restarts
+    per block (``... OVER (PARTITION BY block ORDER BY ...)``); without,
+    it is global.
+
+    Returns ``block... , carry... , __rn long`` plus ``__cum_<c>`` for
+    each ``c`` in ``sums`` (inclusive running sum in rank order) —
+    exactly the single-partition window semantics, never through a
+    single-partition WindowExec over data. ``block_total_col``
+    additionally emits the per-block row count (rides the same offsets
+    frame — saves consumers a count aggregate + join). ``reuse_input``
+    persists the projected input so its upstream work executes once
+    (None = auto: persist when the input carries aggregates/joins; a
+    bare column-pruned parquet scan is cheaper to re-scan than to
+    cache)."""
+    c0, asc0 = order_by[0]
+    t0 = df.schema[c0].dataType
+    if not isinstance(t0, _NUMERIC_TYPES):
+        raise TypeError(
+            f"ordered_prefix: first order column {c0!r} must be numeric "
+            f"(got {t0}) — the deterministic bucket quantization domain"
+        )
+    for c in sums:
+        if not isinstance(df.schema[c].dataType, _INTEGRAL_TYPES):
+            raise TypeError(
+                f"ordered_prefix: prefix-summed column {c!r} must be "
+                f"integer-typed (got {df.schema[c].dataType}) — integer "
+                "addition is associative, so (local sum + offset) is "
+                "exactly the sequential fold"
+            )
     keep: list[str] = []
     for c in [*block, *carry, *sums, *[c for c, _ in order_by]]:
         if c not in keep:
             keep.append(c)
-    n_parts = n_partitions or max(
-        2, df.sparkSession.sparkContext.defaultParallelism
-    )
-    ranged = df.select(*keep).repartitionByRange(
-        n_parts, *[F.col(b) for b in block], *_sort_cols(order_by)
-    ).withColumn("__pid", F.spark_partition_id())
-    if _freeze:
-        ranged = ranged.localCheckpoint(eager=True)
+    base = df.select(*keep)
+    # The local-rank window and the offsets aggregate both consume the
+    # input. Correctness never depends on sharing one execution (µkey
+    # is a pure deterministic function — that is the whole point), but
+    # when the input carries real upstream work, persist it so that
+    # work runs once (in-session A/B: spearman 4.2 -> 3.7 s at sf0.1).
+    # MEMORY_AND_DISK keeps lineage: an executor loss recomputes lost
+    # blocks — the fault tolerance the r14 eager checkpoint gave up.
+    if reuse_input is None:
+        opt = base._jdf.queryExecution().optimizedPlan().toString()
+        reuse_input = any(
+            m in opt
+            for m in ("Aggregate", "Join", "Window", "Expand", "Generate")
+        )
+    if reuse_input:
+        base = base.persist()
+    tagged = base.withColumn("__pid", _mu_key(c0))
     part = ["__pid", *block]
     w_local = W.partitionBy(*part).orderBy(*_sort_cols(order_by))
     w_lcum = w_local.rowsBetween(W.unboundedPreceding, W.currentRow)
-    local = ranged.select(
+    local = tagged.select(
         *keep,
         "__pid",
         F.row_number().over(w_local).alias("__lrn"),
         *[F.sum(c).over(w_lcum).alias(f"__lsum_{c}") for c in sums],
     )
-    counts = ranged.groupBy(*part).agg(
+    counts = tagged.groupBy(*part).agg(
         F.count(F.lit(1)).alias("__n"),
         *[F.sum(c).alias(f"__s_{c}") for c in sums],
     )
-    w_prior = (
-        W.partitionBy(*block) if block else W.partitionBy()
-    ).orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    w_block = W.partitionBy(*block) if block else W.partitionBy()
+    w_prior = w_block.orderBy(
+        F.col("__pid").asc() if asc0 else F.col("__pid").desc()
+    ).rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.select(
         *part,
         F.coalesce(F.sum("__n").over(w_prior), F.lit(0)).alias("__off"),
@@ -95,6 +199,11 @@ def ordered_prefix_plan(
             )
             for c in sums
         ],
+        *(
+            [F.sum("__n").over(w_block).alias("__bn")]
+            if block_total_col
+            else []
+        ),
     )
     out_cols: list[str] = []
     for c in [*block, *carry]:
@@ -109,32 +218,11 @@ def ordered_prefix_plan(
             )
             for c in sums
         ],
-    )
-
-
-def ordered_prefix(
-    df: DataFrame,
-    order_by: list[tuple[str, bool]],
-    carry: list[str],
-    sums: list[str] = (),
-    block: list[str] = (),
-    n_partitions: int | None = None,
-) -> DataFrame:
-    """Exact 1-based rank (and optional inclusive prefix sums) under
-    ``order_by`` — ``[(col, ascending)]``, which must be a strict total
-    order within each block — with parallelism independent of both data
-    size and block cardinality. With ``block`` columns the rank restarts
-    per block (``... OVER (PARTITION BY block ORDER BY ...)``); without,
-    it is global.
-
-    Returns ``block... , carry... , __rn long`` plus ``__cum_<c>`` for
-    each ``c`` in ``sums`` (inclusive running sum in rank order) —
-    exactly the single-partition window semantics, never through a
-    single-partition WindowExec.
-    """
-    return ordered_prefix_plan(
-        df, order_by, carry=carry, sums=sums, block=block,
-        n_partitions=n_partitions,
+        *(
+            [F.col("__bn").alias(block_total_col)]
+            if block_total_col
+            else []
+        ),
     )
 
 
@@ -180,16 +268,16 @@ def exact_ntile(
     larger) — computed from the two-pass exact rank, so no
     single-partition (or single-block-task) sort of the data. Returns
     ``block..., carry... , <tile_col> long``; bit-identical bucket
-    assignment to the built-in ntile for any strict total order."""
+    assignment to the built-in ntile for any strict total order.
+
+    The per-block row count rides the rank's offsets frame, so no
+    extra count aggregate or join runs — one data shuffle total."""
     k = int(k)
     assert k >= 1
-    r = ordered_prefix(df, order_by, carry=carry, block=block)
-    if block:
-        n = r.groupBy(*block).agg(F.count(F.lit(1)).alias("__ntile_n"))
-        r = r.join(F.broadcast(n), list(block))
-    else:
-        n = r.agg(F.count(F.lit(1)).alias("__ntile_n"))
-        r = r.join(F.broadcast(n))
+    r = ordered_prefix(
+        df, order_by, carry=carry, block=block,
+        block_total_col="__ntile_n",
+    )
     out: list[str] = []
     for c in [*block, *carry]:
         if c not in out:

@@ -555,43 +555,23 @@ def test_gini_reduces_entities_before_ranking(spark):
     assert "rank(" not in plan
     # dimension side broadcast, never a shuffled fact-dim join
     assert "BroadcastHashJoin" in plan
-    # the pre-freeze shape (behind the eager checkpoint in the final
-    # plan): per-entity totals aggregate, THEN the range exchange on
-    # (block, total, entity) — never a fact-table rank
-    from pyspark.sql import functions as F
-
-    from fred_economic_data_pipeline_local_spark.catalog import load_table
-    from fred_economic_data_pipeline_local_spark.operators.rank import (
-        ordered_prefix_plan,
+    # r15: no checkpoint hides the shape — the FINAL plan itself shows
+    # the per-entity totals aggregate feeding the single bucket-keyed
+    # window exchange (plans print top-down: the downstream window
+    # exchange appears ABOVE its upstream aggregate exchange), and the
+    # range exchange of the r14 form is gone outright
+    assert "rangepartitioning" not in plan
+    lines = plan.splitlines()
+    win_pos = next(
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(__pid" in l
     )
-
-    orders = load_table(spark, "orders", SF_DIR)
-    cust = load_table(spark, "customer", SF_DIR).select(
-        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    agg_pos = next(
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(c_mktsegment" in l
+        and "o_custkey" in l
     )
-    totals = (
-        orders.join(cust, "o_custkey")
-        .groupBy("c_mktsegment", "o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("__x"))
-    )
-    pre = (
-        ordered_prefix_plan(
-            totals,
-            [("__x", True), ("o_custkey", True)],
-            carry=["__x"],
-            block=["c_mktsegment"],
-            _freeze=False,
-        )
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "rangepartitioning(c_mktsegment" in pre
-    agg_pos = pre.index("Exchange hashpartitioning(c_mktsegment")
-    range_pos = pre.index("rangepartitioning(c_mktsegment")
-    # physical plans print top-down: the range exchange (later stage)
-    # appears ABOVE the totals aggregate's hash exchange
-    assert range_pos < agg_pos
+    assert win_pos < agg_pos
 
 
 def test_skyline_prunes_locally_before_global_pass(spark):
@@ -687,38 +667,15 @@ def test_lorenz_reduces_customers_before_decile_walk(spark):
     _assert_no_unpartitioned_rank_over_data(
         plan, bounded_markers=("decile#",)
     )
-    # the per-customer aggregate and the range exchange live BEHIND
-    # the eager checkpoint in the final plan, so pin the pre-freeze
-    # shape directly: totals aggregate on o_custkey FIRST, then the
-    # range exchange on (x, o_custkey) — never a fact-table rank
-    from pyspark.sql import functions as F
-
-    from fred_economic_data_pipeline_local_spark.operators.rank import (
-        ordered_prefix_plan,
-    )
-    from fred_economic_data_pipeline_local_spark.catalog import load_table
-
-    totals = (
-        load_table(spark, "orders", SF_DIR)
-        .groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
-    )
-    pre = (
-        ordered_prefix_plan(
-            totals, [("x", True), ("o_custkey", True)], carry=["x"],
-            _freeze=False,
-        )
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Exchange hashpartitioning(o_custkey" in pre
-    assert "rangepartitioning(x" in pre
-    agg_pos = pre.index("Exchange hashpartitioning(o_custkey")
-    rng_pos = pre.index("rangepartitioning(x")
-    # plan strings print top-down, so the range exchange (downstream)
-    # appears BEFORE its upstream aggregate exchange
-    assert rng_pos < agg_pos
+    # r15: no checkpoint hides the shape — the FINAL plan itself shows
+    # the per-customer totals aggregate (hash exchange on o_custkey)
+    # feeding the single bucket-keyed window exchange; plans print
+    # top-down, so the downstream window exchange appears first
+    assert "rangepartitioning" not in plan
+    assert "Exchange hashpartitioning(o_custkey" in plan
+    win_pos = plan.index("Exchange hashpartitioning(__pid")
+    agg_pos = plan.index("Exchange hashpartitioning(o_custkey")
+    assert win_pos < agg_pos
 
 
 def _assert_no_unpartitioned_rank_over_data(
@@ -727,14 +684,15 @@ def _assert_no_unpartitioned_rank_over_data(
     """The exact-rank rewrite contract (operators/rank.py): no built-in
     global ntile anywhere; every row_number window keyed on __pid; any
     unpartitioned running-sum window runs only over a bounded side
-    frame — the O(n_partitions) __pid offset frame or an explicitly
-    named bounded domain (e.g. the 10-row decile frame)."""
+    frame — the O(µkeys x blocks) offsets/counts frame (its sums read
+    the frame's __n partial counts or emit the __bn block total) or an
+    explicitly named bounded domain (e.g. the 10-row decile frame)."""
     assert "ntile(" not in plan
     for l in plan.splitlines():
         if "Window [row_number()" in l:
             assert "__pid" in l, l
         elif "Window [sum(" in l:
-            assert "__pid" in l or any(
+            assert "__pid" in l or "sum(__n#" in l or any(
                 m in l for m in bounded_markers
             ), l
 

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 from fred_economic_data_pipeline_local_spark.operators.rank import (
     exact_ntile,
     ordered_prefix,
-    ordered_prefix_plan,
 )
 
 
@@ -95,26 +94,63 @@ def test_exact_ntile_matches_builtin_ntile(spark, n, k):
 
 
 def test_plan_never_ranks_through_a_single_partition(spark):
-    """The pre-checkpoint plan: one range exchange on the order key,
-    and every row_number window partitioned by __pid — no unpartitioned
-    WindowExec ever touches the data rows."""
+    """r15 shape: the data shuffles EXACTLY once (hash on the
+    deterministic µkey bucket id), every row_number window is
+    __pid-keyed, offsets come back as a broadcast — no range exchange,
+    no checkpoint (no Scan ExistingRDD), and the only unpartitioned
+    window is the offsets walk over the bounded µkey-counts frame
+    (ordered by __pid, never carrying data rows)."""
     df = _fixture(spark, 100)
     plan = (
-        ordered_prefix_plan(
-            df, [("v", True), ("id", True)], carry=["id"], sums=["x"],
-            _freeze=False,
+        ordered_prefix(
+            df, [("v", True), ("id", True)], carry=["id"], sums=["x"]
         )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "rangepartitioning(v" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan  # the offsets frame
     data_windows = [
         l for l in plan.splitlines() if "Window [row_number()" in l
     ]
     assert data_windows
     for l in data_windows:
         assert "__pid" in l, l
+    for l in plan.splitlines():  # offsets walk: bounded frame only
+        if "Window [sum(" in l:
+            assert "__pid" in l, l
+
+
+def test_mu_key_edge_values_match_builtin_window(spark):
+    """The µkey quantization's sentinel classes — NULL, NaN, ±inf,
+    negatives, zero, subnormals — bucket in Spark's own sort order, so
+    ranks and prefix sums stay bit-identical to the built-in window in
+    both directions."""
+    vals = [
+        None, float("nan"), float("inf"), float("-inf"), 0.0, -0.0,
+        1e-310, -1e-310, 1.5, -1.5, 3.7e200, -3.7e200, 2.0, 2.0, -2.0,
+    ]
+    rows = [(i, v, i % 5) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double, x long")
+    for asc in (True, False):
+        got = {
+            r.id: (r["__rn"], r["__cum_x"])
+            for r in ordered_prefix(
+                df, [("v", asc), ("id", True)], carry=["id"], sums=["x"]
+            ).collect()
+        }
+        w = W.orderBy(F.asc("v") if asc else F.desc("v"), F.asc("id"))
+        wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        want = {
+            r.id: (r.rn, r.cx)
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.sum("x").over(wc).alias("cx"),
+            ).collect()
+        }
+        assert got == want, f"asc={asc}"
 
 
 def test_blocked_rank_and_ntile_match_builtin_partitioned_window(spark):
