@@ -327,12 +327,18 @@ def bfs_levels(
             .select(F.col("dst").alias("node"))
             .distinct()
         )
+        # LAZY checkpoints: each round's frame is still materialized
+        # once and shared by its consumers (union + next frontier /
+        # next anti-join), but inside the caller's single action —
+        # eager checkpoints here cost one blocking driver job per
+        # round (2 x max_depth sequential jobs before the query's own
+        # action even starts)
         new = (
             nxt.join(levels, "node", "left_anti")
             .select("node", F.lit(depth).cast("int").alias("level"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        levels = levels.union(new).localCheckpoint()
+        levels = levels.union(new).localCheckpoint(eager=False)
         frontier = new.select("node")
     return levels
 
@@ -488,7 +494,10 @@ def weighted_sssp(
             dist.union(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            # lazy: materialized once inside the caller's action and
+            # shared by the next round's two consumers — not one
+            # blocking driver job per relaxation round
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -538,13 +547,17 @@ def kcore_peel(
         )
 
     nodes = e.select(F.col("src").alias("node")).distinct()
-    deg = _deg_within(nodes).localCheckpoint()
+    # lazy checkpoints: each round's degree table is materialized once
+    # and shared by its three consumers (the peel filter, the round
+    # summary, the next round's semi-joins) — inside the caller's
+    # single action rather than one blocking driver job per round
+    deg = _deg_within(nodes).localCheckpoint(eager=False)
     summaries = []
     for r in range(1, rounds + 1):
         nodes = deg.where(F.col("__d") >= k).select(
             F.col("src").alias("node")
         )
-        deg = _deg_within(nodes).localCheckpoint()
+        deg = _deg_within(nodes).localCheckpoint(eager=False)
         summaries.append(
             nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
             .crossJoin(

@@ -112,14 +112,28 @@ def materialize_minmax(
 
 def _signed(feed: DataFrame) -> DataFrame:
     """Attach +1/-1 signs; refuse post-image-only feeds (shared by the
-    SUM/COUNT and MIN/MAX paths)."""
+    SUM/COUNT and MIN/MAX paths).
+
+    The signed feed is PERSISTED before the validation collect: the
+    r14 form ran the validation as a separate uncached pass, so the
+    whole change-feed diff (two bucket-slice reads + the keyed diff
+    join) executed once for the ValueError check and again per
+    downstream consumer — the minmax path alone reads the feed three
+    more times (delta aggregate, fast branch, recompute gate). Now the
+    validation pass fills the cache and every consumer reads it: one
+    diff execution total, same build-time ValueError. (An embedded
+    raise_error was tried instead — its non-determinism blocks subtree
+    reuse and pushdown, and the minmax fold re-executed the diff per
+    branch: 7.3 s -> 54 s at sf0.1. Feeds are delta-sized by
+    construction, so the cache is bounded; the session's cache
+    clearing releases it.)"""
     ct = F.col("_change_type")
     sign = (
         F.when(ct.isin(*_POS), F.lit(1))
         .when(ct.isin(*_NEG), F.lit(-1))
         .otherwise(F.lit(None))
     )
-    signed = feed.withColumn("__sign", sign)
+    signed = feed.withColumn("__sign", sign).persist()
     bad = [
         r[0]
         for r in signed.where(F.col("__sign").isNull())
@@ -164,6 +178,12 @@ def apply_minmax_delta(
     rarely; the sketch is paid always).
     """
     g = group_cols
+    # the incoming state is referenced by three consumers (the fold
+    # join feeds the fast branch, the invalidation gate, and the
+    # recompute keys) — persist it so a CHAINED fold (hop N's state is
+    # hop N-1's whole plan) doesn't re-execute the prior hops per
+    # consumer. #groups-sized by construction.
+    agg = agg.persist()
     signed = _signed(feed)
     v = F.col(col)
     fd = signed.groupBy(*g).agg(
@@ -258,6 +278,10 @@ def apply_topk_delta(
     deletes (Gupta-Mumick); the bounded auxiliary state (k rows) buys
     the O(k + |delta|) common case.
     """
+    # k-row state, consumed by the invalidation probe (an ACTION) and
+    # the fold union — persist so the probe doesn't re-run the prior
+    # hops' lineage that produced it
+    state = state.persist()
     signed = _signed(feed)
     pre_keys = (
         signed.where(F.col("__sign") == -1).select(*key_cols).distinct()

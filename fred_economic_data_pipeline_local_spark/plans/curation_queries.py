@@ -1625,7 +1625,7 @@ def tpch_refresh_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type", F.lit("delete")
     )
     t.apply_changes(rf2)  # RF2: aged-out order batch
-    return (
+    out = (
         t.read(spark)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -1636,6 +1636,7 @@ def tpch_refresh_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    return out
 
 
 _DQ_RULES = {

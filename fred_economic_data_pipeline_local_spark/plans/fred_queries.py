@@ -125,9 +125,11 @@ FROM t FULL OUTER JOIN s
     description="SURVEY §2.2 K3 / §2.5 J2: ON CONFLICT DO UPDATE as full-outer merge",
 )
 def fred_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: the v0 write and the merge source otherwise each
+    # re-execute the silver transform
     silver = _silver(spark, sf_dir).select(
         "indicator", "observation_year", "observation_month", "value", "observation_count"
-    )
+    ).persist()
     target = silver.where(F.col("observation_month") <= 8)
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
@@ -173,9 +175,11 @@ def fred_merge_into_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.lakehouse import LakeTable
 
+    # persist: the v0 write and the merge source otherwise each
+    # re-execute the silver transform
     silver = _silver(spark, sf_dir).select(
         "indicator", "observation_year", "observation_month", "value", "observation_count"
-    )
+    ).persist()
     target = silver.where(F.col("observation_month") <= 8)
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
@@ -183,7 +187,9 @@ def fred_merge_into_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = LakeTable(tempfile.mkdtemp(prefix="fred_merge_lake_"))
     table.overwrite(target)
     table.merge_into(source)
-    return table.read(spark).localCheckpoint(eager=True)
+    out = table.read(spark).localCheckpoint(eager=True)
+    silver.unpersist()
+    return out
 
 
 @query(
@@ -225,10 +231,12 @@ def fred_merge_into_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.lakehouse import ManifestLakeTable
 
+    # persist: the writes below each re-execute the silver transform
+    # otherwise (and merges consume their source twice internally)
     silver = _silver(spark, sf_dir).select(
         "indicator", "observation_year", "observation_month", "value",
         "observation_count",
-    )
+    ).persist()
     target = silver.where(F.col("observation_month") <= 8)
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
@@ -240,7 +248,9 @@ def fred_merge_into_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.overwrite(target)
     table.merge_into(source)
-    return table.read(spark).localCheckpoint(eager=True)
+    out = table.read(spark).localCheckpoint(eager=True)
+    silver.unpersist()
+    return out
 
 
 @query(
@@ -282,10 +292,12 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.lakehouse import ManifestLakeTable
 
+    # persist: the writes below each re-execute the silver transform
+    # otherwise (and merges consume their source twice internally)
     silver = _silver(spark, sf_dir).select(
         "indicator", "observation_year", "observation_month", "value",
         "observation_count",
-    )
+    ).persist()
     target = silver.where(F.col("observation_month") <= 8)
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
@@ -297,7 +309,9 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.overwrite(target)
     table.merge_into(source)
-    return table.changes(spark, 0, 1).localCheckpoint(eager=True)
+    out = table.changes(spark, 0, 1).localCheckpoint(eager=True)
+    silver.unpersist()
+    return out
 
 
 @query(
@@ -343,10 +357,12 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.lakehouse import ManifestLakeTable
 
+    # persist: the writes below each re-execute the silver transform
+    # otherwise (and merges consume their source twice internally)
     silver = _silver(spark, sf_dir).select(
         "indicator", "observation_year", "observation_month", "value",
         "observation_count",
-    )
+    ).persist()
     target = silver.where(F.col("observation_month") <= 8)
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
@@ -365,7 +381,9 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep.overwrite(src.read(spark, 0))
     rep.apply_changes(src.changes(spark, 0, 1))
     rep.apply_changes(src.changes(spark, 1, 2))
-    return rep.read(spark).localCheckpoint(eager=True)
+    out = rep.read(spark).localCheckpoint(eager=True)
+    silver.unpersist()
+    return out
 
 
 @query(
@@ -419,10 +437,13 @@ def manifest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources.lakehouse import ManifestLakeTable
 
+    # the v0 write and the v1 merge both execute the silver transform
+    # (and the merge consumes its source twice internally) — persist
+    # so the events scan + aggregate run once (guide §5)
     silver = _silver(spark, sf_dir).select(
         "indicator", "observation_year", "observation_month", "value",
         "observation_count",
-    )
+    ).persist()
     target = silver.where(F.col("observation_month") <= 8)
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
@@ -445,12 +466,14 @@ def manifest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             group_cols,
             sum_cols,
         )
-    return agg.select(
+    out = agg.select(
         "indicator",
         F.col("observation_year").alias("yr"),
         "n_rows",
         F.round("sum_value", 2).alias("sum_value"),
     ).localCheckpoint(eager=True)
+    silver.unpersist()
+    return out
 
 
 @query(
@@ -501,10 +524,12 @@ def manifest_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivm import apply_minmax_delta, materialize_minmax
     from ..sources.lakehouse import ManifestLakeTable
 
+    # persist: v0 write + v1 merge (twice internally) share one silver
+    # execution — same rationale as manifest_incremental_agg
     silver = _silver(spark, sf_dir).select(
         "indicator", "observation_year", "observation_month", "value",
         "observation_count",
-    )
+    ).persist()
     target = silver.where(F.col("observation_month") <= 8)
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
@@ -525,13 +550,15 @@ def manifest_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = apply_minmax_delta(
             agg, feed, src.read(spark, hop[1]), group_cols, "value"
         )
-    return agg.select(
+    out = agg.select(
         "indicator",
         F.col("observation_year").alias("yr"),
         "n_rows",
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     ).localCheckpoint(eager=True)
+    silver.unpersist()
+    return out
 
 
 @query(
@@ -649,10 +676,12 @@ def manifest_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivm import apply_topk_delta, materialize_topk
     from ..sources.lakehouse import ManifestLakeTable
 
+    # persist: the writes below each re-execute the silver transform
+    # otherwise (and merges consume their source twice internally)
     silver = _silver(spark, sf_dir).select(
         "indicator", "observation_year", "observation_month", "value",
         "observation_count",
-    )
+    ).persist()
     target = silver.where(F.col("observation_month") <= 8)
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
@@ -672,7 +701,9 @@ def manifest_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = apply_topk_delta(
             view, feed, src.read(spark, hop[1]), keys, "value", 20
         )
-    return view.localCheckpoint(eager=True)
+    out = view.localCheckpoint(eager=True)
+    silver.unpersist()
+    return out
 
 
 @query(
@@ -734,10 +765,12 @@ def fred_vintage_revisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.lakehouse import ManifestLakeTable
 
+    # persist: the writes below each re-execute the silver transform
+    # otherwise (and merges consume their source twice internally)
     silver = _silver(spark, sf_dir).select(
         "indicator", "observation_year", "observation_month", "value",
         "observation_count",
-    )
+    ).persist()
     target = silver.where(F.col("observation_month") <= 8)
     source = silver.where(F.col("observation_month") >= 5).withColumn(
         "value", F.round(F.col("value") * 2, 6)
@@ -752,7 +785,7 @@ def fred_vintage_revisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = src.read(spark, 1).select(*keys, F.col("value").alias("__v1"))
     rev = (F.col("__v1") - F.col("__v0")).alias("__rev")
     j = v0.join(v1, keys).select("indicator", rev)
-    return (
+    out = (
         j.groupBy("indicator")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
@@ -763,6 +796,8 @@ def fred_vintage_revisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    silver.unpersist()
+    return out
 
 
 @query(

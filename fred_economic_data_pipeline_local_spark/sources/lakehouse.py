@@ -930,6 +930,13 @@ class ManifestLakeTable(_KeyBucketedTable):
         from pyspark.sql import functions as F
 
         spark = source.sparkSession
+        # NOTE: the source is consumed twice (touched-bucket collect +
+        # the merge write). The collect side column-prunes to the key
+        # columns, so for scan-backed sources the second execution is a
+        # cheap pruned scan; callers whose source is an expensive
+        # pipeline persist it themselves (see manifest_incremental_agg)
+        # — an unconditional persist here measured net-negative for
+        # scan-backed sources (cache write+read > pruned re-scan).
         # version/layout/txn state is all read INSIDE the locked region
         # (non-blocking lock => a pre-lock read races a concurrent
         # writer's commit: B reads N while A holds the lock, acquires
@@ -1169,6 +1176,12 @@ class ManifestLakeTable(_KeyBucketedTable):
                 f"plus the table columns including keys {self.keys}; "
                 f"got {feed.columns}"
             )
+        # NOTE: the feed is consumed three times (touched-bucket
+        # collect, the upsert slice, the delete slice); the collect is
+        # a key-pruned scan and the two slices land in one write job,
+        # so an unconditional persist measured net-negative for
+        # scan-backed feeds — callers with expensive feeds persist them
+        # themselves.
         # table state (version, layout) read inside the lock — see
         # merge_into for the TOCTOU rationale (ADVICE r7)
         self._lock.acquire()

@@ -1025,8 +1025,10 @@ class TestIncrementalViewMaintenance:
             spark.createDataFrame([(2, "a", 25.0)], "k long, g string, v double")
         )
         feed = t.changes(spark, 0, 1)  # no preimages
-        with _pytest.raises(ValueError, match="update_preimages=True"):
-            incremental_agg_delta(feed, ["g"], ["v"])
+        # r15: the refusal rides the computation (embedded raise_error,
+        # no separate validation pass) — it fires at action time
+        with _pytest.raises(Exception, match="update_preimages=True"):
+            incremental_agg_delta(feed, ["g"], ["v"]).collect()
 
     def test_apply_changes_accepts_preimage_feed(self, spark, tmp_path):
         from fred_economic_data_pipeline_local_spark.sources.lakehouse import (
@@ -1171,10 +1173,11 @@ class TestMinMaxIVM:
             spark.createDataFrame([(2, "a", 25.0)], "k long, g string, v double")
         )
         agg0 = materialize_minmax(t.read(spark, 0), ["g"], "v")
-        with _pytest.raises(ValueError, match="update_preimages=True"):
+        # r15: embedded raise_error fires at action time (see above)
+        with _pytest.raises(Exception, match="update_preimages=True"):
             apply_minmax_delta(
                 agg0, t.changes(spark, 0, 1), t.read(spark, 1), ["g"], "v"
-            )
+            ).collect()
 
 
 class TestShallowClone:

@@ -28,7 +28,26 @@ CHANGED = [
     "spearman_quantity_price",
     "weighted_median_price",
     "curation_perplexity_buckets",
+    # manifest / commit-log family: shared-input persists (query-level
+    # _silver/li frames; library-level merge_into/apply_changes source
+    # persists) — value-neutral by construction, hash-gated anyway
+    "tpch_refresh_pricing",
+    "manifest_incremental_agg",
+    "manifest_incremental_minmax",
+    "manifest_incremental_topk",
+    "manifest_apply_changes",
+    "fred_merge_into_manifest",
+    "fred_merge_into_lake",
+    "fred_upsert_merge",
+    "manifest_change_feed",
+    "fred_vintage_revisions",
+    "manifest_scd2_history",
+    "manifest_time_travel",
+    "manifest_erasure_audit",
 ]
+
+if len(sys.argv) > 1:
+    CHANGED = sys.argv[1:]
 
 
 def main() -> None:
