@@ -59,49 +59,66 @@ def get_query(name: str) -> QuerySpec:
 # registry match exactly, so adding a query without cataloguing it is a
 # test failure, not a silent reorder.
 #
-# Editorial reslot #11 (round 14): external consumers verify a
+# Editorial reslot #12 (round 15): external consumers verify a
 # fixed-size prefix of this catalog (50 entries). Composition:
-#   1. the 9 round-6 leftovers (text_compression_ratio ..
-#      window_ntile_percent_rank, alphabetical) — after their driver
-#      rows land, the freshness floor advances to round 7 (VERDICT r13
-#      item 4);
-#   2. the 13 entries whose code changed in round 14 (each re-gated
+#   1. the 22 entries whose code changed in round 15 (each re-gated
 #      locally at sf0.001 + sf0.01 + sf0.1 before this reslot, hashes
-#      unchanged by construction): the two-pass exact-rank rewrites of
-#      the three r13 perf-weak entries (calibration_length_deciles,
-#      lorenz_customer_spend, profile_quantile_sketch's cert pass —
-#      operators/rank.py), the pareto_abc_parts prefix-sum rewrite,
-#      the text_unigram_drift TakeOrdered top-n, the cosine
-#      kernel's explicit NaN mask (ADVICE r13: NaN must propagate,
-#      only den==0 is NULL) touching embedding_mutual_knn_clusters
-#      and embedding_neardup_lsh, the distinct-hash banding
-#      rewrite of multimodal_phash_dedup (the 16x scale-trend find),
-#      and the low-cardinality-group rank-statistic rewrites of
-#      auc_doc_length_lang / gini_customer_spend /
-#      spearman_quantity_price (support-collapsed two-pass midranks —
-#      the same single-task family the r13 verdict flagged, found by
-#      this round's own pin audit), plus weighted_median_price
-#      (tie-group-support cumulative weights + exact integer
-#      ceil-division row counts) and curation_perplexity_buckets
-#      (per-lang thirds via the blocked exact_ntile) from the same
-#      audit's second pass over LOW-CARDINALITY partitioned windows.
-#      (window_ntile_percent_rank was also rewritten onto the blocked
-#      two-pass rank — it sits in group 1.)
-#   3. the alphabetical head (28 of 41) of the round-7 freshness tail
-#      (the 13 left over — skew_salted_join_revenue,
-#      stats_aggregates_lineitem, stream_click_attribution,
-#      string_agg_region_nations, string_functions_parts,
-#      text_bpe_token_counts and text_cms_heavy_hitters through
-#      window_rolling_mean — head the round-15 promotion pool; the
-#      round-7 tail is 43 entries, but profile_quantile_sketch and
-#      text_unigram_drift already sit in group 2).
-# 9 + 13 + 28 = exactly 50. The ENTIRE round-13 window (all 50
-# hash-green in CORRECTNESS_r13) demotes below the window in its prior
-# order. The below-window tail remains mirrored locally every round by
-# tests/test_oracle_parity.py.
+#      unchanged by construction): the checkpoint-free deterministic
+#      µkey-bucket rewrite of the exact-rank primitive
+#      (operators/rank.py) touching the ten ordered_prefix/exact_ntile
+#      entries; the shared-silver persists + IVM internal reuse
+#      (feed/state persists, operators/ivm.py) touching the nine
+#      manifest/commit-log entries; and the lazy per-round checkpoint
+#      cadence (operators/graph.py) touching kcore/BFS/SSSP;
+#   2. the 12 stalest below-window entries (the 8 round-7 leftovers
+#      skew_salted_join_revenue .. window_range_trailing_30d plus the
+#      4 round-13-verified heads similarity_ml_minhash_pairs,
+#      linkage_snm_clusters, events_seasonal_anomalies,
+#      dedup_ngram_components) — the freshness promotion;
+#   3. 16 round-14-verified continuity entries (the round-6 leftover
+#      block and the r14-changed heads, alphabetical head of the rest).
+# 22 + 12 + 16 = exactly 50. Everything else demotes below the window
+# in its prior (reslot-#11) order. The below-window tail remains
+# mirrored locally every round by tests/test_oracle_parity.py.
 CATALOG_ORDER: tuple[str, ...] = (
-    # ===== verified window (first 50) — editorial reslot #11 (round 14) =====
-    # 1. the 9 round-6 leftovers (freshness floor -> round 7):
+    # ===== verified window (first 50) — editorial reslot #12 (round 15) =====
+    # 1. entries whose code changed in round 15 (see header):
+    "auc_doc_length_lang",
+    "calibration_length_deciles",
+    "curation_perplexity_buckets",
+    "gini_customer_spend",
+    "lorenz_customer_spend",
+    "pareto_abc_parts",
+    "profile_quantile_sketch",
+    "spearman_quantity_price",
+    "weighted_median_price",
+    "window_ntile_percent_rank",
+    "fred_merge_into_lake",
+    "fred_merge_into_manifest",
+    "fred_upsert_merge",
+    "fred_vintage_revisions",
+    "manifest_apply_changes",
+    "manifest_change_feed",
+    "manifest_incremental_agg",
+    "manifest_incremental_minmax",
+    "manifest_incremental_topk",
+    "graph_bfs_levels",
+    "graph_kcore_peel",
+    "graph_weighted_sssp",
+    # 2. freshness promotions (stalest below-window entries):
+    "skew_salted_join_revenue",
+    "stats_aggregates_lineitem",
+    "stream_click_attribution",
+    "string_agg_region_nations",
+    "string_functions_parts",
+    "text_bpe_token_counts",
+    "tumbling_window_events",
+    "window_range_trailing_30d",
+    "similarity_ml_minhash_pairs",
+    "linkage_snm_clusters",
+    "events_seasonal_anomalies",
+    "dedup_ngram_components",
+    # 3. round-14-verified continuity entries:
     "text_compression_ratio",
     "text_langid_confusion",
     "text_tfidf_top_terms",
@@ -110,26 +127,15 @@ CATALOG_ORDER: tuple[str, ...] = (
     "topk_orders_by_price",
     "union_all_lake_layers",
     "unpivot_lineitem_measures",
-    "window_ntile_percent_rank",
-    # 2. entries whose code changed in round 14 (see header):
-    "calibration_length_deciles",
     "multimodal_phash_dedup",
-    "lorenz_customer_spend",
-    "profile_quantile_sketch",
-    "pareto_abc_parts",
     "text_unigram_drift",
     "embedding_mutual_knn_clusters",
     "embedding_neardup_lsh",
-    "auc_doc_length_lang",
-    "gini_customer_spend",
-    "spearman_quantity_price",
-    "weighted_median_price",
-    "curation_perplexity_buckets",
-    # 3. alphabetical head of the round-7 freshness tail:
     "array_functions_tokens",
     "bitext_margin_pairs",
     "case_when_price_bands",
     "cast_coercion_values",
+    # ===== below the window: demoted in prior (reslot-#11) order =====
     "cross_join_region_pairs",
     "curation_adaptive_quality_gate",
     "date_functions_orders",
@@ -154,20 +160,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "similarity_ivfpq_topk",
     "similarity_pq_topk",
     "skew_salted_agg_quantities",
-    # ===== below the window: the 12 round-7 leftovers + everything
-    # else, demoted in prior (reslot-#10) order =====
-    "skew_salted_join_revenue",
-    "stats_aggregates_lineitem",
-    "stream_click_attribution",
-    "string_agg_region_nations",
-    "string_functions_parts",
-    "text_bpe_token_counts",
-    "tumbling_window_events",
-    "window_range_trailing_30d",
-    "similarity_ml_minhash_pairs",
-    "linkage_snm_clusters",
-    "events_seasonal_anomalies",
-    "dedup_ngram_components",
     "dedup_neardup_resolve",
     "dedup_incremental_components",
     "dedup_quality_resolve",
@@ -211,7 +203,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "snapshot_diff_counts",
     "text_bigram_logprob",
     "linkage_jaro_winkler",
-    "graph_kcore_peel",
     "revenue_bridge_price_volume",
     "skyline_orders_price_date",
     "asof_clicks_to_purchases",
@@ -258,12 +249,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_runs_test",
     "stream_dq_ingest",
     "similarity_pq_distortion",
-    "manifest_incremental_topk",
     "price_index_fisher",
     "multimodal_audio_energy",
     "price_index_chained",
     "events_ccf_leadlag",
-    "fred_vintage_revisions",
     "tail_index_hill_prices",
     "events_daily_peaks",
     "similarity_ivf_recall_curve",
@@ -290,7 +279,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_periodogram",
     "events_seasonal_decompose",
     "privacy_k_anonymity",
-    "graph_weighted_sssp",
     "fifo_lot_allocation",
     "attribution_position_based",
     "orders_littles_law",
@@ -342,7 +330,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "fred_silver_monthly",
     "fred_gold_yearly",
     "fred_dedup_append",
-    "fred_upsert_merge",
     "q1_pricing_summary",
     "manifest_zorder_range_read",
     "stream_lake_ingest",
@@ -368,7 +355,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "acf_event_type_daily",
     "assoc_rules_parts",
     "text_token_mi_lang",
-    "graph_bfs_levels",
     "dedup_containment_pairs",
     "text_zipf_slope",
     "interarrival_burstiness",
@@ -387,7 +373,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "profile_psi_lengths",
     "sample_weighted_aes",
     "dedup_span_removal",
-    "manifest_incremental_minmax",
     "text_bm25_topk",
     "sketch_theta_set_ops",
     "session_window_events",
@@ -414,11 +399,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "manifest_zone_report",
     "graph_link_prediction",
     "events_user_ltv_decay",
-    "fred_merge_into_lake",
-    "fred_merge_into_manifest",
-    "manifest_change_feed",
-    "manifest_apply_changes",
-    "manifest_incremental_agg",
     "bloom_pruned_join_revenue",
     "sample_temperature_mix",
     "window_lag_month_over_month",
