@@ -44,6 +44,11 @@ CHANGED = [
     "manifest_scd2_history",
     "manifest_time_travel",
     "manifest_erasure_audit",
+    # iterative graph family: lazy per-round checkpoint cadence
+    # (operators/graph.py) — value-neutral set/integer algebra
+    "graph_kcore_peel",
+    "graph_bfs_levels",
+    "graph_weighted_sssp",
 ]
 
 if len(sys.argv) > 1:
