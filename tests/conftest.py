@@ -14,5 +14,5 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(app_name="tests", master="local[12]", shuffle_partitions=8)
     yield s
